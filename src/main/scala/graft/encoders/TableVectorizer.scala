@@ -1,0 +1,105 @@
+package graft.encoders
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TableVectorizer (reference flagship: skrub/_table_vectorizer.py:545-1166):
+  * route every column by inferred kind — numeric passthrough, datetime ->
+  * DatetimeEncoder, low-cardinality string -> one-hot, high-cardinality
+  * string -> hashed n-gram projection (StringEncoder's scalable stand-in) —
+  * and emit one flat all-numeric feature frame.
+  *
+  * Execution shape (vs the reference's joblib column loop): ONE stats job for
+  * routing (distinct counts for candidate strings, computed together), a
+  * driver-side vocabulary collect for one-hot columns (vocab < threshold by
+  * construction), then a SINGLE `select` with every feature expression —
+  * column parallelism becomes expression parallelism inside whole-stage
+  * codegen; executors see exactly one scan of the input.
+  */
+object TableVectorizer {
+
+  sealed trait Kind
+  case object Numeric extends Kind
+  case object Datetime extends Kind
+  case object LowCardinality extends Kind
+  case object HighCardinality extends Kind
+  case object Rejected extends Kind
+
+  final case class Model(columnToKind: Seq[(String, Kind)],
+                         vocab: Map[String, Seq[String]],
+                         datetimeResolution: String,
+                         nHashFeatures: Int) {
+
+    /** All output feature expressions, in deterministic column order. */
+    def featureExprs: Seq[Column] = columnToKind.flatMap {
+      case (c, Numeric) => Seq(col(c).cast(DoubleType).as(c))
+      case (c, Datetime) =>
+        DatetimeEncoder.encode(c, datetimeResolution, asDouble = true)
+      case (c, LowCardinality) =>
+        vocab(c).map(v =>
+          when(col(c) === v, 1.0).otherwise(0.0)
+            .as(s"${c}_${v.replaceAll("[^A-Za-z0-9]+", "_")}")) :+
+          when(col(c).isNull, 1.0).otherwise(0.0).as(s"${c}__null")
+      case (c, HighCardinality) =>
+        // hashed char-3-gram projection: nHashFeatures counts of n-grams
+        // whose md5 bucket == j (HashingVectorizer shape, oracle-friendly)
+        (0 until nHashFeatures).map { j =>
+          size(filter(charNgrams(col(c), 3),
+            g => conv(substring(md5(g), 1, 4), 16, 10) % nHashFeatures === j))
+            .cast(DoubleType).as(s"${c}_hash_$j")
+        }
+      case (_, Rejected) => Nil
+    }
+
+    def transform(df: DataFrame): DataFrame = df.select(featureExprs: _*)
+  }
+
+  /** Character n-grams of the lowercased string (reference StringEncoder uses
+    * char 3-4-grams of the raw value).
+    */
+  def charNgrams(c: Column, n: Int): Column = {
+    val s = lower(c)
+    val count = length(s) - (n - 1)
+    when(c.isNull, array().cast(ArrayType(StringType)))
+      .when(count <= 0, array(s))
+      .otherwise(transform(sequence(lit(1), count), i => s.substr(i, lit(n))))
+  }
+
+  /** Routing: numeric/datetime by dtype; strings by exact distinct count
+    * against `cardinalityThreshold` (reference default 40) — one aggregate
+    * job for ALL candidate columns; boolean -> numeric 0/1.
+    */
+  def fit(df: DataFrame, cardinalityThreshold: Int = 40,
+          datetimeResolution: String = "hour",
+          nHashFeatures: Int = 8): Model = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val cards: Map[String, Long] =
+      if (stringCols.isEmpty) Map.empty
+      else {
+        val exprs = stringCols.map(c => countDistinct(col(c)).as(c))
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        stringCols.map(c => c -> row.getAs[Long](c)).toMap
+      }
+    val kinds: Seq[(String, Kind)] = df.schema.fields.toSeq.map { f =>
+      f.name -> (f.dataType match {
+        case _: NumericType => Numeric
+        case BooleanType    => Numeric
+        case DateType | TimestampType | TimestampNTZType => Datetime
+        case StringType =>
+          if (cards(f.name) < cardinalityThreshold) LowCardinality else HighCardinality
+        case _ => Rejected
+      })
+    }
+    val lowCard = kinds.collect { case (c, LowCardinality) => c }
+    val vocab: Map[String, Seq[String]] = lowCard.map { c =>
+      val vs = df.select(col(c)).filter(col(c).isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      c -> vs
+    }.toMap
+    Model(kinds, vocab, datetimeResolution, nHashFeatures)
+  }
+
+  def fitTransform(df: DataFrame, cardinalityThreshold: Int = 40): DataFrame =
+    fit(df, cardinalityThreshold).transform(df)
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text primitives shared by the dedup / text-analysis operators.
+  *
+  * Hashing design: every deterministic hash in the library is derived from
+  * `md5` — identical bytes-in/hex-out in Spark and in the DuckDB oracle —
+  * so correctness of hash-based operators (minhash, simhash, fingerprints,
+  * LSH bands) is verifiable by exact hash-match against SQL, with no
+  * engine-private hash function anywhere. All of it composes from codegen'd
+  * built-ins and higher-order array functions; no UDFs in the hot path.
+  */
+object Text {
+
+  /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text (array<string>, no empties). */
+  def tokens(c: Column): Column =
+    filter(split(normalize(c), " "), t => length(t) > 0)
+
+  /** Word n-gram shingles: array of space-joined n-token windows.
+    * Texts shorter than n tokens yield a single shingle of the whole text,
+    * so no document silently disappears from dedup candidate generation.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val full = array_join(toks, " ")
+    val nShingles = size(toks) - (n - 1)
+    when(nShingles <= 0, array(full)).otherwise(
+      transform(sequence(lit(0), nShingles - 1),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Distinct shingle set (order-free). */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+
+  /** MinHash signature as an array of K md5-hex minima:
+    * sig_k = min over shingles of md5(shingle || '#' || k).
+    * Lexicographic min over fixed-width lowercase hex == numeric min, and is
+    * identical in the oracle. Permutation-independent and monotone under
+    * shingle-set containment by construction.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingles,
+        s => md5(concat(s, lit("#"), seed.cast(StringType))))))
+
+  /** LSH band keys: the signature split into bands of `rowsPerBand`, each band
+    * hashed to one md5 key. Near-dup pairs collide on >=1 band key.
+    */
+  def lshBands(sig: Column, rowsPerBand: Int, nBands: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => md5(concat(b.cast(StringType), lit(":"),
+        array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
+
+  /** 32-bit SimHash from md5 digit parities: bit i of the fingerprint is the
+    * sign of sum over tokens of (parity of hex digit i of md5(token)) mapped
+    * to +/-1. Returns a LongType (0..2^32-1). Deterministic and exactly
+    * reproducible in SQL; the scale path is the blocked hamming join in
+    * graft.operators.Dedup.
+    */
+  def simhash32(c: Column): Column = {
+    val hexes = transform(tokens(c), t => md5(t))
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    // static 32-expression sum: bit i set iff the +/-1 votes of hex digit i's
+    // parity over all tokens sum positive
+    (0 until 32).map { i =>
+      val votes = aggregate(hexes, lit(0),
+        (acc, h) => acc + when(h.substr(i + 1, 1).isin(odd: _*), 1).otherwise(-1))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Document fingerprint: md5 of the normalized text — exact-dup key. */
+  def contentFingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Winnowing-style robust fingerprint: minimum md5 over word 5-gram
+    * shingles (stable under local edits near document ends).
+    */
+  def minShingleFingerprint(c: Column, n: Int = 5): Column =
+    array_min(transform(shingleSet(c, n), s => md5(s)))
+}

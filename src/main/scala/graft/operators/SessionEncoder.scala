@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sessionization (reference: skrub/_session_encoder.py:41-634).
+  *
+  * Batch form: one window pass per entity —
+  *   `w = partitionBy(splitBy).orderBy(ts)`;
+  *   boundary = first row of entity OR gap to previous row > gapSeconds;
+  *   session index within entity = running count of boundaries - 1.
+  *
+  * Rows with a null timestamp or null split key get session -1 (reference
+  * behavior). Output keeps every input column and appends `session_id`
+  * (per-entity index) — at 100 TB a single global dense id would force a
+  * total sort; the composite (splitBy, session_id) is the scalable identity,
+  * exactly like the reference's per-entity cumsum before its global offset.
+  * `globalSessionId` materializes the reference's global numbering when the
+  * caller genuinely needs it (verify-scale only).
+  *
+  * Streaming form: `session_window(ts, gap)` in Structured Streaming gives
+  * the same grouping with watermark-driven state eviction (see
+  * graft.streaming.StreamingSessions).
+  */
+object SessionEncoder {
+
+  def transform(df: DataFrame, splitBy: Seq[String], tsCol: String,
+                gapSeconds: Double, out: String = "session_id"): DataFrame = {
+    val ts = col(tsCol)
+    val keyNull = splitBy.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
+    val invalid = ts.isNull || keyNull
+    val w = Window.partitionBy(splitBy.map(col): _*).orderBy(ts)
+    // epoch in microseconds keeps integer arithmetic (oracle: epoch_us)
+    val us = unix_micros(ts)
+    val prev = lag(us, 1).over(w)
+    val boundary = when(prev.isNull || (us - prev) > lit((gapSeconds * 1e6).toLong), 1L)
+      .otherwise(0L)
+    val cum = sum(when(invalid, 0L).otherwise(boundary))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn(out, when(invalid, lit(-1L)).otherwise(cum - 1L))
+  }
+
+  /** Reference-style globally unique session ids: dense rank over
+    * (splitBy, per-entity session). Requires a global shuffle+sort — fine at
+    * verify scale, NOT the 100 TB path (use the composite key there).
+    */
+  def globalSessionId(df: DataFrame, splitBy: Seq[String], tsCol: String,
+                      gapSeconds: Double, out: String = "session_id"): DataFrame = {
+    val local = transform(df, splitBy, tsCol, gapSeconds, "__local_session")
+    val w = Window.orderBy((splitBy.map(col) :+ col("__local_session")): _*)
+    val valid = local.filter(col("__local_session") =!= -1L)
+      .withColumn(out, dense_rank().over(w).cast(LongType) - 1L)
+    val invalid = local.filter(col("__local_session") === -1L)
+      .withColumn(out, lit(-1L))
+    valid.unionByName(invalid).drop("__local_session")
+  }
+}

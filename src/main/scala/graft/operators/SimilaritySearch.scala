@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — the QUERY side is broadcast (queries
+  * are few), the corpus is scanned once; per-partition the work is a dense
+  * dot-product loop, and the global top-k is a single shuffle of k rows per
+  * query. This shape survives 100 TB: no corpus self-join, no global sort.
+  *
+  * Scale path: `ivfTopK` — k-means-style coarse quantizer (here: deterministic
+  * hyperplane buckets, same as Dedup.embeddingLshPairs) restricts each query
+  * to matching buckets before the exact re-rank.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small
+    * (broadcast). Ties broken by corpus id ascending for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(Dedup.dot(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("corpus_id"), col("cosine"))
+  }
+
+  /** IVF-style ANN: assign corpus vectors to hyperplane-sign buckets, search
+    * each query only within its own bucket (probe=1) — recall traded for a
+    * |corpus|/2^nPlanes scan reduction. Same output schema as brute force.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
+    def bucketOf(nv: Column): Column =
+      (0 until nPlanes).map { p =>
+        val proj = aggregate(zip_with(nv,
+          transform(sequence(lit(0), size(nv) - 1), i =>
+            (conv(substring(md5(concat_ws(":", lit(p), i.cast(StringType))), 1, 8), 16, 10)
+              .cast(DoubleType) / lit(math.pow(2, 31)) - 1.0)),
+          (x, coef) => x * coef), lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
+      .withColumn("bucket", bucketOf(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
+      .withColumn("bucket", bucketOf(col("qv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(Dedup.dot(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("corpus_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Text
+
+/** Text-analysis operators for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column expressions
+  * (whole-stage codegen; zero shuffles; scale = embarrassingly parallel scan).
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists for the n-gram/stopword language-ID heuristic.
+    * Deterministic and tiny on purpose: the heuristic is the *shape* of a
+    * production fastText-style classifier (score-per-language, argmax with a
+    * fixed tie order) while staying exactly reproducible in the SQL oracle.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "zh" -> Seq() // no-latin-marker language: detected by CJK char presence
+  )
+
+  /** Language ID: CJK character ratio beats everything; otherwise the
+    * language with the most stopword hits wins; ties broken by the fixed
+    * order of `LangMarkers`; zero hits everywhere -> "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = Text.tokens(text)
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val scores: Seq[(String, Column)] = LangMarkers.filter(_._2.nonEmpty).map {
+      case (lang, markers) =>
+        lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    // argmax with first-wins tie-break (fixed language order), zero -> "und"
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pickFirstWins = scores.reverse.foldLeft(lit("und")) { case (els, (lang, s)) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+    when(cjk > 0, lit("zh")).otherwise(pickFirstWins)
+  }
+
+  /** Quality features (reference-style heuristics scaled out):
+    * character count, word count, mean word length, punctuation ratio,
+    * stopword ratio, digit ratio, uppercase ratio — plus a composite
+    * `quality_ok` gate like a C4/Gopher-style filter.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = Text.tokens(t)
+    val nChars = length(t)
+    val nWords = size(toks)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    df.withColumn("n_chars", nChars.cast(LongType))
+      .withColumn("n_words", nWords.cast(LongType))
+      .withColumn("mean_word_len",
+        round(aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) /
+          greatest(nWords, lit(1)).cast(DoubleType), 6))
+      .withColumn("punct_ratio",
+        round(size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0))).cast(DoubleType) /
+          greatest(nChars, lit(1)).cast(DoubleType), 6))
+      .withColumn("digit_ratio",
+        round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast(DoubleType) /
+          greatest(nChars, lit(1)).cast(DoubleType), 6))
+      .withColumn("upper_ratio",
+        round(size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).cast(DoubleType) /
+          greatest(nChars, lit(1)).cast(DoubleType), 6))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, w => w.isin(stop: _*))).cast(DoubleType) /
+          greatest(nWords, lit(1)).cast(DoubleType), 6))
+      .withColumn("quality_ok",
+        (nWords >= 5) && (nWords <= 100000) && (col("mean_word_len") between(2.0, 15.0)))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(Text.tokens(t)).cast(LongType))
+      .withColumn("bpe_ish_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast(LongType))
+  }
+
+  /** Fingerprints: exact md5 of normalized content + min-shingle robust hash. */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp_exact", Text.contentFingerprint(col(textCol)))
+      .withColumn("fp_minshingle", Text.minShingleFingerprint(col(textCol)))
+}

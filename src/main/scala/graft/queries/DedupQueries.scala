@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernel
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Dedup + similarity-search queries over the `documents` / `embeddings`
+  * tables, with DuckDB oracles that recompute the same md5-derived hashes —
+  * the hash family was chosen (Text.scala) precisely so the oracle can
+  * reproduce signatures bit-for-bit in SQL.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  // DuckDB expression fragments mirroring graft.functions.Text
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+  private def shinglesSql(n: Int) =
+    s"""(CASE WHEN len(toks) <= ${n - 1} THEN [array_to_string(toks, ' ')]
+       | ELSE list_transform(range(0, len(toks) - ${n - 1}),
+       |   i -> array_to_string(list_slice(toks, i + 1, i + $n), ' ')) END)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, minJaccard = 0.2, maxShingleDf = 1000000L)),
+
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.4)),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5)
+    }),
+
+    // IVF/LSH-bucketed ANN: same algorithm family, bucket recall < 1 by
+    // design — verified rows-only (no oracle entry).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nPlanes = 4)
+    })
+  )
+
+  /** 32-term simhash SQL generated to mirror Text.simhash32 exactly. */
+  private def simhashSql: String = {
+    val odd = "('1','3','5','7','9','b','d','f')"
+    val bits = (0 until 32).map { i =>
+      s"""(CASE WHEN list_sum(list_transform(hexes,
+         | h -> CASE WHEN substr(h, ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END)) > 0
+         | THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id, list_transform($toksSql, t -> md5(t)) AS hexes
+       |  FROM documents),
+       |sh AS (SELECT id, $bits AS sim FROM tk)
+       |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sim, b.sim)) AS hamming
+       |FROM sh a JOIN sh b ON a.id < b.id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS doc_id,
+         |  count(*) AS n_dups
+         |FROM documents GROUP BY md5($normSql)""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |docs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tok),
+         |d2 AS (SELECT id, sh, len(sh) AS n FROM docs),
+         |posting AS (SELECT id, n, unnest(sh) AS shingle FROM d2),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+         |    count(*) AS n_common
+         |  FROM posting a JOIN posting b USING (shingle)
+         |  WHERE a.id < b.id GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+         |FROM pairs
+         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |docs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tok),
+         |sigs AS (
+         |  SELECT id, sh, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM docs),
+         |bands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
+         |verif AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(x.sh, y.sh)) AS n_common,
+         |    len(x.sh) AS n_a, len(y.sh) AS n_b
+         |  FROM cand JOIN docs x ON cand.id_a = x.id JOIN docs y ON cand.id_b = y.id)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+         |FROM verif
+         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2""".stripMargin,
+
+    "q_dedup_simhash" -> simhashSql,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(list_sum(list_transform(list_zip(a.nv, b.nv),
+        |    p -> p[1] * p[2])), 6) AS cosine
+        |FROM v a JOIN v b ON a.id < b.id
+        |WHERE list_sum(list_transform(list_zip(a.nv, b.nv), p -> p[1] * p[2])) >= 0.4""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.id AS query_id, c.id AS corpus_id,
+        |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
+        |  FROM v c JOIN v q ON q.id < 10 AND q.id <> c.id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Kernel
+import graft.encoders.{DatetimeEncoder, DropUninformative, SquashingScaler, TableVectorizer}
+import graft.operators.ColumnAssociations
+
+/** Encoder / profiling queries with DuckDB oracles. */
+object EncoderQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DatetimeEncoder with circular (sin/cos) periodic features
+    "q_datetime_encoder" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(Seq(col("o_orderkey")) ++
+        DatetimeEncoder.encode("o_orderdate", "hour", periodic = true, asDouble = true): _*)
+    }),
+
+    // SquashingScaler: robust scale + smooth clip
+    "q_squashing_scaler" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      SquashingScaler.fitTransform(c, "c_acctbal", "c_acctbal_scaled")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_acctbal_scaled"))
+    }),
+
+    // TableVectorizer flagship: route + encode every orders column
+    "q_table_vectorizer" -> ((s, dir) =>
+      TableVectorizer.fitTransform(t(s, dir, "orders"))),
+
+    // DropUninformative: all-unique string columns dropped
+    "q_drop_uninformative" -> ((s, dir) =>
+      DropUninformative.transform(t(s, dir, "documents"), dropIfUnique = true)),
+
+    // Pearson correlation matrix entry
+    "q_pearson_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))),
+
+    // Bias-corrected Cramér's V associations
+    "q_column_assoc" -> ((s, dir) =>
+      ColumnAssociations.forPairs(t(s, dir, "orders"),
+        Seq(("o_orderstatus", "o_orderpriority")))),
+
+    // numeric profile with decimal-exact std (order-independent)
+    "q_num_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dec = col("o_totalprice").cast(DecimalType(12, 2))
+      val sumD = sum(dec).cast(DoubleType)
+      val sumSq = sum(dec * dec).cast(DoubleType)
+      val n = count(col("o_totalprice")).cast(DoubleType)
+      o.agg(
+        n.cast(LongType).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (sumD / n).as("mean_price"),
+        round(sqrt((sumSq - sumD * sumD / n) / (n - lit(1.0))), 6).as("std_price"))
+    })
+  )
+
+  private val tvOracle: String = {
+    val statuses = Seq("F", "O", "P")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    def onehot(c: String, vs: Seq[String]) =
+      vs.map(v =>
+        s"CASE WHEN $c = '$v' THEN 1.0 ELSE 0.0 END AS ${c}_${v.replaceAll("[^A-Za-z0-9]+", "_")}") :+
+        s"CASE WHEN $c IS NULL THEN 1.0 ELSE 0.0 END AS ${c}__null"
+    val cols = Seq(
+      "CAST(o_orderkey AS DOUBLE) AS o_orderkey",
+      "CAST(o_custkey AS DOUBLE) AS o_custkey") ++
+      onehot("o_orderstatus", statuses) ++
+      Seq("CAST(o_totalprice AS DOUBLE) AS o_totalprice",
+        "CAST(year(o_orderdate) AS DOUBLE) AS o_orderdate_year",
+        "CAST(month(o_orderdate) AS DOUBLE) AS o_orderdate_month",
+        "CAST(dayofmonth(o_orderdate) AS DOUBLE) AS o_orderdate_day",
+        "CAST(hour(o_orderdate) AS DOUBLE) AS o_orderdate_hour",
+        "CAST(isodow(o_orderdate) AS DOUBLE) AS o_orderdate_weekday",
+        "CAST(dayofyear(o_orderdate) AS DOUBLE) AS o_orderdate_day_of_year",
+        "epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 1000000.0 AS o_orderdate_total_seconds") ++
+      onehot("o_orderpriority", prios)
+    s"SELECT\n  ${cols.mkString(",\n  ")}\nFROM orders"
+  }
+
+  private val dtOracle: String = {
+    val base = Seq(
+      "o_orderkey",
+      "CAST(year(o_orderdate) AS DOUBLE) AS o_orderdate_year",
+      "CAST(month(o_orderdate) AS DOUBLE) AS o_orderdate_month",
+      "CAST(dayofmonth(o_orderdate) AS DOUBLE) AS o_orderdate_day",
+      "CAST(hour(o_orderdate) AS DOUBLE) AS o_orderdate_hour",
+      "CAST(isodow(o_orderdate) AS DOUBLE) AS o_orderdate_weekday",
+      "CAST(dayofyear(o_orderdate) AS DOUBLE) AS o_orderdate_day_of_year",
+      "epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 1000000.0 AS o_orderdate_total_seconds")
+    // periods sorted by part name: day=30, hour=24, month=12, weekday=7
+    val circ = Seq("day" -> 30, "hour" -> 24, "month" -> 12, "weekday" -> 7).flatMap {
+      case (p, period) =>
+        val v = p match {
+          case "day"     => "dayofmonth(o_orderdate)"
+          case "hour"    => "hour(o_orderdate)"
+          case "month"   => "month(o_orderdate)"
+          case "weekday" => "isodow(o_orderdate)"
+        }
+        Seq(
+          s"round(sin(CAST($v AS DOUBLE) * 2 * pi() / $period), 6) + 0.0 AS o_orderdate_${p}_circular_sin",
+          s"round(cos(CAST($v AS DOUBLE) * 2 * pi() / $period), 6) + 0.0 AS o_orderdate_${p}_circular_cos")
+    }
+    s"SELECT\n  ${(base ++ circ).mkString(",\n  ")}\nFROM orders"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_datetime_encoder" -> dtOracle,
+
+    "q_squashing_scaler" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+        |    quantile_cont(c_acctbal, 0.5) AS q2,
+        |    quantile_cont(c_acctbal, 0.75) AS q3
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |z AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    (c_acctbal - q2) / (CASE WHEN q3 - q1 = 0 THEN 1.0 ELSE q3 - q1 END) AS zc
+        |  FROM customer, q)
+        |SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN NULL
+        |    ELSE round(zc / sqrt(1.0 + (zc / 3.0) * (zc / 3.0)), 6) END AS c_acctbal_scaled
+        |FROM z""".stripMargin,
+
+    "q_table_vectorizer" -> tvOracle,
+
+    "q_drop_uninformative" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+
+    "q_pearson_corr" ->
+      "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem",
+
+    "q_column_assoc" -> {
+      """WITH obs AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b, CAST(count(*) AS DOUBLE) AS o
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(o) OVER () AS n,
+        |    sum(o) OVER (PARTITION BY a) AS rt,
+        |    sum(o) OVER (PARTITION BY b) AS ct,
+        |    CAST(count(DISTINCT a) OVER () AS DOUBLE) AS r,
+        |    CAST(count(DISTINCT b) OVER () AS DOUBLE) AS c
+        |  FROM obs),
+        |agg AS (
+        |  SELECT sum((o - rt*ct/n) * (o - rt*ct/n) / (rt*ct/n)) AS chi2,
+        |    any_value(n) AS n, any_value(r) AS r, any_value(c) AS c
+        |  FROM m)
+        |SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+        |  round(sqrt(greatest(0.0, chi2/n - (r-1)*(c-1)/(n-1))
+        |    / least(r - (r-1)*(r-1)/(n-1) - 1, c - (c-1)*(c-1)/(n-1) - 1)), 6) AS cramers_v
+        |FROM agg""".stripMargin
+    },
+
+    "q_num_profile" ->
+      """WITH s AS (
+        |  SELECT count(o_totalprice) AS n,
+        |    min(o_totalprice) AS min_price,
+        |    max(o_totalprice) AS max_price,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sq
+        |  FROM orders)
+        |SELECT n, min_price, max_price,
+        |  sd / n AS mean_price,
+        |  round(sqrt((sq - sd * sd / n) / (n - 1.0)), 6) AS std_price
+        |FROM s""".stripMargin
+  )
+}

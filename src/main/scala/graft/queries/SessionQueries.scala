@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernel
+import graft.operators.SessionEncoder
+
+/** Sessionization queries over the `events` table. */
+object SessionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  val GapSeconds = 1800.0 // 30 min
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-entity session index — the 100 TB shape (no global ordering)
+    "q_sessionize" -> ((s, dir) =>
+      SessionEncoder.transform(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
+        .select(col("event_id"), col("user_id"), col("session_id"))),
+
+    // reference-parity global session numbering (verify-scale only)
+    "q_sessionize_global" -> ((s, dir) =>
+      SessionEncoder.globalSessionId(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
+        .select(col("event_id"), col("user_id"), col("session_id"))),
+
+    // session-level rollup: events per session, duration, value sum
+    "q_session_stats" -> ((s, dir) => {
+      val sess = SessionEncoder.transform(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("value_sum"))
+    })
+  )
+
+  private val boundarySql =
+    s"""SELECT event_id, user_id, ts, value,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |    OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+       |       > ${(GapSeconds * 1e6).toLong}
+       |    THEN 1 ELSE 0 END AS boundary
+       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH b AS ($boundarySql)
+         |SELECT event_id, user_id,
+         |  CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+         |FROM b""".stripMargin,
+
+    "q_sessionize_global" ->
+      s"""WITH b AS ($boundarySql),
+         |s AS (
+         |  SELECT event_id, user_id,
+         |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS local
+         |  FROM b)
+         |SELECT event_id, user_id,
+         |  dense_rank() OVER (ORDER BY user_id, local) - 1 AS session_id
+         |FROM s""".stripMargin,
+
+    "q_session_stats" ->
+      s"""WITH b AS ($boundarySql),
+         |s AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+         |  FROM b)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  epoch_us(CAST(max(ts) AS TIMESTAMP)) - epoch_us(CAST(min(ts) AS TIMESTAMP))
+         |    AS duration_us,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+         |FROM s GROUP BY user_id, session_id""".stripMargin
+  )
+}

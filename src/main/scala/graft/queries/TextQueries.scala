@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernel
+import graft.operators.TextAnalysis
+
+/** Text-analysis queries over `documents`, each mirrored exactly in DuckDB. */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_words"), col("mean_word_len"),
+          col("punct_ratio"), col("digit_ratio"), col("upper_ratio"),
+          col("stopword_ratio"), col("quality_ok"))),
+
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))),
+
+    "q_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("fp_exact"), col("fp_minshingle")))
+  )
+
+  private def markerList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def langidSql: String = {
+    val scores = TextAnalysis.LangMarkers.filter(_._2.nonEmpty).map { case (lang, ms) =>
+      s"len(list_filter(toks, t -> list_contains(${markerList(ms)}, t))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangMarkers.filter(_._2.nonEmpty).map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString("\n    ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |sc AS (
+       |  SELECT doc_id, text,
+       |    $scores
+       |  FROM tk),
+       |mx AS (SELECT *, $m AS m FROM sc)
+       |SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |    $cases
+       |    ELSE 'und' END AS lang_pred
+       |FROM mx""".stripMargin
+  }
+
+  private val stopSql = markerList(Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
+
+  val oracle: Map[String, String] = Map(
+    "q_langid" -> langidSql,
+
+    "q_text_quality" ->
+      s"""WITH tk AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(text) AS BIGINT) AS n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    round(CAST(list_sum(list_append(list_transform(toks, w -> len(w)), 0)) AS DOUBLE)
+         |      / greatest(len(toks), 1), 6) AS mean_word_len,
+         |    round(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)
+         |      / greatest(len(text), 1), 6) AS punct_ratio,
+         |    round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         |      / greatest(len(text), 1), 6) AS digit_ratio,
+         |    round(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         |      / greatest(len(text), 1), 6) AS upper_ratio,
+         |    round(CAST(len(list_filter(toks, w -> list_contains($stopSql, w))) AS DOUBLE)
+         |      / greatest(len(toks), 1), 6) AS stopword_ratio
+         |  FROM tk)
+         |SELECT doc_id, n_chars, n_words, mean_word_len, punct_ratio, digit_ratio,
+         |  upper_ratio, stopword_ratio,
+         |  (n_words >= 5 AND n_words <= 100000
+         |   AND mean_word_len BETWEEN 2.0 AND 15.0) AS quality_ok
+         |FROM f""".stripMargin,
+
+    "q_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |    AS bpe_ish_tokens
+         |FROM documents""".stripMargin,
+
+    "q_fingerprints" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, toks,
+         |    list_distinct(CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(0, len(toks) - 4),
+         |        i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END) AS s5
+         |  FROM tk)
+         |SELECT doc_id,
+         |  md5(array_to_string(toks, ' ')) AS fp_exact,
+         |  list_min(list_transform(s5, s -> md5(s))) AS fp_minshingle
+         |FROM sh""".stripMargin
+  )
+}
