@@ -80,16 +80,28 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
                       minJaccard: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-        Text.shingleSet(col(textCol), n).as("shingles"))
-      .withColumn("sig", Text.minhashSignature(col("shingles"), rowsPerBand * nBands))
-    val banded = docs.select(col("id"),
-      explode(Text.lshBands(col("sig"), rowsPerBand, nBands)).as("band"))
+    val k = rowsPerBand * nBands
+    // Signature via explode + K static min-aggregates: every hash is a
+    // codegen'd projection expression and the signature is one hash
+    // aggregate — no interpreted higher-order functions in the hot path,
+    // and the same shape scales to a 1000-executor shuffle.
+    val posting = df.select(col(idCol).as("id"),
+      explode(Text.shingleSet(col(textCol), n)).as("shingle"))
+    val sigs = posting.groupBy(col("id")).agg(
+      min(md5(concat(col("shingle"), lit("#0")))).as("sig_0"),
+      (1 until k).map(i =>
+        min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"sig_$i")): _*)
+    val bandExprs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      md5(concat_ws("", lit(s"$b:") +: parts.head +:
+        parts.tail.flatMap(p => Seq(lit("|"), p)): _*))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandExprs: _*)).as("band"))
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sh = docs.select(col("id"), col("shingles"))
+    val sh = df.select(col(idCol).as("id"), Text.shingleSet(col(textCol), n).as("shingles"))
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
@@ -105,11 +117,28 @@ object Dedup {
     * two fingerprints within hamming k must agree on >= 1 of k+1 blocks, so
     * the join key is (blockIndex, blockValue) — linear in corpus size.
     */
+  /** SimHash fingerprints via explode + 32 static vote sums: per-token
+    * parity votes are codegen'd projections; one hash aggregate per doc.
+    * Matches Text.simhash32 bit-for-bit (same md5-parity definition).
+    */
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val posting = df.select(col(idCol).as("id"),
+      explode_outer(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("hex", md5(col("tok")))
+    val votes = (0 until 32).map(i =>
+      sum(when(col("hex").substr(i + 1, 1).isin(odd: _*), 1).otherwise(-1)).as(s"v_$i"))
+    posting.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(i =>
+          when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
+  }
+
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val bitsPerBlock = 32 / nBlocks // 32-bit fingerprint
-    val docs = df.select(col(idCol).as("id"), Text.simhash32(col(textCol)).as("sim"))
+    val docs = simhashFingerprints(df, textCol, idCol)
     val blocks = docs.select(col("id"), col("sim"),
       explode(array((0 until nBlocks).map { bi =>
         struct(lit(bi).as("block_i"),
@@ -132,9 +161,15 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
                            minCosine: Double): DataFrame = {
+    val d = vecDim(df, vecCol)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // repartition the streamed side: the corpus usually arrives as one
+    // parquet split, which would serialize the whole O(n^2) loop onto a
+    // single task
     val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
-    v.alias("x").join(v.alias("y"), col("x.id") < col("y.id"))
-      .withColumn("cosine", dot(col("x.nv"), col("y.nv")))
+      .repartition(parallelism, col("id"))
+    v.alias("x").join(broadcast(v.alias("y")), col("x.id") < col("y.id"))
+      .withColumn("cosine", dotUnrolled(col("x.nv"), col("y.nv"), d))
       .filter(col("cosine") >= minCosine)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
@@ -179,4 +214,16 @@ object Dedup {
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Statically unrolled dot product for a known dimension: plain codegen'd
+    * arithmetic (higher-order functions are interpreted per element — 10x+
+    * slower in pair-join hot loops). Left-assoc sum keeps the association
+    * order of `dot` and the oracle's sequential list_sum.
+    */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  /** Embedding dimensionality (one tiny fit-time job). */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 }

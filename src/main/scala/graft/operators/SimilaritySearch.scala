@@ -23,11 +23,12 @@ object SimilaritySearch {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int): DataFrame = {
+    val d = Dedup.vecDim(corpus, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(Dedup.dot(col("cv"), col("qv")), 6))
+      .withColumn("cosine", round(Dedup.dotUnrolled(col("cv"), col("qv"), d), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -52,13 +53,14 @@ object SimilaritySearch {
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
 
+    val d = Dedup.vecDim(corpus, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
       .withColumn("bucket", bucketOf(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
       .withColumn("bucket", bucketOf(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(Dedup.dot(col("cv"), col("qv")), 6))
+      .withColumn("cosine", round(Dedup.dotUnrolled(col("cv"), col("qv"), d), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
