@@ -66,9 +66,15 @@ object TableVectorizer {
       .otherwise(transform(sequence(lit(1), count), i => s.substr(i, lit(n))))
   }
 
-  /** Routing: numeric/datetime by dtype; strings by exact distinct count
-    * against `cardinalityThreshold` (reference default 40) — one aggregate
-    * job for ALL candidate columns; boolean -> numeric 0/1.
+  /** Routing: numeric/datetime by dtype; strings by distinct count against
+    * `cardinalityThreshold` (reference default 40). Routing only needs
+    * "distinct < 40", so the count is `approx_count_distinct` (rsd 2% — exact
+    * at these magnitudes, constant memory at 100 TB); boolean -> numeric 0/1.
+    *
+    * Exactly TWO fit-time jobs regardless of column count: one aggregate with
+    * every routing count, then one aggregate with every one-hot vocabulary
+    * (`collect_set` is safe: low-card columns have < threshold values by
+    * construction).
     */
   def fit(df: DataFrame, cardinalityThreshold: Int = 40,
           datetimeResolution: String = "hour",
@@ -77,7 +83,7 @@ object TableVectorizer {
     val cards: Map[String, Long] =
       if (stringCols.isEmpty) Map.empty
       else {
-        val exprs = stringCols.map(c => countDistinct(col(c)).as(c))
+        val exprs = stringCols.map(c => approx_count_distinct(col(c), 0.02).as(c))
         val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
         stringCols.map(c => c -> row.getAs[Long](c)).toMap
       }
@@ -92,11 +98,13 @@ object TableVectorizer {
       })
     }
     val lowCard = kinds.collect { case (c, LowCardinality) => c }
-    val vocab: Map[String, Seq[String]] = lowCard.map { c =>
-      val vs = df.select(col(c)).filter(col(c).isNotNull).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      c -> vs
-    }.toMap
+    val vocab: Map[String, Seq[String]] =
+      if (lowCard.isEmpty) Map.empty
+      else {
+        val exprs = lowCard.map(c => sort_array(collect_set(col(c))).as(c))
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        lowCard.map(c => c -> row.getSeq[String](row.fieldIndex(c)).toSeq).toMap
+      }
     Model(kinds, vocab, datetimeResolution, nHashFeatures)
   }
 

@@ -53,12 +53,15 @@ object Dedup {
       .withColumn("n_shingles", size(col("shingles")))
     val posting = docs
       .select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
-    // stop-shingle cutoff
-    val kept = posting
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+    // stop-shingle cutoff: one groupBy-count of the (few) hot shingles,
+    // broadcast anti-joined away — NOT a window count over the posting list,
+    // which would shuffle the full posting list a second time just to drop
+    // the hot rows.
+    val hot = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("shingle"))
+    val kept = posting.join(broadcast(hot), Seq("shingle"), "left_anti")
     val a = kept.select(col("id").as("id_a"), col("n_shingles").as("n_a"), col("shingle"))
     val b = kept.select(col("id").as("id_b"), col("n_shingles").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -175,28 +178,22 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** LSH variant: bucket on the sign pattern of `nPlanes` deterministic
-    * pseudo-random hyperplanes (md5-derived coefficients), verify cosine
-    * within buckets only.
+  /** LSH variant — the 100 TB path: bucket on the sign pattern of `nPlanes`
+    * deterministic pseudo-random hyperplanes (md5-derived coefficients,
+    * precomputed on the driver and embedded as literals — graft.functions
+    * .Planes), then verify exact cosine within buckets only. The bucket join
+    * is an equi shuffle join on the bucket id; no corpus self-cross-join
+    * anywhere. Expected bucket population is |corpus| / 2^nPlanes.
     */
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
                         minCosine: Double, nPlanes: Int = 8): DataFrame = {
+    import graft.functions.Planes
+    val d = vecDim(df, vecCol)
     val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
-    // deterministic pseudo-random plane coefficients from md5(plane, dim):
-    // uniform in [-1, 1) from the first 8 hex digits
-    def planeSig(vec: Column): Column =
-      (0 until nPlanes).map { p =>
-        val proj = aggregate(zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1), i =>
-            (conv(substring(md5(concat_ws(":", lit(p), i.cast(StringType))), 1, 8), 16, 10)
-              .cast(DoubleType) / lit(math.pow(2, 31)) - 1.0)),
-          (x, coef) => x * coef), lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val bucketed = v.withColumn("bucket", planeSig(col("nv")))
+    val bucketed = v.withColumn("bucket", Planes.bucket(col("nv"), nPlanes, d))
     bucketed.alias("x").join(bucketed.alias("y"), Seq("bucket"))
       .filter(col("x.id") < col("y.id"))
-      .withColumn("cosine", dot(col("x.nv"), col("y.nv")))
+      .withColumn("cosine", dotUnrolled(col("x.nv"), col("y.nv"), d))
       .filter(col("cosine") >= minCosine)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))

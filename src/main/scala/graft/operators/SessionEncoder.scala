@@ -18,11 +18,10 @@ import org.apache.spark.sql.types._
   * total sort; the composite (splitBy, session_id) is the scalable identity,
   * exactly like the reference's per-entity cumsum before its global offset.
   * `globalSessionId` materializes the reference's global numbering when the
-  * caller genuinely needs it (verify-scale only).
-  *
-  * Streaming form: `session_window(ts, gap)` in Structured Streaming gives
-  * the same grouping with watermark-driven state eviction (see
-  * graft.streaming.StreamingSessions).
+  * caller genuinely needs it, without a single-task global window: distinct
+  * session keys are sorted (distributed range sort) and densely numbered via
+  * `zipWithIndex` (one extra count job, no data through one task), then
+  * joined back.
   */
 object SessionEncoder {
 
@@ -42,18 +41,29 @@ object SessionEncoder {
     df.withColumn(out, when(invalid, lit(-1L)).otherwise(cum - 1L))
   }
 
-  /** Reference-style globally unique session ids: dense rank over
-    * (splitBy, per-entity session). Requires a global shuffle+sort — fine at
-    * verify scale, NOT the 100 TB path (use the composite key there).
+  /** Reference-style globally unique session ids, scale-safe: equivalent to
+    * `dense_rank() over (order by splitBy, localSession)` but computed as
+    * distinct-session-keys -> distributed sort -> `zipWithIndex` -> join
+    * back, so no row ever passes through a single-task global window. The
+    * distinct key set is |sessions| rows; the join is an ordinary shuffle
+    * join the optimizer is free to broadcast when small.
     */
   def globalSessionId(df: DataFrame, splitBy: Seq[String], tsCol: String,
                       gapSeconds: Double, out: String = "session_id"): DataFrame = {
+    import org.apache.spark.sql.Row
     val local = transform(df, splitBy, tsCol, gapSeconds, "__local_session")
-    val w = Window.orderBy((splitBy.map(col) :+ col("__local_session")): _*)
+    val keyNames = splitBy :+ "__local_session"
+    val keyCols = keyNames.map(col)
     val valid = local.filter(col("__local_session") =!= -1L)
-      .withColumn(out, dense_rank().over(w).cast(LongType) - 1L)
+    val distinctKeys = valid.select(keyCols: _*).distinct().orderBy(keyCols: _*)
+    val schema = distinctKeys.schema.add(out, LongType, nullable = false)
+    val numbered = df.sparkSession.createDataFrame(
+      distinctKeys.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
     val invalid = local.filter(col("__local_session") === -1L)
       .withColumn(out, lit(-1L))
-    valid.unionByName(invalid).drop("__local_session")
+    valid.join(numbered, keyNames)
+      .unionByName(invalid)
+      .drop("__local_session")
   }
 }

@@ -43,21 +43,12 @@ object SimilaritySearch {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
-    def bucketOf(nv: Column): Column =
-      (0 until nPlanes).map { p =>
-        val proj = aggregate(zip_with(nv,
-          transform(sequence(lit(0), size(nv) - 1), i =>
-            (conv(substring(md5(concat_ws(":", lit(p), i.cast(StringType))), 1, 8), 16, 10)
-              .cast(DoubleType) / lit(math.pow(2, 31)) - 1.0)),
-          (x, coef) => x * coef), lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-
+    import graft.functions.Planes
     val d = Dedup.vecDim(corpus, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
-      .withColumn("bucket", bucketOf(col("cv")))
+      .withColumn("bucket", Planes.bucket(col("cv"), nPlanes, d))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
-      .withColumn("bucket", bucketOf(col("qv")))
+      .withColumn("bucket", Planes.bucket(col("qv"), nPlanes, d))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", round(Dedup.dotUnrolled(col("cv"), col("qv"), d), 6))

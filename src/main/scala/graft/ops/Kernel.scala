@@ -111,12 +111,16 @@ object Kernel {
     when(mask, c).otherwise(other)
 
   /** Exact-n random sample without replacement (reference `sample`,
-    * _common.py:1349-1361 — note Spark's `df.sample` is approximate, so we
-    * order by a seeded hash-derived random and take n; tie-broken
-    * deterministically by all-columns hash).
+    * _common.py:1349-1361 — note Spark's `df.sample` is approximate).
+    * Deterministic: rows are ordered by a seeded xxhash64 of all columns, so
+    * the same (data, seed) always yields the same sample regardless of
+    * partition layout. orderBy+limit compiles to TakeOrderedAndProject
+    * (per-partition top-n + driver merge), not a full sort.
     */
-  def sampleExact(df: DataFrame, n: Int, seed: Long): DataFrame =
-    df.orderBy(rand(seed)).limit(n)
+  def sampleExact(df: DataFrame, n: Int, seed: Long): DataFrame = {
+    val key = xxhash64((df.columns.map(col) :+ lit(seed)): _*)
+    df.orderBy(key).limit(n)
+  }
 
   /** Duration (interval / numeric seconds) to float seconds
     * (reference `total_seconds`, _common.py:1466-1478).
@@ -188,12 +192,33 @@ object Kernel {
 
   /** is_sorted check ignoring nulls (_common.py:1481-1532): true iff the
     * column, in the given order, is monotonically non-decreasing.
+    *
+    * Scale-safe: range-partition on the ordering keys, check adjacency with a
+    * window PARTITIONED per range (parallel across partitions — never one
+    * global single-task window), then stitch partition boundaries with a tiny
+    * per-partition (first, last) aggregate: partition i's last value must be
+    * <= partition i+1's first. The boundary frame has one row per partition,
+    * so its un-partitioned window is driver-sized by construction.
     */
   def isSorted(df: DataFrame, c: String, orderBy: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderBy.map(col): _*)
-    df.filter(col(c).isNotNull)
+    val oCols = orderBy.map(col)
+    val nPart = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val base = df.filter(col(c).isNotNull)
+      .repartitionByRange(nPart, oCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(oCols: _*)
+    val ord = struct(oCols: _*)
+    val perPart = base
       .withColumn("__prev", lag(col(c), 1).over(w))
-      .agg((count(when(col("__prev") > col(c), 1)) === 0).as("is_sorted"))
+      .groupBy(col("__pid"))
+      .agg((count(when(col("__prev") > col(c), 1)) === 0).as("__local_sorted"),
+        min_by(col(c), ord).as("__first"),
+        max_by(col(c), ord).as("__last"))
+    val wp = Window.orderBy(col("__pid"))
+    perPart
+      .withColumn("__prev_last", lag(col("__last"), 1).over(wp))
+      .agg((count(when(!col("__local_sorted") ||
+        col("__prev_last") > col("__first"), 1)) === 0).as("is_sorted"))
   }
 }
