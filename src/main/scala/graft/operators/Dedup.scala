@@ -48,20 +48,27 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val docs = df.select(col(idCol).as("id"),
         Text.shingleSet(col(textCol), n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
+    // persist the exploded posting list: it feeds the hot-shingle count AND
+    // the kept list, and `kept` feeds both sides of the pair self-join —
+    // without the persist the regex-normalize + shingle transform recomputes
+    // ~4x per document (the round-2 bench regression).
     val posting = docs
       .select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
-    // stop-shingle cutoff: one groupBy-count of the (few) hot shingles,
-    // broadcast anti-joined away — NOT a window count over the posting list,
-    // which would shuffle the full posting list a second time just to drop
-    // the hot rows.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // stop-shingle cutoff: one groupBy-count, anti-joined away. No broadcast
+    // hint: the hot-shingle set is unbounded in corpus size (a fixed df
+    // cutoff admits more distinct hot shingles as the corpus grows), so AQE
+    // decides — it still broadcasts when the set is actually small.
     val hot = posting.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("shingle"))
-    val kept = posting.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val kept = posting.join(hot, Seq("shingle"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = kept.select(col("id").as("id_a"), col("n_shingles").as("n_a"), col("shingle"))
     val b = kept.select(col("id").as("id_b"), col("n_shingles").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))

@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *    — equi left join with collision-free renaming of right columns.
   *  - `AggJoiner` / `MultiAggJoiner` / `AggTarget`: aggregate-then-join
   *    (skrub/_agg_joiner.py). The aggregation is a plain hash aggregate
-  *    (partial + final, map-side combine for free); the join side is small
-  *    after aggregation, so we broadcast it — at 100 TB the aggregated aux
-  *    frame is |distinct keys| rows, usually orders of magnitude below the
-  *    main table.
+  *    (partial + final, map-side combine for free). Join strategy is left to
+  *    AQE by default: an aggregate keyed on a high-cardinality key (user_id,
+  *    url) is billions of rows at 100 TB, so an unconditional broadcast hint
+  *    would OOM the driver — AQE still auto-broadcasts genuinely small sides
+  *    at runtime, and `broadcastRight = true` stays available for sides known
+  *    small at plan time.
   *
   * `mode` tie-breaking: the reference is backend-divergent (pandas sorts,
   * polars takes first — _agg_joiner.py:99-131); we define mode = SMALLEST of
@@ -27,7 +29,7 @@ object Joins {
     */
   def leftJoin(left: DataFrame, right: DataFrame, leftOn: Seq[String],
                rightOn: Seq[String], suffix: String = "_aux",
-               broadcastRight: Boolean = true): DataFrame = {
+               broadcastRight: Boolean = false): DataFrame = {
     require(leftOn.length == rightOn.length, "key arity mismatch")
     val collisions = right.columns.toSet.intersect(left.columns.toSet) -- rightOn.toSet
     val renamedCols = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffix))
@@ -61,10 +63,13 @@ object Joins {
     }
   }
 
-  /** groupBy + agg over the cross product cols x ops. `mode` needs its own
-    * two-level aggregation (value counts then arg-min over (-count, value)),
-    * computed in the same job via struct min_by — still two shuffles total
-    * regardless of how many mode columns are requested.
+  /** groupBy + agg over the cross product cols x ops. Plain ops are one hash
+    * aggregate; each `mode` column needs its own two-level aggregation (value
+    * counts then arg-min over (-count, value)), so shuffles grow linearly
+    * with the number of mode columns — acceptable because mode columns are
+    * rare and each two-level aggregate is keyed on the same join key (AQE
+    * coalesces the final joins; a single melted job would force every value
+    * through a common string type, changing output dtypes).
     */
   def aggregate(aux: DataFrame, key: Seq[String], cols: Seq[String],
                 ops: Seq[String]): DataFrame =
@@ -112,7 +117,8 @@ object Joins {
   }
 
   /** AggJoiner: aggregate `aux` on `auxKey` with `ops` over `cols`, then left
-    * join onto `main` on mainKey=auxKey. Aggregated side is broadcast.
+    * join onto `main` on mainKey=auxKey. Join strategy AQE-decided (see class
+    * doc).
     */
   def aggJoin(main: DataFrame, aux: DataFrame, mainKey: Seq[String],
               auxKey: Seq[String], cols: Seq[String], ops: Seq[String]): DataFrame =
