@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Text
+
+/** Fuzzy / similarity join — the reference's flagship capability
+  * (skrub/_joiner.py:80-406, skrub/_fuzzy_join.py:13-233, matching kernels
+  * skrub/_matching.py:9-209).
+  *
+  * Semantics matched:
+  *  - key columns are vectorized per kind: strings -> hashed char 2-4-gram
+  *    TF-IDF (reference: HashingVectorizer(char_wb, 2-4) + TfidfTransformer,
+  *    _joiner.py:25-30); numerics -> standard-scaled; datetimes -> epoch
+  *    seconds standard-scaled (_joiner.py:43-77);
+  *  - each main row matches its 1-nearest aux row by euclidean distance;
+  *  - distances are rescaled by a reference distance (default: 25th
+  *    percentile of sampled aux pair distances, _matching.py:88-127) and a
+  *    match is accepted iff rescaled <= maxDist;
+  *  - rejected rows keep null aux payloads; match-info columns
+  *    skrub_Joiner_{distance, rescaled_distance, match_accepted} are added
+  *    (_joiner.py:251-253,401-405).
+  *
+  * Deliberate deviations (documented, deterministic, oracle-verifiable):
+  *  - hash buckets and orderings derive from md5, so the DuckDB oracle
+  *    reproduces vectors bit-for-bit;
+  *  - idf = sqrt((1+N)/(1+df)) instead of ln((1+N)/(1+df))+1 — a monotone
+  *    transform of the standard smooth idf using only IEEE-correctly-rounded
+  *    ops (+ * / sqrt), so Spark and the oracle produce identical doubles
+  *    (ln is not guaranteed identically rounded across engines);
+  *  - the reference samples 500 random aux pairs for the rescale percentile;
+  *    we take all pairs of a deterministic md5-ordered sample of up to
+  *    `refSampleSize` aux rows (same distribution target, reproducible);
+  *  - aux rows are deduplicated by key (Spark frames have no positional row
+  *    identity; reference tie-breaks by aux row order, we tie-break by the
+  *    smallest key tuple — deterministic under parallelism).
+  *
+  * Scale shape: all fit work (idf, scaler stats, ref distance) runs on the
+  * aux table, which the reference itself requires to fit in memory
+  * (_joiner.py:96-104); matching runs over DISTINCT main key tuples only
+  * (the fit-on-distinct optimization) against a broadcast aux-vector table,
+  * with `min_by` partial aggregation so the shuffle carries one row per
+  * distinct key. The final joins are AQE-decided.
+  */
+object FuzzyJoin {
+
+  /** One vectorized key column pair. */
+  sealed trait KeyBlock { def mainCol: String; def auxCol: String }
+  final case class StringBlock(mainCol: String, auxCol: String,
+                               nBuckets: Int = 32) extends KeyBlock
+  final case class NumericBlock(mainCol: String, auxCol: String) extends KeyBlock
+  final case class DatetimeBlock(mainCol: String, auxCol: String) extends KeyBlock
+
+  /** Padded char n-grams (n = 2..4) of the normalized string — the char_wb
+    * analog: the value is lowercased, non-alphanumerics collapsed to single
+    * spaces, then padded with one leading/trailing space before windowing.
+    */
+  def charNgrams234(c: Column): Column = {
+    val padded = concat(lit(" "), Text.normalize(c), lit(" "))
+    val len = length(padded)
+    flatten(array((2 to 4).map { n =>
+      when(len - (n - 1) <= 0, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(1), len - (n - 1)),
+          i => padded.substr(i, lit(n))))
+    }: _*))
+  }
+
+  /** md5 bucket of an n-gram: first 4 hex digits mod nBuckets. */
+  def bucketOf(g: Column, nBuckets: Int): Column =
+    conv(substring(md5(g), 1, 4), 16, 10).cast(IntegerType) % nBuckets
+
+  /** Term-frequency array over `nBuckets` hash buckets. */
+  def tfArray(c: Column, nBuckets: Int): Column = {
+    val grams = charNgrams234(c)
+    transform(sequence(lit(0), lit(nBuckets - 1)),
+      b => size(filter(grams, g => bucketOf(g, nBuckets) === b)).cast(DoubleType))
+  }
+
+  /** L2-normalize a double array; all-zero vectors stay zero. */
+  def l2Normalize(v: Column): Column = {
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    when(norm === 0.0, v).otherwise(transform(v, x => x / norm))
+  }
+
+  /** Squared euclidean distance between two equal-length double arrays
+    * (sequential left-assoc fold — same association order as the oracle's
+    * list_sum over list_zip).
+    */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Infer key blocks from the aux schema. */
+  def inferBlocks(aux: DataFrame, keys: Seq[(String, String)],
+                  nBuckets: Int): Seq[KeyBlock] =
+    keys.map { case (m, a) =>
+      aux.schema(a).dataType match {
+        case StringType                                  => StringBlock(m, a, nBuckets)
+        case DateType | TimestampType | TimestampNTZType => DatetimeBlock(m, a)
+        case _: NumericType                              => NumericBlock(m, a)
+        case dt => throw new IllegalArgumentException(s"unsupported key dtype $dt")
+      }
+    }
+
+  /** Fitted per-block vectorization state (idf weights / scaler stats). */
+  final case class Fitted(blocks: Seq[KeyBlock],
+                          idf: Map[String, Array[Double]],
+                          scale: Map[String, (Double, Double)]) {
+
+    /** Concatenated feature vector for a row, reading block columns via
+      * `colFor` (main-side or aux-side names).
+      */
+    def vector(colFor: KeyBlock => Column): Column = {
+      val parts = blocks.map {
+        case b @ StringBlock(_, _, nB) =>
+          val weights = idf(b.auxCol)
+          val tf = tfArray(colFor(b), nB)
+          val weighted = zip_with(tf,
+            array(weights.map(lit(_)): _*), (t, w) => t * w)
+          l2Normalize(weighted)
+        case b @ NumericBlock(_, _) =>
+          val (mean, std) = scale(b.auxCol)
+          array((colFor(b).cast(DoubleType) - mean) / std)
+        case b @ DatetimeBlock(_, _) =>
+          val (mean, std) = scale(b.auxCol)
+          val secs = unix_micros(colFor(b).cast(TimestampType)).cast(DoubleType) / 1e6
+          array((secs - mean) / std)
+      }
+      if (parts.length == 1) parts.head else concat(parts: _*)
+    }
+  }
+
+  /** Fit idf / scaler stats on the (deduplicated) aux table — small driver
+    * collects, mirroring the reference's in-memory aux fit.
+    */
+  def fit(auxDedup: DataFrame, blocks: Seq[KeyBlock]): Fitted = {
+    val n = auxDedup.count()
+    val idf = blocks.collect { case b @ StringBlock(_, _, nB) =>
+      // df[bucket] = number of aux values containing >=1 n-gram in the bucket
+      val df = auxDedup
+        .select(posexplode(tfArray(col(b.auxCol), nB)).as(Seq("bucket", "tf")))
+        .filter(col("tf") > 0.0)
+        .groupBy("bucket").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val weights = Array.tabulate(nB) { i =>
+        math.sqrt((1.0 + n) / (1.0 + df.getOrElse(i, 0L)))
+      }
+      b.auxCol -> weights
+    }.toMap
+    val numBlocks = blocks.collect {
+      case b: NumericBlock  => (b: KeyBlock, col(b.auxCol).cast(DoubleType))
+      case b: DatetimeBlock =>
+        (b: KeyBlock, unix_micros(col(b.auxCol).cast(TimestampType)).cast(DoubleType) / 1e6)
+    }
+    val scale = if (numBlocks.isEmpty) Map.empty[String, (Double, Double)] else {
+      val exprs = numBlocks.flatMap { case (b, c) =>
+        Seq(avg(c).as(s"${b.auxCol}__mean"), stddev_samp(c).as(s"${b.auxCol}__std"))
+      }
+      val row = auxDedup.agg(exprs.head, exprs.tail: _*).collect()(0)
+      numBlocks.map { case (b, _) =>
+        val m = row.getAs[Double](s"${b.auxCol}__mean")
+        val s0 = row.getAs[Double](s"${b.auxCol}__std")
+        val s = if (s0 == 0.0 || s0.isNaN) 1.0 else s0
+        b.auxCol -> (m, s)
+      }.toMap
+    }
+    Fitted(blocks, idf, scale)
+  }
+
+  /** Reference distance: `percentile`-th quantile of all pair distances among
+    * an md5-ordered sample of up to `sampleSize` aux vectors (deterministic
+    * stand-in for the reference's 500 random pairs, _matching.py:88-127).
+    */
+  def referenceDistance(auxVec: DataFrame, keyCols: Seq[String],
+                        percentile: Double, sampleSize: Int): Double = {
+    val sample = auxVec
+      .orderBy(md5(concat_ws(" ", keyCols.map(col): _*)))
+      .limit(sampleSize)
+      .select(col("__vec"), concat_ws(" ", keyCols.map(col): _*).as("__k"))
+    val pairs = sample.alias("x").join(sample.alias("y"), col("x.__k") < col("y.__k"))
+      .select(sqrt(dist2(col("x.__vec"), col("y.__vec"))).as("d"))
+    pairs.agg(expr(s"percentile(d, $percentile)")).head().getDouble(0)
+  }
+
+  val MatchInfoDistance = "skrub_Joiner_distance"
+  val MatchInfoRescaled = "skrub_Joiner_rescaled_distance"
+  val MatchInfoAccepted = "skrub_Joiner_match_accepted"
+
+  /** The Joiner: left-join `main` to its fuzzy 1-NN match in `aux`.
+    *
+    * @param keys      (mainCol, auxCol) key pairs
+    * @param maxDist   accept a match iff rescaled distance <= maxDist
+    * @param rescale   false = no_rescaling ref_dist (reference distance 1.0)
+    * @param suffix    rename suffix for colliding aux payload columns
+    */
+  def fuzzyJoin(main: DataFrame, aux: DataFrame, keys: Seq[(String, String)],
+                maxDist: Double = Double.PositiveInfinity,
+                rescale: Boolean = true,
+                addMatchInfo: Boolean = true,
+                nBuckets: Int = 32,
+                refPercentile: Double = 0.25,
+                refSampleSize: Int = 500,
+                suffix: String = "_aux"): DataFrame = {
+    val blocks = inferBlocks(aux, keys, nBuckets)
+    val auxKeys = keys.map(_._2)
+    val mainKeys = keys.map(_._1)
+
+    // dedup aux by key: deterministic representative = smallest payload tuple
+    val payload = aux.columns.filterNot(auxKeys.contains).toSeq
+    val auxDedup =
+      if (payload.isEmpty) aux.distinct()
+      else aux.groupBy(auxKeys.map(col): _*)
+        .agg(min(struct(payload.map(col): _*)).as("__p"))
+        .select(auxKeys.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
+
+    val fitted = fit(auxDedup, blocks)
+    val auxVec = auxDedup.withColumn("__vec", fitted.vector(b => col(b.auxCol)))
+
+    val refDist =
+      if (!rescale) 1.0
+      else referenceDistance(auxVec, auxKeys, refPercentile, refSampleSize)
+
+    // match DISTINCT main key tuples against the broadcast aux vectors
+    val mainKeyCols = mainKeys.map(col)
+    val mDistinct = main.select(mainKeyCols: _*).distinct()
+      .withColumn("__mvec", fitted.vector(b => col(b.mainCol)))
+    val auxSide = broadcast(auxVec.select(
+      struct(auxKeys.map(col): _*).as("__akey") +: Seq(col("__vec").as("__avec")): _*))
+    val tieBreak = struct(col("__d") +: auxKeys.indices.map(i =>
+      col(s"__akey.${auxKeys(i)}")): _*)
+    val matched = mDistinct.crossJoin(auxSide)
+      .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
+      .groupBy(mainKeyCols: _*)
+      .agg(min_by(struct(col("__akey"), col("__d")), tieBreak).as("__best"))
+      .select(mainKeyCols :+ col("__best.__akey").as("__akey") :+
+        col("__best.__d").as(MatchInfoDistance): _*)
+      .withColumn(MatchInfoRescaled,
+        when(col(MatchInfoDistance) === 0.0, 0.0)
+          .when(lit(refDist) === 0.0, Double.PositiveInfinity)
+          .otherwise(col(MatchInfoDistance) / refDist))
+      .withColumn(MatchInfoAccepted, col(MatchInfoRescaled) <= maxDist)
+
+    // rejected matches keep null aux payloads: null out the join key
+    val acceptedKey = auxKeys.indices.map { i =>
+      when(col(MatchInfoAccepted), col(s"__akey.${auxKeys(i)}"))
+        .otherwise(lit(null)).as(s"__match_k_$i")
+    }
+    val matchTable = matched.select(
+      mainKeyCols ++ acceptedKey ++
+        Seq(col(MatchInfoDistance), col(MatchInfoRescaled), col(MatchInfoAccepted)): _*)
+
+    val withMatch = Joins.leftJoin(main, matchTable, mainKeys, mainKeys)
+    val matchKeyNames = auxKeys.indices.map(i => s"__match_k_$i")
+    // join on COPIES of the aux keys so the aux key columns themselves stay
+    // in the output as payload (the reference joins on a row-number key and
+    // keeps aux key columns, _joiner.py:383-399)
+    val auxJoinable = auxKeys.zipWithIndex.foldLeft(auxDedup) {
+      case (d, (k, i)) => d.withColumn(s"__ak_$i", col(k))
+    }
+    val joined = Joins.leftJoin(withMatch, auxJoinable,
+      matchKeyNames, auxKeys.indices.map(i => s"__ak_$i"), suffix = suffix)
+      .drop(matchKeyNames: _*)
+    if (addMatchInfo) joined
+    else joined.drop(MatchInfoDistance, MatchInfoRescaled, MatchInfoAccepted)
+  }
+}

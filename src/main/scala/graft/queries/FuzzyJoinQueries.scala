@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernel
+import graft.operators.{FuzzyJoin, Joins}
+
+/** Fuzzy-join query with a full DuckDB oracle.
+  *
+  * Fixture: each customer gets a deterministically mangled copy of its
+  * nation's name (vowels stripped / last char dropped / intact, keyed on
+  * c_custkey % 3); the fuzzy join must re-match it against `nation`. The
+  * oracle reproduces the entire pipeline — char-2-4-gram hashing, sqrt-idf,
+  * l2 normalization, all-pairs reference distance, 1-NN with (distance, key)
+  * tie-break — in SQL, so distance, rescaled distance, accept flag, and the
+  * matched payload are all hash-verified.
+  */
+object FuzzyJoinQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  private val NB = 32 // hash buckets (must match the oracle generator below)
+  private val MaxDist = 1.0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> ((s, dir) => {
+      val nation = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
+      val cust = t(s, dir, "customer")
+      val withName = Joins.leftJoin(cust, t(s, dir, "nation"),
+        Seq("c_nationkey"), Seq("n_nationkey"))
+      val mangled = withName.withColumn("nation_guess",
+          when(col("c_custkey") % 3 === 0,
+            regexp_replace(lower(col("n_name")), "[aeiou]", ""))
+            .when(col("c_custkey") % 3 === 1,
+              lower(col("n_name")).substr(lit(1), length(col("n_name")) - 1))
+            .otherwise(lower(col("n_name"))))
+        .select(col("c_custkey"), col("nation_guess"))
+      FuzzyJoin.fuzzyJoin(mangled, nation, Seq("nation_guess" -> "n_name"),
+          maxDist = MaxDist, nBuckets = NB)
+        .select(col("c_custkey"), col("nation_guess"),
+          col("n_name"), col("n_regionkey"),
+          round(col(FuzzyJoin.MatchInfoDistance), 6).as("distance"),
+          round(col(FuzzyJoin.MatchInfoRescaled), 6).as("rescaled_distance"),
+          col(FuzzyJoin.MatchInfoAccepted).as("match_accepted"))
+    })
+  )
+
+  /** DuckDB tf-array expression for a value column `v`: padded char
+    * 2-4-grams -> md5-bucket counts (mirrors FuzzyJoin.tfArray).
+    */
+  private def tfSql(v: String): String = {
+    val norm = s"trim(regexp_replace(lower($v), '[^a-z0-9]+', ' ', 'g'))"
+    val padded = s"(' ' || $norm || ' ')"
+    val grams = (2 to 4).map { n =>
+      s"""(CASE WHEN length($padded) - ${n - 1} <= 0 THEN []
+         | ELSE list_transform(range(1, length($padded) - ${n - 1} + 1),
+         |   i -> substr($padded, i, $n)) END)""".stripMargin
+    }.mkString("flatten([", ", ", "])")
+    s"""list_transform(range(0, $NB), b -> CAST(len(list_filter($grams,
+       |  g -> ('0x' || substr(md5(g), 1, 4))::INTEGER % $NB = b)) AS DOUBLE))""".stripMargin
+  }
+
+  private val d2 = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  val oracle: Map[String, String] = Map(
+    "q_fuzzy_join" -> {
+      s"""WITH aux AS (
+         |  SELECT n_name, n_regionkey, ${tfSql("n_name")} AS tf FROM nation),
+         |dfc AS (
+         |  SELECT b, sum(CASE WHEN tf[b + 1] > 0 THEN 1 ELSE 0 END) AS df
+         |  FROM aux, (SELECT unnest(range(0, $NB)) AS b) GROUP BY b),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM aux),
+         |idf AS (
+         |  SELECT list(sqrt((1.0 + n) / (1.0 + df)) ORDER BY b) AS w
+         |  FROM dfc, nn GROUP BY n),
+         |auxw AS (
+         |  SELECT n_name, n_regionkey,
+         |    list_transform(list_zip(tf, (SELECT w FROM idf)), p -> p[1] * p[2]) AS wv
+         |  FROM aux),
+         |auxn AS (
+         |  SELECT n_name, n_regionkey, wv,
+         |    sqrt(list_sum(list_transform(wv, x -> x * x))) AS nrm
+         |  FROM auxw),
+         |auxvec AS (
+         |  SELECT n_name, n_regionkey,
+         |    CASE WHEN nrm = 0 THEN wv ELSE list_transform(wv, x -> x / nrm) END AS vec
+         |  FROM auxn),
+         |refd AS (
+         |  SELECT quantile_cont(d, 0.25) AS ref FROM (
+         |    SELECT sqrt(${d2.format("x.vec", "y.vec")}) AS d
+         |    FROM auxvec x JOIN auxvec y ON x.n_name < y.n_name)),
+         |guesses AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 3 = 0
+         |           THEN regexp_replace(lower(n_name), '[aeiou]', '', 'g')
+         |         WHEN c_custkey % 3 = 1
+         |           THEN substr(lower(n_name), 1, length(n_name) - 1)
+         |         ELSE lower(n_name) END AS nation_guess
+         |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey),
+         |mkeys AS (
+         |  SELECT DISTINCT nation_guess FROM guesses),
+         |mtf AS (
+         |  SELECT nation_guess, ${tfSql("nation_guess")} AS tf FROM mkeys),
+         |mw AS (
+         |  SELECT nation_guess,
+         |    list_transform(list_zip(tf, (SELECT w FROM idf)), p -> p[1] * p[2]) AS wv
+         |  FROM mtf),
+         |mn AS (
+         |  SELECT nation_guess, wv,
+         |    sqrt(list_sum(list_transform(wv, x -> x * x))) AS nrm
+         |  FROM mw),
+         |mvec AS (
+         |  SELECT nation_guess,
+         |    CASE WHEN nrm = 0 THEN wv ELSE list_transform(wv, x -> x / nrm) END AS vec
+         |  FROM mn),
+         |scored AS (
+         |  SELECT m.nation_guess, a.n_name, a.n_regionkey,
+         |    sqrt(${d2.format("m.vec", "a.vec")}) AS d,
+         |    row_number() OVER (PARTITION BY m.nation_guess
+         |      ORDER BY sqrt(${d2.format("m.vec", "a.vec")}) ASC, a.n_name ASC) AS rn
+         |  FROM mvec m CROSS JOIN auxvec a),
+         |best AS (
+         |  SELECT nation_guess, n_name, n_regionkey, d,
+         |    CASE WHEN d = 0 THEN 0.0
+         |         WHEN (SELECT ref FROM refd) = 0 THEN 1e308 * 10
+         |         ELSE d / (SELECT ref FROM refd) END AS resc
+         |  FROM scored WHERE rn = 1),
+         |flags AS (
+         |  SELECT *, resc <= $MaxDist AS ok FROM best)
+         |SELECT g.c_custkey, g.nation_guess,
+         |  CASE WHEN f.ok THEN f.n_name END AS n_name,
+         |  CASE WHEN f.ok THEN f.n_regionkey END AS n_regionkey,
+         |  round(f.d, 6) AS distance,
+         |  round(f.resc, 6) AS rescaled_distance,
+         |  f.ok AS match_accepted
+         |FROM guesses g LEFT JOIN flags f ON g.nation_guess = f.nation_guess""".stripMargin
+    }
+  )
+}
