@@ -36,12 +36,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SessionQueries.queries ++ DedupQueries.queries ++
-      TextQueries.queries ++ EncoderQueries.queries ++ FuzzyJoinQueries.queries
+      TextQueries.queries ++ EncoderQueries.queries ++
+      FuzzyJoinQueries.queries ++ CleanerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SessionQueries.oracle ++ DedupQueries.oracle ++
-      TextQueries.oracle ++ EncoderQueries.oracle ++ FuzzyJoinQueries.oracle
+      TextQueries.oracle ++ EncoderQueries.oracle ++
+      FuzzyJoinQueries.oracle ++ CleanerQueries.oracle
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Kernel
+
+/** Cleaner — the reference's standard sanitization entry point
+  * (skrub/_table_vectorizer.py:120-187 `_get_preprocessors`): per column,
+  *   CheckInput -> CleanNullStrings -> DropUninformative -> ToDatetime ->
+  *   ToFloat -> CleanCategories/ToStr,
+  * where every conversion step may REJECT a column (leave it unchanged)
+  * instead of failing — the single-column-transformer reject contract
+  * (skrub/_single_column_transformer.py:38).
+  *
+  * Execution shape: ONE stats aggregate for DropUninformative decisions
+  * (count / null count / approx distinct for every column together), one
+  * tiny limit-30 sample job per string column for the ToDatetime /
+  * ToFloat accept decision (limit pushdown — never a full scan), then a
+  * SINGLE `select` applying every accepted conversion — executors see one
+  * scan of the input regardless of column count.
+  */
+object Cleaner {
+
+  sealed trait ColPlan
+  case object Dropped extends ColPlan
+  case object Passthrough extends ColPlan
+  final case class ToTimestamp(format: String) extends ColPlan
+  case object ToFloatPlan extends ColPlan
+  case object CleanString extends ColPlan
+
+  final case class Model(plans: Seq[(String, ColPlan)],
+                         nullMarkers: Seq[String]) {
+    def transform(df: DataFrame): DataFrame = {
+      val exprs = plans.flatMap {
+        case (_, Dropped) => None
+        case (c, Passthrough) => Some(col(c))
+        case (c, ToTimestamp(f)) =>
+          Some(try_to_timestamp(Kernel.cleanNullStrings(col(c), nullMarkers),
+            lit(f)).as(c))
+        case (c, ToFloatPlan) =>
+          Some(Kernel.cleanNullStrings(col(c), nullMarkers)
+            .try_cast(DoubleType).as(c))
+        case (c, CleanString) =>
+          Some(Kernel.cleanNullStrings(col(c), nullMarkers).as(c))
+      }
+      df.select(exprs: _*)
+    }
+  }
+
+  /** Can every sample string be parsed as a plain float? (ToFloat accept
+    * rule; reference ToFloat rejects a column when nothing converts,
+    * skrub/_to_float.py:38.)
+    */
+  private def allFloat(samples: Seq[String]): Boolean =
+    samples.nonEmpty && samples.forall(s =>
+      scala.util.Try(s.trim.toDouble).isSuccess)
+
+  def fit(df: DataFrame,
+          dropNullFraction: Double = 1.0,
+          dropIfConstant: Boolean = true,
+          nullMarkers: Seq[String] = Kernel.DefaultNullMarkers): Model = {
+    // one stats job: null fraction + distinct estimate for every column
+    val names = df.schema.fields.map(_.name).toSeq
+    val exprs = names.flatMap { c =>
+      Seq(count(when(Kernel.isNullLike(df, c), 1)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__dist"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("__n").toDouble
+
+    val plans = df.schema.fields.toSeq.map { f =>
+      val nulls = row.getAs[Long](s"${f.name}__nulls")
+      val dist = row.getAs[Long](s"${f.name}__dist")
+      val nullFrac = if (n == 0) 1.0 else nulls / n
+      if (nullFrac >= dropNullFraction) f.name -> Dropped
+      else if (dropIfConstant && dist <= 1 && nulls == 0) f.name -> Dropped
+      else f.dataType match {
+        case StringType =>
+          // sample AFTER null-string cleaning so marker strings don't block
+          // a parse-based accept
+          val cleaned = df.select(
+              Kernel.cleanNullStrings(col(f.name), nullMarkers).as(f.name))
+            .filter(col(f.name).isNotNull)
+          val samples = cleaned.limit(ToDatetime.SampleSize)
+            .collect().map(_.getString(0)).toSeq
+          ToDatetime.guessFormat(samples) match {
+            case Some(fmt) => f.name -> ToTimestamp(fmt)
+            case None if allFloat(samples) => f.name -> ToFloatPlan
+            case None => f.name -> CleanString
+          }
+        case _ => f.name -> Passthrough
+      }
+    }
+    Model(plans, nullMarkers)
+  }
+
+  def fitTransform(df: DataFrame): DataFrame = fit(df).transform(df)
+}
