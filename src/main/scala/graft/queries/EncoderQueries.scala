@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.Kernel
-import graft.encoders.{DatetimeEncoder, DropUninformative, SquashingScaler, TableVectorizer}
+import graft.encoders.{DatetimeEncoder, DropUninformative, MinHashEncoder, SquashingScaler, TableVectorizer}
 import graft.operators.ColumnAssociations
 
 /** Encoder / profiling queries with DuckDB oracles. */
@@ -44,6 +44,13 @@ object EncoderQueries {
     "q_column_assoc" -> ((s, dir) =>
       ColumnAssociations.forPairs(t(s, dir, "orders"),
         Seq(("o_orderstatus", "o_orderpriority")))),
+
+    // MinHashEncoder: 30 md5-minhash components of c_name char 2-4-grams,
+    // fit on distinct values and joined back
+    "q_minhash_encoder" -> ((s, dir) =>
+      MinHashEncoder.encode(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_name", nComponents = 30)),
 
     // numeric profile with decimal-exact std (order-independent)
     "q_num_profile" -> ((s, dir) => {
@@ -110,7 +117,23 @@ object EncoderQueries {
     s"SELECT\n  ${(base ++ circ).mkString(",\n  ")}\nFROM orders"
   }
 
+  private val minhashOracle: String = {
+    val comps = (0 until 30).map { k =>
+      s"CAST(sig[${k + 1}] AS DOUBLE) AS c_name_minhash_$k"
+    }.mkString(",\n  ")
+    s"""WITH d AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL),
+       |sigs AS (
+       |  SELECT c_name, list_transform(range(0, 30), k ->
+       |    ('0x' || substr(list_min(list_transform(${SqlFragments.ngrams234Sql("c_name")},
+       |      g -> md5(g || '#' || k))), 1, 8))::BIGINT) AS sig
+       |  FROM d)
+       |SELECT c.c_custkey, c.c_name,
+       |  $comps
+       |FROM customer c LEFT JOIN sigs s ON c.c_name = s.c_name""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_minhash_encoder" -> minhashOracle,
     "q_datetime_encoder" -> dtOracle,
 
     "q_squashing_scaler" ->
