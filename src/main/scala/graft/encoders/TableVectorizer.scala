@@ -29,9 +29,14 @@ object TableVectorizer {
   final case class Model(columnToKind: Seq[(String, Kind)],
                          vocab: Map[String, Seq[String]],
                          datetimeResolution: String,
-                         nHashFeatures: Int) {
+                         nHashFeatures: Int,
+                         highCardEncoder: String = "minhash",
+                         nComponents: Int = 30) {
 
-    /** All output feature expressions, in deterministic column order. */
+    /** Output feature expressions for the expression-only kinds, in
+      * deterministic column order; high-cardinality columns emit their raw
+      * column here and are replaced by their encoder's join in `transform`.
+      */
     def featureExprs: Seq[Column] = columnToKind.flatMap {
       case (c, Numeric) => Seq(col(c).cast(DoubleType).as(c))
       case (c, Datetime) =>
@@ -41,7 +46,7 @@ object TableVectorizer {
           when(col(c) === v, 1.0).otherwise(0.0)
             .as(s"${c}_${v.replaceAll("[^A-Za-z0-9]+", "_")}")) :+
           when(col(c).isNull, 1.0).otherwise(0.0).as(s"${c}__null")
-      case (c, HighCardinality) =>
+      case (c, HighCardinality) if highCardEncoder == "hashed" =>
         // hashed char-3-gram projection: nHashFeatures counts of n-grams
         // whose md5 bucket == j (HashingVectorizer shape, oracle-friendly)
         (0 until nHashFeatures).map { j =>
@@ -49,10 +54,31 @@ object TableVectorizer {
             g => conv(substring(md5(g), 1, 4), 16, 10) % nHashFeatures === j))
             .cast(DoubleType).as(s"${c}_hash_$j")
         }
+      case (c, HighCardinality) => Seq(col(c))
       case (_, Rejected) => Nil
     }
 
-    def transform(df: DataFrame): DataFrame = df.select(featureExprs: _*)
+    /** High-cardinality routing (reference default: StringEncoder,
+      * _table_vectorizer.py:888): `minhash` = MinHashEncoder (md5-exact,
+      * hash-verifiable — our default), `svd` = StringEncoder (TF-IDF +
+      * truncated SVD, the reference default; factors are not cross-engine
+      * hash-verifiable), `hashed` = pure-expression hashed n-gram counts.
+      */
+    def transform(df: DataFrame): DataFrame = {
+      val base = df.select(featureExprs: _*)
+      val highCard = columnToKind.collect {
+        case (c, HighCardinality) if highCardEncoder != "hashed" => c
+      }
+      highCard.foldLeft(base) { (d, c) =>
+        val encoded = highCardEncoder match {
+          case "minhash" => MinHashEncoder.encode(d, c, nComponents)
+          case "svd"     => StringEncoder.encode(d, c, nComponents)
+          case other => throw new IllegalArgumentException(
+            s"unknown highCardEncoder $other")
+        }
+        encoded.drop(c)
+      }
+    }
   }
 
   /** Character n-grams of the lowercased string (reference StringEncoder uses
@@ -83,7 +109,9 @@ object TableVectorizer {
     */
   def fit(df: DataFrame, cardinalityThreshold: Int = 40,
           datetimeResolution: String = "hour",
-          nHashFeatures: Int = 8): Model = {
+          nHashFeatures: Int = 8,
+          highCardEncoder: String = "minhash",
+          nComponents: Int = 30): Model = {
     val rsd = 0.02
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     val cards: Map[String, Long] =
@@ -120,9 +148,11 @@ object TableVectorizer {
         val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
         lowCard.map(c => c -> row.getSeq[String](row.fieldIndex(c)).toSeq).toMap
       }
-    Model(kinds, vocab, datetimeResolution, nHashFeatures)
+    Model(kinds, vocab, datetimeResolution, nHashFeatures, highCardEncoder,
+      nComponents)
   }
 
-  def fitTransform(df: DataFrame, cardinalityThreshold: Int = 40): DataFrame =
-    fit(df, cardinalityThreshold).transform(df)
+  def fitTransform(df: DataFrame, cardinalityThreshold: Int = 40,
+                   highCardEncoder: String = "minhash"): DataFrame =
+    fit(df, cardinalityThreshold, highCardEncoder = highCardEncoder).transform(df)
 }

@@ -70,11 +70,15 @@ object FuzzyJoin {
   def bucketOf(g: Column, nBuckets: Int): Column =
     conv(substring(md5(g), 1, 4), 16, 10).cast(IntegerType) % nBuckets
 
-  /** Term-frequency array over `nBuckets` hash buckets. */
+  /** Term-frequency array over `nBuckets` hash buckets. Single expression
+    * tree: buckets are computed ONCE per n-gram, then folded into the count
+    * array — a per-bucket `filter` would duplicate the md5 n-gram subtree
+    * nBuckets times and blow up plan compilation at nBuckets=256.
+    */
   def tfArray(c: Column, nBuckets: Int): Column = {
-    val grams = charNgrams234(c)
-    transform(sequence(lit(0), lit(nBuckets - 1)),
-      b => size(filter(grams, g => bucketOf(g, nBuckets) === b)).cast(DoubleType))
+    val buckets = transform(charNgrams234(c), g => bucketOf(g, nBuckets))
+    aggregate(buckets, array_repeat(lit(0.0), nBuckets),
+      (acc, b) => transform(acc, (x, i) => when(i === b, x + 1.0).otherwise(x)))
   }
 
   /** L2-normalize a double array; all-zero vectors stay zero. */

@@ -31,6 +31,19 @@ object EncoderQueries {
     "q_table_vectorizer" -> ((s, dir) =>
       TableVectorizer.fitTransform(t(s, dir, "orders"))),
 
+    // TableVectorizer with an ACTUAL high-cardinality column: c_name (all
+    // distinct) routes to the minhash encoder join path; everything still
+    // hash-verified (md5-exact signatures)
+    "q_tv_high_card" -> ((s, dir) =>
+      TableVectorizer.fitTransform(t(s, dir, "customer"))),
+
+    // StringEncoder: TF-IDF + truncated SVD (rows-only oracle: SVD factors
+    // have sign/rotation freedom; invariants covered in StringEncoderSpec)
+    "q_string_encoder" -> ((s, dir) =>
+      graft.encoders.StringEncoder.encode(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_name", nComponents = 30)),
+
     // DropUninformative: all-unique string columns dropped
     "q_drop_uninformative" -> ((s, dir) =>
       DropUninformative.transform(t(s, dir, "documents"), dropIfUnique = true)),
@@ -132,8 +145,31 @@ object EncoderQueries {
        |FROM customer c LEFT JOIN sigs s ON c.c_name = s.c_name""".stripMargin
   }
 
+  private val tvHighCardOracle: String = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val onehot = segs.map(v =>
+      s"CASE WHEN c_mktsegment = '$v' THEN 1.0 ELSE 0.0 END AS c_mktsegment_$v") :+
+      "CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END AS c_mktsegment__null"
+    val comps = (0 until 30).map { k =>
+      s"CAST(sig[${k + 1}] AS DOUBLE) AS c_name_minhash_$k"
+    }.mkString(",\n  ")
+    s"""WITH d AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL),
+       |sigs AS (
+       |  SELECT c_name, list_transform(range(0, 30), k ->
+       |    ('0x' || substr(list_min(list_transform(${SqlFragments.ngrams234Sql("c_name")},
+       |      g -> md5(g || '#' || k))), 1, 8))::BIGINT) AS sig
+       |  FROM d)
+       |SELECT CAST(c.c_custkey AS DOUBLE) AS c_custkey,
+       |  CAST(c.c_nationkey AS DOUBLE) AS c_nationkey,
+       |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       |  ${onehot.mkString(",\n  ")},
+       |  $comps
+       |FROM customer c LEFT JOIN sigs s ON c.c_name = s.c_name""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_minhash_encoder" -> minhashOracle,
+    "q_tv_high_card" -> tvHighCardOracle,
     "q_datetime_encoder" -> dtOracle,
 
     "q_squashing_scaler" ->
