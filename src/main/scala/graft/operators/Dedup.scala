@@ -206,6 +206,67 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation: each node repeatedly takes the smallest label
+    * among itself and its neighbors until fixpoint. Converges in
+    * O(component diameter) joins — near-dup clusters are tiny cliques, so
+    * 2-4 iterations in practice; every step is a shuffle join + hash
+    * aggregate (no driver-side graph, no quadratic stage) and intermediate
+    * labels are persisted/unpersisted per iteration.
+    *
+    * Returns (id, label) where label = smallest id in the component.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The reference's `deduplicate` contract (skrub/_deduplicate.py:15-285):
+    * cluster the DISTINCT values of a string column by n-gram similarity and
+    * map every value to its cluster's most frequent member (ties -> smallest
+    * value). Returns the translation map (value, canonical).
+    *
+    * Reference clusters with driver-side hierarchical clustering over TF-IDF
+    * distances; our scale path derives clusters as connected components of
+    * the jaccard near-dup pair graph at `minJaccard` — same contract
+    * (value -> most-frequent-member), shuffle-shaped throughout.
+    */
+  def deduplicate(df: DataFrame, c: String, minJaccard: Double = 0.4,
+                  n: Int = 3): DataFrame = {
+    val vals = df.filter(col(c).isNotNull).groupBy(col(c).as("v"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("id", md5(col("v")))
+    val pairs = ngramJaccardPairs(
+      vals.select(col("v").as("text"), col("id")), "text", "id",
+      n = n, minJaccard = minJaccard)
+    val labels = connectedComponents(vals.select(col("id")), pairs)
+    val labeled = vals.join(labels, Seq("id"))
+    val reps = labeled.groupBy(col("label"))
+      .agg(min_by(col("v"), struct(negate(col("freq")), col("v"))).as("canonical"))
+    labeled.join(reps, Seq("label"))
+      .select(col("v").as("value"), col("canonical"))
+  }
+
   /** L2-normalize a float array column (double arithmetic). */
   def normalized(vec: Column): Column = {
     val d = transform(vec, x => x.cast(DoubleType))

@@ -45,6 +45,28 @@ object DedupQueries {
       Dedup.embeddingLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
         minCosine = 0.4, nPlanes = 8)),
 
+    // deduplicate translation map: distinct values -> jaccard pair graph ->
+    // connected components -> most-frequent-member canonical
+    "q_dedup_canonical" -> ((s, dir) =>
+      Dedup.deduplicate(t(s, dir, "documents"), "text", minJaccard = 0.4)),
+
+    // recall harness for the LSH near-dup path: fraction of EXACT cosine
+    // pairs (on a bounded deterministic id-slice) that the bucketed LSH
+    // variant recovers — the quality regression of the approximation is
+    // measured and hash-verified, mirroring q_ann_recall for ANN.
+    "q_dedup_embedding_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val exact = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", minCosine = 0.4)
+      val lsh = Dedup.embeddingLshPairs(emb, "embedding", "vec_id",
+        minCosine = 0.4, nPlanes = 8)
+      exact.alias("e").join(lsh.alias("l"),
+          col("e.id_a") === col("l.id_a") && col("e.id_b") === col("l.id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.id_a")).as("n_found"),
+          round(count(col("l.id_a")).cast(org.apache.spark.sql.types.DoubleType) /
+            count(lit(1)), 6).as("pair_recall"))
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -143,6 +165,42 @@ object DedupQueries {
 
     "q_dedup_simhash" -> simhashSql,
 
+    "q_dedup_canonical" -> {
+      val normV = "trim(regexp_replace(lower(v), '[^a-z0-9]+', ' ', 'g'))"
+      val toksV = s"list_filter(string_split($normV, ' '), x -> len(x) > 0)"
+      s"""WITH RECURSIVE vals AS (
+         |  SELECT text AS v, count(*) AS freq, md5(text) AS id
+         |  FROM documents WHERE text IS NOT NULL GROUP BY text),
+         |tok AS (SELECT id, $toksV AS toks FROM vals),
+         |docs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tok),
+         |d2 AS (SELECT id, sh, len(sh) AS n FROM docs),
+         |posting AS (SELECT id, n, unnest(sh) AS shingle FROM d2),
+         |hot AS (SELECT shingle FROM posting GROUP BY shingle HAVING count(*) > 1000),
+         |kept AS (SELECT * FROM posting WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM kept a JOIN kept b USING (shingle)
+         |  WHERE a.id < b.id
+         |  GROUP BY a.id, b.id, a.n, b.n
+         |  HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM vals
+         |  UNION
+         |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT l.label, va.v, va.freq FROM vals va JOIN labels l ON va.id = l.id),
+         |reps AS (
+         |  SELECT label, v AS canonical FROM (
+         |    SELECT label, v, row_number() OVER (PARTITION BY label
+         |      ORDER BY freq DESC, v ASC) AS rn FROM labeled) WHERE rn = 1)
+         |SELECT lb.v AS value, r.canonical
+         |FROM labeled lb JOIN reps r ON lb.label = r.label""".stripMargin
+    },
+
     "q_dedup_embedding" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,
@@ -156,6 +214,27 @@ object DedupQueries {
          |    p -> p[1] * p[2])), 6) AS cosine
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
          |WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4""".stripMargin,
+
+    "q_dedup_embedding_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings WHERE vec_id < 500),
+         |ex AS (
+         |  SELECT a.id AS id_a, b2.id AS id_b
+         |  FROM v a JOIN v b2 ON a.id < b2.id
+         |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4),
+         |b AS (SELECT id, nv, ${graft.functions.Planes.bucketSql("nv", 8)} AS bucket FROM v),
+         |ls AS (
+         |  SELECT a.id AS id_a, b2.id AS id_b
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+         |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ls.id_a) AS BIGINT) AS n_found,
+         |  round(CAST(count(ls.id_a) AS DOUBLE) / count(*), 6) AS pair_recall
+         |FROM ex LEFT JOIN ls ON ex.id_a = ls.id_a AND ex.id_b = ls.id_b""".stripMargin,
 
     "q_ann_topk" ->
       """WITH v AS (
