@@ -28,10 +28,13 @@ object ColumnAssociations {
       .withColumn("ct", sum(col("o")).over(wB))
       .withColumn("r", size(collect_set(col(a)).over(wAll)).cast(DoubleType))
       .withColumn("c", size(collect_set(col(b)).over(wAll)).cast(DoubleType))
-    val cell = (col("o") - col("rt") * col("ct") / col("n")) *
-      (col("o") - col("rt") * col("ct") / col("n")) / (col("rt") * col("ct") / col("n"))
+    // zero cells are absent from the groupBy contingency but still contribute
+    // (0 - e)^2 / e = e to chi2; since all expected counts sum to n,
+    // chi2 = sum_observed[(o-e)^2/e - e] + n
+    val e = col("rt") * col("ct") / col("n")
+    val cell = (col("o") - e) * (col("o") - e) / e - e
     val aggd = enriched.agg(
-      sum(cell).as("chi2"),
+      (sum(cell) + first(col("n"))).as("chi2"),
       first(col("n")).as("n"), first(col("r")).as("r"), first(col("c")).as("c"))
     aggd.select(
       lit(a).as("col_a"), lit(b).as("col_b"),
@@ -53,4 +56,180 @@ object ColumnAssociations {
   /** All given pairs, unioned (each pair is one independent small job). */
   def forPairs(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
     pairs.map { case (a, b) => cramersV(df, a, b) }.reduce(_.unionByName(_))
+
+  // -------------------------------------------------------------------------
+  // All-pairs associations (reference column_associations contract,
+  // _column_associations.py:16-326): every column is discretized to a string
+  // bin label — numerics/datetimes with >= `catThreshold` distinct values get
+  // `nBins - 1` equal-width bins plus a null bin, low-distinct numerics and
+  // strings are categorical with the `maxCats - 1` most frequent categories
+  // kept and the rest lumped (nulls are their own category) — then ONE
+  // GROUPING SETS aggregate builds every pair's contingency table in a
+  // single scan + shuffle, and the (tiny) contingency frame yields
+  // bias-corrected Cramér's V per pair. Pearson correlation for numeric
+  // pairs comes from one more single-row aggregate. At 100 TB: 2 stats
+  // passes + 1 contingency pass over the input, never one job per pair.
+  // -------------------------------------------------------------------------
+
+  final case class BinPlans(labels: Seq[(String, org.apache.spark.sql.Column)],
+                            numericCols: Seq[String])
+
+  /** Fit the per-column discretization (two small stats jobs). */
+  def fitBins(df: DataFrame, cols: Seq[String], nBins: Int = 10,
+              maxCats: Int = 10, catThreshold: Int = 30): BinPlans = {
+    val numericExpr: Map[String, org.apache.spark.sql.Column] =
+      cols.flatMap { c =>
+        df.schema(c).dataType match {
+          case _: NumericType => Some(c -> col(c).cast(DoubleType))
+          case BooleanType    => Some(c -> col(c).cast(DoubleType))
+          case DateType | TimestampType | TimestampNTZType =>
+            Some(c -> (unix_micros(col(c).cast(TimestampType)).cast(DoubleType) / 1e6))
+          case _ => None
+        }
+      }.toMap
+    // stats job 1: min/max/approx-distinct for numeric-like columns
+    val numStats: Map[String, (Double, Double, Long)] =
+      if (numericExpr.isEmpty) Map.empty
+      else {
+        val exprs = numericExpr.toSeq.flatMap { case (c, e) =>
+          Seq(min(e).as(s"${c}__min"), max(e).as(s"${c}__max"),
+            approx_count_distinct(col(c), 0.02).as(s"${c}__d"))
+        }
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        numericExpr.keys.map { c =>
+          c -> (Option(row.getAs[Any](s"${c}__min")).fold(0.0)(_.toString.toDouble),
+            Option(row.getAs[Any](s"${c}__max")).fold(0.0)(_.toString.toDouble),
+            row.getAs[Long](s"${c}__d"))
+        }.toMap
+      }
+    val catCols = cols.filter(c =>
+      !numericExpr.contains(c) || numStats(c)._3 < catThreshold)
+    // stats job 2 (melted, one scan): top categories per categorical column
+    val topCats: Map[String, Seq[String]] =
+      if (catCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val kv = df.select(explode(array(catCols.map(c =>
+            struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+          .select(col("kv.c").as("c"), col("kv.v").as("v"))
+          .filter(col("v").isNotNull)
+          .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("c")).orderBy(col("cnt").desc, col("v").asc)
+        kv.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= maxCats + 1)
+          .collect().groupBy(_.getString(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getAs[Int]("rn")).map(_.getString(1)).toSeq
+          }
+      }
+    val labels = cols.map { c =>
+      if (!catCols.contains(c)) {
+        // equal-width bins over [min, max]; x == max clamps into the last bin
+        val (mn, mx, _) = numStats(c)
+        val e = numericExpr(c)
+        val bin =
+          if (mx == mn) lit("b0")
+          else concat(lit("b"), least(floor((e - mn) / (mx - mn) * (nBins - 1)), lit(nBins - 2.0)).cast(IntegerType).cast(StringType))
+        c -> when(col(c).isNull || (df.schema(c).dataType match {
+          case FloatType | DoubleType => isnan(col(c)); case _ => lit(false)
+        }), "__null").otherwise(bin).as(c)
+      } else {
+        val cats = topCats.getOrElse(c, Seq.empty)
+        val kept = if (cats.length <= maxCats) cats else cats.take(maxCats - 1)
+        val v = col(c).cast(StringType)
+        c -> when(col(c).isNull, "__null")
+          .when(v.isin(kept: _*), v).otherwise("__other").as(c)
+      }
+    }
+    BinPlans(labels, numericExpr.keys.toSeq.filter(c =>
+      df.schema(c).dataType match {
+        case _: NumericType | BooleanType => true
+        case _ => false
+      }))
+  }
+
+  /** All-pairs associations: one contingency job via GROUPING SETS, then
+    * per-pair bias-corrected Cramér's V and (numeric pairs) Pearson corr.
+    * Output: (left_column_name, right_column_name, cramer_v, pearson_corr),
+    * top `topN` by V.
+    */
+  def allPairs(df: DataFrame, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = df.schema.fields.collect {
+      case f if (f.dataType match {
+        case _: NumericType | BooleanType | StringType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+    val plans = fitBins(df, cols)
+    val binned = df.select(plans.labels.map(_._2): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+
+    val view = s"__graft_assoc_${System.identityHashCode(df).toHexString}"
+    binned.createOrReplaceTempView(view)
+    val sets = pairs.map { case (a, b) => s"(`$a`, `$b`)" }.mkString(", ")
+    val gs = df.sparkSession.sql(
+      s"SELECT ${cols.map(c => s"`$c`").mkString(", ")}, count(1) AS __cnt " +
+        s"FROM $view GROUP BY GROUPING SETS ($sets)")
+      .persist()
+
+    // per-pair contingency rows -> V; labels are never null, so a row belongs
+    // to pair (a, b) iff exactly those two grouping columns are non-null
+    val perPair = pairs.map { case (a, b) =>
+      val others = cols.filterNot(c => c == a || c == b)
+      val cond = col(a).isNotNull && col(b).isNotNull &&
+        others.map(col(_).isNull).foldLeft(lit(true))(_ && _)
+      gs.filter(cond).select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(a).as("va"), col(b).as("vb"), col("__cnt").cast(DoubleType).as("o"))
+    }.reduce(_.unionByName(_))
+
+    val wAll = Window.partitionBy(col("col_a"), col("col_b"))
+    val wA = Window.partitionBy(col("col_a"), col("col_b"), col("va"))
+    val wB = Window.partitionBy(col("col_a"), col("col_b"), col("vb"))
+    val enriched = perPair
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("rt", sum(col("o")).over(wA))
+      .withColumn("ct", sum(col("o")).over(wB))
+      .withColumn("r", size(collect_set(col("va")).over(wAll)).cast(DoubleType))
+      .withColumn("c", size(collect_set(col("vb")).over(wAll)).cast(DoubleType))
+    // zero-cell correction as in cramersV: chi2 = sum[(o-e)^2/e - e] + n
+    val e = col("rt") * col("ct") / col("n")
+    val cell = (col("o") - e) * (col("o") - e) / e - e
+    val vFrame = enriched.groupBy(col("col_a"), col("col_b")).agg(
+        (sum(cell) + first(col("n"))).as("chi2"),
+        first(col("n")).as("n"), first(col("r")).as("r"), first(col("c")).as("c"))
+      .select(col("col_a"), col("col_b"),
+        round(biasCorrectedV(col("chi2"), col("n"), col("r"), col("c")), 6)
+          .as("cramer_v"))
+
+    // pearson for numeric pairs: one single-row aggregate
+    val numPairs = pairs.filter { case (a, b) =>
+      plans.numericCols.contains(a) && plans.numericCols.contains(b)
+    }
+    val result =
+      if (numPairs.isEmpty) vFrame.withColumn("pearson_corr", lit(null).cast(DoubleType))
+      else {
+        val exprs = numPairs.map { case (a, b) =>
+          round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+        }
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        val pearson = numPairs.map { case (a, b) =>
+          (a, b, Option(row.getAs[Any](s"${a}__${b}"))
+            .map(_.toString.toDouble).getOrElse(Double.NaN))
+        }
+        val pearsonDf = df.sparkSession.createDataFrame(pearson)
+          .toDF("col_a", "col_b", "pearson_corr")
+          .withColumn("pearson_corr",
+            when(isnan(col("pearson_corr")), lit(null)).otherwise(col("pearson_corr")))
+        vFrame.join(pearsonDf, Seq("col_a", "col_b"), "left")
+      }
+    result
+      .withColumnRenamed("col_a", "left_column_name")
+      .withColumnRenamed("col_b", "right_column_name")
+      .orderBy(col("cramer_v").desc, col("left_column_name"), col("right_column_name"))
+      .limit(topN)
+  }
 }

@@ -190,6 +190,68 @@ object Kernel {
   def quantileExact(df: DataFrame, c: String, q: Double): DataFrame =
     dropNulls(df, Seq(c)).agg(expr(s"percentile($c, $q)").as("quantile"))
 
+  /** `slice(start, stop)` / `select_rows` over an EXPLICIT ordering
+    * (reference _common.py:1364-1412 relies on positional identity; Spark
+    * has none, so position is defined by `orderBy` — SURVEY §1.2 row-identity
+    * contract). 0-based, stop exclusive.
+    */
+  def slice(df: DataFrame, orderBy: Seq[String], start: Int, stop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderBy.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > start && col("__rn") <= stop)
+      .drop("__rn")
+  }
+
+  /** Horizontal (axis=1) concat of frames sharing a common explicit row
+    * order: zip by row_number over `orderBy` per frame, then join on it
+    * (reference concat axis=1 zips by position, _common.py:400-416;
+    * restricted to same-length frames like the reference).
+    */
+  def concatHorizontal(dfs: Seq[(DataFrame, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dfs.nonEmpty, "concatHorizontal of zero frames")
+    val numbered = dfs.map { case (d, ord) =>
+      val w = Window.orderBy(ord.map(col): _*)
+      d.withColumn("__rn", row_number().over(w))
+    }
+    numbered.reduce((a, b) => a.join(b, Seq("__rn"))).drop("__rn")
+  }
+
+  /** `all_null_like`: frame with the same schema, all values null
+    * (_common.py:268-354).
+    */
+  def allNullLike(df: DataFrame, nRows: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.range(nRows.toLong).select(df.schema.fields.map(f =>
+      lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** `scaling_factor` (reference skrub/_scaling_factor.py:17): sqrt of the
+    * summed population variances of the given numeric columns, computed
+    * decimal-exact (order-independent across partitions) and rounded to 6
+    * decimals. Factors below epsilon clip to 1 (reference `_clip_epsilon`).
+    */
+  def scalingFactor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val vars = cols.map { c =>
+      val dec = col(c).cast(DecimalType(24, 6))
+      val n = count(col(c)).cast(DoubleType)
+      val s = sum(dec).cast(DoubleType)
+      val sq = sum(dec * dec).cast(DoubleType)
+      (sq - s * s / n) / n
+    }
+    df.agg(round(sqrt(vars.reduce(_ + _)), 6).as("scaling_factor"))
+      .select(when(col("scaling_factor") < 1e-12, 1.0)
+        .otherwise(col("scaling_factor")).as("scaling_factor"))
+  }
+
+  /** `ToStr` (skrub/_to_str.py:7) / `CleanCategories`
+    * (skrub/_clean_categories.py:11-38): normalize to plain strings,
+    * preserving nulls. Spark has no dictionary dtype, so CleanCategories
+    * degenerates to the same cast (SURVEY §1.2).
+    */
+  def toStr(c: Column): Column = c.cast(StringType)
+
   /** is_sorted check ignoring nulls (_common.py:1481-1532): true iff the
     * column, in the given order, is monotonically non-decreasing.
     *

@@ -58,6 +58,12 @@ object EncoderQueries {
       ColumnAssociations.forPairs(t(s, dir, "orders"),
         Seq(("o_orderstatus", "o_orderpriority")))),
 
+    // ALL-pairs associations: one grouping-sets contingency job over every
+    // orders column pair (numeric + datetime binned, categorical lumped),
+    // V + pearson per pair
+    "q_column_assoc_all" -> ((s, dir) =>
+      ColumnAssociations.allPairs(t(s, dir, "orders"))),
+
     // MinHashEncoder: 30 md5-minhash components of c_name char 2-4-grams,
     // fit on distinct values and joined back
     "q_minhash_encoder" -> ((s, dir) =>
@@ -167,9 +173,86 @@ object EncoderQueries {
        |FROM customer c LEFT JOIN sigs s ON c.c_name = s.c_name""".stripMargin
   }
 
+  /** Oracle for q_column_assoc_all: mirrors ColumnAssociations.allPairs —
+    * identical bin labels (stats CTE for min/max), per-pair contingency +
+    * bias-corrected V, pearson for numeric pairs.
+    */
+  private val assocAllOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    // numeric-like binning expressions (epoch seconds for the datetime)
+    def numExpr(c: String) = c match {
+      case "o_orderdate" => "epoch_us(o_orderdate) / 1000000.0"
+      case other         => s"CAST($other AS DOUBLE)"
+    }
+    val numericBinned = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val doubleCols = Set("o_totalprice") // NaN-able
+    val statsSel = numericBinned.flatMap(c =>
+      Seq(s"min(${numExpr(c)}) AS mn_$c", s"max(${numExpr(c)}) AS mx_$c"))
+      .mkString(", ")
+    val labelExprs = cols.map {
+      case c if numericBinned.contains(c) =>
+        val nullCond =
+          if (doubleCols(c)) s"$c IS NULL OR isnan($c)" else s"$c IS NULL"
+        s"""CASE WHEN $nullCond THEN '__null'
+           | ELSE 'b' || CAST(CAST(least(floor((${numExpr(c)} - mn_$c)
+           |   / (mx_$c - mn_$c) * 9), 8.0) AS INTEGER) AS VARCHAR) END AS $c""".stripMargin
+      case c =>
+        s"CASE WHEN $c IS NULL THEN '__null' ELSE $c END AS $c"
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+    val numericSet = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val pairCtes = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"""obs_$i AS (
+         |  SELECT $a AS va, $b AS vb, CAST(count(*) AS DOUBLE) AS o
+         |  FROM binned GROUP BY 1, 2),
+         |m_$i AS (
+         |  SELECT *, sum(o) OVER () AS n,
+         |    sum(o) OVER (PARTITION BY va) AS rt,
+         |    sum(o) OVER (PARTITION BY vb) AS ct,
+         |    CAST(count(DISTINCT va) OVER () AS DOUBLE) AS r,
+         |    CAST(count(DISTINCT vb) OVER () AS DOUBLE) AS c
+         |  FROM obs_$i),
+         |v_$i AS (
+         |  SELECT '$a' AS left_column_name, '$b' AS right_column_name,
+         |    round(sqrt(greatest(0.0, chi2/n - (r-1)*(c-1)/(n-1))
+         |      / least(r - (r-1)*(r-1)/(n-1) - 1, c - (c-1)*(c-1)/(n-1) - 1)), 6)
+         |      AS cramer_v
+         |  FROM (
+         |    SELECT sum((o - rt*ct/n) * (o - rt*ct/n) / (rt*ct/n) - rt*ct/n)
+         |        + any_value(n) AS chi2,
+         |      any_value(n) AS n, any_value(r) AS r, any_value(c) AS c
+         |    FROM m_$i))""".stripMargin
+    }
+    val pearsonSel = pairs.collect {
+      case (a, b) if numericSet(a) && numericSet(b) =>
+        s"('$a', '$b', round(corr($a, $b), 6))"
+    }
+    s"""WITH stats AS (SELECT $statsSel FROM orders),
+       |binned AS (
+       |  SELECT ${labelExprs.mkString(",\n  ")}
+       |  FROM orders, stats),
+       |${pairCtes.mkString(",\n")},
+       |vall AS (${pairs.indices.map(i => s"SELECT * FROM v_$i").mkString("\n  UNION ALL ")}),
+       |pc AS (SELECT ${numericSet.toSeq.sorted.flatMap(a => numericSet.toSeq.sorted.collect {
+            case b if a < b => s"round(corr($a, $b), 6) AS corr_${a}_$b" }).mkString(", ")}
+       |  FROM orders)
+       |SELECT v.left_column_name, v.right_column_name, v.cramer_v,
+       |  CASE
+       |${pairs.collect { case (a, b) if numericSet(a) && numericSet(b) =>
+            val (x, y) = if (a < b) (a, b) else (b, a)
+            s"    WHEN v.left_column_name = '$a' AND v.right_column_name = '$b' THEN (SELECT corr_${x}_$y FROM pc)"
+          }.mkString("\n")}
+       |  END AS pearson_corr
+       |FROM vall v""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_minhash_encoder" -> minhashOracle,
     "q_tv_high_card" -> tvHighCardOracle,
+    "q_column_assoc_all" -> assocAllOracle,
     "q_datetime_encoder" -> dtOracle,
 
     "q_squashing_scaler" ->
@@ -208,7 +291,8 @@ object EncoderQueries {
         |    CAST(count(DISTINCT b) OVER () AS DOUBLE) AS c
         |  FROM obs),
         |agg AS (
-        |  SELECT sum((o - rt*ct/n) * (o - rt*ct/n) / (rt*ct/n)) AS chi2,
+        |  SELECT sum((o - rt*ct/n) * (o - rt*ct/n) / (rt*ct/n) - rt*ct/n)
+        |      + any_value(n) AS chi2,
         |    any_value(n) AS n, any_value(r) AS r, any_value(c) AS c
         |  FROM m)
         |SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,

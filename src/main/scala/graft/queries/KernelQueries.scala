@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernel
+import graft.operators.TableReport
+import graft.encoders.{DropSimilar, SimilarityEncoder}
+
+/** Kernel-completion queries (slice, horizontal concat, scaling factor,
+  * DropSimilar, TableReport summary, SimilarityEncoder) with DuckDB oracles.
+  */
+object KernelQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // positional slice over an explicit ordering
+    "q_slice" -> ((s, dir) =>
+      Kernel.slice(t(s, dir, "orders"), Seq("o_orderkey"), 100, 150)),
+
+    // horizontal concat: zip two projections by row_number over o_orderkey
+    "q_concat_horizontal" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.select(col("o_orderkey").as("k2"), col("o_orderpriority"))
+      Kernel.concatHorizontal(Seq(a -> Seq("o_orderkey"), b -> Seq("k2")))
+    }),
+
+    // total-standard-deviation scaler over lineitem numeric columns
+    "q_scaling_factor" -> ((s, dir) =>
+      Kernel.scalingFactor(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // DropSimilar: a verbatim duplicate column must be detected (V = 1) and
+    // dropped, everything else kept
+    "q_drop_similar" -> ((s, dir) =>
+      DropSimilar.transform(
+        t(s, dir, "orders").withColumn("status_copy", col("o_orderstatus")),
+        threshold = 1.0)),
+
+    // TableReport summary: per-column profiling stats, long format
+    "q_table_report" -> ((s, dir) =>
+      TableReport.summarize(t(s, dir, "orders"))),
+
+    // SimilarityEncoder: per-category ngram-jaccard similarity columns
+    "q_similarity_encoder" -> ((s, dir) =>
+      SimilarityEncoder.encode(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_mktsegment"))
+  )
+
+  private val tableReportOracle: String = {
+    def entry(c: String, dtype: String, isNum: Boolean, isStr: Boolean,
+              isTs: Boolean): String = {
+      val minNum =
+        if (isNum) s"CAST(min($c) AS DOUBLE)"
+        else if (isTs) s"CAST(min(epoch_us($c)) AS DOUBLE) / 1000000.0"
+        else "CAST(NULL AS DOUBLE)"
+      val maxNum =
+        if (isNum) s"CAST(max($c) AS DOUBLE)"
+        else if (isTs) s"CAST(max(epoch_us($c)) AS DOUBLE) / 1000000.0"
+        else "CAST(NULL AS DOUBLE)"
+      val minStr = if (isStr) s"min($c)" else "CAST(NULL AS VARCHAR)"
+      val maxStr = if (isStr) s"max($c)" else "CAST(NULL AS VARCHAR)"
+      val mean =
+        if (isNum)
+          s"round(CAST(sum(CAST($c AS DECIMAL(24,6))) AS DOUBLE) / count($c), 6)"
+        else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS column_name, '$dtype' AS dtype,
+         |  count($c) AS count,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+         |  count(DISTINCT $c) AS n_unique,
+         |  $minNum AS min_numeric, $maxNum AS max_numeric,
+         |  $minStr AS min_string, $maxStr AS max_string,
+         |  $mean AS mean
+         |FROM orders""".stripMargin
+    }
+    Seq(
+      entry("o_orderkey", "bigint", isNum = true, isStr = false, isTs = false),
+      entry("o_custkey", "bigint", isNum = true, isStr = false, isTs = false),
+      entry("o_orderstatus", "string", isNum = false, isStr = true, isTs = false),
+      entry("o_totalprice", "double", isNum = true, isStr = false, isTs = false),
+      entry("o_orderdate", "timestamp", isNum = false, isStr = false, isTs = true),
+      entry("o_orderpriority", "string", isNum = false, isStr = true, isTs = false)
+    ).mkString("\nUNION ALL\n")
+  }
+
+  private val simOracle: String = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    def grams(v: String) = s"list_distinct(${SqlFragments.ngrams234Sql(v)})"
+    val cols = segs.map { cat =>
+      s"""CASE WHEN c_mktsegment IS NULL THEN NULL ELSE
+         |  round(CAST(len(list_intersect(${grams("c_mktsegment")}, ${grams(s"'$cat'")})) AS DOUBLE)
+         |    / len(list_distinct(list_concat(${grams("c_mktsegment")}, ${grams(s"'$cat'")}))), 6)
+         |END AS c_mktsegment_sim_$cat""".stripMargin
+    }
+    s"SELECT c_custkey, c_mktsegment,\n  ${cols.mkString(",\n  ")}\nFROM customer"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_slice" ->
+      "SELECT * FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
+
+    "q_concat_horizontal" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+        |b AS (
+        |  SELECT o_orderkey AS k2, o_orderpriority,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+        |SELECT a.o_orderkey, a.o_totalprice, b.k2, b.o_orderpriority
+        |FROM a JOIN b USING (rn)""".stripMargin,
+
+    "q_scaling_factor" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val vars = cols.map { c =>
+        val dec = s"CAST($c AS DECIMAL(24,6))"
+        s"""((CAST(sum($dec * $dec) AS DOUBLE)
+           |  - CAST(sum($dec) AS DOUBLE) * CAST(sum($dec) AS DOUBLE) / count($c))
+           |  / count($c))""".stripMargin
+      }
+      s"""WITH s AS (
+         |  SELECT round(sqrt(${vars.mkString(" + ")}), 6) AS sf FROM lineitem)
+         |SELECT CASE WHEN sf < 1e-12 THEN 1.0 ELSE sf END AS scaling_factor
+         |FROM s""".stripMargin
+    },
+
+    "q_drop_similar" -> "SELECT * FROM orders",
+
+    "q_table_report" -> tableReportOracle,
+
+    "q_similarity_encoder" -> simOracle
+  )
+}
