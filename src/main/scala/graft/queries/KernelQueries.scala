@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Kernel
-import graft.operators.TableReport
+import graft.operators.{Multimodal, TableReport}
 import graft.encoders.{DropSimilar, SimilarityEncoder}
 
 /** Kernel-completion queries (slice, horizontal concat, scaling factor,
@@ -46,7 +46,24 @@ object KernelQueries {
     "q_similarity_encoder" -> ((s, dir) =>
       SimilarityEncoder.encode(
         t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        "c_mktsegment"))
+        "c_mktsegment")),
+
+    // multimodal plumbing: binary payload + typed metadata, stub decode,
+    // frame-sampling plan, deterministic pseudo-embedding — all md5-exact
+    "q_multimodal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val packed = d.select(col("doc_id"),
+        Multimodal.pack(encode(col("text"), "UTF-8"), "text/plain").as("media"))
+      val data = col("media.data")
+      val (w, h, ch) = Multimodal.decodeStubDims(data)
+      packed.select(Seq(col("doc_id"),
+        col("media.meta.media_type").as("media_type"),
+        col("media.meta.n_bytes").as("n_bytes"),
+        col("media.meta.content_id").as("content_id"),
+        w.as("width"), h.as("height"), ch.as("channels"),
+        Multimodal.nFrames(col("media.meta.n_bytes"), 1024).as("n_frames")) ++
+        Multimodal.fakeEmbedding(data, 8): _*)
+    })
   )
 
   private val tableReportOracle: String = {
@@ -129,6 +146,23 @@ object KernelQueries {
 
     "q_table_report" -> tableReportOracle,
 
-    "q_similarity_encoder" -> simOracle
+    "q_similarity_encoder" -> simOracle,
+
+    "q_multimodal" -> {
+      val embs = (0 until 8).map { j =>
+        s"""('0x' || substr(md5(md5(text) || '$j'), 1, 8))::BIGINT
+           | / 2147483648.0 - 1.0 AS emb_$j""".stripMargin
+      }
+      s"""SELECT doc_id,
+         |  'text/plain' AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_id,
+         |  64 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 192 AS width,
+         |  64 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 192 AS height,
+         |  3 AS channels,
+         |  CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) + 1 AS n_frames,
+         |  ${embs.mkString(",\n  ")}
+         |FROM documents""".stripMargin
+    }
   )
 }
