@@ -34,17 +34,32 @@ object Planes {
   def projection(vec: Column, p: Int, dim: Int): Column =
     (1 to dim).map(i => element_at(vec, i) * lit(coef(p, i - 1))).reduce(_ + _)
 
-  /** Bucket id: bit p of the result is set iff projection onto plane p >= 0. */
-  def bucket(vec: Column, nPlanes: Int, dim: Int): Column =
+  /** Bucket id: bit p of the result is set iff projection onto plane
+    * `offset + p` >= 0. `offset` selects an independent plane family —
+    * multi-table LSH amplification uses offset = tableIndex * nPlanes.
+    */
+  def bucket(vec: Column, nPlanes: Int, dim: Int, offset: Int = 0): Column =
     (0 until nPlanes).map { p =>
-      when(projection(vec, p, dim) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(projection(vec, offset + p, dim) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Multi-table bucket keys: array of `nTables` structs (table id, bucket
+    * in that table's independent plane family). Near neighbors collide in
+    * >= 1 table with probability 1 - (1 - p0)^nTables — the standard LSH
+    * amplification that a single band cannot provide.
+    */
+  def bucketTables(vec: Column, nTables: Int, planesPerTable: Int,
+                   dim: Int): Column =
+    array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        bucket(vec, planesPerTable, dim, t * planesPerTable).as("bkt"))
+    }: _*)
 
   /** DuckDB SQL fragment computing the same bucket for a list column `nv`
     * (used by the oracle entries; kept next to the Scala so the two
     * definitions can never drift apart silently).
     */
-  def bucketSql(nv: String, nPlanes: Int): String = {
+  def bucketSql(nv: String, nPlanes: Int, offset: Int = 0): String = {
     def proj(p: Int) =
       s"""list_sum(list_transform(list_zip($nv, list_transform(range(0, len($nv)),
          | i -> list_sum(list_transform(range(8),
@@ -52,7 +67,13 @@ object Planes {
          |        * pow(16.0, 7 - j))) / 2147483648.0 - 1.0)),
          | x -> x[1] * x[2]))""".stripMargin
     (0 until nPlanes).map { p =>
-      s"(CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      s"(CASE WHEN ${proj(offset + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
   }
+
+  /** SQL: list of `nTables` (tbl, bkt) structs mirroring `bucketTables`. */
+  def bucketTablesSql(nv: String, nTables: Int, planesPerTable: Int): String =
+    (0 until nTables).map { t =>
+      s"{'tbl': $t, 'bkt': ${bucketSql(nv, planesPerTable, t * planesPerTable)}}"
+    }.mkString("[", ", ", "]")
 }

@@ -185,25 +185,40 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** LSH variant — the 100 TB path: bucket on the sign pattern of `nPlanes`
-    * deterministic pseudo-random hyperplanes (md5-derived coefficients,
-    * precomputed on the driver and embedded as literals — graft.functions
-    * .Planes), then verify exact cosine within buckets only. The bucket join
-    * is an equi shuffle join on the bucket id; no corpus self-cross-join
-    * anywhere. Expected bucket population is |corpus| / 2^nPlanes.
+  /** LSH variant — the 100 TB path: multi-table hyperplane LSH. Each vector
+    * gets `nTables` bucket keys (independent `planesPerTable`-plane sign
+    * buckets, md5-derived coefficients precomputed on the driver —
+    * graft.functions.Planes); candidate pairs collide in >= 1 table and are
+    * verified with the exact cosine. A pair at the cosine threshold with
+    * per-plane agreement q survives one table with p0 = q^planesPerTable and
+    * is recalled with 1 - (1 - p0)^nTables — the banding amplification a
+    * single bucket family cannot provide (round-2 single-band recall was
+    * 0.03; this configuration measures ~0.9 on the fixture —
+    * q_dedup_embedding_recall). The join stays an equi shuffle join on
+    * (table, bucket); no corpus self-cross-join anywhere. Cost: the posting
+    * list is |corpus| * nTables rows — the standard LSH space/recall trade.
     */
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
-                        minCosine: Double, nPlanes: Int = 8): DataFrame = {
+                        minCosine: Double, planesPerTable: Int = 4,
+                        nTables: Int = 16): DataFrame = {
     import graft.functions.Planes
+    import org.apache.spark.storage.StorageLevel
     val d = vecDim(df, vecCol)
     val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
-    val bucketed = v.withColumn("bucket", Planes.bucket(col("nv"), nPlanes, d))
-    bucketed.alias("x").join(bucketed.alias("y"), Seq("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val posting = v.select(col("id"),
+      explode(Planes.bucketTables(col("nv"), nTables, planesPerTable, d)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
       .filter(col("x.id") < col("y.id"))
-      .withColumn("cosine", dotUnrolled(col("x.nv"), col("y.nv"), d))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("nv").as("nv_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("nv").as("nv_b")), Seq("id_b"))
+      .withColumn("cosine", dotUnrolled(col("nv_a"), col("nv_b"), d))
       .filter(col("cosine") >= minCosine)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** Connected components over an undirected pair list via iterative

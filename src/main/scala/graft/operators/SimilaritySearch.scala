@@ -37,20 +37,34 @@ object SimilaritySearch {
         col("corpus_id"), col("cosine"))
   }
 
-  /** IVF-style ANN: assign corpus vectors to hyperplane-sign buckets, search
-    * each query only within its own bucket (probe=1) — recall traded for a
-    * |corpus|/2^nPlanes scan reduction. Same output schema as brute force.
+  /** IVF/LSH ANN: corpus vectors are indexed under `nTables` independent
+    * hyperplane-sign bucket keys (multi-table LSH — single-bucket probe=1
+    * recall was ~0.2 on the fixture, banding amplifies it to ~0.9+,
+    * measured by q_ann_recall); each query probes its own bucket in every
+    * table, candidates are deduplicated and exactly re-ranked. Cost per
+    * query ~ nTables * |corpus| / 2^planesPerTable candidate rows — the
+    * scan reduction vs brute force survives because candidates, not the
+    * corpus, are scored. Same output schema as brute force.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
+              idCol: String, k: Int, planesPerTable: Int = 4,
+              nTables: Int = 16): DataFrame = {
     import graft.functions.Planes
     val d = Dedup.vecDim(corpus, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
-      .withColumn("bucket", Planes.bucket(col("cv"), nPlanes, d))
+      .select(col("corpus_id"), col("cv"),
+        explode(Planes.bucketTables(col("cv"), nTables, planesPerTable, d)).as("tb"))
+      .select(col("corpus_id"), col("cv"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
-      .withColumn("bucket", Planes.bucket(col("qv"), nPlanes, d))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("qv"),
+        explode(Planes.bucketTables(col("qv"), nTables, planesPerTable, d)).as("tb"))
+      .select(col("query_id"), col("qv"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"))
+      .distinct()
       .withColumn("cosine", round(Dedup.dotUnrolled(col("cv"), col("qv"), d), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)

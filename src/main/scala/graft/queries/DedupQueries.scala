@@ -39,11 +39,13 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
 
-    // hyperplane-LSH bucketed near-dup — the registered query IS the scale
-    // path (the exact all-pairs variant stays available for small-n tests).
+    // multi-table hyperplane-LSH near-dup — the registered query IS the
+    // scale path (the exact all-pairs variant stays available for small-n
+    // tests); 16 tables x 4 planes amplify pair recall to ~0.9 (measured by
+    // q_dedup_embedding_recall; the old single 8-plane band recalled 0.03).
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
-        minCosine = 0.4, nPlanes = 8)),
+        minCosine = 0.4, planesPerTable = 4, nTables = 16)),
 
     // deduplicate translation map: distinct values -> jaccard pair graph ->
     // connected components -> most-frequent-member canonical
@@ -58,7 +60,7 @@ object DedupQueries {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
       val exact = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", minCosine = 0.4)
       val lsh = Dedup.embeddingLshPairs(emb, "embedding", "vec_id",
-        minCosine = 0.4, nPlanes = 8)
+        minCosine = 0.4, planesPerTable = 4, nTables = 16)
       exact.alias("e").join(lsh.alias("l"),
           col("e.id_a") === col("l.id_a") && col("e.id_b") === col("l.id_b"), "left")
         .agg(count(lit(1)).as("n_exact"),
@@ -75,10 +77,11 @@ object DedupQueries {
 
     // IVF/LSH-bucketed ANN: buckets are md5-derived (graft.functions.Planes)
     // so the oracle reproduces them exactly — full hash verification.
+    // 8 tables x 4 planes (recall measured by q_ann_recall).
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "embedding", "vec_id", k = 5, nPlanes = 4)
+        "embedding", "vec_id", k = 5, planesPerTable = 4, nTables = 16)
     }),
 
     // recall@k harness: measured recall of the bucketed ANN against the
@@ -88,7 +91,8 @@ object DedupQueries {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
       val exact = SimilaritySearch.bruteForceTopK(emb, qs, "embedding", "vec_id", k = 5)
-      val approx = SimilaritySearch.ivfTopK(emb, qs, "embedding", "vec_id", k = 5, nPlanes = 4)
+      val approx = SimilaritySearch.ivfTopK(emb, qs, "embedding", "vec_id",
+        k = 5, planesPerTable = 4, nTables = 16)
       exact.alias("e")
         .join(approx.alias("a"),
           col("e.query_id") === col("a.query_id") &&
@@ -208,11 +212,15 @@ object DedupQueries {
          |      sqrt(list_sum(list_transform(embedding,
          |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
          |  FROM embeddings),
-         |b AS (SELECT id, nv, ${graft.functions.Planes.bucketSql("nv", 8)} AS bucket FROM v)
-         |SELECT a.id AS id_a, b2.id AS id_b,
+         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM bt x JOIN bt y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id)
+         |SELECT id_a, id_b,
          |  round(list_sum(list_transform(list_zip(a.nv, b2.nv),
          |    p -> p[1] * p[2])), 6) AS cosine
-         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+         |FROM cand JOIN v a ON cand.id_a = a.id JOIN v b2 ON cand.id_b = b2.id
          |WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4""".stripMargin,
 
     "q_dedup_embedding_recall" ->
@@ -226,10 +234,14 @@ object DedupQueries {
          |  SELECT a.id AS id_a, b2.id AS id_b
          |  FROM v a JOIN v b2 ON a.id < b2.id
          |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4),
-         |b AS (SELECT id, nv, ${graft.functions.Planes.bucketSql("nv", 8)} AS bucket FROM v),
+         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM bt x JOIN bt y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id),
          |ls AS (
-         |  SELECT a.id AS id_a, b2.id AS id_b
-         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+         |  SELECT cand.id_a, cand.id_b
+         |  FROM cand JOIN v a ON cand.id_a = a.id JOIN v b2 ON cand.id_b = b2.id
          |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4)
          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(count(ls.id_a) AS BIGINT) AS n_found,
@@ -261,11 +273,16 @@ object DedupQueries {
          |      sqrt(list_sum(list_transform(embedding,
          |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
          |  FROM embeddings),
-         |b AS (SELECT id, nv, ${graft.functions.Planes.bucketSql("nv", 4)} AS bucket FROM v),
+         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bt c JOIN bt q ON q.id < 10 AND q.id <> c.id
+         |    AND c.tbl = q.tbl AND c.bkt = q.bkt),
          |scored AS (
-         |  SELECT q.id AS query_id, c.id AS corpus_id,
+         |  SELECT query_id, corpus_id,
          |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
-         |  FROM b c JOIN b q ON q.id < 10 AND q.id <> c.id AND c.bucket = q.bucket),
+         |  FROM cand JOIN v c ON cand.corpus_id = c.id JOIN v q ON cand.query_id = q.id),
          |ranked AS (
          |  SELECT query_id, corpus_id, cosine,
          |    row_number() OVER (PARTITION BY query_id
@@ -290,11 +307,16 @@ object DedupQueries {
          |      ORDER BY cosine DESC, corpus_id ASC) AS rank
          |  FROM es),
          |e5 AS (SELECT query_id, corpus_id FROM er WHERE rank <= 5),
-         |b AS (SELECT id, nv, ${graft.functions.Planes.bucketSql("nv", 4)} AS bucket FROM v),
+         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bt c JOIN bt q ON q.id < 10 AND q.id <> c.id
+         |    AND c.tbl = q.tbl AND c.bkt = q.bkt),
          |asq AS (
-         |  SELECT q.id AS query_id, c.id AS corpus_id,
+         |  SELECT query_id, corpus_id,
          |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
-         |  FROM b c JOIN b q ON q.id < 10 AND q.id <> c.id AND c.bucket = q.bucket),
+         |  FROM cand JOIN v c ON cand.corpus_id = c.id JOIN v q ON cand.query_id = q.id),
          |ar AS (
          |  SELECT query_id, corpus_id,
          |    row_number() OVER (PARTITION BY query_id
