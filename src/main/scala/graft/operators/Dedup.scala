@@ -236,8 +236,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint truncates the logical plan each iteration — without it
+    // the lineage doubles per step (labels feeds both the propagation join
+    // and the update join) and plan compilation blows up after ~8 iterations
     var labels = vertices.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     while (!converged) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -245,10 +248,9 @@ object Dedup {
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
     }

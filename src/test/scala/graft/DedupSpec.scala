@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Dedup family: connected components, the canonical translation map, and —
+  * critically — RECALL FLOORS for the approximate (LSH) paths. A recall
+  * harness that only measures lets a silent quality regression stay green;
+  * these assertions gate it (VERDICT r2 "measures but never gates").
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents labels components with their smallest id") {
+    val vertices = Seq("1", "2", "3", "4", "5", "6").toDF("id")
+    val pairs = Seq(("1", "2"), ("2", "3"), ("5", "6")).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels === Map("1" -> "1", "2" -> "1", "3" -> "1",
+      "4" -> "4", "5" -> "5", "6" -> "5"))
+  }
+
+  test("connectedComponents converges on a long chain") {
+    val vertices = (1 to 10).map(_.toString).toDF("id")
+    val pairs = (1 until 10).map(i => (f"$i%02d", f"${i + 1}%02d"))
+      .toDF("id_a", "id_b")
+    val v2 = (1 to 10).map(i => f"$i%02d").toDF("id")
+    val labels = Dedup.connectedComponents(v2, pairs).collect()
+      .map(r => r.getString(1)).distinct
+    assert(labels === Array("01"))
+  }
+
+  test("deduplicate maps variants to the most frequent member") {
+    val docs = (Seq.fill(3)("the quick brown fox jumps high") ++
+      Seq("the quick brown fox jumps higher") ++
+      Seq.fill(2)("completely different text entirely"))
+      .toDF("text")
+    val out = Dedup.deduplicate(docs, "text", minJaccard = 0.3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("the quick brown fox jumps higher") ===
+      "the quick brown fox jumps high")
+    assert(out("the quick brown fox jumps high") ===
+      "the quick brown fox jumps high")
+    assert(out("completely different text entirely") ===
+      "completely different text entirely")
+  }
+
+  test("exact dedup partitions the corpus: n_dups sums to row count") {
+    val docs = TestSpark.table("documents")
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.agg(sum($"n_dups")).head().getLong(0) === docs.count())
+  }
+
+  test("RECALL FLOOR: ANN IVF mean recall@5 >= 0.8 on the fixture") {
+    val emb = TestSpark.table("embeddings")
+    val qs = emb.filter($"vec_id" < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+    val approx = SimilaritySearch.ivfTopK(emb, qs, "embedding", "vec_id", 5)
+    val recall = exact.alias("e").join(approx.alias("a"),
+        $"e.query_id" === $"a.query_id" && $"e.corpus_id" === $"a.corpus_id",
+        "left")
+      .agg((count($"a.corpus_id").cast("double") / count(lit(1))))
+      .head().getDouble(0)
+    assert(recall >= 0.8, s"ANN recall@5 degraded to $recall")
+  }
+
+  test("RECALL FLOOR: embedding LSH pair recall >= 0.85 on the fixture") {
+    val emb = TestSpark.table("embeddings")
+    val exact = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", 0.4)
+    val lsh = Dedup.embeddingLshPairs(emb, "embedding", "vec_id", 0.4)
+    val recall = exact.alias("e").join(lsh.alias("l"),
+        $"e.id_a" === $"l.id_a" && $"e.id_b" === $"l.id_b", "left")
+      .agg((count($"l.id_a").cast("double") / count(lit(1))))
+      .head().getDouble(0)
+    assert(recall >= 0.85, s"LSH pair recall degraded to $recall")
+  }
+
+  test("minhash LSH recovers high-jaccard pairs found by the exact path") {
+    val docs = TestSpark.table("documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        minJaccard = 0.5, maxShingleDf = 1000000L)
+      .select($"id_a", $"id_b")
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", minJaccard = 0.5)
+      .select($"id_a", $"id_b")
+    val missed = exact.except(lsh).count()
+    val total = exact.count()
+    assert(total > 0, "fixture has no high-jaccard pairs")
+    assert(missed.toDouble / total <= 0.2,
+      s"minhash LSH missed $missed of $total exact pairs")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Cleaner, FuzzyJoin, ToDatetime}
+
+/** FuzzyJoin semantics (the reference Joiner doctest analog,
+  * _joiner.py:220-248), ToDatetime format guessing with day/month ambiguity
+  * evidence, Cleaner end-to-end.
+  */
+class FuzzyCleanerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fuzzyJoin matches misspelled keys to their nearest aux row") {
+    val main = Seq("France", "germannY", "Itali").toDF("country")
+    val aux = Seq(("germany", 1), ("france", 2), ("italy", 3)).toDF("name", "aux_id")
+    val out = FuzzyJoin.fuzzyJoin(main, aux, Seq("country" -> "name"))
+    val matches = out.select("country", "name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(matches("France") === "france")
+    assert(matches("germannY") === "germany")
+    assert(matches("Itali") === "italy")
+    assert(out.filter(col(FuzzyJoin.MatchInfoAccepted)).count() === 3)
+  }
+
+  test("fuzzyJoin maxDist rejects far matches, nulling aux payload") {
+    val main = Seq("france", "zzzqqqxxx").toDF("country")
+    val aux = Seq(("france", 2), ("italy", 3)).toDF("name", "aux_id")
+    val out = FuzzyJoin.fuzzyJoin(main, aux, Seq("country" -> "name"),
+      maxDist = 0.5)
+    val rows = out.collect().map(r =>
+      r.getString(0) -> (r.getAs[Any]("name"), r.getAs[Boolean](FuzzyJoin.MatchInfoAccepted))).toMap
+    assert(rows("france") === (("france", true)))
+    assert(rows("zzzqqqxxx")._1 === null)
+    assert(!rows("zzzqqqxxx")._2)
+  }
+
+  test("fuzzyJoin numeric keys use standard-scaled euclidean distance") {
+    val main = Seq(10.0, 55.0).toDF("x")
+    val aux = Seq((10.0, "a"), (50.0, "b"), (100.0, "c")).toDF("ax", "tag")
+    val out = FuzzyJoin.fuzzyJoin(main, aux, Seq("x" -> "ax"))
+    val matches = out.collect().map(r => r.getDouble(0) -> r.getString(5)).toMap
+    assert(matches(10.0) === "a")
+    assert(matches(55.0) === "b")
+  }
+
+  test("guessFormat resolves day/month ambiguity via day>12 evidence") {
+    // all days <= 12: month-first wins (candidate priority)
+    assert(ToDatetime.guessFormat(Seq("01/02/2021", "03/04/2021"))
+      === Some("MM/dd/yyyy"))
+    // a day > 12 forces month-first to fail parsing -> day-first
+    assert(ToDatetime.guessFormat(Seq("01/02/2021", "25/04/2021"))
+      === Some("dd/MM/yyyy"))
+    assert(ToDatetime.guessFormat(Seq("2021-05-06")) === Some("yyyy-MM-dd"))
+    assert(ToDatetime.guessFormat(Seq("not a date")) === None)
+    assert(ToDatetime.guessFormat(Nil) === None)
+  }
+
+  test("toDatetime parses with the guessed format; rejects garbage columns") {
+    val df = Seq("2021-01-02 03:04:05", "2021-06-07 08:09:10").toDF("t")
+    val out = ToDatetime.toDatetime(df, "t")
+    assert(out.schema("t").dataType === TimestampType)
+    assert(out.filter($"t".isNull).count() === 0)
+    val garbage = Seq("abc", "def").toDF("t")
+    assert(ToDatetime.toDatetime(garbage, "t").schema("t").dataType === StringType)
+  }
+
+  test("Cleaner drops uninformative columns and types the rest") {
+    val messy = Seq(
+      ("2021-01-02 03:04:05", "1.5", "N/A", "X", null: String),
+      ("2021-06-07 08:09:10", "2.5", "ok", "X", null: String))
+      .toDF("date_s", "num_s", "cat_s", "const_col", "null_col")
+    val out = Cleaner.fitTransform(messy)
+    assert(out.columns.toSeq === Seq("date_s", "num_s", "cat_s"))
+    assert(out.schema("date_s").dataType === TimestampType)
+    assert(out.schema("num_s").dataType === DoubleType)
+    val cats = out.select("cat_s").as[Option[String]].collect().toSet
+    assert(cats === Set(None, Some("ok")))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Kernel
+
+/** Kernel conformance: null/NaN semantics, relaxed concat widening, exact
+  * sampling determinism, locale float parse — the invariants of the
+  * reference's dataframe kernel (skrub/_dataframe/tests/test_common.py).
+  */
+class KernelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("isNullLike / fillNulls / dropNulls treat float NaN as null") {
+    val df = Seq(Some(1.0), Some(Double.NaN), None).toDF("x")
+    assert(Kernel.dropNulls(df, Seq("x")).count() === 1)
+    val filled = df.select(Kernel.fillNulls(df, "x", lit(0.0)).as("x"))
+      .as[Double].collect().sorted
+    assert(filled === Array(0.0, 0.0, 1.0))
+  }
+
+  test("concatDiagonal widens dtypes and nulls missing columns") {
+    val a = Seq(1, 2).toDF("x")                       // int
+    val b = Seq((1.5, "p")).toDF("x", "y")            // double + extra col
+    val out = Kernel.concatDiagonal(Seq(a, b))
+    assert(out.schema("x").dataType === DoubleType)
+    assert(out.schema("y").dataType === StringType)
+    assert(out.count() === 3)
+    assert(out.filter(col("y").isNull).count() === 2)
+  }
+
+  test("concatDiagonal widens date + timestamp to timestamp") {
+    val a = Seq("2021-01-01").toDF("s").select(to_date($"s").as("d"))
+    val b = Seq("2021-01-02 10:00:00").toDF("s").select(to_timestamp($"s").as("d"))
+    val out = Kernel.concatDiagonal(Seq(a, b))
+    assert(out.schema("d").dataType === TimestampType)
+    assert(out.count() === 2)
+  }
+
+  test("sampleExact is deterministic and exact-n") {
+    val df = TestSpark.table("orders")
+    val s1 = Kernel.sampleExact(df, 17, seed = 42).collect()
+    val s2 = Kernel.sampleExact(df.repartition(7), 17, seed = 42).collect()
+    assert(s1.length === 17)
+    assert(s1.map(_.toString).sorted === s2.map(_.toString).sorted)
+  }
+
+  test("isSorted detects order, ignoring nulls") {
+    val sorted = Seq((1, Some(1.0)), (2, Some(2.0)), (3, None), (4, Some(2.5)))
+      .toDF("id", "v")
+    assert(Kernel.isSorted(sorted, "v", Seq("id")).head().getBoolean(0))
+    val unsorted = Seq((1, 5.0), (2, 1.0)).toDF("id", "v")
+    assert(!Kernel.isSorted(unsorted, "v", Seq("id")).head().getBoolean(0))
+  }
+
+  test("toFloatLocale parses separators and accounting negatives") {
+    val df = Seq("(1 234,56)", "99,5", "garbage", "10").toDF("s")
+    val out = df.select(Kernel.toFloatLocale($"s", thousandSep = " ",
+      decimalSep = ",").as("v")).as[Option[Double]].collect()
+    assert(out(0) === Some(-1234.56))
+    assert(out(1) === Some(99.5))
+    assert(out(2) === None)
+    assert(out(3) === Some(10.0))
+  }
+
+  test("cleanNullStrings trims and maps marker strings to null") {
+    val df = Seq(" N/A ", "  ok  ", "", "null").toDF("s")
+    val out = df.select(Kernel.cleanNullStrings($"s").as("s"))
+      .as[Option[String]].collect()
+    assert(out === Array(None, Some("ok"), None, None))
+  }
+
+  test("slice returns the requested positional window") {
+    val df = TestSpark.table("orders")
+    val out = Kernel.slice(df, Seq("o_orderkey"), 5, 10)
+    val keys = out.select("o_orderkey").as[Long].collect().sorted
+    val expected = df.orderBy($"o_orderkey").limit(10)
+      .select("o_orderkey").as[Long].collect().slice(5, 10)
+    assert(keys === expected)
+  }
+
+  test("concatHorizontal zips frames by explicit row order") {
+    val a = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
+    val b = Seq((30, "C"), (10, "A"), (20, "B")).toDF("k2", "w")
+    val out = Kernel.concatHorizontal(Seq(a -> Seq("k"), b -> Seq("k2")))
+      .orderBy($"k").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(2))).toSeq ===
+      Seq((1, 10), (2, 20), (3, 30)))
+  }
+
+  test("scalingFactor clips a constant column to 1.0") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    assert(Kernel.scalingFactor(df, Seq("x")).head().getDouble(0) === 1.0)
+  }
+
+  test("allNullLike preserves schema with all nulls") {
+    val out = Kernel.allNullLike(Seq((1, "a")).toDF("i", "s"), 3)
+    assert(out.count() === 3)
+    assert(out.filter($"i".isNull && $"s".isNull).count() === 3)
+  }
+}
