@@ -37,7 +37,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SessionQueries.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ EncoderQueries.queries ++
-      FuzzyJoinQueries.queries ++ CleanerQueries.queries ++ KernelQueries.queries
+      FuzzyJoinQueries.queries ++ CleanerQueries.queries ++ KernelQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check.
@@ -45,5 +46,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SessionQueries.oracle ++ DedupQueries.oracle ++
       TextQueries.oracle ++ EncoderQueries.oracle ++
-      FuzzyJoinQueries.oracle ++ CleanerQueries.oracle ++ KernelQueries.oracle
+      FuzzyJoinQueries.oracle ++ CleanerQueries.oracle ++ KernelQueries.oracle ++
+      StreamingQueries.oracle
 }

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernel
+import graft.streaming.StreamingSession
+
+/** Streaming-operator queries, exercised in batch mode (session_window has
+  * identical semantics in batch and streaming — the streaming path itself is
+  * covered by StreamingSpec with a rate/memory source).
+  */
+object StreamingQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      StreamingSession.sessionizeStream(e, Seq("user_id"), "ts", "300 seconds")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // gaps-and-islands mirror of session_window: a session merges events
+    // strictly closer than the gap to the previous event; window_end =
+    // last event + gap
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  min(ts) AS window_start,
+        |  max(ts) + INTERVAL 300 SECOND AS window_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end
+        |FROM s GROUP BY user_id, sid""".stripMargin
+  )
+}
