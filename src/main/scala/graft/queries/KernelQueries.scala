@@ -48,6 +48,16 @@ object KernelQueries {
         t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
         "c_mktsegment")),
 
+    // InterpolationJoiner: GBT-predicted payloads as the join result
+    // (rows-only oracle: ML predictions are not SQL-expressible; semantics
+    // covered in InterpolationJoinerSpec)
+    "q_interpolation_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      graft.operators.InterpolationJoiner.interpolationJoin(
+        cust, supp, Seq("c_nationkey" -> "s_nationkey"), Seq("s_acctbal"))
+    }),
+
     // multimodal plumbing: binary payload + typed metadata, stub decode,
     // frame-sampling plan, deterministic pseudo-embedding — all md5-exact
     "q_multimodal" -> ((s, dir) => {
