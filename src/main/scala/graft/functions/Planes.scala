@@ -43,18 +43,6 @@ object Planes {
       when(projection(vec, offset + p, dim) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Multi-table bucket keys: array of `nTables` structs (table id, bucket
-    * in that table's independent plane family). Near neighbors collide in
-    * >= 1 table with probability 1 - (1 - p0)^nTables — the standard LSH
-    * amplification that a single band cannot provide.
-    */
-  def bucketTables(vec: Column, nTables: Int, planesPerTable: Int,
-                   dim: Int): Column =
-    array((0 until nTables).map { t =>
-      struct(lit(t).as("tbl"),
-        bucket(vec, planesPerTable, dim, t * planesPerTable).as("bkt"))
-    }: _*)
-
   /** DuckDB SQL fragment computing the same bucket for a list column `nv`
     * (used by the oracle entries; kept next to the Scala so the two
     * definitions can never drift apart silently).

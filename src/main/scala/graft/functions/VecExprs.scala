@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the vector hot paths.
+  *
+  * Why: composing these from built-ins produces expression trees with
+  * thousands of nodes (64 dims x 64 planes as unrolled arithmetic), which
+  * blow past the JIT/codegen method limits and fall back to interpreted
+  * evaluation — measured 20s for 2000 rows at sf0.1. These expressions
+  * generate a tight loop (delegating to compiled Scala via a codegen
+  * reference object), keeping evaluation inside whole-stage codegen with
+  * identical IEEE semantics (sequential left-associated sums — the exact
+  * association order of the previous unrolled form AND of the DuckDB
+  * oracle's list_sum, so hash parity is preserved bit for bit).
+  */
+object VecExprs {
+
+  private def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  /** Sequential dot product of two double arrays. */
+  case class ArrayDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected array<double> inputs, got ${left.dataType}, ${right.dataType}")
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val x = a.toDoubleArray()
+      val y = b.toDoubleArray()
+      var s = 0.0
+      var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dotExpr", this, classOf[ArrayDotProduct].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Multi-table hyperplane LSH bucket ids for a normalized double-array
+    * vector: element t of the output is the sign-bucket of the vector under
+    * plane family t (planes `t*planesPerTable .. (t+1)*planesPerTable-1`,
+    * coefficients = graft.functions.Planes.coef — md5-derived, so the DuckDB
+    * oracle reproduces each bucket exactly). Coefficients materialize once
+    * per (dim) on first evaluation.
+    */
+  case class HyperplaneBuckets(child: Expression, nTables: Int,
+                               planesPerTable: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isDoubleArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected array<double> input, got ${child.dataType}")
+
+    @transient private var coefs: Array[Double] = _
+    @transient private var coefDim: Int = -1
+
+    private def coefsFor(dim: Int): Array[Double] = {
+      if (coefDim != dim) synchronized {
+        if (coefDim != dim) {
+          val nPlanes = nTables * planesPerTable
+          val a = new Array[Double](nPlanes * dim)
+          var p = 0
+          while (p < nPlanes) {
+            var i = 0
+            while (i < dim) { a(p * dim + i) = Planes.coef(p, i); i += 1 }
+            p += 1
+          }
+          coefs = a
+          coefDim = dim
+        }
+      }
+      coefs
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(arr: ArrayData): ArrayData = {
+      val x = arr.toDoubleArray()
+      val dim = x.length
+      val cs = coefsFor(dim)
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bkt = 0L
+        var p = 0
+        while (p < planesPerTable) {
+          val plane = t * planesPerTable + p
+          var proj = 0.0
+          var i = 0
+          val base = plane * dim
+          while (i < dim) { proj += x(i) * cs(base + i); i += 1 }
+          if (proj >= 0) bkt += (1L << p)
+          p += 1
+        }
+        out(t) = bkt
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hpExpr", this, classOf[HyperplaneBuckets].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column wrappers. */
+  def arrayDot(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+
+  def hyperplaneBuckets(vec: Column, nTables: Int, planesPerTable: Int): Column =
+    GraftBridge.column(HyperplaneBuckets(GraftBridge.expression(vec),
+      nTables, planesPerTable))
+}

@@ -171,7 +171,6 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
                            minCosine: Double): DataFrame = {
-    val d = vecDim(df, vecCol)
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // repartition the streamed side: the corpus usually arrives as one
     // parquet split, which would serialize the whole O(n^2) loop onto a
@@ -179,7 +178,7 @@ object Dedup {
     val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
       .repartition(parallelism, col("id"))
     v.alias("x").join(broadcast(v.alias("y")), col("x.id") < col("y.id"))
-      .withColumn("cosine", dotUnrolled(col("x.nv"), col("y.nv"), d))
+      .withColumn("cosine", graft.functions.VecExprs.arrayDot(col("x.nv"), col("y.nv")))
       .filter(col("cosine") >= minCosine)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
@@ -201,14 +200,18 @@ object Dedup {
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
                         minCosine: Double, planesPerTable: Int = 4,
                         nTables: Int = 16): DataFrame = {
-    import graft.functions.Planes
     import org.apache.spark.storage.StorageLevel
-    val d = vecDim(df, vecCol)
     val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // bucket ids via the custom loop-codegen expression (VecExprs — the
+    // unrolled built-in composition exceeded codegen limits and fell back to
+    // interpreted evaluation, 20s for 2000 rows); posting persisted so the
+    // self-join evaluates it once, not once per side
     val posting = v.select(col("id"),
-      explode(Planes.bucketTables(col("nv"), nTables, planesPerTable, d)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      posexplode(graft.functions.VecExprs.hyperplaneBuckets(
+        col("nv"), nTables, planesPerTable)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -216,7 +219,7 @@ object Dedup {
     cand
       .join(v.select(col("id").as("id_a"), col("nv").as("nv_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("nv").as("nv_b")), Seq("id_b"))
-      .withColumn("cosine", dotUnrolled(col("nv_a"), col("nv_b"), d))
+      .withColumn("cosine", graft.functions.VecExprs.arrayDot(col("nv_a"), col("nv_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -270,9 +273,11 @@ object Dedup {
     */
   def deduplicate(df: DataFrame, c: String, minJaccard: Double = 0.4,
                   n: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val vals = df.filter(col(c).isNotNull).groupBy(col(c).as("v"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("id", md5(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = ngramJaccardPairs(
       vals.select(col("v").as("text"), col("id")), "text", "id",
       n = n, minJaccard = minJaccard)
@@ -296,14 +301,6 @@ object Dedup {
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Statically unrolled dot product for a known dimension: plain codegen'd
-    * arithmetic (higher-order functions are interpreted per element — 10x+
-    * slower in pair-join hot loops). Left-assoc sum keeps the association
-    * order of `dot` and the oracle's sequential list_sum.
-    */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
 
   /** Embedding dimensionality (one tiny fit-time job). */
   def vecDim(df: DataFrame, vecCol: String): Int =

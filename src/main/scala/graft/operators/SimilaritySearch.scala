@@ -23,12 +23,12 @@ object SimilaritySearch {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int): DataFrame = {
-    val d = Dedup.vecDim(corpus, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(Dedup.dotUnrolled(col("cv"), col("qv"), d), 6))
+      .withColumn("cosine",
+        round(graft.functions.VecExprs.arrayDot(col("cv"), col("qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -49,23 +49,28 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, planesPerTable: Int = 4,
               nTables: Int = 16): DataFrame = {
-    import graft.functions.Planes
-    val d = Dedup.vecDim(corpus, vecCol)
+    import graft.functions.VecExprs
+    // bucket ids via the custom loop-codegen expression (see VecExprs);
+    // posting lists persisted so the wide projection evaluates exactly once
+    // per row, not once per downstream consumer
+    import org.apache.spark.storage.StorageLevel
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
       .select(col("corpus_id"), col("cv"),
-        explode(Planes.bucketTables(col("cv"), nTables, planesPerTable, d)).as("tb"))
+        posexplode(VecExprs.hyperplaneBuckets(col("cv"), nTables, planesPerTable)))
       .select(col("corpus_id"), col("cv"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        col("pos").as("tbl"), col("col").as("bkt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(Planes.bucketTables(col("qv"), nTables, planesPerTable, d)).as("tb"))
+        posexplode(VecExprs.hyperplaneBuckets(col("qv"), nTables, planesPerTable)))
       .select(col("query_id"), col("qv"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        col("pos").as("tbl"), col("col").as("bkt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"))
       .distinct()
-      .withColumn("cosine", round(Dedup.dotUnrolled(col("cv"), col("qv"), d), 6))
+      .withColumn("cosine", round(VecExprs.arrayDot(col("cv"), col("qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge for graft's custom Catalyst expressions.
+  * `classic.ExpressionUtils` is `private[sql]`, so this shim lives in the
+  * org.apache.spark.sql package — the standard extension-library pattern.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

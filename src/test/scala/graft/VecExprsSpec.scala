@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Planes, VecExprs}
+import graft.operators.Dedup
+
+/** Pins the custom loop-codegen expressions (VecExprs) to the built-in
+  * compositions they replaced: identical values, bit for bit — the custom
+  * expressions exist for speed (codegen method limits), never for different
+  * semantics.
+  */
+class VecExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val vecs = TestSpark.table("embeddings").limit(64)
+    .select(col("vec_id"), Dedup.normalized(col("embedding")).as("nv"))
+
+  test("hyperplaneBuckets matches the unrolled built-in bucket expression") {
+    val d = vecs.select(size(col("nv"))).head().getInt(0)
+    val rows = vecs.select(
+      VecExprs.hyperplaneBuckets(col("nv"), 4, 4).as("fast"),
+      array((0 until 4).map(t =>
+        Planes.bucket(col("nv"), 4, d, offset = t * 4)): _*).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("arrayDot matches the sequential fold dot product") {
+    val pairs = vecs.alias("x").crossJoin(vecs.alias("y").limit(4))
+    val rows = pairs.select(
+      VecExprs.arrayDot(col("x.nv"), col("y.nv")).as("fast"),
+      Dedup.dot(col("x.nv"), col("y.nv")).as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+}
