@@ -132,6 +132,48 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Distinct word-n-gram shingle set of a string — the loop-compiled twin
+    * of graft.functions.Text.shingleSet (normalize -> tokens -> n-windows,
+    * texts shorter than n tokens yield one whole-text shingle; first-seen
+    * order). The built-in HOF composition is interpreted per element and
+    * dominated the jaccard dedup scan.
+    */
+  case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val out =
+        if (toks.length - (n - 1) <= 0) Array(toks.mkString(" "))
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + n <= toks.length) {
+            seen.add(toks.slice(i, i + n).mkString(" "))
+            i += 1
+          }
+          seen.toArray(new Array[String](seen.size()))
+        }
+      new GenericArrayData(out.map(
+        org.apache.spark.unsafe.types.UTF8String.fromString(_)))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shExpr", this, classOf[TokenShingles].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
@@ -140,4 +182,7 @@ object VecExprs {
   def hyperplaneBuckets(vec: Column, nTables: Int, planesPerTable: Int): Column =
     GraftBridge.column(HyperplaneBuckets(GraftBridge.expression(vec),
       nTables, planesPerTable))
+
+  def tokenShingles(c: Column, n: Int): Column =
+    GraftBridge.column(TokenShingles(GraftBridge.expression(c), n))
 }

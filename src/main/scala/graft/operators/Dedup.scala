@@ -50,7 +50,7 @@ object Dedup {
                         maxShingleDf: Long = 1000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val docs = df.select(col(idCol).as("id"),
-        Text.shingleSet(col(textCol), n).as("shingles"))
+        graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
     // persist the exploded posting list: it feeds the hot-shingle count AND
     // the kept list, and `kept` feeds both sides of the pair self-join —
@@ -96,7 +96,7 @@ object Dedup {
     // aggregate — no interpreted higher-order functions in the hot path,
     // and the same shape scales to a 1000-executor shuffle.
     val posting = df.select(col(idCol).as("id"),
-      explode(Text.shingleSet(col(textCol), n)).as("shingle"))
+      explode(graft.functions.VecExprs.tokenShingles(col(textCol), n)).as("shingle"))
     val sigs = posting.groupBy(col("id")).agg(
       min(md5(concat(col("shingle"), lit("#0")))).as("sig_0"),
       (1 until k).map(i =>
@@ -111,7 +111,7 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sh = df.select(col(idCol).as("id"), Text.shingleSet(col(textCol), n).as("shingles"))
+    val sh = df.select(col(idCol).as("id"), graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))

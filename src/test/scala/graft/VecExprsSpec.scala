@@ -12,6 +12,7 @@ import graft.operators.Dedup
   */
 class VecExprsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private lazy val vecs = TestSpark.table("embeddings").limit(64)
     .select(col("vec_id"), Dedup.normalized(col("embedding")).as("nv"))
@@ -26,6 +27,24 @@ class VecExprsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
     }
+  }
+
+  test("tokenShingles matches Text.shingleSet on the documents fixture") {
+    import graft.functions.{Text, VecExprs}
+    val docs = TestSpark.table("documents").limit(100)
+      .select(col("text"),
+        VecExprs.tokenShingles(col("text"), 3).as("fast"),
+        Text.shingleSet(col("text"), 3).as("slow"))
+    docs.collect().foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"shingles of '${r.getString(0).take(60)}...'")
+    }
+    // short-text and empty edge cases
+    val edge = Seq("one two", "", "  !!  ", "a b c d").toDF("text")
+      .select(VecExprs.tokenShingles(col("text"), 3).as("fast"),
+        Text.shingleSet(col("text"), 3).as("slow"))
+    edge.collect().foreach(r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
   test("arrayDot matches the sequential fold dot product") {
