@@ -71,6 +71,14 @@ object EncoderQueries {
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
         "c_name", nComponents = 30)),
 
+    // GapEncoder: Gamma-Poisson NMF topic activations (rows-only oracle:
+    // iterative factorization is not SQL-expressible; invariants — KL
+    // monotonicity, determinism, topic-space geometry — in GapEncoderSpec)
+    "q_gap_encoder" -> ((s, dir) =>
+      graft.encoders.GapEncoder.encode(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", nComponents = 10, nBuckets = 128)),
+
     // numeric profile with decimal-exact std (order-independent)
     "q_num_profile" -> ((s, dir) => {
       val o = t(s, dir, "orders")

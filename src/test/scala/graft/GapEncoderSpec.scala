@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.encoders.GapEncoder
+import graft.functions.NgramVec
+
+/** GapEncoder: KL divergence decreases under the multiplicative updates,
+  * activations are positive and deterministic, similar strings get closer
+  * topic activations than dissimilar ones.
+  */
+class GapEncoderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val values = Seq("london kings cross", "london bridge",
+    "london victoria", "paris nord", "paris est", "berlin hbf")
+
+  test("multiplicative updates monotonically decrease KL divergence") {
+    val v = values.map(NgramVec.tf(_, 64)).toArray
+    val (h0, w0) = GapEncoder.nmf(v, 3, maxIter = 1)
+    val (h5, w5) = GapEncoder.nmf(v, 3, maxIter = 5)
+    val (h30, w30) = GapEncoder.nmf(v, 3, maxIter = 30)
+    val d1 = GapEncoder.klDivergence(v, h0, w0)
+    val d5 = GapEncoder.klDivergence(v, h5, w5)
+    val d30 = GapEncoder.klDivergence(v, h30, w30)
+    assert(d5 <= d1 && d30 <= d5, s"KL not decreasing: $d1, $d5, $d30")
+  }
+
+  test("encode: shape, positivity, determinism, null passthrough") {
+    val df = (values :+ null).toDF("v")
+    val out1 = GapEncoder.encode(df, "v", nComponents = 3, nBuckets = 64)
+    assert(out1.columns.count(_.startsWith("v_gap_")) === 3)
+    val acts = out1.filter($"v".isNotNull)
+      .select("v_gap_0", "v_gap_1", "v_gap_2").collect()
+    acts.foreach(r => (0 until 3).foreach(i => assert(r.getDouble(i) > 0)))
+    assert(out1.filter($"v".isNull).head().isNullAt(1))
+    val out2 = GapEncoder.encode(df, "v", nComponents = 3, nBuckets = 64)
+    assert(out1.orderBy($"v").collect().map(_.toString) ===
+      out2.orderBy($"v").collect().map(_.toString))
+  }
+
+  test("similar strings land closer in topic space than dissimilar ones") {
+    val df = values.toDF("v")
+    val out = GapEncoder.encode(df, "v", nComponents = 3, nBuckets = 64)
+      .collect().map(r => r.getString(0) ->
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def norm(a: Array[Double]) = {
+      val s = math.sqrt(a.map(x => x * x).sum); a.map(_ / s)
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      norm(a).zip(norm(b)).map { case (x, y) => x * y }.sum
+    val londonPair = cos(out("london kings cross"), out("london bridge"))
+    val crossPair = cos(out("london kings cross"), out("berlin hbf"))
+    assert(londonPair > crossPair,
+      s"london-london $londonPair <= london-berlin $crossPair")
+  }
+}
