@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import graft.encoders.TableVectorizer
+import graft.operators.{Cleaner, Joins}
+
+/** Estimator adapters turning graft's operators into plan stages. */
+object Stages {
+
+  /** TableVectorizer as a refittable stage: fit learns routing + vocab once;
+    * transform replays the frozen model on new frames (same one-hot columns
+    * even if a category is absent at transform time).
+    */
+  def tableVectorizer(cardinalityThreshold: Int = 40,
+                      highCardEncoder: String = "minhash"): Estimator =
+    new Estimator {
+      def fit(df: DataFrame): Transformer = {
+        val model = TableVectorizer.fit(df, cardinalityThreshold,
+          highCardEncoder = highCardEncoder)
+        (d: DataFrame) => model.transform(d)
+      }
+    }
+
+  /** Cleaner as a refittable stage (frozen datetime formats / type plans). */
+  def cleaner(): Estimator = new Estimator {
+    def fit(df: DataFrame): Transformer = {
+      val model = Cleaner.fit(df)
+      (d: DataFrame) => model.transform(d)
+    }
+  }
+
+  /** AggJoiner as an n-ary Merge node: inputs(0) = main, inputs(1) = aux. */
+  def aggJoin(mainKey: Seq[String], auxKey: Seq[String], cols: Seq[String],
+              ops: Seq[String]): Seq[DataFrame] => DataFrame = {
+    case Seq(main, aux) => Joins.aggJoin(main, aux, mainKey, auxKey, cols, ops)
+    case other => throw new IllegalArgumentException(
+      s"aggJoin expects [main, aux], got ${other.length} inputs")
+  }
+
+  implicit def fnToTransformer(fn: DataFrame => DataFrame): Transformer =
+    new Transformer { def transform(df: DataFrame): DataFrame = fn(df) }
+}
