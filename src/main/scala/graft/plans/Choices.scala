@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hyperparameter choices + search/CV over plans (reference
+  * skrub/_data_ops/_choosing.py:332-883, _estimator.py:1032-1423).
+  *
+  * A `Choice` is a named hyperparameter with an ordered outcome list; plans
+  * consume choices through `Choosing.planFor(params)` factories, and the
+  * search drivers expand the cross-product grid (reference
+  * `describe_param_grid` / ParamSearch) or sample it, fitting one learner
+  * per combination. Default (no tuning) = first outcome, like the
+  * reference. CV splits use deterministic row hashing (xxhash64 % k), so
+  * folds are reproducible under any partitioning; fit/score per fold
+  * mirrors `cross_validate`'s refit-per-fold contract.
+  */
+final case class Choice[A](name: String, outcomes: Seq[A]) {
+  require(outcomes.nonEmpty, s"choice '$name' has no outcomes")
+  def default: A = outcomes.head
+}
+
+object Choices {
+
+  def chooseFrom[A](name: String, outcomes: Seq[A]): Choice[A] =
+    Choice(name, outcomes)
+
+  def chooseBool(name: String, default: Boolean = true): Choice[Boolean] =
+    Choice(name, Seq(default, !default))
+
+  /** `nSteps` evenly spaced values over [low, high] (log-spaced if `log` —
+    * reference choose_float discretization).
+    */
+  def chooseFloat(name: String, low: Double, high: Double, nSteps: Int,
+                  log: Boolean = false): Choice[Double] = {
+    require(nSteps >= 2, "nSteps >= 2")
+    val vals =
+      if (log) {
+        val (l, h) = (math.log(low), math.log(high))
+        (0 until nSteps).map(i => math.exp(l + (h - l) * i / (nSteps - 1)))
+      } else (0 until nSteps).map(i => low + (high - low) * i / (nSteps - 1))
+    Choice(name, vals)
+  }
+
+  def chooseInt(name: String, low: Int, high: Int, nSteps: Int,
+                log: Boolean = false): Choice[Int] =
+    Choice(name, chooseFloat(name, low.toDouble, high.toDouble, nSteps, log)
+      .outcomes.map(math.round(_).toInt).distinct)
+
+  /** Full cross-product grid over the given choices, as parameter maps. */
+  def grid(choices: Seq[Choice[_]]): Seq[Map[String, Any]] =
+    choices.foldLeft(Seq(Map.empty[String, Any])) { (acc, c) =>
+      for (m <- acc; v <- c.outcomes) yield m + (c.name -> v)
+    }
+
+  /** Deterministic subsample of the grid (md5-ordered — reproducible
+    * randomized search).
+    */
+  def sampledGrid(choices: Seq[Choice[_]], n: Int): Seq[Map[String, Any]] = {
+    val full = grid(choices)
+    full.sortBy(m => graft.functions.NgramVec.md5Hex(m.toSeq.sortBy(_._1)
+      .mkString("|"))).take(n)
+  }
+
+  final case class SearchResult(params: Map[String, Any], score: Double,
+                                learner: Learner)
+
+  /** Grid search: fit one learner per parameter combination on `fitEnv`,
+    * score on `valEnv`, best (highest score) first.
+    */
+  def gridSearch(choices: Seq[Choice[_]],
+                 planFor: Map[String, Any] => Plan,
+                 fitEnv: Map[String, DataFrame],
+                 valEnv: Map[String, DataFrame],
+                 score: DataFrame => Double,
+                 maxCombinations: Int = Int.MaxValue): Seq[SearchResult] = {
+    val combos = grid(choices).take(maxCombinations)
+    combos.map { params =>
+      val learner = Plan.makeLearner(planFor(params))
+      learner.fit(fitEnv)
+      SearchResult(params, score(learner.transform(valEnv)), learner)
+    }.sortBy(-_.score)
+  }
+
+  /** Deterministic k-fold assignment column (xxhash64 of all columns mod k —
+    * stable under repartitioning; reference folds are row-position based,
+    * which Spark cannot reproduce, SURVEY §1.2 row-identity contract).
+    */
+  def foldOf(df: DataFrame, k: Int, seed: Long = 42L) =
+    pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(k))
+
+  final case class CvResult(params: Map[String, Any], foldScores: Seq[Double]) {
+    def meanScore: Double = foldScores.sum / foldScores.length
+  }
+
+  /** k-fold cross-validation of one parameter combination: for each fold,
+    * refit the whole plan on the other k-1 folds of the X table and score
+    * on the held-out fold (reference cross_validate's refit-per-fold).
+    * `xVar` names the environment entry to split.
+    */
+  def crossValidate(params: Map[String, Any],
+                    planFor: Map[String, Any] => Plan,
+                    env: Map[String, DataFrame], xVar: String, k: Int,
+                    score: DataFrame => Double, seed: Long = 42L): CvResult = {
+    val x = env(xVar).persist()
+    val fold = foldOf(x, k, seed)
+    val scores = (0 until k).map { i =>
+      val learner = Plan.makeLearner(planFor(params))
+      learner.fit(env + (xVar -> x.filter(fold =!= i)))
+      score(learner.transform(env + (xVar -> x.filter(fold === i))))
+    }
+    x.unpersist()
+    CvResult(params, scores)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans._
+
+/** Choice grids, grid search over plans, deterministic k-fold CV. */
+class ChoicesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("grid is the ordered cross product; default is the first outcome") {
+    val c1 = Choices.chooseFrom("a", Seq(1, 2))
+    val c2 = Choices.chooseBool("b", default = true)
+    val g = Choices.grid(Seq(c1, c2))
+    assert(g.length === 4)
+    assert(g.head === Map("a" -> 1, "b" -> true)) // all-defaults first
+    assert(c1.default === 1)
+  }
+
+  test("chooseFloat log spacing and chooseInt dedup") {
+    val f = Choices.chooseFloat("lr", 0.01, 1.0, 3, log = true)
+    assert(math.abs(f.outcomes(1) - 0.1) < 1e-9)
+    val i = Choices.chooseInt("k", 1, 3, 5)
+    assert(i.outcomes === Seq(1, 2, 3)) // rounded duplicates removed
+  }
+
+  test("gridSearch fits each combination and ranks by score") {
+    // learnable toy: pick the cardinality threshold that routes v to one-hot
+    val fitDf = (1 to 100).map(i => "v" + i % 5).toDF("v")
+    def planFor(p: Map[String, Any]): Plan =
+      Var("x").apply(Stages.tableVectorizer(
+        cardinalityThreshold = p("thr").asInstanceOf[Int]))
+    val results = Choices.gridSearch(
+      Seq(Choices.chooseFrom("thr", Seq(2, 40))),
+      planFor,
+      fitEnv = Map("x" -> fitDf),
+      valEnv = Map("x" -> fitDf),
+      // score = number of ONE-HOT output columns ("v_v<i>"; thr=2 routes to
+      // minhash instead, yielding none)
+      score = df => df.columns.count(_.startsWith("v_v")).toDouble)
+    assert(results.head.params("thr") === 40)
+    assert(results.head.score > results.last.score)
+  }
+
+  test("crossValidate: deterministic folds, refit per fold") {
+    val x = (1 to 300).map(i => (i, "c" + i % 3)).toDF("id", "cat")
+    def planFor(p: Map[String, Any]): Plan =
+      Var("x").apply(Stages.tableVectorizer())
+    val r1 = Choices.crossValidate(Map.empty, planFor,
+      Map("x" -> x), "x", k = 3, score = _.count().toDouble)
+    val r2 = Choices.crossValidate(Map.empty, planFor,
+      Map("x" -> x.repartition(7)), "x", k = 3, score = _.count().toDouble)
+    assert(r1.foldScores.sum === 300.0)         // folds partition the data
+    assert(r1.foldScores === r2.foldScores)     // stable under repartition
+    assert(r1.foldScores.forall(_ > 50))        // roughly balanced
+  }
+}
