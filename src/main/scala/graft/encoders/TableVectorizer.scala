@@ -64,8 +64,9 @@ object TableVectorizer {
       * truncated SVD, the reference default; factors are not cross-engine
       * hash-verifiable), `hashed` = pure-expression hashed n-gram counts.
       */
-    def transform(df: DataFrame): DataFrame = {
-      val base = df.select(featureExprs: _*)
+    def transform(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+      val extra = passthrough.filter(df.columns.contains).map(col)
+      val base = df.select(featureExprs ++ extra: _*)
       val highCard = columnToKind.collect {
         case (c, HighCardinality) if highCardEncoder != "hashed" => c
       }

@@ -31,7 +31,11 @@ object Cleaner {
 
   final case class Model(plans: Seq[(String, ColPlan)],
                          nullMarkers: Seq[String]) {
-    def transform(df: DataFrame): DataFrame = {
+    /** Apply the fitted per-column plans; `passthrough` columns (absent at
+      * fit time, e.g. a prediction target) are kept untouched.
+      */
+    def transform(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+      val extra = passthrough.filter(df.columns.contains).map(col)
       val exprs = plans.flatMap {
         case (_, Dropped) => None
         case (c, Passthrough) => Some(col(c))
@@ -44,7 +48,7 @@ object Cleaner {
         case (c, CleanString) =>
           Some(Kernel.cleanNullStrings(col(c), nullMarkers).as(c))
       }
-      df.select(exprs: _*)
+      df.select(exprs ++ extra: _*)
     }
   }
 
