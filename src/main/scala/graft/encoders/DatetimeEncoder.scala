@@ -70,4 +70,46 @@ object DatetimeEncoder {
   def transform(df: DataFrame, colName: String, resolution: String = "hour",
                 periodic: Boolean = false): DataFrame =
     df.select(df.columns.map(col).toSeq ++ encode(colName, resolution, periodic = periodic): _*)
+
+  // ---------------------------------------------------------------------
+  // B-spline periodic encoding (reference periodic='spline':
+  // SplineTransformer(degree=3, extrapolation='periodic'), n_splines per
+  // period _datetime_encoder.py:36-41). For UNIFORM periodic knots the
+  // degree-3 basis has the closed cardinal form b3 below, so each basis
+  // function is a small codegen'd piecewise-cubic expression — no fit step,
+  // no UDF, and the same closed form is SQL-expressible for the oracle.
+  // ---------------------------------------------------------------------
+
+  /** Cardinal cubic B-spline kernel b3(t), support |t| < 2. */
+  def b3(t: Column): Column = {
+    val a = abs(t)
+    when(a < 1.0, (lit(4.0) - lit(6.0) * a * a + lit(3.0) * a * a * a) / 6.0)
+      .when(a < 2.0, (lit(2.0) - a) * (lit(2.0) - a) * (lit(2.0) - a) / 6.0)
+      .otherwise(0.0)
+  }
+
+  /** Periodic spline basis j of nSplines for a value with the given period:
+    * b3 of the wrapped distance between value*n/period and knot j.
+    */
+  def splineBasis(value: Column, period: Double, nSplines: Int, j: Int): Column = {
+    val y = value.cast(DoubleType) * nSplines / period
+    // wrap (y - j) into [-n/2, n/2) for periodic extrapolation
+    val d = y - j
+    val n = nSplines.toDouble
+    val wrapped = d - round(d / n, 0) * n
+    round(b3(wrapped), 6) + lit(0.0)
+  }
+
+  /** Spline feature expressions: `{col}_{part}_spline_{j}` for every
+    * circular-period part, nSplines basis functions each.
+    */
+  def encodeSpline(colName: String, nSplines: Int = 4): Seq[Column] = {
+    val c = col(colName)
+    Periods.toSeq.sortBy(_._1).flatMap { case (p, period) =>
+      (0 until nSplines).map { j =>
+        splineBasis(part(c, p), period.toDouble, nSplines, j)
+          .as(s"${colName}_${p}_spline_$j")
+      }
+    }
+  }
 }

@@ -20,6 +20,13 @@ object EncoderQueries {
         DatetimeEncoder.encode("o_orderdate", "hour", periodic = true, asDouble = true): _*)
     }),
 
+    // B-spline periodic datetime features (closed-form cardinal basis)
+    "q_datetime_spline" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(Seq(col("o_orderkey")) ++
+        DatetimeEncoder.encodeSpline("o_orderdate", nSplines = 4): _*)
+    }),
+
     // SquashingScaler: robust scale + smooth clip
     "q_squashing_scaler" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -257,8 +264,33 @@ object EncoderQueries {
        |FROM vall v""".stripMargin
   }
 
+  private val splineOracle: String = {
+    // mirror of DatetimeEncoder.splineBasis / b3
+    def b3(t: String) =
+      s"""(CASE WHEN abs($t) < 1.0
+         |  THEN (4.0 - 6.0 * abs($t) * abs($t) + 3.0 * abs($t) * abs($t) * abs($t)) / 6.0
+         |  WHEN abs($t) < 2.0
+         |  THEN (2.0 - abs($t)) * (2.0 - abs($t)) * (2.0 - abs($t)) / 6.0
+         |  ELSE 0.0 END)""".stripMargin
+    val n = 4
+    val parts = Seq("day" -> ("dayofmonth(o_orderdate)", 30),
+      "hour" -> ("hour(o_orderdate)", 24),
+      "month" -> ("month(o_orderdate)", 12),
+      "weekday" -> ("isodow(o_orderdate)", 7))
+    val cols = parts.flatMap { case (p, (expr0, period)) =>
+      (0 until n).map { j =>
+        val y = s"(CAST($expr0 AS DOUBLE) * $n / $period.0)"
+        val d = s"($y - $j)"
+        val w = s"($d - round($d / $n.0, 0) * $n.0)"
+        s"round(${b3(w)}, 6) + 0.0 AS o_orderdate_${p}_spline_$j"
+      }
+    }
+    s"SELECT o_orderkey,\n  ${cols.mkString(",\n  ")}\nFROM orders"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_minhash_encoder" -> minhashOracle,
+    "q_datetime_spline" -> splineOracle,
     "q_tv_high_card" -> tvHighCardOracle,
     "q_column_assoc_all" -> assocAllOracle,
     "q_datetime_encoder" -> dtOracle,

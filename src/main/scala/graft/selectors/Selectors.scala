@@ -31,6 +31,13 @@ object Selector {
   final case class CardinalityBelow(k: Int) extends Selector
   /** fraction of nulls (NaN counts as null) > prop (reference _selectors.py:679-737). */
   final case class HasNulls(prop: Double) extends Selector
+  /** Data-dependent content predicate (reference s.filter,
+    * selectors/_base.py:579-683): `mk(name)` builds one boolean AGGREGATE
+    * expression per column; all candidate columns evaluate in ONE stats job
+    * (the reference runs an arbitrary per-column python predicate — ours
+    * keeps the one-job discipline by taking the predicate as an aggregate).
+    */
+  final case class ContentFilter(mk: String => Column) extends Selector
   final case class Inv(s: Selector) extends Selector
   final case class Or(a: Selector, b: Selector) extends Selector
   final case class And(a: Selector, b: Selector) extends Selector
@@ -66,6 +73,7 @@ object Selectors {
   })
   def hasDtype(dt: DataType): Selector = DTypePred(dt.simpleString, _ == dt)
   def nameFilter(pred: String => Boolean): Selector = NameFilter(pred)
+  def filter(mk: String => Column): Selector = ContentFilter(mk)
   def cardinalityBelow(k: Int): Selector = CardinalityBelow(k)
   def hasNulls(prop: Double = 0.0): Selector = HasNulls(prop)
 
@@ -142,6 +150,11 @@ object Selectors {
         }).map(_.name)
         nonNum.filter(n => stats(n)._1 < k).toSet
       case HasNulls(prop) => names.filter(n => stats(n)._2 > prop).toSet
+      case ContentFilter(mk) =>
+        // one aggregate job evaluating every column's predicate together
+        val exprs = names.map(n => coalesce(mk(n), lit(false)).as(s"__cf__$n"))
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        names.filter(n => row.getAs[Boolean](s"__cf__$n")).toSet
       case Inv(x)    => names.toSet -- eval(x)
       case Or(a, b)  => eval(a) | eval(b)
       case And(a, b) => eval(a) & eval(b)

@@ -115,4 +115,15 @@ class OperatorsSpec extends AnyFunSuite {
     import Selectors._
     assert(expand(orders, nameFilter(_.endsWith("date"))) === Seq("o_orderdate"))
   }
+
+  test("content filter evaluates aggregate predicates in one job") {
+    import Selectors._
+    import org.apache.spark.sql.types.NumericType
+    // numeric columns whose max exceeds 1000 (o_orderkey and o_totalprice)
+    val sel = filter { n =>
+      if (orders.schema(n).dataType.isInstanceOf[NumericType])
+        max(col(n)) > 1000 else lit(false)
+    }
+    assert(expand(orders, sel).toSet === Set("o_orderkey", "o_totalprice"))
+  }
 }
