@@ -14,13 +14,20 @@ import graft.ops.Kernel
   * (skrub/_single_column_transformer.py:38).
   *
   * Execution shape: ONE stats aggregate for DropUninformative decisions
-  * (count / null count / approx distinct for every column together), one
-  * tiny limit-30 sample job per string column for the ToDatetime /
-  * ToFloat accept decision (limit pushdown — never a full scan), then a
-  * SINGLE `select` applying every accepted conversion — executors see one
-  * scan of the input regardless of column count.
+  * (count / null count / approx distinct for every column together), ONE
+  * limit-bounded sample job drawing the ToDatetime / ToFloat accept samples
+  * for every string column together (limit pushdown — never a full scan,
+  * never a job per column), then a SINGLE `select` applying every accepted
+  * conversion — executors see one scan of the input regardless of column
+  * count.
   */
 object Cleaner {
+
+  /** Rows scanned (once, single job) to draw the per-string-column accept
+    * samples; a column whose first non-null value appears later than this is
+    * conservatively left as CleanString.
+    */
+  val SampleScanRows = 10000
 
   sealed trait ColPlan
   case object Dropped extends ColPlan
@@ -73,6 +80,25 @@ object Cleaner {
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     val n = row.getAs[Long]("__n").toDouble
 
+    // ONE sample job for ALL string columns (not one limit-collect per
+    // column — a 500-string-column table must not launch 500 driver jobs):
+    // GlobalLimit lands the first `SampleScanRows` rows in a single
+    // partition, so collect_list order is the deterministic file order, and
+    // slice keeps only the first SampleSize cleaned non-null values per
+    // column. Null-marker strings are cleaned to null BEFORE collection so
+    // they never block a parse-based accept.
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val samples: Map[String, Seq[String]] =
+      if (stringCols.isEmpty) Map.empty
+      else {
+        val sExprs = stringCols.map(c => slice(
+          collect_list(Kernel.cleanNullStrings(col(c), nullMarkers)),
+          1, ToDatetime.SampleSize).as(c))
+        val sRow = df.limit(SampleScanRows)
+          .agg(sExprs.head, sExprs.tail: _*).collect()(0)
+        stringCols.map(c => c -> sRow.getSeq[String](sRow.fieldIndex(c)).toSeq).toMap
+      }
+
     val plans = df.schema.fields.toSeq.map { f =>
       val nulls = row.getAs[Long](s"${f.name}__nulls")
       val dist = row.getAs[Long](s"${f.name}__dist")
@@ -81,16 +107,10 @@ object Cleaner {
       else if (dropIfConstant && dist <= 1 && nulls == 0) f.name -> Dropped
       else f.dataType match {
         case StringType =>
-          // sample AFTER null-string cleaning so marker strings don't block
-          // a parse-based accept
-          val cleaned = df.select(
-              Kernel.cleanNullStrings(col(f.name), nullMarkers).as(f.name))
-            .filter(col(f.name).isNotNull)
-          val samples = cleaned.limit(ToDatetime.SampleSize)
-            .collect().map(_.getString(0)).toSeq
-          ToDatetime.guessFormat(samples) match {
+          val sample = samples(f.name)
+          ToDatetime.guessFormat(sample) match {
             case Some(fmt) => f.name -> ToTimestamp(fmt)
-            case None if allFloat(samples) => f.name -> ToFloatPlan
+            case None if allFloat(sample) => f.name -> ToFloatPlan
             case None => f.name -> CleanString
           }
         case _ => f.name -> Passthrough

@@ -174,17 +174,23 @@ object ColumnAssociations {
     val gs = df.sparkSession.sql(
       s"SELECT ${cols.map(c => s"`$c`").mkString(", ")}, count(1) AS __cnt " +
         s"FROM $view GROUP BY GROUPING SETS ($sets)")
-      .persist()
 
-    // per-pair contingency rows -> V; labels are never null, so a row belongs
-    // to pair (a, b) iff exactly those two grouping columns are non-null
-    val perPair = pairs.map { case (a, b) =>
-      val others = cols.filterNot(c => c == a || c == b)
-      val cond = col(a).isNotNull && col(b).isNotNull &&
-        others.map(col(_).isNull).foldLeft(lit(true))(_ && _)
-      gs.filter(cond).select(lit(a).as("col_a"), lit(b).as("col_b"),
-        col(a).as("va"), col(b).as("vb"), col("__cnt").cast(DoubleType).as("o"))
-    }.reduce(_.unionByName(_))
+    // Melt each contingency row to its pair in ONE projection: bin labels are
+    // never null, so a grouping-sets row belongs to exactly the pair whose
+    // two columns are non-null — and since pairs are (i < j) in `cols` order,
+    // that pair is simply the (first, second) non-null column. O(cols)
+    // expression size and zero per-pair subplans: at 100 columns this stays
+    // one stage, where a filter-per-pair fan-out would plan 4,950 subplans.
+    val tagged = filter(
+      array(cols.map(c =>
+        when(col(c).isNotNull,
+          struct(lit(c).as("name"), col(c).as("value")))): _*),
+      x => x.isNotNull)
+    val perPair = gs
+      .select(tagged.as("p"), col("__cnt").cast(DoubleType).as("o"))
+      .select(
+        col("p")(0)("name").as("col_a"), col("p")(1)("name").as("col_b"),
+        col("p")(0)("value").as("va"), col("p")(1)("value").as("vb"), col("o"))
 
     val wAll = Window.partitionBy(col("col_a"), col("col_b"))
     val wA = Window.partitionBy(col("col_a"), col("col_b"), col("va"))

@@ -73,6 +73,12 @@ object Dedup {
     val b = kept.select(col("id").as("id_b"), col("n_shingles").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a
+      // pair whose shingle counts are too lopsided can never pass the
+      // threshold — dropping it BEFORE the pair aggregate cuts shuffle
+      // traffic without changing any surviving pair (necessary condition).
+      .filter(least(col("n_a"), col("n_b")).cast(DoubleType) >=
+        lit(minJaccard) * greatest(col("n_a"), col("n_b")).cast(DoubleType))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
@@ -239,26 +245,41 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Only vertices that touch an edge can ever change label — everything
+    // else is trivially its own singleton component. Iterating over the
+    // edge-touched set only keeps every per-iteration shuffle proportional
+    // to the (typically tiny) near-dup pair graph, not the full vertex set;
+    // singletons rejoin once at the end. `edges` holds both directions, so
+    // `src` alone covers every touched vertex.
+    //
     // localCheckpoint truncates the logical plan each iteration — without it
     // the lineage doubles per step (labels feeds both the propagation join
     // and the update join) and plan compilation blows up after ~8 iterations
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var converged = false
     while (!converged) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      // carry a per-row "label shrank" flag through the checkpoint so
+      // convergence is a single-row aggregate over the already-materialized
+      // partitions — not a second shuffle join against the previous labels
+      // (which doubled the job count per iteration, x component diameter).
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("__chg"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
-      labels = next
+      val changed = next
+        .agg(coalesce(sum(when(col("__chg"), 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0L
     }
     edges.unpersist()
-    labels
+    vertices.select(col("id")).join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** The reference's `deduplicate` contract (skrub/_deduplicate.py:15-285):

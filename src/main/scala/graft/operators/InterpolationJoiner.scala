@@ -13,33 +13,59 @@ import org.apache.spark.ml.classification.GBTClassifier
   * the main rows — the prediction IS the join. Useful when the aux table is
   * a sparse sample of the key space (e.g. weather stations).
   *
-  * Spark-first: features via VectorAssembler over numeric/datetime key
-  * columns (datetimes -> epoch seconds; the reference vectorizes with its
-  * TableVectorizer), models are spark.ml GBTRegressor (numeric payloads) /
-  * GBTClassifier + StringIndexer (string payloads, reference uses
-  * HistGradientBoosting*). Per-column failure policy: `passOnError = true`
-  * mirrors the reference's "pass" (skip the failing payload column).
-  * Fit runs on the aux table; transform is one model.transform pipeline over
-  * main — embarrassingly parallel, no shuffle beyond the broadcast models.
+  * Spark-first: features via VectorAssembler over key columns — numerics
+  * pass through, datetimes become epoch seconds, and string keys are
+  * vectorized with MinHash signature expressions (the reference vectorizes
+  * keys with its TableVectorizer, whose high-cardinality default is the
+  * MinHashEncoder — _interpolation_joiner.py:43-77). Models are spark.ml
+  * GBTRegressor (numeric payloads) / GBTClassifier + StringIndexer (string
+  * payloads, reference uses HistGradientBoosting*).
+  *
+  * Per-column failure policy mirrors the reference's `on_estimator_failure`:
+  * "warn" (default — skip the payload column and log why), "raise"
+  * (propagate), "pass" (skip silently). Fit runs on the aux table; transform
+  * is one model.transform pipeline over main — embarrassingly parallel, no
+  * shuffle beyond the broadcast models.
   */
 object InterpolationJoiner {
 
+  sealed trait OnError
+  /** Skip the failing payload column and log the column + exception. */
+  case object Warn extends OnError
+  /** Propagate the exception. */
+  case object Raise extends OnError
+  /** Skip the failing payload column silently. */
+  case object Pass extends OnError
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Number of MinHash components used to vectorize a string key column. */
+  private val StringKeyComponents = 8
+
+  /** Per-key feature expressions: numeric -> double, datetime -> epoch
+    * seconds, string -> MinHash signature components (pure codegen'd
+    * expressions — no join, no UDF).
+    */
   private def featurize(df: DataFrame, keyCols: Seq[String]): (DataFrame, Seq[String]) = {
-    val exprs = keyCols.map { c =>
+    val exprs = keyCols.flatMap { c =>
       df.schema(c).dataType match {
         case DateType | TimestampType | TimestampNTZType =>
-          (unix_micros(col(c).cast(TimestampType)).cast(DoubleType) / 1e6).as(s"__f_$c")
-        case _: NumericType => col(c).cast(DoubleType).as(s"__f_$c")
+          Seq((unix_micros(col(c).cast(TimestampType)).cast(DoubleType) / 1e6).as(s"__f_$c"))
+        case _: NumericType => Seq(col(c).cast(DoubleType).as(s"__f_$c"))
+        case StringType =>
+          graft.encoders.MinHashEncoder.signatureCols(
+            col(c), s"__f_$c", StringKeyComponents)
         case dt => throw new IllegalArgumentException(
-          s"unsupported key dtype $dt for $c (vectorize strings upstream)")
+          s"unsupported key dtype $dt for $c")
       }
     }
-    (df.select(df.columns.map(col).toSeq ++ exprs: _*), keyCols.map(c => s"__f_$c"))
+    val named = exprs.map(e => df.select(e).columns.head)
+    (df.select(df.columns.map(col).toSeq ++ exprs: _*), named)
   }
 
   def interpolationJoin(main: DataFrame, aux: DataFrame,
                         keys: Seq[(String, String)], payloads: Seq[String],
-                        maxIter: Int = 20, passOnError: Boolean = true): DataFrame = {
+                        maxIter: Int = 20, onError: OnError = Warn): DataFrame = {
     val (auxF, auxFeatNames) = featurize(aux, keys.map(_._2))
     val (mainF0, mainFeatNames) = featurize(main, keys.map(_._1))
     // align main feature names to the aux-trained model's input names
@@ -48,6 +74,7 @@ object InterpolationJoiner {
     }
     val assembler = new VectorAssembler()
       .setInputCols(auxFeatNames.toArray).setOutputCol("__features")
+      .setHandleInvalid("keep")
     val auxVec = assembler.transform(auxF)
     val mainVec = assembler.transform(mainF)
 
@@ -69,16 +96,18 @@ object InterpolationJoiner {
               .setFeaturesCol("__features").setLabelCol("__label")
               .setPredictionCol("__pred").setMaxIter(maxIter)
               .fit(indexer.transform(auxVec.filter(col(p).isNotNull)))
-            val labels = indexer.labelsArray.head
+            val labels = indexer.labelsArray.head.toSeq
             val predicted = model.transform(acc)
-            val toLabel = udf((i: Double) => labels(i.toInt))
-            predicted.withColumn(s"${p}_predicted", toLabel(col("__pred")))
+            // index -> label stays inside codegen (no serialized UDF)
+            predicted.withColumn(s"${p}_predicted",
+                element_at(typedLit(labels), col("__pred").cast(IntegerType) + 1))
               .drop("__pred", "__label", "rawPrediction", "probability")
           case dt => throw new IllegalArgumentException(s"payload dtype $dt")
         }
       } catch {
-        case e: Exception if passOnError =>
-          // reference failure policy "pass": skip this payload column
+        case e: Exception if onError != Raise =>
+          if (onError == Warn)
+            log.warn(s"interpolationJoin: skipping payload column '$p': $e")
           acc
       }
     }

@@ -54,10 +54,11 @@ object TabularPipeline {
           r.transform(f).withColumnRenamed("prediction", s"${target}_predicted")
             .drop("__features")
         case (_, Some((idx, c))) =>
-          val labels = idx.labelsArray.head
-          val toLabel = udf((i: Double) => labels(i.toInt))
+          val labels = idx.labelsArray.head.toSeq
+          // index -> label stays inside codegen (no serialized UDF)
           c.transform(f)
-            .withColumn(s"${target}_predicted", toLabel(col("prediction")))
+            .withColumn(s"${target}_predicted",
+              element_at(typedLit(labels), col("prediction").cast(IntegerType) + 1))
             .drop("__features", "prediction", "rawPrediction", "probability")
         case _ => throw new IllegalStateException("no fitted estimator")
       }
