@@ -88,30 +88,115 @@ object GapEncoder {
     d
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** H-only multiplicative update against a FROZEN topic matrix `w`: the
+    * transform step for values not seen at fit time (reference
+    * GapEncoder.transform runs the same H-step with W fixed,
+    * _gap_encoder.py:88). Pure function of (value-counts row, w) — safe to
+    * run inside executors with `w` broadcast.
+    */
+  def hStep(v: Array[Double], w: Array[Array[Double]], iters: Int = 10,
+            eps: Double = 1e-10): Array[Double] = {
+    val k = w.length
+    val m = v.length
+    val h = Array.tabulate(k)(t => initCell("ht", 0, t))
+    var iter = 0
+    while (iter < iters) {
+      val hw = Array.tabulate(m) { j =>
+        var s = 0.0; var t = 0
+        while (t < k) { s += h(t) * w(t)(j); t += 1 }
+        math.max(s, eps)
+      }
+      var t = 0
+      while (t < k) {
+        var num = 0.0; var den = 0.0; var j = 0
+        while (j < m) { num += w(t)(j) * v(j) / hw(j); den += w(t)(j); j += 1 }
+        h(t) = math.max(h(t) * num / math.max(den, eps), eps)
+        t += 1
+      }
+      iter += 1
+    }
+    h
+  }
+
   /** Encode string column `c` into `nComponents` topic-activation columns
     * `{c}_gap_{i}`. Fit on distinct values (driver NMF — reference fits on
     * unique strings too); per-value activations join back (AQE-decided).
-    * `maxDistinct` caps driver memory: beyond it, the most frequent values
-    * are fitted and the rest transform against the fitted topics with an
-    * H-only update (here: frequency cap enforced; rare overflow values get
-    * null activations, the reject contract).
+    *
+    * `maxDistinct` caps driver memory: the NMF fits on the `maxDistinct`
+    * most frequent values only. Overflow values (rarer than the cap) are NOT
+    * silently nulled: their distinct values get activations from a
+    * distributed H-step against the fitted (broadcast) topic matrix — the
+    * reference's own transform path for unseen categories — and a loud
+    * warning records that the fit was truncated.
+    *
+    * `diagnostics = true` appends two oracle-checkable columns:
+    * `{c}_gap_gram_total` — the exact count-matrix row sum (= the value's
+    * char-2-4-gram count), and `{c}_gap_row_sum_ok` — whether the fitted
+    * reconstruction preserves that row sum within `rowSumTol` relative error
+    * (KL-NMF preserves row sums at stationarity, so this gates convergence).
     */
   def encode(df: DataFrame, c: String, nComponents: Int = 10,
              nBuckets: Int = 128, maxIter: Int = 30,
-             maxDistinct: Int = 50000): DataFrame = {
+             maxDistinct: Int = 50000, diagnostics: Boolean = false,
+             rowSumTol: Double = 0.01): DataFrame = {
     val spark = df.sparkSession
-    val top = df.filter(col(c).isNotNull).groupBy(col(c)).count()
-      .orderBy(col("count").desc, col(c)).limit(maxDistinct)
+    val topAndProbe = df.filter(col(c).isNotNull).groupBy(col(c)).count()
+      .orderBy(col("count").desc, col(c)).limit(maxDistinct + 1)
       .select(col(c)).collect().map(_.getString(0))
+    val overflowed = topAndProbe.length > maxDistinct
+    val top = topAndProbe.take(maxDistinct)
     val v = top.map(NgramVec.tf(_, nBuckets))
-    val (h, _) = nmf(v, nComponents, maxIter)
-    val rows = top.zip(h).map { case (value, act) =>
-      Row.fromSeq(value +: act.toSeq)
+    val (h, w) = nmf(v, nComponents, maxIter)
+
+    def rowOf(value: String, act: Array[Double]): Row = {
+      if (!diagnostics) Row.fromSeq(value +: act.toSeq)
+      else {
+        val counts = NgramVec.tf(value, nBuckets)
+        val vSum = counts.sum
+        var hwSum = 0.0
+        var t = 0
+        while (t < w.length) {
+          var ws = 0.0; var j = 0
+          while (j < counts.length) { ws += w(t)(j); j += 1 }
+          hwSum += act(t) * ws
+          t += 1
+        }
+        val ok = vSum > 0 && math.abs(hwSum - vSum) / vSum < rowSumTol
+        Row.fromSeq(value +: act.toSeq :+ vSum.toLong :+ ok)
+      }
     }
-    val schema = StructType(StructField(c, StringType) +:
-      (0 until nComponents).map(i => StructField(s"${c}_gap_$i", DoubleType)))
-    val encoded = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq), schema)
+
+    val baseFields = StructField(c, StringType) +:
+      (0 until nComponents).map(i => StructField(s"${c}_gap_$i", DoubleType))
+    val schema = StructType(
+      if (diagnostics)
+        baseFields :+ StructField(s"${c}_gap_gram_total", LongType) :+
+          StructField(s"${c}_gap_row_sum_ok", BooleanType)
+      else baseFields)
+
+    val fittedRows = top.zip(h).map { case (value, act) => rowOf(value, act) }
+    val fitted = spark.createDataFrame(
+      spark.sparkContext.parallelize(fittedRows.toSeq), schema)
+
+    val encoded =
+      if (!overflowed) fitted
+      else {
+        log.warn(s"GapEncoder: column '$c' has more than $maxDistinct distinct " +
+          s"values; NMF fitted on the $maxDistinct most frequent — the rest " +
+          "transform via a distributed H-step against the fitted topics")
+        val wB = spark.sparkContext.broadcast(w)
+        val topSet = spark.sparkContext.broadcast(top.toSet)
+        val overflowRows = df.filter(col(c).isNotNull).select(col(c)).distinct()
+          .rdd.map(_.getString(0))
+          .filter(value => !topSet.value.contains(value))
+          .map { value =>
+            val counts = NgramVec.tf(value, nBuckets)
+            rowOf(value, hStep(counts, wB.value))
+          }
+        fitted.unionByName(spark.createDataFrame(overflowRows, schema))
+      }
     df.join(encoded, Seq(c), "left")
   }
 }

@@ -29,12 +29,31 @@ object SimilarityEncoder {
       .otherwise(round(inter / union, 6))
   }
 
-  /** Encode column `c` into one similarity column per fitted category
-    * (sorted vocabulary for deterministic column order).
+  /** Categories beyond this are rejected: one-hot-style expansion of a
+    * genuinely high-cardinality column would emit thousands of output
+    * columns and collect an unbounded vocabulary to the driver. The
+    * reference treats ~30 categories as the one-hot/high-card boundary
+    * (skrub/_column_associations.py:11 `_CATEGORICAL_THRESHOLD`); columns
+    * above it belong to StringEncoder / MinHashEncoder.
     */
-  def encode(df: DataFrame, c: String): DataFrame = {
-    val cats = df.select(col(c)).filter(col(c).isNotNull).distinct()
-      .orderBy(col(c)).collect().map(_.getString(0)).toSeq
+  val DefaultMaxCategories = 30
+
+  /** Encode column `c` into one similarity column per fitted category
+    * (sorted vocabulary for deterministic column order). Throws
+    * `IllegalArgumentException` when the column has more than
+    * `maxCategories` distinct values — the RejectColumn contract.
+    */
+  def encode(df: DataFrame, c: String,
+             maxCategories: Int = DefaultMaxCategories): DataFrame = {
+    // limit(max+1) bounds both the job and the driver collect: one extra row
+    // is enough to detect overflow without counting the full vocabulary
+    val probe = df.select(col(c)).filter(col(c).isNotNull).distinct()
+      .limit(maxCategories + 1).collect()
+    if (probe.length > maxCategories)
+      throw new IllegalArgumentException(
+        s"SimilarityEncoder: column '$c' has more than $maxCategories distinct " +
+          "values; use StringEncoder or MinHashEncoder for high-cardinality columns")
+    val cats = probe.map(_.getString(0)).toSeq.sorted
     val exprs = cats.map(cat =>
       similarity(col(c), cat).as(s"${c}_sim_${cat.replaceAll("[^A-Za-z0-9]+", "_")}"))
     df.select(df.columns.map(col).toSeq ++ exprs: _*)

@@ -35,6 +35,16 @@ import graft.functions.NgramVec
   */
 object StringEncoder {
 
+  /** Vocabularies at or below this size have their per-value features
+    * collected to the driver (a few MB), letting the fit-time persist of the
+    * distinct-values RDD be released before returning — no persisted RDD
+    * outlives `encode`. Larger vocabularies keep the distributed path and
+    * release the persist after an eager `localCheckpoint` of the feature
+    * table (checkpoint blocks are reclaimed by the ContextCleaner when the
+    * returned frame is garbage-collected).
+    */
+  val MaxDriverVocab = 200000
+
   /** Encode string column `c` into `nComponents` numeric columns
     * `{c}_svd_{i}`, keeping all other columns. Null values encode as nulls.
     */
@@ -79,7 +89,7 @@ object StringEncoder {
     }
     val vB = spark.sparkContext.broadcast(v)
 
-    // 4. project + join back
+    // 4. project + join back; release the fit-time persist either way
     val feats = vecs.map { case (value, a) =>
       Row.fromSeq(value +: vB.value.toSeq.map { colVec =>
         var s = 0.0; var i = 0
@@ -89,7 +99,16 @@ object StringEncoder {
     }
     val schema = StructType(StructField(c, StringType) +:
       (0 until k).map(i => StructField(s"${c}_svd_$i", DoubleType)))
-    val encoded = spark.createDataFrame(feats, schema)
+    val encoded =
+      if (n <= MaxDriverVocab) {
+        val local = feats.collect().toSeq
+        values.unpersist(blocking = true)
+        spark.createDataFrame(spark.sparkContext.parallelize(local), schema)
+      } else {
+        val ck = spark.createDataFrame(feats, schema).localCheckpoint()
+        values.unpersist(blocking = true)
+        ck
+      }
     df.join(encoded, Seq(c), "left")
   }
 }

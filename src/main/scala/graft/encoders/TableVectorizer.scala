@@ -156,4 +156,65 @@ object TableVectorizer {
   def fitTransform(df: DataFrame, cardinalityThreshold: Int = 40,
                    highCardEncoder: String = "minhash"): DataFrame =
     fit(df, cardinalityThreshold, highCardEncoder = highCardEncoder).transform(df)
+
+  // --- persistence: routing decisions + one-hot vocabularies are the whole
+  // fitted state (minhash/hashed high-card encoders are stateless
+  // expressions), so JSON round-trips the model exactly --------------------
+
+  import graft.plans.Json
+
+  private def kindName(k: Kind): String = k match {
+    case Numeric         => "numeric"
+    case Datetime        => "datetime"
+    case LowCardinality  => "low_cardinality"
+    case HighCardinality => "high_cardinality"
+    case Rejected        => "rejected"
+  }
+
+  private def kindOf(s: String): Kind = s match {
+    case "numeric"          => Numeric
+    case "datetime"         => Datetime
+    case "low_cardinality"  => LowCardinality
+    case "high_cardinality" => HighCardinality
+    case "rejected"         => Rejected
+    case other => throw new IllegalArgumentException(s"unknown kind $other")
+  }
+
+  def save(model: Model, path: String): Unit = {
+    val json = Json.obj(Seq(
+      "type" -> Json.str("graft.TableVectorizer"),
+      "column_to_kind" -> Json.arr(model.columnToKind.map { case (c, k) =>
+        Json.obj(Seq("col" -> Json.str(c), "kind" -> Json.str(kindName(k))))
+      }),
+      "vocab" -> Json.obj(model.vocab.toSeq.sortBy(_._1).map { case (c, vs) =>
+        c -> Json.arr(vs.map(Json.str))
+      }),
+      "datetime_resolution" -> Json.str(model.datetimeResolution),
+      "n_hash_features" -> Json.num(model.nHashFeatures.toLong),
+      "high_card_encoder" -> Json.str(model.highCardEncoder),
+      "n_components" -> Json.num(model.nComponents.toLong)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "table_vectorizer.json"), json)
+  }
+
+  def load(path: String): Model = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "table_vectorizer.json"))
+    val root = Json.parse(json).asInstanceOf[Map[String, Any]]
+    require(root("type") == "graft.TableVectorizer",
+      s"not a TableVectorizer model at $path")
+    val kinds = root("column_to_kind").asInstanceOf[List[Any]].map { e =>
+      val m = e.asInstanceOf[Map[String, Any]]
+      m("col").asInstanceOf[String] -> kindOf(m("kind").asInstanceOf[String])
+    }
+    val vocab = root("vocab").asInstanceOf[Map[String, Any]].map { case (c, vs) =>
+      c -> vs.asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toSeq
+    }
+    Model(kinds, vocab,
+      root("datetime_resolution").asInstanceOf[String],
+      root("n_hash_features").asInstanceOf[Long].toInt,
+      root("high_card_encoder").asInstanceOf[String],
+      root("n_components").asInstanceOf[Long].toInt)
+  }
 }

@@ -24,8 +24,9 @@ import graft.ops.Kernel
 object Cleaner {
 
   /** Rows scanned (once, single job) to draw the per-string-column accept
-    * samples; a column whose first non-null value appears later than this is
-    * conservatively left as CleanString.
+    * samples; a column with NO non-null value in this window falls back to a
+    * per-column non-null probe (see `fit`), so sparse columns still get
+    * format-guessed like the reference.
     */
   val SampleScanRows = 10000
 
@@ -82,11 +83,15 @@ object Cleaner {
 
     // ONE sample job for ALL string columns (not one limit-collect per
     // column — a 500-string-column table must not launch 500 driver jobs):
-    // GlobalLimit lands the first `SampleScanRows` rows in a single
-    // partition, so collect_list order is the deterministic file order, and
-    // slice keeps only the first SampleSize cleaned non-null values per
-    // column. Null-marker strings are cleaned to null BEFORE collection so
-    // they never block a parse-based accept.
+    // GlobalLimit takes `SampleScanRows` rows in one partition and
+    // collect_list gathers them; slice keeps the first SampleSize cleaned
+    // non-null values per column. Which rows the limit takes (and their
+    // order) is not a hard Spark guarantee across sources/retries, so accept
+    // decisions treat the sample as "some rows", not "THE first rows" — a
+    // column only parses as datetime/float if EVERY sampled value does, so
+    // borderline flips require a genuinely mixed column. Null-marker strings
+    // are cleaned to null BEFORE collection so they never block a
+    // parse-based accept.
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     val samples: Map[String, Seq[String]] =
       if (stringCols.isEmpty) Map.empty
@@ -96,7 +101,23 @@ object Cleaner {
           1, ToDatetime.SampleSize).as(c))
         val sRow = df.limit(SampleScanRows)
           .agg(sExprs.head, sExprs.tail: _*).collect()(0)
-        stringCols.map(c => c -> sRow.getSeq[String](sRow.fieldIndex(c)).toSeq).toMap
+        val windowed =
+          stringCols.map(c => c -> sRow.getSeq[String](sRow.fieldIndex(c)).toSeq).toMap
+        // Bias guard: a sparse column whose non-null values all appear after
+        // the sampled window would be silently left unparsed (the reference
+        // samples non-null values of the whole column, _to_datetime.py:17).
+        // Only for columns whose windowed sample came back EMPTY, fall back
+        // to a per-column filter(isNotNull).limit probe — bounded extra jobs
+        // (pathological columns only), zero extra jobs in the common case.
+        windowed.map { case (cName, sample) =>
+          if (sample.nonEmpty) cName -> sample
+          else {
+            val cleaned = Kernel.cleanNullStrings(col(cName), nullMarkers)
+            val probe = df.select(cleaned.as(cName)).filter(col(cName).isNotNull)
+              .limit(ToDatetime.SampleSize).collect().map(_.getString(0)).toSeq
+            cName -> probe
+          }
+        }
       }
 
     val plans = df.schema.fields.toSeq.map { f =>
@@ -120,4 +141,55 @@ object Cleaner {
   }
 
   def fitTransform(df: DataFrame): DataFrame = fit(df).transform(df)
+
+  // --- persistence (reference learners pickle their fitted state,
+  // skrub/_data_ops/_estimator.py:182; ours is explicit JSON so a fitted
+  // Cleaner survives the session and reloads in a fresh one) ---------------
+
+  import graft.plans.Json
+
+  private def planJson(p: ColPlan): (String, Option[String]) = p match {
+    case Dropped         => ("dropped", None)
+    case Passthrough     => ("passthrough", None)
+    case ToTimestamp(f)  => ("to_timestamp", Some(f))
+    case ToFloatPlan     => ("to_float", None)
+    case CleanString     => ("clean_string", None)
+  }
+
+  def save(model: Model, path: String): Unit = {
+    val plans = model.plans.map { case (c, p) =>
+      val (kind, fmt) = planJson(p)
+      Json.obj(Seq("col" -> Json.str(c), "kind" -> Json.str(kind)) ++
+        fmt.map(f => "format" -> Json.str(f)))
+    }
+    val json = Json.obj(Seq(
+      "type" -> Json.str("graft.Cleaner"),
+      "plans" -> Json.arr(plans),
+      "null_markers" -> Json.arr(model.nullMarkers.map(Json.str))))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "cleaner.json"), json)
+  }
+
+  def load(path: String): Model = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "cleaner.json"))
+    val root = Json.parse(json).asInstanceOf[Map[String, Any]]
+    require(root("type") == "graft.Cleaner", s"not a Cleaner model at $path")
+    val plans = root("plans").asInstanceOf[List[Any]].map { e =>
+      val m = e.asInstanceOf[Map[String, Any]]
+      val c = m("col").asInstanceOf[String]
+      val p = m("kind").asInstanceOf[String] match {
+        case "dropped"      => Dropped
+        case "passthrough"  => Passthrough
+        case "to_timestamp" => ToTimestamp(m("format").asInstanceOf[String])
+        case "to_float"     => ToFloatPlan
+        case "clean_string" => CleanString
+        case other => throw new IllegalArgumentException(s"unknown plan kind $other")
+      }
+      c -> p
+    }
+    val markers = root("null_markers").asInstanceOf[List[Any]].map(_.asInstanceOf[String])
+    Model(plans, markers)
+  }
 }

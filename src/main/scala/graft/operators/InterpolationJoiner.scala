@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
@@ -42,35 +42,63 @@ object InterpolationJoiner {
   /** Number of MinHash components used to vectorize a string key column. */
   private val StringKeyComponents = 8
 
-  /** Per-key feature expressions: numeric -> double, datetime -> epoch
-    * seconds, string -> MinHash signature components (pure codegen'd
-    * expressions — no join, no UDF).
+  /** Dtype class of a key column for compatibility validation: string keys
+    * expand to `StringKeyComponents` MinHash columns while numeric/datetime
+    * keys expand to one epoch/double column — a (main, aux) key pair mixing
+    * the two classes would silently misalign feature names (the reference
+    * applies the aux-fit vectorizer to main keys and requires key
+    * number/types to match).
     */
-  private def featurize(df: DataFrame, keyCols: Seq[String]): (DataFrame, Seq[String]) = {
-    val exprs = keyCols.flatMap { c =>
-      df.schema(c).dataType match {
-        case DateType | TimestampType | TimestampNTZType =>
-          Seq((unix_micros(col(c).cast(TimestampType)).cast(DoubleType) / 1e6).as(s"__f_$c"))
-        case _: NumericType => Seq(col(c).cast(DoubleType).as(s"__f_$c"))
-        case StringType =>
-          graft.encoders.MinHashEncoder.signatureCols(
-            col(c), s"__f_$c", StringKeyComponents)
-        case dt => throw new IllegalArgumentException(
-          s"unsupported key dtype $dt for $c")
-      }
-    }
-    val named = exprs.map(e => df.select(e).columns.head)
-    (df.select(df.columns.map(col).toSeq ++ exprs: _*), named)
+  private def dtypeClass(dt: DataType): String = dt match {
+    case StringType                                  => "string"
+    case _: NumericType                              => "numeric"
+    case DateType | TimestampType | TimestampNTZType => "numeric"
+    case other => throw new IllegalArgumentException(s"unsupported key dtype $other")
   }
+
+  /** Feature expressions for ONE key column, named after the aux-side key so
+    * main and aux frames produce identical feature column names per pair:
+    * numeric -> double, datetime -> epoch seconds, string -> MinHash
+    * signature components (pure codegen'd expressions — no join, no UDF).
+    */
+  private def featurizeKey(df: DataFrame, c: String, nameKey: String): Seq[Column] =
+    df.schema(c).dataType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        Seq((unix_micros(col(c).cast(TimestampType)).cast(DoubleType) / 1e6)
+          .as(s"__f_$nameKey"))
+      case _: NumericType => Seq(col(c).cast(DoubleType).as(s"__f_$nameKey"))
+      case StringType =>
+        graft.encoders.MinHashEncoder.signatureCols(
+          col(c), s"__f_$nameKey", StringKeyComponents)
+      case dt => throw new IllegalArgumentException(s"unsupported key dtype $dt for $c")
+    }
 
   def interpolationJoin(main: DataFrame, aux: DataFrame,
                         keys: Seq[(String, String)], payloads: Seq[String],
-                        maxIter: Int = 20, onError: OnError = Warn): DataFrame = {
-    val (auxF, auxFeatNames) = featurize(aux, keys.map(_._2))
-    val (mainF0, mainFeatNames) = featurize(main, keys.map(_._1))
-    // align main feature names to the aux-trained model's input names
-    val mainF = mainFeatNames.zip(auxFeatNames).foldLeft(mainF0) {
-      case (d, (m, a)) => d.withColumnRenamed(m, a)
+                        maxIter: Int = 20, onError: OnError = Warn,
+                        maxDepth: Int = 5): DataFrame = {
+    // validate dtype-class compatibility per (main, aux) key pair up front:
+    // per-pair featurization below guarantees equal expansion lengths only
+    // within a class, so a cross-class pair must fail loudly, not misalign
+    keys.foreach { case (m, a) =>
+      val (cm, ca) = (dtypeClass(main.schema(m).dataType), dtypeClass(aux.schema(a).dataType))
+      require(cm == ca,
+        s"interpolationJoin: key pair ($m: $cm) vs ($a: $ca) mixes dtype classes; " +
+          "string keys can only interpolate against string keys, numeric/datetime " +
+          "against numeric/datetime")
+    }
+    // featurize PER KEY PAIR with aux-side names on both frames — alignment
+    // is by construction, never by positional zip across pairs
+    val auxExprs = keys.flatMap { case (_, a) => featurizeKey(aux, a, a) }
+    val mainExprs = keys.flatMap { case (m, a) => featurizeKey(main, m, a) }
+    val auxF = aux.select(aux.columns.map(col).toSeq ++ auxExprs: _*)
+    val mainF = main.select(main.columns.map(col).toSeq ++ mainExprs: _*)
+    val auxFeatNames = keys.flatMap { case (_, a) =>
+      aux.schema(a).dataType match {
+        case StringType =>
+          (0 until StringKeyComponents).map(i => s"__f_${a}_minhash_$i")
+        case _ => Seq(s"__f_$a")
+      }
     }
     val assembler = new VectorAssembler()
       .setInputCols(auxFeatNames.toArray).setOutputCol("__features")
@@ -85,6 +113,7 @@ object InterpolationJoiner {
             val model = new GBTRegressor()
               .setFeaturesCol("__features").setLabelCol(p)
               .setPredictionCol(s"${p}_predicted").setMaxIter(maxIter)
+              .setMaxDepth(maxDepth)
               .fit(auxVec.filter(col(p).isNotNull)
                 .withColumn(p, col(p).cast(DoubleType)))
             model.transform(acc)
@@ -95,6 +124,7 @@ object InterpolationJoiner {
             val model = new GBTClassifier()
               .setFeaturesCol("__features").setLabelCol("__label")
               .setPredictionCol("__pred").setMaxIter(maxIter)
+              .setMaxDepth(maxDepth)
               .fit(indexer.transform(auxVec.filter(col(p).isNotNull)))
             val labels = indexer.labelsArray.head.toSeq
             val predicted = model.transform(acc)

@@ -64,12 +64,9 @@ object Joins {
   }
 
   /** groupBy + agg over the cross product cols x ops. Plain ops are one hash
-    * aggregate; each `mode` column needs its own two-level aggregation (value
-    * counts then arg-min over (-count, value)), so shuffles grow linearly
-    * with the number of mode columns — acceptable because mode columns are
-    * rare and each two-level aggregate is keyed on the same join key (AQE
-    * coalesces the final joins; a single melted job would force every value
-    * through a common string type, changing output dtypes).
+    * aggregate; `mode` columns share one melted two-level aggregation per
+    * dtype (see `aggregatePerCol`), so the shuffle count is constant in the
+    * number of mode columns.
     */
   def aggregate(aux: DataFrame, key: Seq[String], cols: Seq[String],
                 ops: Seq[String]): DataFrame =
@@ -98,12 +95,36 @@ object Joins {
       if (modeCols.isEmpty) None
       else {
         // mode = smallest among most-frequent values: two-level aggregation,
-        // value counts then arg-min over (-count, value)
-        val frames = modeCols.map { c =>
-          aux.groupBy((keyCols :+ col(c)): _*)
-            .agg(count(col(c)).as("__cnt"))
-            .groupBy(keyCols: _*)
-            .agg(min_by(col(c), struct(negate(col("__cnt")), col(c))).as(s"${c}_mode"))
+        // value counts then arg-min over (-count, value). ALL mode columns of
+        // one dtype are computed in a single MELTED aggregate — explode each
+        // row into (key, colIdx, value), count per (key, colIdx, value),
+        // arg-min per (key, colIdx), pivot back to wide — so the shuffle
+        // count is constant in the number of mode columns (it was linear:
+        // one two-level aggregate + one reassembly join per column).
+        // Grouping by EXACT dtype keeps each value in its native type, so
+        // the "smallest value" tie-break uses native ordering and outputs
+        // keep their input dtype (a single all-columns melt would force a
+        // common string type and corrupt both).
+        val byType = modeCols.groupBy(c => aux.schema(c).dataType).toSeq
+          .sortBy(_._1.simpleString)
+        val frames = byType.map { case (_, cols) =>
+          val entries = cols.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("ci"), col(c).as("v"))
+          }
+          val melted = aux
+            .select((keyCols :+ explode(array(entries: _*)).as("__e")): _*)
+            .select((keyCols :+ col("__e.ci").as("__ci") :+ col("__e.v").as("__v")): _*)
+          val counted = melted
+            .groupBy((keyCols :+ col("__ci") :+ col("__v")): _*)
+            .agg(count(col("__v")).as("__cnt"))
+            .groupBy((keyCols :+ col("__ci")): _*)
+            .agg(min_by(col("__v"), struct(negate(col("__cnt")), col("__v"))).as("__mode"))
+          // pivot (key, colIdx, mode) back to one wide row per key; max
+          // ignores the nulls of the other colIdx slots
+          val wide = cols.zipWithIndex.map { case (c, i) =>
+            max(when(col("__ci") === i, col("__mode"))).as(s"${c}_mode")
+          }
+          counted.groupBy(keyCols: _*).agg(wide.head, wide.tail: _*)
         }
         Some(frames.reduce((a, b) => a.join(b, key, "full")))
       }

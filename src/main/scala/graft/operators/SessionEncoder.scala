@@ -41,25 +41,47 @@ object SessionEncoder {
     df.withColumn(out, when(invalid, lit(-1L)).otherwise(cum - 1L))
   }
 
-  /** Reference-style globally unique session ids, scale-safe: equivalent to
-    * `dense_rank() over (order by splitBy, localSession)` but computed as
-    * distinct-session-keys -> distributed sort -> `zipWithIndex` -> join
-    * back, so no row ever passes through a single-task global window. The
-    * distinct key set is |sessions| rows; the join is an ordinary shuffle
-    * join the optimizer is free to broadcast when small.
+  /** Reference-style globally unique session ids, scale-safe AND
+    * Dataset-native: equivalent to `dense_rank() over (order by splitBy,
+    * localSession)` but no row ever passes through a single-task global
+    * window and nothing drops out of codegen into RDD land (the previous
+    * `zipWithIndex` ran an extra partition-count job outside Tungsten).
+    *
+    * Shape: distinct session keys -> range-repartition on the key order
+    * (each partition holds a contiguous key range) -> eager localCheckpoint
+    * (one materialization; the two downstream jobs must not recompute the
+    * distinct, and checkpoint blocks are reclaimed when the frame is GC'd)
+    * -> per-partition counts to the driver (one tiny row per partition) ->
+    * global id = partition-local `row_number` + broadcast prefix-sum offset
+    * of all preceding partitions. The numbered key set is |sessions| rows;
+    * the join back is AQE-decided.
     */
   def globalSessionId(df: DataFrame, splitBy: Seq[String], tsCol: String,
                       gapSeconds: Double, out: String = "session_id"): DataFrame = {
-    import org.apache.spark.sql.Row
     val local = transform(df, splitBy, tsCol, gapSeconds, "__local_session")
     val keyNames = splitBy :+ "__local_session"
     val keyCols = keyNames.map(col)
     val valid = local.filter(col("__local_session") =!= -1L)
-    val distinctKeys = valid.select(keyCols: _*).distinct().orderBy(keyCols: _*)
-    val schema = distinctKeys.schema.add(out, LongType, nullable = false)
-    val numbered = df.sparkSession.createDataFrame(
-      distinctKeys.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    val nPart = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val parts = valid.select(keyCols: _*).distinct()
+      .repartitionByRange(nPart, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__n")).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.keys.toSeq.sorted.map { p =>
+        val o = acc; acc += counts(p); p -> o
+      }.toMap
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
+    val numbered = parts
+      .withColumn(out,
+        row_number().over(w).cast(LongType) - 1L +
+          element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid")
     val invalid = local.filter(col("__local_session") === -1L)
       .withColumn(out, lit(-1L))
     valid.join(numbered, keyNames)

@@ -122,6 +122,18 @@ object Kernel {
     df.orderBy(key).limit(n)
   }
 
+  /** `sampleExact` keyed on explicit columns with an md5 ordering hash —
+    * same semantics (deterministic seeded sample regardless of partition
+    * layout; TakeOrderedAndProject, never a full sort), but the ordering is
+    * reproducible by the DuckDB oracle (md5 is cross-engine; xxhash64 is
+    * Spark-specific). Prefer this form when the frame has a natural key.
+    */
+  def sampleExactBy(df: DataFrame, n: Int, seed: Long, keys: Seq[String]): DataFrame = {
+    val key = md5(concat_ws(":",
+      (keys.map(col(_).cast(StringType)) :+ lit(seed.toString)): _*))
+    df.orderBy((key +: keys.map(col)): _*).limit(n)
+  }
+
   /** Duration (interval / numeric seconds) to float seconds
     * (reference `total_seconds`, _common.py:1466-1478).
     */

@@ -35,6 +35,29 @@ final case class Apply(input: Plan, estimator: Estimator) extends Plan
 final case class Merge(inputs: Seq[Plan],
                        fn: Seq[DataFrame] => DataFrame) extends Plan
 
+/** Control node (reference IfElse, _data_ops.py:1319): evaluate `cond`,
+  * reduce it to a driver boolean with `pred`, then evaluate ONLY the taken
+  * branch — the untaken branch never triggers a Spark job.
+  */
+final case class IfElse(cond: Plan, pred: DataFrame => Boolean,
+                        ifTrue: Plan, ifFalse: Plan) extends Plan
+
+/** Control node (reference Match, _data_ops.py:1338): evaluate `key`, reduce
+  * to a driver string with `keyFn`, route to the matching case (or
+  * `default`). Only the chosen case evaluates.
+  */
+final case class MatchOn(key: Plan, keyFn: DataFrame => String,
+                         cases: Map[String, Plan], default: Plan) extends Plan
+
+/** Design-matrix marker (reference `.skb.mark_as_X()`,
+  * _skrub_namespace.py:2823): a pass-through node naming the plan position
+  * that train/test and CV splitting operate on.
+  */
+final case class MarkX(input: Plan) extends Plan
+
+/** Target marker (reference `.skb.mark_as_y()`, _skrub_namespace.py:2995). */
+final case class MarkY(input: Plan) extends Plan
+
 /** A stateful pipeline stage: `fit` learns from the fit-time frame and
   * returns the frozen transformer replayed at transform time.
   */
@@ -44,6 +67,19 @@ trait Estimator {
 
 trait Transformer {
   def transform(df: DataFrame): DataFrame
+}
+
+/** A transformer whose fitted state serializes to a string (the learner
+  * persistence contract — reference learners pickle,
+  * skrub/_data_ops/_estimator.py:182; ours is explicit and code-stable).
+  */
+trait PersistentTransformer extends Transformer {
+  def saveData: String
+}
+
+/** An estimator that can rebuild its fitted transformer from `saveData`. */
+trait PersistentEstimator extends Estimator {
+  def loadTransformer(data: String): Transformer
 }
 
 object Plan {
@@ -56,6 +92,10 @@ object Plan {
         case Transform(in, _) => walk(in)
         case Apply(in, _)     => walk(in)
         case Merge(ins, _)    => ins.foreach(walk)
+        case IfElse(c, _, t, f) => walk(c); walk(t); walk(f)
+        case MatchOn(k, _, cs, d) => walk(k); cs.values.foreach(walk); walk(d)
+        case MarkX(in) => walk(in)
+        case MarkY(in) => walk(in)
         case _                =>
       }
     }
@@ -86,16 +126,98 @@ object Plan {
               throw new IllegalStateException("transform before fit"))
           t.transform(input)
         case Merge(ins, fn) => fn(ins.map(eval))
+        case IfElse(c, pred, t, f) => if (pred(eval(c))) eval(t) else eval(f)
+        case MatchOn(k, keyFn, cases, default) =>
+          eval(cases.getOrElse(keyFn(eval(k)), default))
+        case MarkX(in) => eval(in)
+        case MarkY(in) => eval(in)
       }
       if (fanout(p) > 1) out.persist() else out
     })
     eval(root)
   }
 
+  /** The `MarkX` node of a plan, if any (reference `find_X`,
+    * _skrub_namespace.py:3624).
+    */
+  def findX(root: Plan): Option[MarkX] = find(root) { case m: MarkX => m }
+
+  /** The `MarkY` node of a plan, if any. */
+  def findY(root: Plan): Option[MarkY] = find(root) { case m: MarkY => m }
+
+  private def find[A](root: Plan)(pf: PartialFunction[Plan, A]): Option[A] = {
+    val seen = scala.collection.mutable.Set[Plan]()
+    def walk(p: Plan): Option[A] =
+      if (!seen.add(p)) None
+      else pf.lift(p).orElse(p match {
+        case Transform(in, _)     => walk(in)
+        case Apply(in, _)         => walk(in)
+        case Merge(ins, _)        => ins.view.flatMap(walk(_)).headOption
+        case IfElse(c, _, t, f)   => walk(c).orElse(walk(t)).orElse(walk(f))
+        case MatchOn(k, _, cs, d) =>
+          walk(k).orElse(cs.values.view.flatMap(walk(_)).headOption).orElse(walk(d))
+        case MarkX(in)            => walk(in)
+        case MarkY(in)            => walk(in)
+        case _                    => None
+      })
+    walk(root)
+  }
+
   /** Compile a plan into a refittable learner (reference
     * `.skb.make_learner()`, _skrub_namespace.py:1815).
     */
   def makeLearner(root: Plan): Learner = new Learner(root)
+
+  /** Deterministic depth-first ordering of a plan's Apply stages — the
+    * stable index space for learner persistence.
+    */
+  def applyNodes(root: Plan): Seq[Apply] = {
+    val seen = scala.collection.mutable.Set[Plan]()
+    val out = scala.collection.mutable.ListBuffer[Apply]()
+    def walk(p: Plan): Unit = if (seen.add(p)) p match {
+      case a @ Apply(in, _)     => walk(in); out += a
+      case Transform(in, _)     => walk(in)
+      case Merge(ins, _)        => ins.foreach(walk)
+      case IfElse(c, _, t, f)   => walk(c); walk(t); walk(f)
+      case MatchOn(k, _, cs, d) =>
+        walk(k); cs.toSeq.sortBy(_._1).foreach(e => walk(e._2)); walk(d)
+      case MarkX(in)            => walk(in)
+      case MarkY(in)            => walk(in)
+      case _                    =>
+    }
+    walk(root)
+    out.toList
+  }
+
+  /** Rebuild a fitted learner from `save` output. The plan itself is code
+    * (lambdas are not serialized — the caller reconstructs the same plan,
+    * exactly like spark.ml's Pipeline.load needs its stage classes on the
+    * classpath); every saved stage's estimator must be a
+    * `PersistentEstimator`.
+    */
+  def loadLearner(root: Plan, path: String): Learner = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "learner.json"))
+    val meta = Json.parse(json).asInstanceOf[Map[String, Any]]
+    require(meta("type") == "graft.Learner", s"not a Learner at $path")
+    val applies = applyNodes(root)
+    val learner = new Learner(root)
+    meta("stages").asInstanceOf[List[Any]].foreach { e =>
+      val m = e.asInstanceOf[Map[String, Any]]
+      val i = m("stage").asInstanceOf[Long].toInt
+      require(i < applies.length,
+        s"saved stage $i has no Apply node in the plan (plan changed?)")
+      val node = applies(i)
+      node.estimator match {
+        case pe: PersistentEstimator =>
+          learner.restore(node, pe.loadTransformer(m("data").asInstanceOf[String]))
+        case _ => throw new IllegalArgumentException(
+          s"stage $i estimator is not a PersistentEstimator")
+      }
+    }
+    learner.markFit()
+    learner
+  }
 }
 
 /** Fitted-plan holder: `fit(env)` learns every Apply stage against one
@@ -123,5 +245,32 @@ final class Learner(root: Plan) {
   def transform(env: Map[String, DataFrame]): DataFrame = {
     if (!isFit) throw new IllegalStateException("learner is not fitted")
     Plan.evaluate0(root, env, fitted, fitMode = false)
+  }
+
+  private[plans] def restore(node: Apply, t: Transformer): Unit = fitted(node) = t
+  private[plans] def markFit(): Unit = isFit = true
+
+  /** Persist every fitted stage (stages whose transformer implements
+    * `PersistentTransformer`; an Apply that never fitted — e.g. on an
+    * untaken IfElse branch — is simply absent, matching in-memory replay).
+    */
+  def save(path: String): Unit = {
+    if (!isFit) throw new IllegalStateException("cannot save an unfitted learner")
+    val applies = Plan.applyNodes(root)
+    val stages = applies.zipWithIndex.flatMap { case (a, i) =>
+      fitted.get(a).map {
+        case pt: PersistentTransformer =>
+          Json.obj(Seq("stage" -> Json.num(i.toLong), "data" -> Json.str(pt.saveData)))
+        case _ => throw new IllegalArgumentException(
+          s"stage $i fitted transformer is not a PersistentTransformer; " +
+            "implement saveData/loadTransformer to persist this plan")
+      }
+    }
+    val json = Json.obj(Seq(
+      "type" -> Json.str("graft.Learner"),
+      "stages" -> Json.arr(stages)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "learner.json"), json)
   }
 }

@@ -65,6 +65,51 @@ object TabularPipeline {
     }
   }
 
+  // --- persistence: cleaner + vectorizer round-trip as JSON; the fitted
+  // GBT and label indexer use spark.ml's native writers (reference contract:
+  // fitted learners survive the session, _data_ops/_estimator.py:182) ------
+
+  def save(model: Model, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p)
+    Cleaner.save(model.cleaner, path)
+    TableVectorizer.save(model.vectorizer, path)
+    val task = if (model.regressor.isDefined) "regression" else "classification"
+    val meta = Json.obj(Seq(
+      "type" -> Json.str("graft.TabularPipeline"),
+      "task" -> Json.str(task),
+      "target" -> Json.str(model.target),
+      "feature_cols" -> Json.arr(model.featureCols.map(Json.str))))
+    java.nio.file.Files.writeString(p.resolve("pipeline.json"), meta)
+    model.regressor.foreach(_.write.overwrite().save(s"$path/gbt"))
+    model.classifier.foreach { case (idx, c) =>
+      idx.write.overwrite().save(s"$path/indexer")
+      c.write.overwrite().save(s"$path/gbt")
+    }
+  }
+
+  def load(path: String): Model = {
+    val meta = Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "pipeline.json"))).asInstanceOf[Map[String, Any]]
+    require(meta("type") == "graft.TabularPipeline",
+      s"not a TabularPipeline model at $path")
+    val cleaner = Cleaner.load(path)
+    val vectorizer = TableVectorizer.load(path)
+    val featureCols = meta("feature_cols").asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[String])
+    val target = meta("target").asInstanceOf[String]
+    meta("task").asInstanceOf[String] match {
+      case "regression" =>
+        Model(cleaner, vectorizer, featureCols,
+          Some(GBTRegressionModel.load(s"$path/gbt")), None, target)
+      case "classification" =>
+        Model(cleaner, vectorizer, featureCols, None,
+          Some((StringIndexerModel.load(s"$path/indexer"),
+            GBTClassificationModel.load(s"$path/gbt"))), target)
+      case other => throw new IllegalArgumentException(s"unknown task $other")
+    }
+  }
+
   /** Fit the full pipeline to predict `target` from every other column. */
   def fit(df: DataFrame, target: String, task: Task,
           maxIter: Int = 20): Model = {

@@ -44,12 +44,36 @@ object EncoderQueries {
     "q_tv_high_card" -> ((s, dir) =>
       TableVectorizer.fitTransform(t(s, dir, "customer"))),
 
-    // StringEncoder: TF-IDF + truncated SVD (rows-only oracle: SVD factors
-    // have sign/rotation freedom; invariants covered in StringEncoderSpec)
-    "q_string_encoder" -> ((s, dir) =>
-      graft.encoders.StringEncoder.encode(
-        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
-        "c_name", nComponents = 30)),
+    // StringEncoder with a FULL oracle despite SVD sign/rotation freedom:
+    // at full rank (nComponents = nBuckets) the eigenbasis is a complete
+    // orthonormal basis, so the encoding preserves norms and dot products of
+    // the underlying TF-IDF vectors EXACTLY — both are rotation-invariant
+    // and DuckDB-computable (md5 bucket hashing + idf from distinct-value
+    // document frequencies). svd_ref_dot = cosine of each value against the
+    // lexicographically-smallest value, through the fitted SVD space; any
+    // error in grams, hashing, tf, idf, normalization, or the eigenbasis
+    // breaks the hash. Truncation (k < nBuckets) stays spec-covered
+    // (StringEncoderSpec: eigenvalue ordering, norm shrinkage).
+    "q_string_encoder" -> ((s, dir) => {
+      val nb = 64
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val enc = graft.encoders.StringEncoder.encode(cust, "c_name",
+        nComponents = nb, nBuckets = nb)
+      val vec = array((0 until nb).map(i => col(s"c_name_svd_$i")): _*)
+      val refName = cust.filter(col("c_name").isNotNull)
+        .agg(min(col("c_name"))).collect()(0).getString(0)
+      val refVec = enc.filter(col("c_name") === refName)
+        .select(vec.as("v")).limit(1).collect()(0).getSeq[Double](0)
+      val refLit = typedLit(refVec)
+      import graft.functions.VecExprs
+      enc.select(col("c_custkey"), col("c_name"),
+        when(col("c_name").isNull, lit(null).cast(DoubleType))
+          .otherwise(round(sqrt(VecExprs.arrayDot(vec, vec)), 6) + lit(0.0))
+          .as("svd_norm"),
+        when(col("c_name").isNull, lit(null).cast(DoubleType))
+          .otherwise(round(VecExprs.arrayDot(vec, refLit), 6) + lit(0.0))
+          .as("svd_ref_dot"))
+    }),
 
     // DropUninformative: all-unique string columns dropped
     "q_drop_uninformative" -> ((s, dir) =>
@@ -78,13 +102,22 @@ object EncoderQueries {
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
         "c_name", nComponents = 30)),
 
-    // GapEncoder: Gamma-Poisson NMF topic activations (rows-only oracle:
-    // iterative factorization is not SQL-expressible; invariants — KL
-    // monotonicity, determinism, topic-space geometry — in GapEncoderSpec)
+    // GapEncoder with a FULL oracle: the iterative factorization itself is
+    // not SQL-expressible, so the query emits the two oracle-checkable
+    // diagnostics — gram_total, the EXACT count-matrix row sum (= the
+    // value's char-2-4-gram count, computed from the same V the NMF
+    // factorizes), and row_sum_ok, gating that the fitted reconstruction HW
+    // preserves each row sum within 1% (KL-NMF preserves row sums at
+    // stationarity — a convergence gate hash-verified as all-TRUE).
+    // Activation geometry stays spec-covered (GapEncoderSpec: KL
+    // monotonicity, determinism, topic separation).
     "q_gap_encoder" -> ((s, dir) =>
       graft.encoders.GapEncoder.encode(
         t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-        "s_name", nComponents = 10, nBuckets = 128)),
+        "s_name", nComponents = 10, nBuckets = 128, diagnostics = true)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_name_gap_gram_total").as("gram_total"),
+          col("s_name_gap_row_sum_ok").as("row_sum_ok"))),
 
     // numeric profile with decimal-exact std (order-independent)
     "q_num_profile" -> ((s, dir) => {
@@ -288,7 +321,56 @@ object EncoderQueries {
     s"SELECT o_orderkey,\n  ${cols.mkString(",\n  ")}\nFROM orders"
   }
 
+  /** Oracle for q_string_encoder: rebuild the TF-IDF vectors in SQL (same
+    * md5 bucket hashing as NgramVec — bucket = first 4 md5 hex digits mod
+    * 64; idf = sqrt((1+n)/(1+df)) over distinct values; l2-normalized) and
+    * compute the rotation-invariant quantities directly — at full rank the
+    * SVD projection preserves both exactly.
+    */
+  private val stringEncOracle: String = {
+    val grams = SqlFragments.ngrams234Sql("c_name")
+    s"""WITH d AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL),
+       |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+       |gr AS (SELECT c_name, unnest($grams) AS gram FROM d),
+       |tf AS (
+       |  SELECT c_name, ('0x' || substr(md5(gram), 1, 4))::INT % 64 AS bkt,
+       |    CAST(count(*) AS DOUBLE) AS tf
+       |  FROM gr GROUP BY 1, 2),
+       |dfq AS (SELECT bkt, CAST(count(DISTINCT c_name) AS DOUBLE) AS dfc
+       |  FROM tf GROUP BY 1),
+       |w AS (
+       |  SELECT t.c_name, t.bkt, t.tf * sqrt((1.0 + n) / (1.0 + dfc)) AS wv
+       |  FROM tf t JOIN dfq USING (bkt) CROSS JOIN cnt),
+       |nrm AS (SELECT c_name, sqrt(sum(wv * wv)) AS nm FROM w GROUP BY 1),
+       |nw AS (SELECT w.c_name, w.bkt, w.wv / nrm.nm AS x
+       |  FROM w JOIN nrm USING (c_name)),
+       |ref AS (SELECT bkt, x FROM nw WHERE c_name = (SELECT min(c_name) FROM d)),
+       |dots AS (
+       |  SELECT a.c_name, sum(a.x * r.x) AS dt
+       |  FROM nw a JOIN ref r USING (bkt) GROUP BY 1),
+       |norms AS (SELECT c_name, round(sqrt(sum(x * x)), 6) + 0.0 AS svd_norm
+       |  FROM nw GROUP BY 1)
+       |SELECT c.c_custkey, c.c_name,
+       |  CASE WHEN c.c_name IS NULL THEN NULL ELSE norms.svd_norm END AS svd_norm,
+       |  CASE WHEN c.c_name IS NULL THEN NULL
+       |       ELSE round(coalesce(dots.dt, 0.0), 6) + 0.0 END AS svd_ref_dot
+       |FROM customer c
+       |LEFT JOIN norms ON c.c_name = norms.c_name
+       |LEFT JOIN dots ON c.c_name = dots.c_name""".stripMargin
+  }
+
+  private val gapOracle: String = {
+    val grams = SqlFragments.ngrams234Sql("s_name")
+    s"""SELECT s_suppkey, s_name,
+       |  CASE WHEN s_name IS NULL THEN NULL
+       |       ELSE CAST(len($grams) AS BIGINT) END AS gram_total,
+       |  CASE WHEN s_name IS NULL THEN NULL ELSE TRUE END AS row_sum_ok
+       |FROM supplier""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_string_encoder" -> stringEncOracle,
+    "q_gap_encoder" -> gapOracle,
     "q_minhash_encoder" -> minhashOracle,
     "q_datetime_spline" -> splineOracle,
     "q_tv_high_card" -> tvHighCardOracle,

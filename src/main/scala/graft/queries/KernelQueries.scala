@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.ops.Kernel
 import graft.operators.{Multimodal, TableReport}
 import graft.encoders.{DropSimilar, SimilarityEncoder}
@@ -48,14 +49,23 @@ object KernelQueries {
         t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
         "c_mktsegment")),
 
-    // InterpolationJoiner: GBT-predicted payloads as the join result
-    // (rows-only oracle: ML predictions are not SQL-expressible; semantics
-    // covered in InterpolationJoinerSpec)
+    // InterpolationJoiner with a FULL oracle: the payload is a closed-form
+    // function of the key (10*nationkey + 5), so the GBT regression must
+    // recover it near-exactly for every main row (25 key steps fit exactly
+    // at maxDepth 8) — pred_ok gates |prediction - truth| <= 1.0 and is
+    // hash-verified as all-TRUE. Real-payload (s_acctbal) behavior and the
+    // warn/raise/pass policy stay covered in InterpolationJoinerSpec.
     "q_interpolation_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val supp = t(s, dir, "supplier")
-      graft.operators.InterpolationJoiner.interpolationJoin(
-        cust, supp, Seq("c_nationkey" -> "s_nationkey"), Seq("s_acctbal"))
+      val supp = t(s, dir, "supplier").withColumn("payload_det",
+        (col("s_nationkey") * 10 + 5).cast(DoubleType))
+      val joined = graft.operators.InterpolationJoiner.interpolationJoin(
+        cust, supp, Seq("c_nationkey" -> "s_nationkey"), Seq("payload_det"),
+        maxIter = 5, onError = graft.operators.InterpolationJoiner.Raise,
+        maxDepth = 8)
+      joined.select(col("c_custkey"), col("c_nationkey"),
+        (abs(col("payload_det_predicted") - (col("c_nationkey") * 10 + 5)) <= 1.0)
+          .as("pred_ok"))
     }),
 
     // multimodal plumbing: binary payload + typed metadata, stub decode,
@@ -153,6 +163,9 @@ object KernelQueries {
     },
 
     "q_drop_similar" -> "SELECT * FROM orders",
+
+    "q_interpolation_join" ->
+      "SELECT c_custkey, c_nationkey, TRUE AS pred_ok FROM customer",
 
     "q_table_report" -> tableReportOracle,
 

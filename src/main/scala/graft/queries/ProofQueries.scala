@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernel
+import graft.plans._
+import graft.selectors.Selectors
+
+/** CORRECTNESS registration for surfaces that were implemented but unproven
+  * through round 4 (VERDICT r4 task 1): exact-n sampling, is_sorted,
+  * selector boolean algebra + glob/regex/has_nulls, content/name filters,
+  * all_null_like, materialize round-trip, the Plan/Learner frozen-fit
+  * contract, and deterministic train/test splitting.
+  */
+object ProofQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  /** Frozen-vocabulary one-hot estimator: fit collects the sorted distinct
+    * vocabulary, transform replays it on ANY frame — a frame missing a
+    * fitted category still emits that category's column (all zeros), which
+    * is exactly what distinguishes a fitted learner from a refit.
+    */
+  private final class FrozenOneHot(c: String, prefix: String) extends Estimator {
+    def fit(df: DataFrame): Transformer = {
+      val vocab = df.select(col(c)).filter(col(c).isNotNull).distinct()
+        .orderBy(col(c)).collect().map(_.getString(0)).toSeq
+      new Transformer {
+        def transform(d: DataFrame): DataFrame =
+          d.select(col("o_orderkey") +: vocab.map(v =>
+            when(col(c) === v, 1.0).otherwise(0.0)
+              .as(prefix + "_" + v.replaceAll("[^A-Za-z0-9]+", "_"))): _*)
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact-n deterministic sample: md5-keyed ordering, reproducible by the
+    // oracle regardless of partition layout
+    "q_sample" -> ((s, dir) =>
+      Kernel.sampleExactBy(t(s, dir, "orders"), 200, 42, Seq("o_orderkey"))),
+
+    // is_sorted: a monotone column and a non-monotone column under the same
+    // explicit ordering, one row out
+    "q_is_sorted" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = Kernel.isSorted(o, "o_orderkey", Seq("o_orderkey"))
+        .select(col("is_sorted").as("key_sorted"))
+      val b = Kernel.isSorted(o, "o_totalprice", Seq("o_orderkey"))
+        .select(col("is_sorted").as("price_sorted"))
+      a.crossJoin(b)
+    }),
+
+    // selector algebra: And/Inv/Sub/XOr/Or over glob + regex + dtype +
+    // data-dependent has_nulls legs, resolved against orders
+    "q_selector_algebra" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sel = (Selectors.numeric & ~Selectors.glob("*key")) |
+        ((Selectors.glob("o_order*") - Selectors.cols("o_orderkey")) ^ Selectors.string) |
+        Selectors.hasNulls(0.5) |
+        Selectors.regex("priority$")
+      Selectors.select(o, sel & Selectors.nameFilter(_.startsWith("o_")))
+    }),
+
+    // content filter (s.filter): one aggregate job evaluating every column's
+    // predicate together — keep columns whose stringified max length <= 12
+    // (drops c_name, 18 chars), intersected with a name filter
+    "q_selector_filter" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val sel = Selectors.filter(n =>
+        max(length(col(n).cast("string"))) <= 12) &
+        Selectors.nameFilter(_.startsWith("c_"))
+      Selectors.select(c, sel)
+    }),
+
+    // all_null_like: same schema, n all-null rows
+    "q_all_null_like" -> ((s, dir) =>
+      Kernel.allNullLike(t(s, dir, "orders"), 7)),
+
+    // materialize round-trip: collect() to the driver and rebuild the frame
+    // from local rows — proves the materialization boundary preserves values
+    "q_materialize" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val rows = o.orderBy(col("o_orderkey")).limit(100).collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows), o.schema)
+    }),
+
+    // Plan/Learner frozen-fit contract on the X frontier: fit the one-hot
+    // vocabulary on the FULL orders table, then transform a frame from which
+    // one category is entirely absent — the fitted learner must still emit
+    // that category's column (a refit would drop it, failing the oracle)
+    "q_plan_learner" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val plan = Apply(
+        MarkX(Transform(Var("orders"),
+          d => d.select(col("o_orderkey"), col("o_orderpriority")))),
+        new FrozenOneHot("o_orderpriority", "prio"))
+      val learner = Plan.makeLearner(plan)
+      learner.fit(Map("orders" -> orders))
+      learner.transform(Map("orders" ->
+        orders.filter(col("o_orderpriority") =!= "1-URGENT")))
+    }),
+
+    // deterministic train/test split as a labeled column: md5-bucket
+    // predicate, no shuffle, replayed exactly by the oracle
+    "q_train_test_split" -> ((s, dir) =>
+      Splits.withSplitLabel(t(s, dir, "orders"), Seq("o_orderkey"),
+        testFraction = 0.2, seed = 42)
+        .select(col("o_orderkey"), col("split")))
+  )
+
+  private val planLearnerOracle: String = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cols = prios.map(v =>
+      s"CASE WHEN o_orderpriority = '$v' THEN 1.0 ELSE 0.0 END AS prio_${v.replaceAll("[^A-Za-z0-9]+", "_")}")
+    s"""SELECT o_orderkey,
+       |  ${cols.mkString(",\n  ")}
+       |FROM orders WHERE o_orderpriority <> '1-URGENT'""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_sample" ->
+      """SELECT * FROM orders
+        |ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':' || '42'), o_orderkey
+        |LIMIT 200""".stripMargin,
+
+    "q_is_sorted" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT lag(o_orderkey) OVER (ORDER BY o_orderkey) AS p,
+        |       o_orderkey AS v
+        |     FROM orders WHERE o_orderkey IS NOT NULL) WHERE p > v) = 0
+        |    AS key_sorted,
+        |  (SELECT count(*) FROM (
+        |     SELECT lag(o_totalprice) OVER (ORDER BY o_orderkey) AS p,
+        |       o_totalprice AS v
+        |     FROM orders WHERE o_totalprice IS NOT NULL) WHERE p > v) = 0
+        |    AS price_sorted""".stripMargin,
+
+    "q_selector_algebra" ->
+      "SELECT o_totalprice, o_orderdate, o_orderpriority FROM orders",
+
+    "q_selector_filter" ->
+      "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    "q_all_null_like" ->
+      """SELECT CAST(NULL AS BIGINT) AS o_orderkey,
+        |  CAST(NULL AS BIGINT) AS o_custkey,
+        |  CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |  CAST(NULL AS DOUBLE) AS o_totalprice,
+        |  CAST(NULL AS TIMESTAMP) AS o_orderdate,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM range(7)""".stripMargin,
+
+    "q_materialize" ->
+      "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100",
+
+    "q_plan_learner" -> planLearnerOracle,
+
+    "q_train_test_split" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || '42'), 1, 4))::INT % 1000 < 200
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM orders""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Cleaner
+import graft.encoders.TableVectorizer
+import graft.plans._
+
+/** Fit → save → load → bit-identical transform, for every fitted artifact
+  * (VERDICT r4 task 3; reference contract: learners pickle and reload,
+  * skrub/_data_ops/_estimator.py:182).
+  */
+class PersistenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_persist_$tag").toString
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema === b.schema)
+    assert(a.collect().toSeq === b.collect().toSeq)
+  }
+
+  private def messyFrame: DataFrame = Seq(
+    (1L, "2021-03-01 10:00:00", "12.5", "ok"),
+    (2L, "2021-03-02 11:30:00", "7.25", "N/A"),
+    (3L, "2021-03-03 12:45:00", "99.0", "warn")
+  ).toDF("id", "ts_str", "num_str", "status")
+
+  test("Cleaner model round-trips through JSON save/load") {
+    val dir = tmpDir("cleaner")
+    val model = Cleaner.fit(messyFrame)
+    Cleaner.save(model, dir)
+    val loaded = Cleaner.load(dir)
+    assert(loaded === model)
+    sameRows(model.transform(messyFrame), loaded.transform(messyFrame))
+  }
+
+  test("TableVectorizer model round-trips through JSON save/load") {
+    val dir = tmpDir("tv")
+    val df = Seq((1L, "a", "2021-01-05 00:00:00"), (2L, "b", "2021-02-06 00:00:00"))
+      .toDF("k", "cat", "d")
+      .select(col("k"), col("cat"), to_timestamp(col("d")).as("d"))
+    val model = TableVectorizer.fit(df)
+    TableVectorizer.save(model, dir)
+    val loaded = TableVectorizer.load(dir)
+    assert(loaded === model)
+    sameRows(model.transform(df), loaded.transform(df))
+  }
+
+  test("TabularPipeline regression model survives save/load with identical predictions") {
+    val dir = tmpDir("pipeline")
+    val train = (1 to 200).map(i => (i.toLong, (i % 7).toString, i * 2.0 + (i % 3)))
+      .toSeq.toDF("k", "cat", "y")
+    val model = TabularPipeline.fit(train, "y", TabularPipeline.Regression, maxIter = 5)
+    TabularPipeline.save(model, dir)
+    val loaded = TabularPipeline.load(dir)
+    sameRows(model.predict(train).orderBy("k"), loaded.predict(train).orderBy("k"))
+  }
+
+  test("Learner with a persistent stage: fit, save, load, identical transform") {
+    // frozen-vocabulary estimator with an explicit JSON state
+    val est = new PersistentEstimator {
+      def fit(df: DataFrame): Transformer = {
+        val vocab = df.select(col("cat")).filter(col("cat").isNotNull)
+          .distinct().orderBy(col("cat")).collect().map(_.getString(0)).toSeq
+        mk(vocab)
+      }
+      def loadTransformer(data: String): Transformer =
+        mk(Json.parse(data).asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
+      private def mk(vocab: Seq[String]): Transformer = new PersistentTransformer {
+        def saveData: String = Json.arr(vocab.map(Json.str))
+        def transform(d: DataFrame): DataFrame =
+          d.select(col("k") +: vocab.map(v =>
+            when(col("cat") === v, 1.0).otherwise(0.0).as(s"cat_$v")): _*)
+      }
+    }
+    val plan = Apply(MarkX(Var("in")), est)
+    val full = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "cat")
+    val part = Seq((4L, "a")).toDF("k", "cat")
+
+    val learner = Plan.makeLearner(plan)
+    learner.fit(Map("in" -> full))
+    val dir = tmpDir("learner")
+    learner.save(dir)
+
+    val reloaded = Plan.loadLearner(plan, dir)
+    // the reloaded learner must keep the FULL fitted vocabulary: transform
+    // on a frame containing only "a" still emits cat_b / cat_c columns
+    val out = reloaded.transform(Map("in" -> part))
+    assert(out.columns.toSeq === Seq("k", "cat_a", "cat_b", "cat_c"))
+    sameRows(learner.transform(Map("in" -> part)), out)
+  }
+
+  test("unfitted learner refuses to save; non-persistent stage fails loudly") {
+    val opaque = new Estimator {
+      def fit(df: DataFrame): Transformer = new Transformer {
+        def transform(d: DataFrame): DataFrame = d
+      }
+    }
+    val plan = Apply(Var("in"), opaque)
+    val learner = Plan.makeLearner(plan)
+    intercept[IllegalStateException] { learner.save(tmpDir("bad1")) }
+    learner.fit(Map("in" -> Seq((1L, "a")).toDF("k", "cat")))
+    intercept[IllegalArgumentException] { learner.save(tmpDir("bad2")) }
+  }
+}
