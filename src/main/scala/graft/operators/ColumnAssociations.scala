@@ -41,7 +41,11 @@ object ColumnAssociations {
       round(biasCorrectedV(col("chi2"), col("n"), col("r"), col("c")), 6).as("cramers_v"))
   }
 
-  /** Bias-corrected Cramér's V (matches the reference's formula). */
+  /** Bias-corrected Cramér's V (matches the reference's formula). A constant
+    * column (r = 1 or c = 1) or a single-row frame makes the corrected
+    * denominator zero — no association is measurable, so V = 0 rather than a
+    * divide-by-zero (ANSI mode makes that an ERROR, not a NaN).
+    */
   private def biasCorrectedV(chi2: org.apache.spark.sql.Column,
                              n: org.apache.spark.sql.Column,
                              r: org.apache.spark.sql.Column,
@@ -50,7 +54,8 @@ object ColumnAssociations {
     val phi2corr = greatest(lit(0.0), phi2 - (r - 1) * (c - 1) / (n - 1))
     val rcorr = r - (r - 1) * (r - 1) / (n - 1)
     val ccorr = c - (c - 1) * (c - 1) / (n - 1)
-    sqrt(phi2corr / least(rcorr - 1, ccorr - 1))
+    val den = least(rcorr - 1, ccorr - 1)
+    when(n > 1 && den > 0, sqrt(phi2corr / den)).otherwise(0.0)
   }
 
   /** All given pairs, unioned (each pair is one independent small job). */

@@ -4,16 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** TableReport summary job (reference skrub/_reporting/_summarize.py:21-310
-  * feeding _table_report.py:98): per-column profiling statistics as one
-  * long-format frame — the data side of the reference's HTML report.
+/** TableReport (reference skrub/_reporting/_summarize.py:21-310 feeding
+  * _table_report.py:98): per-column profiling statistics, top/bottom sample
+  * slices, top column associations, and a self-contained HTML rendering.
   *
-  * ONE aggregate job computes every column's stats together (count, nulls,
-  * exact distinct, min/max as display strings, decimal-exact mean for
-  * numerics); the wide single row is exploded into per-column rows
-  * afterwards — executors scan the input once regardless of column count.
+  * Spark-first shape: `summarize` is TWO jobs regardless of column count —
+  * one aggregate computing every column's stats together (count, nulls,
+  * exact distinct, min/max, decimal-exact mean/std, exact quartiles), plus
+  * one melted value-count job computing every string column's mode together
+  * (explode to (column, value), count, arg-min — never one job per column).
+  * The wide single stats row is exploded into per-column rows afterwards.
   */
 object TableReport {
+
+  /** Cardinality above which a column is flagged high-card (reference
+    * `cardinality_threshold` default in _config.py).
+    */
+  val CardinalityThreshold = 40
 
   def summarize(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
@@ -29,12 +36,32 @@ object TableReport {
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       val nv = numView(f)
-      val mean = f.dataType match {
-        case _: NumericType =>
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      // decimal-route the moment sums so mean/std are aggregation-order-
+      // independent (float sums are not associative; DECIMAL sums are)
+      val mean =
+        if (isNum)
           round(sum(c.cast(DecimalType(24, 6))).cast(DoubleType) /
             count(c).cast(DoubleType), 6)
-        case _ => lit(null).cast(DoubleType)
-      }
+        else lit(null).cast(DoubleType)
+      val std =
+        if (isNum) {
+          // DECIMAL(18,6) operands keep the product at DECIMAL(37,12) — under
+          // Spark's 38-digit cap, so the moment sums stay EXACT (and identical
+          // in DuckDB); only the final combination runs in double
+          val n = count(c).cast(DoubleType)
+          val sx = sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+          val sxx = sum(c.cast(DecimalType(18, 6)) * c.cast(DecimalType(18, 6)))
+            .cast(DoubleType)
+          // sample std (ddof=1), like the reference's sbd.std
+          round(sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), lit(0.0))), 6)
+        } else lit(null).cast(DoubleType)
+      // exact interpolated percentile (sorts values — order-independent;
+      // matches DuckDB quantile_cont), like Kernel.quantileExact
+      val quarts =
+        if (isNum)
+          expr(s"percentile(`${f.name}`, array(0.25D, 0.5D, 0.75D))")
+        else lit(null).cast(ArrayType(DoubleType))
       Seq(
         count(c).as(s"${f.name}__count"),
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
@@ -45,22 +72,124 @@ object TableReport {
           .as(s"${f.name}__min_str"),
         (if (f.dataType == StringType) max(c) else lit(null).cast(StringType))
           .as(s"${f.name}__max_str"),
-        mean.as(s"${f.name}__mean"))
+        mean.as(s"${f.name}__mean"),
+        std.as(s"${f.name}__std"),
+        quarts.as(s"${f.name}__quarts"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val entries = fields.map { f =>
+      val q = col(s"${f.name}__quarts")
+      val nRows = col(s"${f.name}__count") + col(s"${f.name}__nulls")
       struct(
         lit(f.name).as("column_name"),
         lit(f.dataType.simpleString).as("dtype"),
         col(s"${f.name}__count").as("count"),
         col(s"${f.name}__nulls").as("null_count"),
+        round(col(s"${f.name}__nulls").cast(DoubleType) /
+          greatest(nRows.cast(DoubleType), lit(1.0)), 6).as("null_proportion"),
         col(s"${f.name}__distinct").as("n_unique"),
+        (col(s"${f.name}__distinct") > CardinalityThreshold).as("is_high_cardinality"),
+        (col(s"${f.name}__distinct") === 1 && col(s"${f.name}__nulls") === 0)
+          .as("value_is_constant"),
         col(s"${f.name}__min_num").as("min_numeric"),
         col(s"${f.name}__max_num").as("max_numeric"),
         col(s"${f.name}__min_str").as("min_string"),
         col(s"${f.name}__max_str").as("max_string"),
-        col(s"${f.name}__mean").as("mean"))
+        col(s"${f.name}__mean").as("mean"),
+        col(s"${f.name}__std").as("std"),
+        (round(element_at(q, 1), 6) + lit(0.0)).as("q25"),
+        (round(element_at(q, 2), 6) + lit(0.0)).as("q50"),
+        (round(element_at(q, 3), 6) + lit(0.0)).as("q75"))
     }
-    wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    val stats = wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+
+    // mode (most frequent, smallest value on ties) of every string column in
+    // ONE melted two-level aggregate — (column, value) counts, then arg-min
+    // per column over (-count, value)
+    val strCols = fields.filter(_.dataType == StringType).map(_.name)
+    if (strCols.isEmpty)
+      stats
+        .withColumn("mode_value", lit(null).cast(StringType))
+        .withColumn("mode_count", lit(null).cast(LongType))
+    else {
+      val melted = df.select(explode(array(strCols.map(c =>
+        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("e"))
+        .select(col("e.cn").as("cn"), col("e.v").as("v"))
+        .filter(col("v").isNotNull)
+      val modes = melted.groupBy(col("cn"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cn"))
+        .agg(min_by(col("v"), struct(negate(col("cnt")), col("v"))).as("mode_value"),
+          max(col("cnt")).as("mode_count"))
+      stats.join(modes, stats("column_name") === modes("cn"), "left").drop("cn")
+    }
+  }
+
+  /** Top-N / bottom-N sample slices by an explicit ordering key (reference
+    * _sample_table.make_table's top_slice/bottom_slice; Spark has no file
+    * order, so the key is required). Two TakeOrderedAndProject jobs — never
+    * a full sort.
+    */
+  def sampleSlices(df: DataFrame, orderBy: Seq[String], topN: Int = 5,
+                   bottomN: Int = 5): DataFrame = {
+    val asc = orderBy.map(col)
+    val desc = orderBy.map(col(_).desc)
+    val top = df.orderBy(asc: _*).limit(topN)
+      .withColumn("slice", lit("top"))
+    val bottom = df.orderBy(desc: _*).limit(bottomN)
+      .withColumn("slice", lit("bottom"))
+    top.unionByName(bottom)
+  }
+
+  /** Top-N column associations (Cramér's V over all pairs — reference
+    * _add_associations, _summarize.py:135) embedded in the report. The
+    * all-pairs pass is ONE melted projection (see ColumnAssociations).
+    */
+  def topAssociations(df: DataFrame, topN: Int = 1000): DataFrame =
+    ColumnAssociations.allPairs(df, topN)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def renderTable(df: DataFrame, maxRows: Int): String = {
+    val cols = df.columns.toSeq
+    val rows = df.limit(maxRows).collect()
+    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map { r =>
+      val tds = cols.indices.map { i =>
+        val v = if (r.isNullAt(i)) "" else esc(String.valueOf(r.get(i)))
+        s"<td>$v</td>"
+      }.mkString
+      s"<tr>$tds</tr>"
+    }.mkString("\n")
+    s"<table>\n<thead><tr>$head</tr></thead>\n<tbody>\n$body\n</tbody>\n</table>"
+  }
+
+  /** Self-contained HTML report string (reference TableReport.html(),
+    * _table_report.py:98): summary stats, sample slices, top associations.
+    * The three sections run the bounded jobs above; rendering is
+    * driver-side string assembly over their (small) results.
+    */
+  def toHtml(df: DataFrame, orderBy: Seq[String], title: String = "TableReport",
+             topAssoc: Int = 20): String = {
+    val nCols = df.columns.length
+    val stats = renderTable(summarize(df).orderBy(col("column_name")), nCols)
+    val sample = renderTable(sampleSlices(df, orderBy), 10)
+    val assoc = renderTable(
+      topAssociations(df, topAssoc)
+        .orderBy(col("cramer_v").desc, col("col_a"), col("col_b")),
+      topAssoc)
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>table{border-collapse:collapse}td,th{border:1px solid #999;padding:2px 6px;font:12px monospace}</style>
+       |</head><body>
+       |<h1>${esc(title)}</h1>
+       |<p>${df.columns.length} columns</p>
+       |<h2>Sample</h2>
+       |$sample
+       |<h2>Column statistics</h2>
+       |$stats
+       |<h2>Top associations</h2>
+       |$assoc
+       |</body></html>""".stripMargin
   }
 }

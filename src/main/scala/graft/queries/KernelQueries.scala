@@ -43,6 +43,10 @@ object KernelQueries {
     "q_table_report" -> ((s, dir) =>
       TableReport.summarize(t(s, dir, "orders"))),
 
+    // TableReport sample tab: top/bottom slices by an explicit key
+    "q_table_report_sample" -> ((s, dir) =>
+      TableReport.sampleSlices(t(s, dir, "orders"), Seq("o_orderkey"))),
+
     // SimilarityEncoder: per-category ngram-jaccard similarity columns
     "q_similarity_encoder" -> ((s, dir) =>
       SimilarityEncoder.encode(
@@ -103,13 +107,43 @@ object KernelQueries {
         if (isNum)
           s"round(CAST(sum(CAST($c AS DECIMAL(24,6))) AS DOUBLE) / count($c), 6)"
         else "CAST(NULL AS DOUBLE)"
+      val std =
+        if (isNum)
+          s"""round(sqrt(greatest(
+             |    (CAST(sum(CAST($c AS DECIMAL(19,6)) * CAST($c AS DECIMAL(19,6))) AS DOUBLE)
+             |     - CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)
+             |       * CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c))
+             |    / (count($c) - 1), 0.0)), 6)""".stripMargin
+        else "CAST(NULL AS DOUBLE)"
+      def quart(q: String) =
+        if (isNum) s"round(quantile_cont($c, $q), 6) + 0.0"
+        else "CAST(NULL AS DOUBLE)"
+      val modeV =
+        if (isStr)
+          s"""(SELECT v FROM (SELECT $c AS v, count(*) AS cnt FROM orders
+             |    WHERE $c IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, v LIMIT 1))""".stripMargin
+        else "CAST(NULL AS VARCHAR)"
+      val modeC =
+        if (isStr)
+          s"""(SELECT CAST(cnt AS BIGINT) FROM (SELECT count(*) AS cnt FROM orders
+             |    WHERE $c IS NOT NULL GROUP BY $c ORDER BY cnt DESC, $c LIMIT 1))""".stripMargin
+        else "CAST(NULL AS BIGINT)"
       s"""SELECT '$c' AS column_name, '$dtype' AS dtype,
          |  count($c) AS count,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+         |  round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / greatest(count(*), 1), 6) AS null_proportion,
          |  count(DISTINCT $c) AS n_unique,
+         |  count(DISTINCT $c) > 40 AS is_high_cardinality,
+         |  count(DISTINCT $c) = 1
+         |    AND sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0 AS value_is_constant,
          |  $minNum AS min_numeric, $maxNum AS max_numeric,
          |  $minStr AS min_string, $maxStr AS max_string,
-         |  $mean AS mean
+         |  $mean AS mean,
+         |  $std AS std,
+         |  ${quart("0.25")} AS q25, ${quart("0.5")} AS q50, ${quart("0.75")} AS q75,
+         |  $modeV AS mode_value,
+         |  $modeC AS mode_count
          |FROM orders""".stripMargin
     }
     Seq(
@@ -168,6 +202,13 @@ object KernelQueries {
       "SELECT c_custkey, c_nationkey, TRUE AS pred_ok FROM customer",
 
     "q_table_report" -> tableReportOracle,
+
+    "q_table_report_sample" ->
+      """SELECT *, 'top' AS slice FROM (
+        |  SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)
+        |UNION ALL
+        |SELECT *, 'bottom' AS slice FROM (
+        |  SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 5)""".stripMargin,
 
     "q_similarity_encoder" -> simOracle,
 
