@@ -49,16 +49,19 @@ object Dedup {
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDf: Long = 1000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // persist the PER-DOC shingle arrays, not the exploded posting list: the
+    // expensive work is the regex-normalize + shingle transform (it must not
+    // recompute per consumer — the round-2 bench regression), but the
+    // exploded posting is |doc|×|shingles| rows while this frame is |doc|
+    // rows — materializing the compact form and re-exploding per consumer
+    // (cheap columnar generate from cached arrays) halves the cached bytes
+    // and drops one full posting-list materialization pass.
     val docs = df.select(col(idCol).as("id"),
         graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
-    // persist the exploded posting list: it feeds the hot-shingle count AND
-    // the kept list, and `kept` feeds both sides of the pair self-join —
-    // without the persist the regex-normalize + shingle transform recomputes
-    // ~4x per document (the round-2 bench regression).
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val posting = docs
       .select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // stop-shingle cutoff: one groupBy-count, anti-joined away. No broadcast
     // hint: the hot-shingle set is unbounded in corpus size (a fixed df
     // cutoff admits more distinct hot shingles as the corpus grows), so AQE
@@ -67,8 +70,15 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("shingle"))
-    val kept = posting.join(hot, Seq("shingle"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // When no shingle exceeds the cutoff (common until the corpus is large),
+    // the anti-join is an identity — skip it AND its posting-list persist:
+    // both self-join sides then re-explode the cached per-doc arrays. The
+    // emptiness probe is one action over the (already small) aggregate.
+    val kept =
+      if (hot.isEmpty) posting
+      else posting.join(hot, Seq("shingle"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val a = kept.select(col("id").as("id_a"), col("n_shingles").as("n_a"), col("shingle"))
     val b = kept.select(col("id").as("id_b"), col("n_shingles").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))

@@ -107,7 +107,16 @@ object Joins {
         // common string type and corrupt both).
         val byType = modeCols.groupBy(c => aux.schema(c).dataType).toSeq
           .sortBy(_._1.simpleString)
-        val frames = byType.map { case (_, cols) =>
+        val frames = byType.map {
+          case (_, Seq(c)) =>
+            // a lone mode column skips the melt: the direct two-level
+            // aggregate is one explode and one aggregate cheaper (the melt
+            // only amortizes when >= 2 columns share it)
+            aux.groupBy((keyCols :+ col(c)): _*)
+              .agg(count(col(c)).as("__cnt"))
+              .groupBy(keyCols: _*)
+              .agg(min_by(col(c), struct(negate(col("__cnt")), col(c))).as(s"${c}_mode"))
+          case (_, cols) =>
           val entries = cols.zipWithIndex.map { case (c, i) =>
             struct(lit(i).as("ci"), col(c).as("v"))
           }

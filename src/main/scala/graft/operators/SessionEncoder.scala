@@ -62,12 +62,19 @@ object SessionEncoder {
     val keyNames = splitBy :+ "__local_session"
     val keyCols = keyNames.map(col)
     val valid = local.filter(col("__local_session") =!= -1L)
-    val nPart = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    // orderBy = range exchange + sort-within: partition i's keys all precede
+    // partition i+1's. monotonically_increasing_id on the SORTED cached frame
+    // is (partitionId << 33) | row-index-in-partition — a pure projection, so
+    // both the partition id and the dense within-partition index come out
+    // with ZERO extra shuffle (a window partitioned by pid would re-shuffle
+    // the whole key set on pid; zipWithIndex would leave codegen for RDDs).
     val parts = valid.select(keyCols: _*).distinct()
-      .repartitionByRange(nPart, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .orderBy(keyCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
+      .withColumn("__rid", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .persist()
+    // per-partition counts -> driver prefix sums: one tiny row per partition
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__n")).toMap
     val offsets: Map[Int, Long] = {
@@ -76,12 +83,9 @@ object SessionEncoder {
         val o = acc; acc += counts(p); p -> o
       }.toMap
     }
-    val w = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
     val numbered = parts
-      .withColumn(out,
-        row_number().over(w).cast(LongType) - 1L +
-          element_at(typedLit(offsets), col("__pid")))
-      .drop("__pid")
+      .withColumn(out, col("__rid") + element_at(typedLit(offsets), col("__pid")))
+      .drop("__mid", "__pid", "__rid")
     val invalid = local.filter(col("__local_session") === -1L)
       .withColumn(out, lit(-1L))
     valid.join(numbered, keyNames)
