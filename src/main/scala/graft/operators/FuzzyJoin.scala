@@ -191,12 +191,37 @@ object FuzzyJoin {
   val MatchInfoRescaled = "skrub_Joiner_rescaled_distance"
   val MatchInfoAccepted = "skrub_Joiner_match_accepted"
 
+  /** Reference-distance strategy (the reference's `ref_dist` parameter,
+    * _matching.py:9-209 / _joiner.py:150-166). Scalar strategies rescale
+    * every match by one fitted constant; the neighbor strategies rescale
+    * each match by its own reference distance.
+    */
+  sealed trait RefDist
+  object RefDist {
+    /** reference distance = 1.0 (`no_rescaling`). */
+    case object NoRescaling extends RefDist
+    /** `percentile`-th quantile of sampled aux pair distances
+      * (`random_pairs`, _matching.py:88-127). */
+    final case class RandomPairs(percentile: Double = 0.25,
+                                 sampleSize: Int = 500) extends RefDist
+    /** distance of the main row to its (referenceNeighbor+1)-th nearest aux
+      * neighbor — the first being the match itself (`second_neighbor`,
+      * reference class OtherNeighbor, _matching.py:178-209). */
+    final case class SecondNeighbor(referenceNeighbor: Int = 1) extends RefDist
+    /** distance of the MATCHED aux row to its referenceNeighbor-th nearest
+      * neighbor within the aux table, itself excluded (`self_join_neighbor`,
+      * reference class SelfJoinNeighbor, _matching.py:141-176). */
+    final case class SelfJoinNeighbor(referenceNeighbor: Int = 1) extends RefDist
+  }
+
   /** The Joiner: left-join `main` to its fuzzy 1-NN match in `aux`.
     *
-    * @param keys      (mainCol, auxCol) key pairs
-    * @param maxDist   accept a match iff rescaled distance <= maxDist
-    * @param rescale   false = no_rescaling ref_dist (reference distance 1.0)
-    * @param suffix    rename suffix for colliding aux payload columns
+    * @param keys        (mainCol, auxCol) key pairs
+    * @param maxDist     accept a match iff rescaled distance <= maxDist
+    * @param rescale     false = no_rescaling ref_dist (reference distance 1.0)
+    * @param suffix      rename suffix for colliding aux payload columns
+    * @param refStrategy explicit ref_dist strategy; overrides `rescale` /
+    *                    `refPercentile` / `refSampleSize` when set
     */
   def fuzzyJoin(main: DataFrame, aux: DataFrame, keys: Seq[(String, String)],
                 maxDist: Double = Double.PositiveInfinity,
@@ -205,7 +230,8 @@ object FuzzyJoin {
                 nBuckets: Int = 32,
                 refPercentile: Double = 0.25,
                 refSampleSize: Int = 500,
-                suffix: String = "_aux"): DataFrame = {
+                suffix: String = "_aux",
+                refStrategy: Option[RefDist] = None): DataFrame = {
     val blocks = inferBlocks(aux, keys, nBuckets)
     val auxKeys = keys.map(_._2)
     val mainKeys = keys.map(_._1)
@@ -221,9 +247,9 @@ object FuzzyJoin {
     val fitted = fit(auxDedup, blocks)
     val auxVec = auxDedup.withColumn("__vec", fitted.vector(b => col(b.auxCol)))
 
-    val refDist =
-      if (!rescale) 1.0
-      else referenceDistance(auxVec, auxKeys, refPercentile, refSampleSize)
+    val strategy = refStrategy.getOrElse(
+      if (rescale) RefDist.RandomPairs(refPercentile, refSampleSize)
+      else RefDist.NoRescaling)
 
     // match DISTINCT main key tuples against the broadcast aux vectors
     val mainKeyCols = mainKeys.map(col)
@@ -231,19 +257,68 @@ object FuzzyJoin {
       .withColumn("__mvec", fitted.vector(b => col(b.mainCol)))
     val auxSide = broadcast(auxVec.select(
       struct(auxKeys.map(col): _*).as("__akey") +: Seq(col("__vec").as("__avec")): _*))
+    val pairs = mDistinct.crossJoin(auxSide)
+      .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
     val tieBreak = struct(col("__d") +: auxKeys.indices.map(i =>
       col(s"__akey.${auxKeys(i)}")): _*)
-    val matched = mDistinct.crossJoin(auxSide)
-      .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
-      .groupBy(mainKeyCols: _*)
-      .agg(min_by(struct(col("__akey"), col("__d")), tieBreak).as("__best"))
-      .select(mainKeyCols :+ col("__best.__akey").as("__akey") :+
-        col("__best.__d").as(MatchInfoDistance): _*)
+
+    // 1-NN per distinct main key. SecondNeighbor needs the (k+1)-th smallest
+    // too: ONE MinKBy aggregate yields both — partial aggregation keeps the
+    // shuffle at one bounded row per key (a window would re-sort the whole
+    // pair frame; collect_list would shuffle |aux| elements per key).
+    // MinKBy's element ordering struct(d, akey) compares d first then akey
+    // fields recursively — identical to the min_by tie-break.
+    val matchedRaw: DataFrame = strategy match {
+      case RefDist.SecondNeighbor(k) =>
+        pairs.groupBy(mainKeyCols: _*)
+          .agg(graft.functions.AggExprs.minKBy(
+            struct(col("__d").as("d"), col("__akey").as("k")), k + 1).as("__top"))
+          .select(mainKeyCols ++ Seq(
+            get(col("__top"), lit(0))("k").as("__akey"),
+            get(col("__top"), lit(0))("d").as(MatchInfoDistance),
+            get(col("__top"), lit(k))("d").as("__refd")): _*)
+      case _ =>
+        pairs.groupBy(mainKeyCols: _*)
+          .agg(min_by(struct(col("__akey"), col("__d")), tieBreak).as("__best"))
+          .select(mainKeyCols :+ col("__best.__akey").as("__akey") :+
+            col("__best.__d").as(MatchInfoDistance): _*)
+    }
+    // SelfJoinNeighbor: each aux row's k-th nearest OTHER aux row — an
+    // aux-self pair scan (aux is broadcast-small by the reference's own
+    // in-memory contract), one bounded row per aux key, joined onto the
+    // matches by the matched key (AQE broadcasts the small side).
+    val withRef: DataFrame = strategy match {
+      case RefDist.SelfJoinNeighbor(k) =>
+        val sSide = auxVec.select(
+          struct(auxKeys.map(col): _*).as("__skey"), col("__vec").as("__svec"))
+        val auxRef = sSide.crossJoin(auxSide)
+          .filter(!(col("__skey") === col("__akey")))
+          .withColumn("__d", sqrt(dist2(col("__svec"), col("__avec"))))
+          .groupBy(col("__skey"))
+          .agg(graft.functions.AggExprs.minKBy(
+            struct(col("__d").as("d"), col("__akey").as("k")), k).as("__top"))
+          .select(col("__skey"), get(col("__top"), lit(k - 1))("d").as("__refd"))
+        matchedRaw.join(auxRef, col("__akey") === col("__skey"), "left")
+          .drop("__skey")
+      case _ => matchedRaw
+    }
+    val refCol: Column = strategy match {
+      case RefDist.NoRescaling           => lit(1.0)
+      case RefDist.RandomPairs(p, n)     =>
+        lit(referenceDistance(auxVec, auxKeys, p, n))
+      case _                             => col("__refd")
+    }
+    // a null per-row reference distance (fewer than k+1 aux rows) yields a
+    // null rescaled distance and a rejected match
+    val matched = withRef
       .withColumn(MatchInfoRescaled,
         when(col(MatchInfoDistance) === 0.0, 0.0)
-          .when(lit(refDist) === 0.0, Double.PositiveInfinity)
-          .otherwise(col(MatchInfoDistance) / refDist))
-      .withColumn(MatchInfoAccepted, col(MatchInfoRescaled) <= maxDist)
+          .when(refCol.isNull, lit(null).cast(DoubleType))
+          .when(refCol === 0.0, Double.PositiveInfinity)
+          .otherwise(col(MatchInfoDistance) / refCol))
+      .withColumn(MatchInfoAccepted,
+        coalesce(col(MatchInfoRescaled) <= maxDist, lit(false)))
+      .drop("__refd")
 
     // rejected matches keep null aux payloads: null out the join key
     val acceptedKey = auxKeys.indices.map { i =>

@@ -18,15 +18,24 @@ import org.apache.spark.sql.types._
   * total sort; the composite (splitBy, session_id) is the scalable identity,
   * exactly like the reference's per-entity cumsum before its global offset.
   * `globalSessionId` materializes the reference's global numbering when the
-  * caller genuinely needs it, without a single-task global window: distinct
-  * session keys are sorted (distributed range sort) and densely numbered via
-  * `zipWithIndex` (one extra count job, no data through one task), then
-  * joined back.
+  * caller genuinely needs it, without a single-task global window: session
+  * START rows (one per session, free from the window pass) are range-sorted
+  * and densely numbered via monotonically_increasing_id + per-partition
+  * prefix-sum offsets, then joined back.
   */
 object SessionEncoder {
 
   def transform(df: DataFrame, splitBy: Seq[String], tsCol: String,
-                gapSeconds: Double, out: String = "session_id"): DataFrame = {
+                gapSeconds: Double, out: String = "session_id"): DataFrame =
+    transformWithBoundary(df, splitBy, tsCol, gapSeconds, out).drop("__start")
+
+  /** transform + a `__start` flag marking the first row of each session —
+    * session-start rows are exactly one row per session key, which lets
+    * `globalSessionId` enumerate sessions without a distinct aggregation.
+    */
+  private def transformWithBoundary(df: DataFrame, splitBy: Seq[String],
+                                    tsCol: String, gapSeconds: Double,
+                                    out: String): DataFrame = {
     val ts = col(tsCol)
     val keyNull = splitBy.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
     val invalid = ts.isNull || keyNull
@@ -38,7 +47,8 @@ object SessionEncoder {
       .otherwise(0L)
     val cum = sum(when(invalid, 0L).otherwise(boundary))
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn(out, when(invalid, lit(-1L)).otherwise(cum - 1L))
+    df.withColumn("__start", when(invalid, 0L).otherwise(boundary))
+      .withColumn(out, when(invalid, lit(-1L)).otherwise(cum - 1L))
   }
 
   /** Reference-style globally unique session ids, scale-safe AND
@@ -58,17 +68,25 @@ object SessionEncoder {
     */
   def globalSessionId(df: DataFrame, splitBy: Seq[String], tsCol: String,
                       gapSeconds: Double, out: String = "session_id"): DataFrame = {
-    val local = transform(df, splitBy, tsCol, gapSeconds, "__local_session")
+    import org.apache.spark.storage.StorageLevel
+    // the windowed frame feeds THREE consumers (the session enumeration, the
+    // valid join side, the invalid union side) — persist it or the window
+    // shuffle over the full input runs three times
+    val local = transformWithBoundary(df, splitBy, tsCol, gapSeconds,
+        "__local_session")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keyNames = splitBy :+ "__local_session"
     val keyCols = keyNames.map(col)
-    val valid = local.filter(col("__local_session") =!= -1L)
+    val valid = local.filter(col("__local_session") =!= -1L).drop("__start")
+    // session-START rows are already exactly one row per session key — no
+    // distinct aggregation exchange needed, straight to the range sort.
     // orderBy = range exchange + sort-within: partition i's keys all precede
     // partition i+1's. monotonically_increasing_id on the SORTED cached frame
     // is (partitionId << 33) | row-index-in-partition — a pure projection, so
     // both the partition id and the dense within-partition index come out
     // with ZERO extra shuffle (a window partitioned by pid would re-shuffle
     // the whole key set on pid; zipWithIndex would leave codegen for RDDs).
-    val parts = valid.select(keyCols: _*).distinct()
+    val parts = local.filter(col("__start") === 1L).select(keyCols: _*)
       .orderBy(keyCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
@@ -86,7 +104,7 @@ object SessionEncoder {
     val numbered = parts
       .withColumn(out, col("__rid") + element_at(typedLit(offsets), col("__pid")))
       .drop("__mid", "__pid", "__rid")
-    val invalid = local.filter(col("__local_session") === -1L)
+    val invalid = local.filter(col("__local_session") === -1L).drop("__start")
       .withColumn(out, lit(-1L))
     valid.join(numbered, keyNames)
       .unionByName(invalid)

@@ -42,8 +42,51 @@ object FuzzyJoinQueries {
           round(col(FuzzyJoin.MatchInfoDistance), 6).as("distance"),
           round(col(FuzzyJoin.MatchInfoRescaled), 6).as("rescaled_distance"),
           col(FuzzyJoin.MatchInfoAccepted).as("match_accepted"))
+    }),
+    // ref_dist = second_neighbor: each match rescaled by the main row's
+    // distance to its SECOND nearest aux neighbor (rescaled <= 1 by
+    // construction, so the accept threshold is < 1)
+    "q_fuzzy_join_second" -> ((s, dir) => {
+      val nation = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
+      FuzzyJoin.fuzzyJoin(mangledGuesses(s, dir), nation,
+          Seq("nation_guess" -> "n_name"),
+          maxDist = 0.9, nBuckets = NB,
+          refStrategy = Some(FuzzyJoin.RefDist.SecondNeighbor(1)))
+        .select(col("c_custkey"), col("nation_guess"),
+          col("n_name"), col("n_regionkey"),
+          round(col(FuzzyJoin.MatchInfoDistance), 6).as("distance"),
+          round(col(FuzzyJoin.MatchInfoRescaled), 6).as("rescaled_distance"),
+          col(FuzzyJoin.MatchInfoAccepted).as("match_accepted"))
+    }),
+    // ref_dist = self_join_neighbor: each match rescaled by the matched aux
+    // row's nearest-neighbor distance within aux
+    "q_fuzzy_join_selfjoin" -> ((s, dir) => {
+      val nation = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
+      FuzzyJoin.fuzzyJoin(mangledGuesses(s, dir), nation,
+          Seq("nation_guess" -> "n_name"),
+          maxDist = MaxDist, nBuckets = NB,
+          refStrategy = Some(FuzzyJoin.RefDist.SelfJoinNeighbor(1)))
+        .select(col("c_custkey"), col("nation_guess"),
+          col("n_name"), col("n_regionkey"),
+          round(col(FuzzyJoin.MatchInfoDistance), 6).as("distance"),
+          round(col(FuzzyJoin.MatchInfoRescaled), 6).as("rescaled_distance"),
+          col(FuzzyJoin.MatchInfoAccepted).as("match_accepted"))
     })
   )
+
+  /** The shared fixture: each customer's deterministically mangled copy of
+    * its nation's name.
+    */
+  private def mangledGuesses(s: SparkSession, dir: String): DataFrame =
+    Joins.leftJoin(t(s, dir, "customer"), t(s, dir, "nation"),
+        Seq("c_nationkey"), Seq("n_nationkey"))
+      .withColumn("nation_guess",
+        when(col("c_custkey") % 3 === 0,
+          regexp_replace(lower(col("n_name")), "[aeiou]", ""))
+          .when(col("c_custkey") % 3 === 1,
+            lower(col("n_name")).substr(lit(1), length(col("n_name")) - 1))
+          .otherwise(lower(col("n_name"))))
+      .select(col("c_custkey"), col("nation_guess"))
 
   /** DuckDB tf-array expression for a value column `v`: padded char
     * 2-4-grams -> md5-bucket counts (mirrors FuzzyJoin.tfArray).
@@ -61,6 +104,63 @@ object FuzzyJoinQueries {
   }
 
   private val d2 = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  /** Shared oracle CTE chain: aux vectorization, idf, guesses, main-key
+    * vectors, and all (main, aux) pair distances ranked per main key —
+    * mirrors the q_fuzzy_join oracle's prefix exactly.
+    */
+  private def commonCtes: String =
+    s"""WITH aux AS (
+       |  SELECT n_name, n_regionkey, ${tfSql("n_name")} AS tf FROM nation),
+       |dfc AS (
+       |  SELECT b, sum(CASE WHEN tf[b + 1] > 0 THEN 1 ELSE 0 END) AS df
+       |  FROM aux, (SELECT unnest(range(0, $NB)) AS b) GROUP BY b),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM aux),
+       |idf AS (
+       |  SELECT list(sqrt((1.0 + n) / (1.0 + df)) ORDER BY b) AS w
+       |  FROM dfc, nn GROUP BY n),
+       |auxw AS (
+       |  SELECT n_name, n_regionkey,
+       |    list_transform(list_zip(tf, (SELECT w FROM idf)), p -> p[1] * p[2]) AS wv
+       |  FROM aux),
+       |auxn AS (
+       |  SELECT n_name, n_regionkey, wv,
+       |    sqrt(list_sum(list_transform(wv, x -> x * x))) AS nrm
+       |  FROM auxw),
+       |auxvec AS (
+       |  SELECT n_name, n_regionkey,
+       |    CASE WHEN nrm = 0 THEN wv ELSE list_transform(wv, x -> x / nrm) END AS vec
+       |  FROM auxn),
+       |guesses AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 3 = 0
+       |           THEN regexp_replace(lower(n_name), '[aeiou]', '', 'g')
+       |         WHEN c_custkey % 3 = 1
+       |           THEN substr(lower(n_name), 1, length(n_name) - 1)
+       |         ELSE lower(n_name) END AS nation_guess
+       |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey),
+       |mkeys AS (
+       |  SELECT DISTINCT nation_guess FROM guesses),
+       |mtf AS (
+       |  SELECT nation_guess, ${tfSql("nation_guess")} AS tf FROM mkeys),
+       |mw AS (
+       |  SELECT nation_guess,
+       |    list_transform(list_zip(tf, (SELECT w FROM idf)), p -> p[1] * p[2]) AS wv
+       |  FROM mtf),
+       |mn AS (
+       |  SELECT nation_guess, wv,
+       |    sqrt(list_sum(list_transform(wv, x -> x * x))) AS nrm
+       |  FROM mw),
+       |mvec AS (
+       |  SELECT nation_guess,
+       |    CASE WHEN nrm = 0 THEN wv ELSE list_transform(wv, x -> x / nrm) END AS vec
+       |  FROM mn),
+       |scored AS (
+       |  SELECT m.nation_guess, a.n_name, a.n_regionkey,
+       |    sqrt(${d2.format("m.vec", "a.vec")}) AS d,
+       |    row_number() OVER (PARTITION BY m.nation_guess
+       |      ORDER BY sqrt(${d2.format("m.vec", "a.vec")}) ASC, a.n_name ASC) AS rn
+       |  FROM mvec m CROSS JOIN auxvec a)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_fuzzy_join" -> {
@@ -134,6 +234,54 @@ object FuzzyJoinQueries {
          |  round(f.resc, 6) AS rescaled_distance,
          |  f.ok AS match_accepted
          |FROM guesses g LEFT JOIN flags f ON g.nation_guess = f.nation_guess""".stripMargin
+    },
+    "q_fuzzy_join_second" -> {
+      s"""$commonCtes,
+         |best AS (
+         |  SELECT nation_guess, n_name, n_regionkey, d FROM scored WHERE rn = 1),
+         |ref2 AS (
+         |  SELECT nation_guess, d AS refd FROM scored WHERE rn = 2),
+         |flags AS (
+         |  SELECT b.nation_guess, b.n_name, b.n_regionkey, b.d,
+         |    CASE WHEN b.d = 0 THEN 0.0
+         |         WHEN r.refd IS NULL THEN NULL
+         |         WHEN r.refd = 0 THEN 1e308 * 10
+         |         ELSE b.d / r.refd END AS resc
+         |  FROM best b LEFT JOIN ref2 r ON b.nation_guess = r.nation_guess),
+         |fl AS (
+         |  SELECT *, coalesce(resc <= 0.9, false) AS ok FROM flags)
+         |SELECT g.c_custkey, g.nation_guess,
+         |  CASE WHEN f.ok THEN f.n_name END AS n_name,
+         |  CASE WHEN f.ok THEN f.n_regionkey END AS n_regionkey,
+         |  round(f.d, 6) AS distance,
+         |  round(f.resc, 6) AS rescaled_distance,
+         |  f.ok AS match_accepted
+         |FROM guesses g LEFT JOIN fl f ON g.nation_guess = f.nation_guess""".stripMargin
+    },
+    "q_fuzzy_join_selfjoin" -> {
+      s"""$commonCtes,
+         |selfd AS (
+         |  SELECT x.n_name AS sname, min(sqrt(${d2.format("x.vec", "y.vec")})) AS refd
+         |  FROM auxvec x JOIN auxvec y ON x.n_name <> y.n_name
+         |  GROUP BY x.n_name),
+         |best AS (
+         |  SELECT nation_guess, n_name, n_regionkey, d FROM scored WHERE rn = 1),
+         |flags AS (
+         |  SELECT b.nation_guess, b.n_name, b.n_regionkey, b.d,
+         |    CASE WHEN b.d = 0 THEN 0.0
+         |         WHEN s.refd IS NULL THEN NULL
+         |         WHEN s.refd = 0 THEN 1e308 * 10
+         |         ELSE b.d / s.refd END AS resc
+         |  FROM best b LEFT JOIN selfd s ON b.n_name = s.sname),
+         |fl AS (
+         |  SELECT *, coalesce(resc <= $MaxDist, false) AS ok FROM flags)
+         |SELECT g.c_custkey, g.nation_guess,
+         |  CASE WHEN f.ok THEN f.n_name END AS n_name,
+         |  CASE WHEN f.ok THEN f.n_regionkey END AS n_regionkey,
+         |  round(f.d, 6) AS distance,
+         |  round(f.resc, 6) AS rescaled_distance,
+         |  f.ok AS match_accepted
+         |FROM guesses g LEFT JOIN fl f ON g.nation_guess = f.nation_guess""".stripMargin
     }
   )
 }

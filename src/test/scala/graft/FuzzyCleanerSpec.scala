@@ -79,4 +79,61 @@ class FuzzyCleanerSpec extends AnyFunSuite {
     val cats = out.select("cat_s").as[Option[String]].collect().toSet
     assert(cats === Set(None, Some("ok")))
   }
+
+  test("minKBy returns the k smallest elements ascending, bounded per group") {
+    val df = Seq((1, 5.0), (1, 1.0), (1, 3.0), (1, 2.0), (2, 9.0))
+      .toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(graft.functions.AggExprs.minKBy(struct($"v"), 3).as("top"))
+      .select($"g", expr("transform(top, t -> t.v)").as("vs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1) === Seq(1.0, 2.0, 3.0))
+    assert(out(2) === Seq(9.0))
+  }
+
+  test("minKBy agrees with sort_array(collect_list) under shuffled partitions") {
+    val df = spark.range(200).selectExpr("id % 7 as g",
+      "cast(pmod(id * 2654435761, 1000) as double) as v").repartition(8)
+    val viaMinK = df.groupBy($"g")
+      .agg(graft.functions.AggExprs.minKBy(struct($"v"), 5).as("top"))
+      .select($"g", expr("transform(top, t -> t.v)").as("vs"))
+    val viaSort = df.groupBy($"g")
+      .agg(expr("slice(array_sort(collect_list(v)), 1, 5)").as("vs"))
+    val l = viaMinK.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val r = viaSort.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(l === r)
+  }
+
+  test("second_neighbor rescales by the distance to the 2nd nearest aux row") {
+    val main = Seq("francd").toDF("country")
+    val aux = Seq(("france", 1), ("franco", 2), ("italy", 3)).toDF("name", "aux_id")
+    val out = FuzzyJoin.fuzzyJoin(main, aux, Seq("country" -> "name"),
+        refStrategy = Some(FuzzyJoin.RefDist.SecondNeighbor(1)))
+      .select(col(FuzzyJoin.MatchInfoDistance), col(FuzzyJoin.MatchInfoRescaled),
+        col("name")).collect()(0)
+    // rescaled = d(best) / d(second best) — strictly within (0, 1] here
+    assert(out.getString(2) === "france" || out.getString(2) === "franco")
+    assert(out.getDouble(1) > 0.0 && out.getDouble(1) <= 1.0)
+    assert(out.getDouble(1) !== out.getDouble(0)) // per-row rescale applied
+  }
+
+  test("self_join_neighbor rescales by the matched aux row's own NN distance") {
+    // aux has a tight pair (france/franco) and an outlier (zzz): a match to
+    // the outlier rescales by a LARGE ref distance, a match to the tight
+    // pair by a small one
+    val main = Seq("francf", "zzy").toDF("country")
+    val aux = Seq(("france", 1), ("franco", 2), ("zzz", 3)).toDF("name", "aux_id")
+    val out = FuzzyJoin.fuzzyJoin(main, aux, Seq("country" -> "name"),
+        refStrategy = Some(FuzzyJoin.RefDist.SelfJoinNeighbor(1)))
+      .select(col("country"), col(FuzzyJoin.MatchInfoDistance),
+        col(FuzzyJoin.MatchInfoRescaled), col("name"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("francf").getString(3).startsWith("franc"))
+    assert(out("zzy").getString(3) === "zzz")
+    // the outlier's self-NN distance is large, so its rescaled distance is
+    // far smaller relative to raw than the tight pair's
+    val tight = out("francf"); val far = out("zzy")
+    assert(far.getDouble(2) / far.getDouble(1) <
+      tight.getDouble(2) / tight.getDouble(1))
+  }
 }
