@@ -71,6 +71,17 @@ object DatetimeEncoder {
                 periodic: Boolean = false): DataFrame =
     df.select(df.columns.map(col).toSeq ++ encode(colName, resolution, periodic = periodic): _*)
 
+  /** (output suffix, expression) pairs — the un-aliased form `encode` wraps,
+    * for per-column frameworks (ApplyToCols) that name outputs themselves.
+    */
+  def partColumns(c: Column, resolution: String,
+                  addTotalSeconds: Boolean): Seq[(String, Column)] = {
+    val upTo = Resolutions.take(Resolutions.indexOf(resolution) + 1)
+    val parts = upTo ++ Seq("weekday", "day_of_year") ++
+      (if (addTotalSeconds) Seq("total_seconds") else Nil)
+    parts.map(p => p -> part(c, p))
+  }
+
   // ---------------------------------------------------------------------
   // B-spline periodic encoding (reference periodic='spline':
   // SplineTransformer(degree=3, extrapolation='periodic'), n_splines per

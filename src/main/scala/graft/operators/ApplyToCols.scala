@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.selectors.{Selector, Selectors}
+
+/** User-facing per-column transformer framework (reference: ApplyToCols /
+  * ApplyToEachCol / ApplyToSubFrame, skrub/_apply_to_cols.py:18-130,
+  * skrub/_apply_to_each_col.py:19-487; RejectColumn contract
+  * skrub/core/_apply_to_each_col.py).
+  *
+  * Semantics matched:
+  *  - the transformer is fitted independently per selected column; columns
+  *    outside `cols - excludeCols` pass through untouched;
+  *  - a fit may throw [[RejectColumn]]: with `allowReject` the column passes
+  *    through unchanged, without it the rejection propagates;
+  *  - `keepOriginal` keeps the input column next to its outputs (outputs
+  *    colliding with a kept original are renamed with a `_out` suffix);
+  *  - `renameColumns` is a `"prefix_{}"`-style format applied to every
+  *    transformation output name;
+  *  - fitted state is exposed per column (`transformers`, `inputToOutputs`)
+  *    like the reference's `transformers_` / `input_to_outputs_`.
+  *
+  * Spark-first shape: a fitted column model is a set of NAMED EXPRESSIONS,
+  * so transform is ONE projection over the input — never a withColumn chain
+  * (each withColumn is an analysis pass) and never a per-column job. Fit-time
+  * data dependence goes through `fitCols`, which estimators override to
+  * compute stats for ALL their columns in one aggregate job (see
+  * [[ApplyToCols.squashingScaler]]) — the per-column default is only the
+  * fallback for genuinely independent fits.
+  */
+object ApplyToCols {
+
+  /** A transformer refuses a column it is not suited for (reference
+    * core.RejectColumn).
+    */
+  final case class RejectColumn(message: String) extends RuntimeException(message)
+
+  /** Fitted single-column model: output (name, expression) pairs for the
+    * column. Names are pre-rename; most transformers emit one output named
+    * like the input.
+    */
+  trait ColModel {
+    def outputs(colName: String): Seq[(String, Column)]
+  }
+
+  /** Single-column estimator. Implement `fitCol`; override `fitCols` when
+    * the fit needs data stats, so N columns cost ONE job instead of N.
+    */
+  trait ColEstimator {
+    /** Fit one column; throw [[RejectColumn]] to decline it. */
+    def fitCol(df: DataFrame, colName: String): ColModel
+
+    /** Batch fit hook: default = independent per-column fits. */
+    def fitCols(df: DataFrame, colNames: Seq[String]): Seq[(String, Either[RejectColumn, ColModel])] =
+      colNames.map { c =>
+        try c -> Right(fitCol(df, c))
+        catch { case r: RejectColumn => c -> Left(r) }
+      }
+  }
+
+  /** The fitted ApplyToCols: per-column models + passthrough bookkeeping. */
+  final case class Model(transformers: Seq[(String, ColModel)],
+                         rejected: Seq[String],
+                         allColumns: Seq[String],
+                         keepOriginal: Boolean,
+                         renameColumns: String) {
+
+    private val fitted = transformers.toMap
+
+    /** input column -> its (post-rename) output names. */
+    lazy val inputToOutputs: Map[String, Seq[String]] =
+      transformers.map { case (c, m) =>
+        c -> m.outputs(c).map { case (n, _) => finalName(c, n) }
+      }.toMap
+
+    private def renamed(n: String): String = renameColumns.replace("{}", n)
+
+    private def finalName(in: String, out: String): String = {
+      val r = renamed(out)
+      if (keepOriginal && r == in) s"${r}_out" else r
+    }
+
+    /** ONE projection: each input column slot expands in place to its
+      * outputs (plus the original when `keepOriginal`), untouched columns
+      * pass through — preserving the reference's column order contract.
+      */
+    def transform(df: DataFrame): DataFrame = {
+      val projection = df.columns.toSeq.flatMap { c =>
+        fitted.get(c) match {
+          case Some(m) =>
+            val outs = m.outputs(c).map { case (n, e) => e.as(finalName(c, n)) }
+            if (keepOriginal) col(c) +: outs else outs
+          case None => Seq(col(c))
+        }
+      }
+      df.select(projection: _*)
+    }
+  }
+
+  /** Fit `estimator` on every column selected by `cols - excludeCols`. */
+  def fit(df: DataFrame, estimator: ColEstimator,
+          cols: Selector = Selector.All,
+          excludeCols: Option[Selector] = None,
+          allowReject: Boolean = false,
+          keepOriginal: Boolean = false,
+          renameColumns: String = "{}"): Model = {
+    val selected = {
+      val base = Selectors.expand(df, cols)
+      excludeCols match {
+        case Some(ex) => val drop = Selectors.expand(df, ex).toSet
+                         base.filterNot(drop)
+        case None     => base
+      }
+    }
+    val results = estimator.fitCols(df, selected)
+    val rejections = results.collect { case (c, Left(r)) => c -> r }
+    if (!allowReject) rejections.headOption.foreach { case (c, r) =>
+      throw new IllegalArgumentException(
+        s"transformer rejected column '$c' (${r.message}); pass allowReject=true to pass it through", r)
+    }
+    Model(results.collect { case (c, Right(m)) => c -> m },
+      rejections.map(_._1), df.columns.toSeq, keepOriginal, renameColumns)
+  }
+
+  def fitTransform(df: DataFrame, estimator: ColEstimator,
+                   cols: Selector = Selector.All,
+                   excludeCols: Option[Selector] = None,
+                   allowReject: Boolean = false,
+                   keepOriginal: Boolean = false,
+                   renameColumns: String = "{}"): DataFrame =
+    fit(df, estimator, cols, excludeCols, allowReject, keepOriginal,
+      renameColumns).transform(df)
+
+  // ---- library estimators ----------------------------------------------
+
+  /** SquashingScaler as a ColEstimator: rejects non-numeric columns; fits
+    * the quantiles of ALL accepted columns in ONE aggregate job.
+    */
+  def squashingScaler(maxAbs: Double = 3.0, qLow: Double = 0.25,
+                      qHigh: Double = 0.75, roundTo: Int = 6): ColEstimator =
+    new ColEstimator {
+      private def accept(df: DataFrame, c: String): Unit = df.schema(c).dataType match {
+        case _: NumericType => ()
+        case dt => throw RejectColumn(s"expected a numeric column, got $dt")
+      }
+
+      def fitCol(df: DataFrame, c: String): ColModel = {
+        accept(df, c)
+        model(graft.encoders.SquashingScaler.fit(df, c, maxAbs, qLow, qHigh))
+      }
+
+      override def fitCols(df: DataFrame, cs: Seq[String]): Seq[(String, Either[RejectColumn, ColModel])] = {
+        val (ok, bad) = cs.partition(c => df.schema(c).dataType match {
+          case _: NumericType => true
+          case _              => false
+        })
+        val fittedModels: Map[String, ColModel] = if (ok.isEmpty) Map.empty else {
+          // one aggregate job for every accepted column's three quantiles
+          val exprs = ok.map(c =>
+            expr(s"percentile($c, array($qLow, 0.5, $qHigh))").as(s"__q__$c"))
+          val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+          ok.map { c =>
+            val qs = Option(row.getAs[scala.collection.Seq[Double]](s"__q__$c"))
+              .getOrElse(scala.collection.Seq(0.0, 0.0, 0.0))
+            val scale = if (qs(2) - qs(0) == 0.0) 1.0 else qs(2) - qs(0)
+            c -> model(graft.encoders.SquashingScaler.Model(qs(1), scale, maxAbs))
+          }.toMap
+        }
+        cs.map { c =>
+          if (fittedModels.contains(c)) c -> Right(fittedModels(c))
+          else c -> Left(RejectColumn(
+            s"expected a numeric column, got ${df.schema(c).dataType}"))
+        }
+      }
+
+      private def model(m: graft.encoders.SquashingScaler.Model): ColModel =
+        (c: String) => Seq(c -> round(m.expr(col(c)), roundTo))
+    }
+
+  /** DatetimeEncoder as a ColEstimator: rejects non-datetime columns, emits
+    * the standard part columns (stateless fit — no job).
+    */
+  def datetimeEncoder(resolution: String = "hour",
+                      addTotalSeconds: Boolean = true): ColEstimator =
+    new ColEstimator {
+      def fitCol(df: DataFrame, c: String): ColModel = {
+        df.schema(c).dataType match {
+          case DateType | TimestampType | TimestampNTZType => ()
+          case dt => throw RejectColumn(s"expected a datetime column, got $dt")
+        }
+        (cn: String) =>
+          graft.encoders.DatetimeEncoder.partColumns(col(cn), resolution,
+            addTotalSeconds).map { case (suffix, e) => s"${cn}_$suffix" -> e }
+      }
+    }
+
+  private implicit def fnToColModel(f: String => Seq[(String, Column)]): ColModel =
+    new ColModel { def outputs(colName: String): Seq[(String, Column)] = f(colName) }
+}

@@ -34,6 +34,19 @@ object EncoderQueries {
         .select(col("c_custkey"), col("c_acctbal"), col("c_acctbal_scaled"))
     }),
 
+    // ApplyToCols end to end: selector + exclusion, RejectColumn passthrough
+    // for the string columns, rename format, ONE batched quantile job for
+    // both accepted numeric columns
+    "q_apply_to_cols" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      graft.operators.ApplyToCols.fitTransform(c,
+        graft.operators.ApplyToCols.squashingScaler(),
+        cols = graft.selectors.Selectors.all,
+        excludeCols = Some(graft.selectors.Selectors.cols("c_custkey")),
+        allowReject = true,
+        renameColumns = "scaled_{}")
+    }),
+
     // TableVectorizer flagship: route + encode every orders column
     "q_table_vectorizer" -> ((s, dir) =>
       TableVectorizer.fitTransform(t(s, dir, "orders"))),
@@ -392,6 +405,31 @@ object EncoderQueries {
         |SELECT c_custkey, c_acctbal,
         |  CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN NULL
         |    ELSE round(zc / sqrt(1.0 + (zc / 3.0) * (zc / 3.0)), 6) END AS c_acctbal_scaled
+        |FROM z""".stripMargin,
+
+    "q_apply_to_cols" ->
+      """WITH qn AS (
+        |  SELECT quantile_cont(c_nationkey, 0.25) AS q1,
+        |    quantile_cont(c_nationkey, 0.5) AS q2,
+        |    quantile_cont(c_nationkey, 0.75) AS q3
+        |  FROM customer WHERE c_nationkey IS NOT NULL),
+        |qa AS (
+        |  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+        |    quantile_cont(c_acctbal, 0.5) AS q2,
+        |    quantile_cont(c_acctbal, 0.75) AS q3
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |z AS (
+        |  SELECT c.*,
+        |    (c_nationkey - qn.q2) /
+        |      (CASE WHEN qn.q3 - qn.q1 = 0 THEN 1.0 ELSE qn.q3 - qn.q1 END) AS zn,
+        |    (c_acctbal - qa.q2) /
+        |      (CASE WHEN qa.q3 - qa.q1 = 0 THEN 1.0 ELSE qa.q3 - qa.q1 END) AS za
+        |  FROM customer c, qn, qa)
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |  CASE WHEN c_nationkey IS NULL THEN NULL
+        |    ELSE round(zn / sqrt(1.0 + (zn / 3.0) * (zn / 3.0)), 6) END AS scaled_c_nationkey,
+        |  CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN NULL
+        |    ELSE round(za / sqrt(1.0 + (za / 3.0) * (za / 3.0)), 6) END AS scaled_c_acctbal
         |FROM z""".stripMargin,
 
     "q_table_vectorizer" -> tvOracle,
