@@ -89,6 +89,51 @@ object Choices {
   def foldOf(df: DataFrame, k: Int, seed: Long = 42L) =
     pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(k))
 
+  /** Adaptive search by successive halving (the reference delegates
+    * adaptive search to optuna, _data_ops/_optuna.py — a third-party
+    * sampler this environment cannot ship; halving is the deterministic,
+    * cluster-friendly equivalent): round r fits every surviving candidate
+    * on a deterministic md5-bucket FRACTION of the fit table (a pure
+    * pushed-down filter — no shuffle, no sample job, same rows every run),
+    * keeps the best 1/factor, and multiplies the fraction by factor until
+    * one candidate remains or the fraction reaches 1. Cheap configs die on
+    * cheap data; only finalists pay a full fit.
+    */
+  def halvingSearch(choices: Seq[Choice[_]],
+                    planFor: Map[String, Any] => Plan,
+                    fitEnv: Map[String, DataFrame],
+                    valEnv: Map[String, DataFrame],
+                    score: DataFrame => Double,
+                    xVar: String,
+                    splitKeys: Seq[String],
+                    nCandidates: Int = 8,
+                    factor: Int = 2,
+                    minFraction: Double = 0.125,
+                    seed: Long = 0L): Seq[SearchResult] = {
+    require(factor >= 2, "factor >= 2")
+    val x = fitEnv(xVar)
+    var survivors = sampledGrid(choices, nCandidates)
+    var fraction = minFraction
+    var ranked = Seq.empty[SearchResult]
+    while (survivors.length > 1 && fraction < 1.0) {
+      val cut = (fraction * 1000).toInt
+      val frame = x.filter(Splits.bucket(splitKeys, seed) < cut)
+      ranked = survivors.map { params =>
+        val learner = Plan.makeLearner(planFor(params))
+        learner.fit(fitEnv + (xVar -> frame))
+        SearchResult(params, score(learner.transform(valEnv)), learner)
+      }.sortBy(-_.score)
+      survivors = ranked.take(math.max(1, survivors.length / factor)).map(_.params)
+      fraction = math.min(1.0, fraction * factor)
+    }
+    // final round: full-data fit of the survivors
+    survivors.map { params =>
+      val learner = Plan.makeLearner(planFor(params))
+      learner.fit(fitEnv)
+      SearchResult(params, score(learner.transform(valEnv)), learner)
+    }.sortBy(-_.score)
+  }
+
   final case class CvResult(params: Map[String, Any], foldScores: Seq[Double]) {
     def meanScore: Double = foldScores.sum / foldScores.length
   }

@@ -26,6 +26,7 @@ import org.apache.spark.sql.DataFrame
 sealed trait Plan {
   def transform(fn: DataFrame => DataFrame): Plan = Transform(this, fn)
   def apply(est: Estimator): Plan = Apply(this, est)
+  def subsample(n: Int, how: String = "head"): Plan = Subsample(this, n, how)
 }
 
 final case class Var(name: String) extends Plan
@@ -57,6 +58,20 @@ final case class MarkX(input: Plan) extends Plan
 
 /** Target marker (reference `.skb.mark_as_y()`, _skrub_namespace.py:2995). */
 final case class MarkY(input: Plan) extends Plan
+
+/** Preview-subsampling marker (reference `.skb.subsample` +
+  * should_subsample, _data_ops/_subsampling.py:14-60): active only when the
+  * evaluation requests subsampling (preview, or fit with subsample=true) —
+  * transform NEVER subsamples, matching the reference's mode gate.
+  *
+  *  - `how = "head"`: `limit(n)` — zero-shuffle, the reference default;
+  *  - `how = "random"`: deterministic md5 order + limit — plans as
+  *    TakeOrderedAndProject (per-partition top-n, no full sort), and the
+  *    md5 key makes the same rows win on every engine and every run.
+  */
+final case class Subsample(input: Plan, n: Int, how: String = "head") extends Plan {
+  require(how == "head" || how == "random", s"how must be head|random, got $how")
+}
 
 /** A stateful pipeline stage: `fit` learns from the fit-time frame and
   * returns the frozen transformer replayed at transform time.
@@ -96,6 +111,7 @@ object Plan {
         case MatchOn(k, _, cs, d) => walk(k); cs.values.foreach(walk); walk(d)
         case MarkX(in) => walk(in)
         case MarkY(in) => walk(in)
+        case Subsample(in, _, _) => walk(in)
         case _                =>
       }
     }
@@ -109,7 +125,8 @@ object Plan {
     */
   private[plans] def evaluate0(root: Plan, env: Map[String, DataFrame],
                                fitted: scala.collection.mutable.Map[Apply, Transformer],
-                               fitMode: Boolean): DataFrame = {
+                               fitMode: Boolean,
+                               subsampleOn: Boolean = false): DataFrame = {
     val fanout = parentCounts(root)
     val memo = scala.collection.mutable.Map[Plan, DataFrame]()
     def eval(p: Plan): DataFrame = memo.getOrElseUpdate(p, {
@@ -131,6 +148,15 @@ object Plan {
           eval(cases.getOrElse(keyFn(eval(k)), default))
         case MarkX(in) => eval(in)
         case MarkY(in) => eval(in)
+        case Subsample(in, n, how) =>
+          val d = eval(in)
+          if (!subsampleOn) d
+          else if (how == "head") d.limit(n)
+          else {
+            import org.apache.spark.sql.functions.{col, concat_ws, md5}
+            d.orderBy(md5(concat_ws("",
+              d.columns.map(c => col(c).cast("string")).toSeq: _*))).limit(n)
+          }
       }
       if (fanout(p) > 1) out.persist() else out
     })
@@ -158,6 +184,7 @@ object Plan {
           walk(k).orElse(cs.values.view.flatMap(walk(_)).headOption).orElse(walk(d))
         case MarkX(in)            => walk(in)
         case MarkY(in)            => walk(in)
+        case Subsample(in, _, _)  => walk(in)
         case _                    => None
       })
     walk(root)
@@ -183,6 +210,7 @@ object Plan {
         walk(k); cs.toSeq.sortBy(_._1).foreach(e => walk(e._2)); walk(d)
       case MarkX(in)            => walk(in)
       case MarkY(in)            => walk(in)
+      case Subsample(in, _, _)  => walk(in)
       case _                    =>
     }
     walk(root)
@@ -228,19 +256,30 @@ final class Learner(root: Plan) {
   private val fitted = scala.collection.mutable.Map[Apply, Transformer]()
   private var isFit = false
 
-  def fit(env: Map[String, DataFrame]): Learner = {
+  def fit(env: Map[String, DataFrame], subsample: Boolean = false): Learner = {
     fitted.clear()
-    Plan.evaluate0(root, env, fitted, fitMode = true)
+    Plan.evaluate0(root, env, fitted, fitMode = true, subsampleOn = subsample)
     isFit = true
     this
   }
 
-  def fitTransform(env: Map[String, DataFrame]): DataFrame = {
+  def fitTransform(env: Map[String, DataFrame],
+                   subsample: Boolean = false): DataFrame = {
     fitted.clear()
-    val out = Plan.evaluate0(root, env, fitted, fitMode = true)
+    val out = Plan.evaluate0(root, env, fitted, fitMode = true,
+      subsampleOn = subsample)
     isFit = true
     out
   }
+
+  /** Preview evaluation (reference mode="preview": subsampling always on,
+    * _subsampling.py:20-25): fits into a THROWAWAY state — the learner's
+    * own fitted stages and fit flag are untouched.
+    */
+  def preview(env: Map[String, DataFrame]): DataFrame =
+    Plan.evaluate0(root, env,
+      scala.collection.mutable.Map[Apply, Transformer](),
+      fitMode = true, subsampleOn = true)
 
   def transform(env: Map[String, DataFrame]): DataFrame = {
     if (!isFit) throw new IllegalStateException("learner is not fitted")

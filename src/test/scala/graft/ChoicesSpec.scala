@@ -55,4 +55,48 @@ class ChoicesSpec extends AnyFunSuite {
     assert(r1.foldScores === r2.foldScores)     // stable under repartition
     assert(r1.foldScores.forall(_ > 50))        // roughly balanced
   }
+
+  test("halvingSearch prunes on data fractions and converges to the best") {
+    val x = (1 to 200).map(i => (i, "v" + i % 5)).toDF("id", "v")
+    def planFor(p: Map[String, Any]): Plan =
+      Var("x").apply(Stages.tableVectorizer(
+        cardinalityThreshold = p("thr").asInstanceOf[Int]))
+    val results = Choices.halvingSearch(
+      Seq(Choices.chooseFrom("thr", Seq(2, 10, 40))),
+      planFor,
+      fitEnv = Map("x" -> x),
+      valEnv = Map("x" -> x),
+      score = df => df.columns.count(_.startsWith("v_v")).toDouble,
+      xVar = "x", splitKeys = Seq("id"),
+      nCandidates = 3, factor = 2, minFraction = 0.25)
+    assert(results.head.params("thr") === 40)
+    // deterministic: same call, same ranking
+    val again = Choices.halvingSearch(
+      Seq(Choices.chooseFrom("thr", Seq(2, 10, 40))),
+      planFor, Map("x" -> x), Map("x" -> x),
+      df => df.columns.count(_.startsWith("v_v")).toDouble,
+      "x", Seq("id"), nCandidates = 3, factor = 2, minFraction = 0.25)
+    assert(again.map(_.params) === results.map(_.params))
+  }
+
+  test("subsample node gates on mode: preview on, transform off") {
+    val x = (1 to 100).map(i => (i, i * 2.0)).toDF("id", "v")
+    val plan = Var("x").subsample(10).transform(df => df)
+    val learner = Plan.makeLearner(plan)
+    // preview subsamples without touching the learner's fitted state
+    assert(learner.preview(Map("x" -> x)).count() === 10)
+    intercept[IllegalStateException] { learner.transform(Map("x" -> x)) }
+    // fit without subsample sees everything; transform never subsamples
+    learner.fit(Map("x" -> x))
+    assert(learner.transform(Map("x" -> x)).count() === 100)
+    // opt-in subsampled fit (reference enable_subsampling='force')
+    assert(learner.fitTransform(Map("x" -> x), subsample = true).count() === 10)
+    // 'random' is deterministic: same rows every evaluation
+    val r = Var("x").subsample(10, how = "random")
+    val a = Plan.makeLearner(r).preview(Map("x" -> x)).select("id")
+      .as[Int].collect().sorted
+    val b = Plan.makeLearner(r).preview(Map("x" -> x.repartition(5)))
+      .select("id").as[Int].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
 }
