@@ -137,4 +137,119 @@ object AggExprs {
   def minKBy(v: Column, k: Int): Column =
     GraftBridge.column(MinKBy(GraftBridge.expression(v), k)
       .toAggregateExpression())
+
+  /** Statistical mode with skrub's tie-break (smallest value among the most
+    * frequent; nulls ignored; all-null group -> null), as ONE aggregate.
+    *
+    * Why: the declarative form is a two-level aggregation (count per
+    * (key, value), then arg-min per key) — two exchanges plus a reassembly
+    * join per mode column. ModeAgg's count-map buffer does it in the same
+    * single groupBy as every other aggregate: the partial buffer holds one
+    * entry per distinct value in the partition slice, exactly what the
+    * first-level hash aggregate's shuffle rows would have carried — same
+    * bytes, two fewer exchanges and no join.
+    */
+  case class ModeAgg(child: Expression,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[Any, Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = true
+    override def dataType: DataType = child.dataType
+
+    @transient private lazy val ordering: Ordering[Any] =
+      TypeUtils.getInterpretedOrdering(child.dataType)
+
+    override def createAggregationBuffer(): java.util.HashMap[Any, Long] =
+      new java.util.HashMap[Any, Long]()
+
+    override def update(buf: java.util.HashMap[Any, Long],
+                        input: InternalRow): java.util.HashMap[Any, Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v match {
+          case r: InternalRow                                  => r.copy()
+          case s: org.apache.spark.unsafe.types.UTF8String     => s.clone()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case other                                           => other
+        }
+        buf.merge(key, 1L, (a, b) => a + b)
+      }
+      buf
+    }
+
+    override def merge(buf: java.util.HashMap[Any, Long],
+                       other: java.util.HashMap[Any, Long]): java.util.HashMap[Any, Long] = {
+      other.forEach((k, v) => buf.merge(k, v, (a, b) => a + b))
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[Any, Long]): Any = {
+      var best: Any = null
+      var bestCnt = -1L
+      buf.forEach { (v, cnt) =>
+        if (cnt > bestCnt || (cnt == bestCnt && ordering.compare(v, best) < 0)) {
+          best = v; bestCnt = cnt
+        }
+      }
+      best
+    }
+
+    @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
+    @transient private lazy val numStructFields: Int = child.dataType match {
+      case s: StructType => s.size
+      case _             => -1
+    }
+
+    override def serialize(buf: java.util.HashMap[Any, Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      buf.forEach { (v, cnt) =>
+        row.update(0, v)
+        val u = proj(row)
+        out.writeInt(u.getSizeInBytes)
+        u.writeToStream(out, null)
+        out.writeLong(cnt)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[Any, Long] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = new java.util.HashMap[Any, Long](n * 2)
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val rowBytes = new Array[Byte](len)
+        in.readFully(rowBytes)
+        val u = new UnsafeRow(1)
+        u.pointTo(rowBytes, len)
+        val v = child.dataType match {
+          case _: StructType => u.getStruct(0, numStructFields).copy()
+          case dt            => u.get(0, dt)
+        }
+        buf.put(v, in.readLong())
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): ModeAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): ModeAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+  }
+
+  /** Column wrapper: skrub-tie-break mode of `v` per group. */
+  def modeAgg(v: Column): Column =
+    GraftBridge.column(ModeAgg(GraftBridge.expression(v))
+      .toAggregateExpression())
 }

@@ -75,75 +75,27 @@ object Joins {
   /** Per-column op lists (`colOps`), so string columns can take mode/count
     * while numeric columns take the numeric ops — same surface as the
     * reference, which validates num-only ops per column (_agg_joiner.py:31).
+    *
+    * ONE hash aggregate for everything, mode included: `mode` uses the
+    * count-map ModeAgg aggregate (graft.functions.AggExprs), so there is a
+    * single exchange on the key and NO reassembly joins. (The previous shape
+    * — a two-level count/arg-min aggregation melted across mode columns,
+    * full-joined back onto the plain aggregate — cost three exchanges plus a
+    * join; the count-map partial buffers carry the same bytes the first-level
+    * aggregation's shuffle rows did.)
     */
   def aggregatePerCol(aux: DataFrame, key: Seq[String],
                       colOps: Seq[(String, Seq[String])]): DataFrame = {
     val bad = colOps.flatMap(_._2).filterNot(SupportedOps)
     require(bad.isEmpty, s"unsupported ops: ${bad.mkString(",")}")
-    val keyCols = key.map(col)
-
-    val plainExprs = for {
+    val exprs = for {
       (c, ops) <- colOps
-      op <- ops if op != "mode"
-    } yield aggExpr(aux, c, op)
-    val plain: Option[DataFrame] =
-      if (plainExprs.isEmpty) None
-      else Some(aux.groupBy(keyCols: _*).agg(plainExprs.head, plainExprs.tail: _*))
-
-    val modeCols = colOps.collect { case (c, ops) if ops.contains("mode") => c }
-    val mode: Option[DataFrame] =
-      if (modeCols.isEmpty) None
-      else {
-        // mode = smallest among most-frequent values: two-level aggregation,
-        // value counts then arg-min over (-count, value). ALL mode columns of
-        // one dtype are computed in a single MELTED aggregate — explode each
-        // row into (key, colIdx, value), count per (key, colIdx, value),
-        // arg-min per (key, colIdx), pivot back to wide — so the shuffle
-        // count is constant in the number of mode columns (it was linear:
-        // one two-level aggregate + one reassembly join per column).
-        // Grouping by EXACT dtype keeps each value in its native type, so
-        // the "smallest value" tie-break uses native ordering and outputs
-        // keep their input dtype (a single all-columns melt would force a
-        // common string type and corrupt both).
-        val byType = modeCols.groupBy(c => aux.schema(c).dataType).toSeq
-          .sortBy(_._1.simpleString)
-        val frames = byType.map {
-          case (_, Seq(c)) =>
-            // a lone mode column skips the melt: the direct two-level
-            // aggregate is one explode and one aggregate cheaper (the melt
-            // only amortizes when >= 2 columns share it)
-            aux.groupBy((keyCols :+ col(c)): _*)
-              .agg(count(col(c)).as("__cnt"))
-              .groupBy(keyCols: _*)
-              .agg(min_by(col(c), struct(negate(col("__cnt")), col(c))).as(s"${c}_mode"))
-          case (_, cols) =>
-          val entries = cols.zipWithIndex.map { case (c, i) =>
-            struct(lit(i).as("ci"), col(c).as("v"))
-          }
-          val melted = aux
-            .select((keyCols :+ explode(array(entries: _*)).as("__e")): _*)
-            .select((keyCols :+ col("__e.ci").as("__ci") :+ col("__e.v").as("__v")): _*)
-          val counted = melted
-            .groupBy((keyCols :+ col("__ci") :+ col("__v")): _*)
-            .agg(count(col("__v")).as("__cnt"))
-            .groupBy((keyCols :+ col("__ci")): _*)
-            .agg(min_by(col("__v"), struct(negate(col("__cnt")), col("__v"))).as("__mode"))
-          // pivot (key, colIdx, mode) back to one wide row per key; max
-          // ignores the nulls of the other colIdx slots
-          val wide = cols.zipWithIndex.map { case (c, i) =>
-            max(when(col("__ci") === i, col("__mode"))).as(s"${c}_mode")
-          }
-          counted.groupBy(keyCols: _*).agg(wide.head, wide.tail: _*)
-        }
-        Some(frames.reduce((a, b) => a.join(b, key, "full")))
-      }
-
-    (plain, mode) match {
-      case (Some(p), Some(m)) => p.join(m, key, "full")
-      case (Some(p), None)    => p
-      case (None, Some(m))    => m
-      case _ => throw new IllegalArgumentException("no ops")
-    }
+      op <- ops
+    } yield
+      if (op == "mode") graft.functions.AggExprs.modeAgg(col(c)).as(s"${c}_mode")
+      else aggExpr(aux, c, op)
+    require(exprs.nonEmpty, "no ops")
+    aux.groupBy(key.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
   /** AggJoiner: aggregate `aux` on `auxKey` with `ops` over `cols`, then left

@@ -54,60 +54,94 @@ object SessionEncoder {
   /** Reference-style globally unique session ids, scale-safe AND
     * Dataset-native: equivalent to `dense_rank() over (order by splitBy,
     * localSession)` but no row ever passes through a single-task global
-    * window and nothing drops out of codegen into RDD land (the previous
-    * `zipWithIndex` ran an extra partition-count job outside Tungsten).
+    * window.
     *
-    * Shape: distinct session keys -> range-repartition on the key order
-    * (each partition holds a contiguous key range) -> eager localCheckpoint
-    * (one materialization; the two downstream jobs must not recompute the
-    * distinct, and checkpoint blocks are reclaimed when the frame is GC'd)
-    * -> per-partition counts to the driver (one tiny row per partition) ->
-    * global id = partition-local `row_number` + broadcast prefix-sum offset
-    * of all preceding partitions. The numbered key set is |sessions| rows;
-    * the join back is AQE-decided.
+    * Fast path (entity count fits on the driver): per-ENTITY session counts
+    * (reusing the window's exchange) -> driver prefix sum over the sorted
+    * entity list -> ONE left broadcast join + pure projection. Fallback
+    * (more entities than MaxDriverEntities): range-sort the session-start
+    * keys and number them via monotonically_increasing_id + per-partition
+    * prefix-sum offsets, then join back on the session key.
     */
+  /** Entity lists up to this size take the driver prefix-sum fast path; a
+    * `take(n + 1)` probe (TakeOrderedAndProject — never a full collect)
+    * decides, and larger lists fall back to the distributed sort path.
+    */
+  val MaxDriverEntities = 2000000
+
   def globalSessionId(df: DataFrame, splitBy: Seq[String], tsCol: String,
                       gapSeconds: Double, out: String = "session_id"): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // the windowed frame feeds THREE consumers (the session enumeration, the
-    // valid join side, the invalid union side) — persist it or the window
-    // shuffle over the full input runs three times
-    val local = transformWithBoundary(df, splitBy, tsCol, gapSeconds,
+    // NOT persisted on the fast path: the window recomputes once per action
+    // (two actions), which measures cheaper than materializing the full
+    // frame into the block store and reading it back
+    val local0 = transformWithBoundary(df, splitBy, tsCol, gapSeconds,
         "__local_session")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
     val keyNames = splitBy :+ "__local_session"
-    val keyCols = keyNames.map(col)
-    val valid = local.filter(col("__local_session") =!= -1L).drop("__start")
-    // session-START rows are already exactly one row per session key — no
-    // distinct aggregation exchange needed, straight to the range sort.
-    // orderBy = range exchange + sort-within: partition i's keys all precede
-    // partition i+1's. monotonically_increasing_id on the SORTED cached frame
-    // is (partitionId << 33) | row-index-in-partition — a pure projection, so
-    // both the partition id and the dense within-partition index come out
-    // with ZERO extra shuffle (a window partitioned by pid would re-shuffle
-    // the whole key set on pid; zipWithIndex would leave codegen for RDDs).
-    val parts = local.filter(col("__start") === 1L).select(keyCols: _*)
-      .orderBy(keyCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
-      .withColumn("__rid", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .persist()
-    // per-partition counts -> driver prefix sums: one tiny row per partition
-    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__n")).toMap
-    val offsets: Map[Int, Long] = {
+    // Global id = (prefix sum of session counts over entities ordered by
+    // key) + local session index. The per-ENTITY count aggregate groups on
+    // the window's own partition key, so it reuses the window exchange (no
+    // new shuffle); entities are orders of magnitude fewer than sessions,
+    // and Spark itself sorts them (TakeOrderedAndProject), so the driver
+    // never imposes its own ordering semantics. The result is then ONE
+    // left broadcast join of the windowed frame against a slim row per
+    // entity plus a pure projection — no union, no join on session keys.
+    val starts = local0.filter(col("__start") === 1L)
+      .groupBy(splitBy.map(col): _*).agg(count(lit(1)).as("__n"))
+      .orderBy(splitBy.map(col): _*)
+    val head = starts.take(MaxDriverEntities + 1)
+    if (head.length <= MaxDriverEntities) {
+      val local = local0
       var acc = 0L
-      counts.keys.toSeq.sorted.map { p =>
-        val o = acc; acc += counts(p); p -> o
-      }.toMap
+      val rows = head.map { r =>
+        val o = acc; acc += r.getAs[Long]("__n")
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ o)
+      }.toSeq
+      val schema = org.apache.spark.sql.types.StructType(
+        splitBy.map(c => local.schema(c)) :+
+          org.apache.spark.sql.types.StructField("__offset", LongType, nullable = false))
+      val offsets = df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(rows, 1), schema)
+      // null-keyed / null-ts rows miss the join (or any entity absent from
+      // offsets) and take the -1 branch
+      local.join(offsets, splitBy, "left")
+        .withColumn(out,
+          when(col("__local_session") === -1L, lit(-1L))
+            .otherwise(col("__offset") + col("__local_session")))
+        .select(df.columns.map(col).toSeq :+ col(out): _*)
+    } else {
+      // the fallback's three consumers would each recompute the window over
+      // a frame too large to rescan casually — persist it here
+      val local = local0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val valid = local.filter(col("__local_session") =!= -1L).drop("__start")
+      val invalid = local.filter(col("__local_session") === -1L).drop("__start")
+        .withColumn(out, lit(-1L))
+      // distributed fallback: range-sort the session-start keys and number
+      // them with monotonically_increasing_id ((partitionId << 33) | row
+      // index on the sorted cached frame — a pure projection) plus driver
+      // prefix sums of the per-partition counts.
+      val keyCols = keyNames.map(col)
+      val parts = local.filter(col("__start") === 1L).select(keyCols: _*)
+        .orderBy(keyCols: _*)
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
+        .withColumn("__rid", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+        .persist()
+      val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__n")).toMap
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        counts.keys.toSeq.sorted.map { p =>
+          val o = acc; acc += counts(p); p -> o
+        }.toMap
+      }
+      val numbered = parts
+        .withColumn(out, col("__rid") + element_at(typedLit(offsets), col("__pid")))
+        .drop("__mid", "__pid", "__rid")
+      valid.join(numbered, keyNames)
+        .unionByName(invalid)
+        .drop("__local_session")
     }
-    val numbered = parts
-      .withColumn(out, col("__rid") + element_at(typedLit(offsets), col("__pid")))
-      .drop("__mid", "__pid", "__rid")
-    val invalid = local.filter(col("__local_session") === -1L).drop("__start")
-      .withColumn(out, lit(-1L))
-    valid.join(numbered, keyNames)
-      .unionByName(invalid)
-      .drop("__local_session")
   }
 }

@@ -104,6 +104,30 @@ class FuzzyCleanerSpec extends AnyFunSuite {
     assert(l === r)
   }
 
+  test("modeAgg: most frequent wins, smallest breaks ties, all-null is null") {
+    val df = Seq(
+      (1, Some("b")), (1, Some("b")), (1, Some("a")),
+      (2, Some("z")), (2, Some("y")),          // tie -> smallest value
+      (3, None), (3, None)                      // all null -> null
+    ).toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(graft.functions.AggExprs.modeAgg($"v").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) === "b")
+    assert(out(2) === "y")
+    assert(out(3) === null)
+    // parity with the declarative two-level form under shuffled partitions
+    val big = spark.range(1000).selectExpr("id % 13 as g",
+      "concat('v', cast(pmod(id * 7, 5) as string)) as v").repartition(8)
+    val viaAgg = big.groupBy($"g")
+      .agg(graft.functions.AggExprs.modeAgg($"v").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaTwoLevel = big.groupBy($"g", $"v").agg(count($"v").as("c"))
+      .groupBy($"g").agg(expr("min_by(v, struct(-c, v))").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaAgg === viaTwoLevel)
+  }
+
   test("second_neighbor rescales by the distance to the 2nd nearest aux row") {
     val main = Seq("francd").toDF("country")
     val aux = Seq(("france", 1), ("franco", 2), ("italy", 3)).toDF("name", "aux_id")
