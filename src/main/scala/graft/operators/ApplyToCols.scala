@@ -199,4 +199,44 @@ object ApplyToCols {
 
   private implicit def fnToColModel(f: String => Seq[(String, Column)]): ColModel =
     new ColModel { def outputs(colName: String): Seq[(String, Column)] = f(colName) }
+
+  // ---- sub-frame form ---------------------------------------------------
+
+  /** Whole-frame estimator over a column SUBSET (reference ApplyToSubFrame,
+    * skrub/_apply_to_sub_frame.py:15-277). The reference recombines the
+    * transformed sub-frame with passthrough columns by positional concat;
+    * Spark frames have no positional row identity, so the contract here is
+    * explicit instead: the estimator fits on the projected subset, and the
+    * fitted function receives the FULL frame and must leave non-selected
+    * columns untouched — which every graft frame transformer (Cleaner,
+    * TableVectorizer) already satisfies, and which avoids the join a
+    * positional concat would need.
+    */
+  trait SubFrameEstimator {
+    /** Fit on the selected-columns projection; return a transform over the
+      * full frame restricted to those columns.
+      */
+    def fitFrame(subset: DataFrame, cols: Seq[String]): DataFrame => DataFrame
+  }
+
+  final case class SubFrameModel(cols: Seq[String],
+                                 fn: DataFrame => DataFrame) {
+    def transform(df: DataFrame): DataFrame = fn(df)
+  }
+
+  /** Fit `estimator` on the columns selected by `cols - excludeCols`. */
+  def fitSubFrame(df: DataFrame, estimator: SubFrameEstimator,
+                  cols: Selector = Selector.All,
+                  excludeCols: Option[Selector] = None): SubFrameModel = {
+    val selected = {
+      val base = Selectors.expand(df, cols)
+      excludeCols match {
+        case Some(ex) => val drop = Selectors.expand(df, ex).toSet
+                         base.filterNot(drop)
+        case None     => base
+      }
+    }
+    SubFrameModel(selected,
+      estimator.fitFrame(df.select(selected.map(col): _*), selected))
+  }
 }

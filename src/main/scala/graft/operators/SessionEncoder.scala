@@ -100,8 +100,10 @@ object SessionEncoder {
       val schema = org.apache.spark.sql.types.StructType(
         splitBy.map(c => local.schema(c)) :+
           org.apache.spark.sql.types.StructField("__offset", LongType, nullable = false))
+      // local collection -> LocalRelation: size-known, so the planner
+      // broadcasts it without an AQE runtime re-plan
       val offsets = df.sparkSession.createDataFrame(
-        df.sparkSession.sparkContext.parallelize(rows, 1), schema)
+        java.util.Arrays.asList(rows: _*), schema)
       // null-keyed / null-ts rows miss the join (or any entity absent from
       // offsets) and take the -1 branch
       local.join(offsets, splitBy, "left")

@@ -29,6 +29,33 @@ object Stages {
     }
   }
 
+  /** CheckInput as the pipeline's entry stage (reference pipelines start
+    * with CheckInputDataFrame): fit records the schema contract, transform
+    * enforces it on every later frame.
+    */
+  def checkInput(): Estimator = new Estimator {
+    def fit(df: DataFrame): Transformer = {
+      val model = graft.operators.CheckInput.fit(df)
+      (d: DataFrame) => model.transform(d)
+    }
+  }
+
+  /** ApplyToCols as a refittable stage: per-column fits frozen at fit time,
+    * replayed as one projection on new frames.
+    */
+  def applyToCols(estimator: graft.operators.ApplyToCols.ColEstimator,
+                  cols: graft.selectors.Selector = graft.selectors.Selector.All,
+                  excludeCols: Option[graft.selectors.Selector] = None,
+                  allowReject: Boolean = false,
+                  keepOriginal: Boolean = false,
+                  renameColumns: String = "{}"): Estimator = new Estimator {
+    def fit(df: DataFrame): Transformer = {
+      val model = graft.operators.ApplyToCols.fit(df, estimator, cols,
+        excludeCols, allowReject, keepOriginal, renameColumns)
+      (d: DataFrame) => model.transform(d)
+    }
+  }
+
   /** AggJoiner as an n-ary Merge node: inputs(0) = main, inputs(1) = aux. */
   def aggJoin(mainKey: Seq[String], auxKey: Seq[String], cols: Seq[String],
               ops: Seq[String]): Seq[DataFrame] => DataFrame = {

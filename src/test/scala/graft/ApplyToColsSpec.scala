@@ -73,6 +73,24 @@ class ApplyToColsSpec extends AnyFunSuite {
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) === ((2024, 3, 5, 10)))
   }
 
+  test("fitSubFrame fits on the selected subset, passthrough untouched") {
+    val est = new ApplyToCols.SubFrameEstimator {
+      def fitFrame(subset: org.apache.spark.sql.DataFrame, cols: Seq[String]) = {
+        // fit: record per-column means of the SUBSET only
+        val means = subset.groupBy().mean(cols: _*).collect()(0)
+        val byCol = cols.zipWithIndex.map { case (c, i) => c -> means.getDouble(i) }
+        d => byCol.foldLeft(d) { case (acc, (c, m)) => acc.withColumn(c, col(c) - m) }
+      }
+    }
+    val m = ApplyToCols.fitSubFrame(frame, est,
+      cols = Selectors.numeric, excludeCols = Some(Selectors.cols("id")))
+    assert(m.cols === Seq("x", "y"))
+    val out = m.transform(frame)
+    assert(out.agg(sum("x"), sum("y")).head().getDouble(0) === 0.0)
+    assert(out.select("s").as[String].collect().sorted === Array("a", "b", "c", "d"))
+    assert(out.select("id").as[Int].collect().sorted === Array(1, 2, 3, 4))
+  }
+
   test("CheckInput deduplicates names deterministically and records schema") {
     val dup = frame.select($"id", $"x".as("v"), $"y".as("v"))
     val (m, cleaned) = CheckInput.fitTransform(dup)
@@ -80,6 +98,26 @@ class ApplyToColsSpec extends AnyFunSuite {
     assert(m.featureNamesOut === Seq("id", "v", "v__1"))
     // transform accepts a conforming frame unchanged
     assert(CheckInput.fit(frame).transform(frame).columns.toSeq === frame.columns.toSeq)
+  }
+
+  test("checkInput + applyToCols compose as frozen plan stages") {
+    import graft.plans.{Plan => _, _}
+    val plan = Var("x")
+      .apply(Stages.checkInput())
+      .apply(Stages.applyToCols(ApplyToCols.squashingScaler(),
+        cols = Selectors.cols("x", "y"), renameColumns = "sq_{}"))
+    val learner = graft.plans.Plan.makeLearner(plan)
+    val out = learner.fitTransform(Map("x" -> frame))
+    assert(out.columns.toSeq === Seq("id", "sq_x", "s", "sq_y"))
+    // schema contract enforced at transform time
+    intercept[IllegalArgumentException] {
+      learner.transform(Map("x" -> frame.drop("y")))
+    }
+    // frozen quantiles: transforming a shifted frame reuses fit-time stats
+    val shifted = frame.withColumn("x", $"x" + 1000.0)
+    val v = learner.transform(Map("x" -> shifted))
+      .agg(min("sq_x")).head().getDouble(0)
+    assert(v > 2.0) // far in the squashed tail under fit-time quantiles
   }
 
   test("CheckInput raises on missing, extra, reordered, or retyped columns") {
