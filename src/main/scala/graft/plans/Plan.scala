@@ -154,7 +154,7 @@ object Plan {
           else if (how == "head") d.limit(n)
           else {
             import org.apache.spark.sql.functions.{col, concat_ws, md5}
-            d.orderBy(md5(concat_ws("",
+            d.orderBy(md5(concat_ws("",
               d.columns.map(c => col(c).cast("string")).toSeq: _*))).limit(n)
           }
       }

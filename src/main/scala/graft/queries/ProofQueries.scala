@@ -107,7 +107,62 @@ object ProofQueries {
       Splits.withSplitLabel(t(s, dir, "orders"), Seq("o_orderkey"),
         testFraction = 0.2, seed = 42)
         .select(col("o_orderkey"), col("split")))
+      ,
+
+    // dataset generator, hash-verified end to end: the md5-derived
+    // pseudo-random stream is cross-engine reproducible, so DuckDB regrows
+    // the exact same frame. (`end` is omitted: it draws through ln(), whose
+    // rounding is not IEEE-identical across engines.)
+    "q_toy_cities" -> ((s, _) =>
+      graft.sources.Generators.toyCities(s, seed = 1L, size = 5000L,
+          nulls = 0.1, nMetrics = 2)
+        .select(col("uid"), col("cities"), col("encoded_cities"),
+          unix_timestamp(col("start")).as("start_s"),
+          col("metric_0"), col("metric_1"))),
+
+    // the misspelling generator, hash-verified: every flip decision and
+    // replacement letter reproduced by the oracle from the same md5 stream
+    "q_make_dedup_data" -> ((s, _) =>
+      graft.sources.Generators.makeDeduplicationData(s,
+        Seq("black", "white", "red"), Seq(30, 25, 20),
+        probMistake = 0.3, seed = 7L)),
+
+    // preview-mode subsampling through a Learner: deterministic md5-order
+    // 'random' sample of a projected frame, replayed exactly by the oracle
+    "q_subsample_preview" -> ((s, dir) => {
+      val plan = Var("orders")
+        .transform(d => d.select(col("o_orderkey"), col("o_orderpriority")))
+        .subsample(500, how = "random")
+      Plan.makeLearner(plan).preview(Map("orders" -> t(s, dir, "orders")))
+    })
   )
+
+  private val toyCitiesOracle: String = {
+    def u(salt: String) =
+      s"(('0x' || substr(md5(id::VARCHAR || ':' || '$salt' || ':' || '1'), 1, 6))::BIGINT / 16777216.0)"
+    val cities = Seq("Amsterdam", "Athens", "Berlin", "Bratislava",
+      "Brussels", "Bucharest", "Budapest", "Copenhagen", "Dublin", "Helsinki",
+      "Lisbon", "Ljubljana", "Madrid", "Paris", "Prague", "Rome", "Stockholm",
+      "Tallinn", "Vienna", "Warsaw").map(c => s"'$c'").mkString("[", ", ", "]")
+    val uid = (0 until 10).map(j =>
+      s"substr('abcdefghijklmnopqrstuvwxyz', CAST(floor(${u(s"uid$j")} * 26) AS INTEGER) + 1, 1)")
+      .mkString(" || ")
+    s"""WITH ids AS (SELECT unnest(range(0, 5000)) AS id),
+       |g AS (
+       |  SELECT id,
+       |    $uid AS uid,
+       |    CAST(floor(${u("city")} * 20) AS INTEGER) AS city_idx,
+       |    ${u("citynull")} < 0.1 AS city_null,
+       |    CAST(1577836800 + floor(${u("start")} * 94608000) AS BIGINT) AS start_s,
+       |    round(${u("metric0")}, 6) AS metric_0,
+       |    round(${u("metric1")}, 6) AS metric_1
+       |  FROM ids)
+       |SELECT uid,
+       |  CASE WHEN city_null THEN NULL ELSE ($cities)[city_idx + 1] END AS cities,
+       |  CASE WHEN city_null THEN NULL ELSE city_idx END AS encoded_cities,
+       |  start_s, metric_0, metric_1
+       |FROM g""".stripMargin
+  }
 
   private val planLearnerOracle: String = {
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -118,7 +173,34 @@ object ProofQueries {
        |FROM orders WHERE o_orderpriority <> '1-URGENT'""".stripMargin
   }
 
+  private val makeDedupOracle: String = {
+    def u(cid: String, salt: String) =
+      s"(('0x' || substr(md5($cid || ':' || '$salt' || ':' || '7'), 1, 6))::BIGINT / 16777216.0)"
+    val cid = "(eid::VARCHAR || '_' || cp::VARCHAR || '#' || j::VARCHAR)"
+    s"""WITH ex AS (
+       |  SELECT * FROM (VALUES (0, 'black', 30), (1, 'white', 25),
+       |    (2, 'red', 20)) AS t(eid, ex, n)),
+       |copies AS (
+       |  SELECT eid, ex, unnest(range(0, n)) AS cp FROM ex)
+       |SELECT array_to_string(list_transform(range(0, length(ex)), j ->
+       |  CASE WHEN cp = 0 THEN substr(ex, CAST(j AS INTEGER) + 1, 1)
+       |       WHEN ${u(cid, "flip")} < 0.3
+       |         THEN substr('abcdefghijklmnopqrstuvwxyz',
+       |           CAST(floor(${u(cid, "repl")} * 26) AS INTEGER) + 1, 1)
+       |       ELSE substr(ex, CAST(j AS INTEGER) + 1, 1) END), '') AS value
+       |FROM copies""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_toy_cities" -> toyCitiesOracle,
+
+    "q_make_dedup_data" -> makeDedupOracle,
+
+    "q_subsample_preview" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |ORDER BY md5(o_orderkey::VARCHAR || o_orderpriority)
+        |LIMIT 500""".stripMargin,
+
     "q_sample" ->
       """SELECT * FROM orders
         |ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':' || '42'), o_orderkey
