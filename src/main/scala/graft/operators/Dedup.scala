@@ -252,8 +252,13 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions from ONE pass over `pairs`: a union of two selects
+    // would evaluate the (expensive, self-join-shaped) pair pipeline twice
+    // before the persist ever materializes
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Only vertices that touch an edge can ever change label — everything
     // else is trivially its own singleton component. Iterating over the
