@@ -66,11 +66,17 @@ object SimilaritySearch {
       .select(col("query_id"), col("qv"),
         col("pos").as("tbl"), col("col").as("bkt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // score BEFORE deduplicating the multi-table candidate hits: the dot
+    // product is codegen'd and cheap, and once scored the vectors drop out
+    // of the row — the dedup shuffle then carries (ids, cosine) instead of
+    // two full vectors per row, with map-side combine collapsing the up-to-
+    // nTables duplicate hits per pair before they ever hit the wire
+    // (a distinct() here shuffled and hash-compared whole arrays)
     val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"))
-      .distinct()
       .withColumn("cosine", round(VecExprs.arrayDot(col("cv"), col("qv")), 6))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(first(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
