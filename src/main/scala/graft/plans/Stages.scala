@@ -29,6 +29,27 @@ object Stages {
     }
   }
 
+  /** SelectCols as a stage (reference SelectCols, _select_cols.py): the
+    * selector resolves against the FIT-time schema and is frozen — transform
+    * replays the same column list on new frames (reference behavior: the
+    * fitted `all_outputs_` are fixed at fit).
+    */
+  def selectCols(s: graft.selectors.Selector): Estimator = new Estimator {
+    def fit(df: DataFrame): Transformer = {
+      val cols = graft.selectors.Selectors.expand(df, s)
+      (d: DataFrame) => d.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  /** DropCols as a stage: complement of selectCols, same frozen contract. */
+  def dropCols(s: graft.selectors.Selector): Estimator = new Estimator {
+    def fit(df: DataFrame): Transformer = {
+      val dropped = graft.selectors.Selectors.expand(df, s).toSet
+      val kept = df.columns.filterNot(dropped).toSeq
+      (d: DataFrame) => d.select(kept.map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
   /** CheckInput as the pipeline's entry stage (reference pipelines start
     * with CheckInputDataFrame): fit records the schema contract, transform
     * enforces it on every later frame.

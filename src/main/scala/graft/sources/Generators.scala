@@ -70,6 +70,42 @@ object Generators {
     base.select(mangled.as("value"))
   }
 
+  /** The reference's fixed doc-example frame (toy_orders:81-143), with the
+    * boolean target as the `delayed` column; `split` = train | test | all.
+    */
+  def toyOrders(spark: SparkSession, split: String = "train"): DataFrame = {
+    import spark.implicits._
+    val all = Seq(
+      (1, "pen", 2, "2020-04-03", false),
+      (2, "cup", 3, "2020-04-04", false),
+      (3, "cup", 5, "2020-04-04", true),
+      (4, "spoon", 1, "2020-04-05", false),
+      (5, "cup", 5, "2020-04-11", true),
+      (6, "fork", 2, "2020-04-12", false)
+    ).toDF("ID", "product", "quantity", "date", "delayed")
+      .withColumn("date", to_date(col("date")))
+    split match {
+      case "train" => all.filter(col("ID") <= 4)
+      case "test"  => all.filter(col("ID") > 4)
+      case "all"   => all
+      case other => throw new IllegalArgumentException(
+        s"split must be train|test|all, got $other")
+    }
+  }
+
+  /** The reference's fixed product frame (toy_products:144-181). */
+  def toyProducts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("screen", 100, "supermarket.com", "electronics"),
+      ("hammer", 15, "bestproducts.com", "tools"),
+      ("keyboard", 20, "supermarket.com", "electronics"),
+      ("usb key", 9, "bestproducts.com", "electronics"),
+      ("charger", 13, "bestproducts.com", "electronics"),
+      ("screwdriver", 12, "supermarket.com", "tools")
+    ).toDF("description", "price", "seller", "category")
+  }
+
   private val Cities = Seq("Amsterdam", "Athens", "Berlin", "Bratislava",
     "Brussels", "Bucharest", "Budapest", "Copenhagen", "Dublin", "Helsinki",
     "Lisbon", "Ljubljana", "Madrid", "Paris", "Prague", "Rome", "Stockholm",

@@ -49,6 +49,32 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(pairs.map(_.getString(0)).distinct.length === pairs.length)
   }
 
+  test("toyOrders / toyProducts match the reference doc frames") {
+    val train = Generators.toyOrders(spark, "train")
+    assert(train.count() === 4)
+    assert(train.columns.toSeq === Seq("ID", "product", "quantity", "date", "delayed"))
+    assert(Generators.toyOrders(spark, "test").count() === 2)
+    assert(Generators.toyOrders(spark, "all").count() === 6)
+    assert(train.filter(col("delayed")).select("ID").as[Int].collect() === Array(3))
+    val prods = Generators.toyProducts(spark)
+    assert(prods.count() === 6)
+    assert(prods.filter(col("category") === "tools").count() === 2)
+    intercept[IllegalArgumentException] { Generators.toyOrders(spark, "nope") }
+  }
+
+  test("selectCols/dropCols stages freeze the fit-time column list") {
+    import graft.plans._
+    import graft.selectors.Selectors
+    val df = Seq((1, "a", 2.0)).toDF("id", "s", "x")
+    val sel = Plan.makeLearner(Var("x").apply(Stages.selectCols(Selectors.numeric)))
+    assert(sel.fitTransform(Map("x" -> df)).columns.toSeq === Seq("id", "x"))
+    // frozen: a new numeric column at transform time is NOT picked up
+    val wider = df.withColumn("y", col("x") * 2)
+    assert(sel.transform(Map("x" -> wider)).columns.toSeq === Seq("id", "x"))
+    val drop = Plan.makeLearner(Var("x").apply(Stages.dropCols(Selectors.cols("s"))))
+    assert(drop.fitTransform(Map("x" -> df)).columns.toSeq === Seq("id", "x"))
+  }
+
   test("makeRetailEvents: session-consistent labels and learnable signal") {
     val df = Generators.makeRetailEvents(spark, nUsers = 50,
       nEvents = 2000, seed = 3L).persist()
