@@ -18,6 +18,16 @@ object StreamingQueries {
       val e = t(s, dir, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
       StreamingSession.sessionizeStream(e, Seq("user_id"), "ts", "300 seconds")
+    }),
+
+    // streaming exact dedup, batch-mode twin: earliest event per
+    // (user_id, event_type) — the steady-state outcome of
+    // dropDuplicatesWithinWatermark, deterministically
+    "q_stream_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull &&
+        col("ts").isNotNull && col("event_type").isNotNull)
+      graft.streaming.StreamingDedup.dedupStream(
+        e, Seq("user_id", "event_type"), "ts")
     })
   )
 
@@ -45,6 +55,21 @@ object StreamingQueries {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS session_start,
         |  max(ts) AS session_end
-        |FROM s GROUP BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // first event per key: row_number mirror of min_by(payload, (ts, ...))
+    // — (ts, event_id) is unique within a key, so the longer Spark
+    // tie-break struct never gets past its second field
+    "q_stream_dedup" ->
+      """WITH e AS (
+        |  SELECT * FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM e)
+        |SELECT user_id, event_type, event_id, ts, value, props
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

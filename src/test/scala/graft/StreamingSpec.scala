@@ -34,4 +34,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(out === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
     } finally query.stop()
   }
+
+  test("dedupStream drops within-watermark duplicates on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Timestamp, Double)]
+    val df = source.toDF().toDF("user_id", "event_type", "ts", "value")
+    val deduped = graft.streaming.StreamingDedup.dedupStream(
+      df, Seq("user_id", "event_type"), "ts", watermark = "1 minute")
+    val query = deduped.writeStream
+      .format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      source.addData(
+        (1L, "click", ts("2021-01-01 00:00:00"), 1.0),
+        (1L, "click", ts("2021-01-01 00:00:30"), 2.0), // dup key, dropped
+        (1L, "view", ts("2021-01-01 00:00:10"), 3.0),
+        (2L, "click", ts("2021-01-01 00:00:05"), 4.0))
+      query.processAllAvailable()
+      source.addData(
+        (1L, "click", ts("2021-01-01 00:00:45"), 5.0)) // still dup, dropped
+      query.processAllAvailable()
+      val out = spark.table("t_dedup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(out === Seq((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally query.stop()
+  }
+
+  test("dedupStream batch twin keeps the earliest event per key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "click", Timestamp.valueOf("2021-01-01 00:00:30"), 2.0),
+      (1L, "click", Timestamp.valueOf("2021-01-01 00:00:00"), 1.0),
+      (2L, "view", Timestamp.valueOf("2021-01-01 00:01:00"), 3.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val out = graft.streaming.StreamingDedup
+      .dedupStream(df, Seq("user_id", "event_type"), "ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq.sorted
+    assert(out === Seq((1L, 1.0), (2L, 3.0)))
+  }
 }
