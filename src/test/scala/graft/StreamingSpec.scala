@@ -61,6 +61,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup: custom state flags later near-identical docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val df = source.toDF().toDF("doc_id", "text")
+    val verdicts = graft.streaming.StreamingNearDup.verdicts(df, "doc_id", "text")
+    val query = verdicts.writeStream
+      .format("memory").queryName("t_neardup").outputMode("append").start()
+    try {
+      source.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different text about spark streaming state"))
+      query.processAllAvailable()
+      // doc 3 arrives in a LATER batch, near-identical to doc 1 -> dup via
+      // retained state; doc 4 is novel
+      source.addData(
+        (3L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "yet another unrelated document entirely"))
+      query.processAllAvailable()
+      // per-(doc, block) verdicts: a doc is a near-dup if ANY block says so
+      val out = spark.table("t_neardup").collect()
+        .map(r => r.getAs[Long]("docId") -> r.getAs[Boolean]("isDup"))
+        .groupBy(_._1).map { case (id, vs) => id -> vs.exists(_._2) }
+      assert(out(1L) === false)
+      assert(out(2L) === false)
+      assert(out(3L) === true)
+      assert(out(4L) === false)
+    } finally query.stop()
+  }
+
   test("dedupStream batch twin keeps the earliest event per key") {
     import spark.implicits._
     val df = Seq(
