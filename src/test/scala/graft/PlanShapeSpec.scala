@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan regression tests: the perf work of rounds 3-5 lives in
+  * plan SHAPES (pushdown reaching the scan, bounded-buffer aggregates
+  * keeping one exchange, broadcast joins for slim sides, TakeOrdered
+  * instead of global sorts). These lock the shapes in — a change that
+  * silently reintroduces a scan-wide read, an extra exchange, or a
+  * sort-merge join on a driver-sized frame fails here, not in a bench
+  * regression three rounds later.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Final adaptive plan after executing the frame. */
+  private def finalPlan(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  private val sf = TestSpark.SfDir
+
+  test("row filters push down to the parquet scan") {
+    val plan = planString(graft.ops.Kernel.table(spark, sf, "orders")
+      .filter(col("o_orderkey") > 100L).select("o_orderkey"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]"),
+      s"filter did not reach the scan:\n$plan")
+    // and column pruning: the read schema carries ONLY the selected column
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"scan reads more than the projection needs:\n$plan")
+  }
+
+  test("subsample(random) plans as TakeOrderedAndProject, not a global sort") {
+    import graft.plans._
+    val out = Plan.makeLearner(
+        Var("x").subsample(10, how = "random"))
+      .preview(Map("x" -> graft.ops.Kernel.table(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority")))
+    val plan = planString(out)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort exchange found:\n$plan")
+  }
+
+  test("aggregatePerCol with mode keeps ONE exchange and no join") {
+    val li = graft.ops.Kernel.table(spark, sf, "lineitem")
+    val agg = graft.operators.Joins.aggregatePerCol(li, Seq("l_orderkey"),
+      Seq("l_quantity" -> Seq("count", "sum"), "l_returnflag" -> Seq("mode")))
+    val plan = planString(agg)
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"mode aggregation must not add exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"mode aggregation must not join:\n$plan")
+  }
+
+  test("globalSessionId fast path broadcasts the entity offsets") {
+    val e = graft.ops.Kernel.table(spark, sf, "events")
+    val out = graft.operators.SessionEncoder.globalSessionId(
+      e, Seq("user_id"), "ts", 300.0)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"session numbering fell back to a sort-merge join:\n$plan")
+  }
+
+  test("fuzzy join matches against a broadcast aux side, never shuffling pairs") {
+    val main = Seq("france", "italy").toDF("country")
+    val aux = Seq(("france", 1), ("italy", 2)).toDF("name", "aux_id")
+    val out = graft.operators.FuzzyJoin.fuzzyJoin(main, aux,
+      Seq("country" -> "name"))
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pair scoring should be a broadcast nested loop:\n$plan")
+  }
+}
