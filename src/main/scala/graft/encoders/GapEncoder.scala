@@ -120,6 +120,137 @@ object GapEncoder {
     h
   }
 
+  // ---- online (minibatch) learning --------------------------------------
+
+  /** Online GapEncoder state (reference partial_fit, _gap_encoder.py:620-713;
+    * update math _multiplicative_update_w:819-844): topics `w` with the
+    * sufficient statistics `a`/`b` (W = A/B after each batch, with decay
+    * `rho` forgetting old batches) and the per-seen-value activations
+    * `hDict` (the reference's H_dict_).
+    */
+  final case class OnlineModel(c: String, nComponents: Int, nBuckets: Int,
+                               rho: Double,
+                               w: Array[Array[Double]],
+                               a: Array[Array[Double]],
+                               b: Array[Double],
+                               hDict: Map[String, Array[Double]]) {
+
+    /** Activations for every value of `df`'s column: seen values replay
+      * their fitted H row, unseen values run the frozen-W H-step in the
+      * executors (w broadcast) — streaming-friendly transform.
+      */
+    def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val schema = StructType(StructField(c, StringType) +:
+        (0 until nComponents).map(i => StructField(s"${c}_gap_$i", DoubleType)))
+      val seenRows = hDict.toSeq.sortBy(_._1).map { case (v, h) =>
+        Row.fromSeq(v +: h.toSeq)
+      }
+      val seen = spark.createDataFrame(
+        java.util.Arrays.asList(seenRows: _*), schema)
+      val wB = spark.sparkContext.broadcast(w)
+      val seenSet = spark.sparkContext.broadcast(hDict.keySet)
+      val nb = nBuckets
+      val unseen = spark.createDataFrame(
+        df.filter(col(c).isNotNull).select(col(c)).distinct()
+          .rdd.map(_.getString(0))
+          .filter(v => !seenSet.value.contains(v))
+          .map(v => Row.fromSeq(v +: hStep(NgramVec.tf(v, nb), wB.value).toSeq)),
+        schema)
+      df.join(seen.unionByName(unseen), Seq(c), "left")
+    }
+  }
+
+  /** Fresh online model with the deterministic init. */
+  def initOnline(c: String, nComponents: Int = 10, nBuckets: Int = 128,
+                 rho: Double = 0.95): OnlineModel =
+    OnlineModel(c, nComponents, nBuckets, rho,
+      w = Array.tabulate(nComponents, nBuckets)((i, j) => initCell("w", i, j)),
+      a = Array.tabulate(nComponents, nBuckets)((i, j) =>
+        initCell("w", i, j) * 0.1),
+      b = Array.fill(nComponents)(0.1),
+      hDict = Map.empty)
+
+  /** One partial_fit step over a batch frame (reference contract: batches
+    * arrive one by one; each call folds the batch's UNIQUE values in). The
+    * batch's distinct values come to the driver — bounded by `maxBatchDistinct`
+    * (loud failure beyond, matching the fit-on-driver contract of `encode`).
+    *
+    * Per batch: H rows for the batch's values (warm-started for seen
+    * values), then the reference's online W update
+    *   A <- rho*A + W .* (Ht (V / HW));  B <- rho*B + Ht 1;  W = A / B.
+    */
+  def partialFit(m: OnlineModel, df: DataFrame,
+                 maxBatchDistinct: Int = 50000,
+                 eps: Double = 1e-10): OnlineModel = {
+    val vals = df.filter(col(m.c).isNotNull).select(col(m.c)).distinct()
+      .limit(maxBatchDistinct + 1).collect().map(_.getString(0)).sorted
+    require(vals.length <= maxBatchDistinct,
+      s"partialFit batch has more than $maxBatchDistinct distinct values; " +
+        "reduce the batch size")
+    if (vals.isEmpty) return m
+    val k = m.nComponents
+    val nbk = m.nBuckets
+    val v = vals.map(NgramVec.tf(_, nbk))
+    // E-step: batch activations against the current topics (warm-start)
+    val h = vals.zipWithIndex.map { case (value, i) =>
+      m.hDict.getOrElse(value, hStep(v(i), m.w))
+    }
+    // refine with the frozen-W H-step from the warm start, like the
+    // reference's max_iter_e_step refinement
+    val hRef = vals.indices.map(i => hStepFrom(v(i), m.w, h(i))).toArray
+    // online W update via sufficient statistics
+    val a = Array.tabulate(k, nbk)((t, j) => m.a(t)(j) * m.rho)
+    val b = Array.tabulate(k)(t => m.b(t) * m.rho)
+    val n = vals.length
+    // HW, R = V/HW
+    val r = Array.tabulate(n, nbk) { (i, j) =>
+      var s = 0.0; var t = 0
+      while (t < k) { s += hRef(i)(t) * m.w(t)(j); t += 1 }
+      v(i)(j) / math.max(s, eps)
+    }
+    for (t <- 0 until k) {
+      var hSum = 0.0
+      for (i <- 0 until n) hSum += hRef(i)(t)
+      b(t) += hSum
+      for (j <- 0 until nbk) {
+        var htr = 0.0
+        for (i <- 0 until n) htr += hRef(i)(t) * r(i)(j)
+        a(t)(j) += m.w(t)(j) * htr
+      }
+    }
+    val w = Array.tabulate(k, nbk)((t, j) =>
+      math.max(a(t)(j) / math.max(b(t), eps), eps))
+    m.copy(w = w, a = a, b = b,
+      hDict = m.hDict ++ vals.zip(hRef).toMap)
+  }
+
+  /** hStep warm-started from an existing activation row. */
+  private def hStepFrom(v: Array[Double], w: Array[Array[Double]],
+                        h0: Array[Double], iters: Int = 10,
+                        eps: Double = 1e-10): Array[Double] = {
+    val k = w.length
+    val m = v.length
+    val h = h0.clone()
+    var iter = 0
+    while (iter < iters) {
+      val hw = Array.tabulate(m) { j =>
+        var s = 0.0; var t = 0
+        while (t < k) { s += h(t) * w(t)(j); t += 1 }
+        math.max(s, eps)
+      }
+      var t = 0
+      while (t < k) {
+        var num = 0.0; var den = 0.0; var j = 0
+        while (j < m) { num += w(t)(j) * v(j) / hw(j); den += w(t)(j); j += 1 }
+        h(t) = math.max(h(t) * num / math.max(den, eps), eps)
+        t += 1
+      }
+      iter += 1
+    }
+    h
+  }
+
   /** Encode string column `c` into `nComponents` topic-activation columns
     * `{c}_gap_{i}`. Fit on distinct values (driver NMF — reference fits on
     * unique strings too); per-value activations join back (AQE-decided).

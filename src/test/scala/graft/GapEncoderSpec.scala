@@ -55,4 +55,40 @@ class GapEncoderSpec extends AnyFunSuite {
     assert(londonPair > crossPair,
       s"london-london $londonPair <= london-berlin $crossPair")
   }
+
+  test("partialFit folds batches in: KL on all seen data shrinks with batches") {
+    val batch1 = values.take(3).toDF("city")
+    val batch2 = values.drop(3).toDF("city")
+    val m0 = GapEncoder.initOnline("city", nComponents = 3, nBuckets = 64)
+    val m1 = GapEncoder.partialFit(m0, batch1)
+    val m2 = GapEncoder.partialFit(m1, batch2)
+    // more passes over the SAME data keep improving the fit
+    val m3 = GapEncoder.partialFit(GapEncoder.partialFit(m2, batch1), batch2)
+    val v = values.map(NgramVec.tf(_, 64)).toArray
+    def klOf(m: GapEncoder.OnlineModel): Double = {
+      val h = values.map(x => m.hDict(x)).toArray
+      GapEncoder.klDivergence(v, h, m.w)
+    }
+    assert(m2.hDict.size === 6)
+    assert(klOf(m3) < klOf(m2), s"${klOf(m3)} !< ${klOf(m2)}")
+    // determinism: replaying the same batches yields the same topics
+    val m2b = GapEncoder.partialFit(
+      GapEncoder.partialFit(GapEncoder.initOnline("city", 3, 64), batch1), batch2)
+    assert(m2b.w.flatten.toSeq === m2.w.flatten.toSeq)
+  }
+
+  test("online transform replays seen values and H-steps unseen ones") {
+    val m = GapEncoder.partialFit(
+      GapEncoder.initOnline("city", nComponents = 3, nBuckets = 64),
+      values.toDF("city"))
+    val out = m.transform(
+      (values :+ "marseille st charles").toDF("city").withColumn("k", lit(1)))
+    assert(out.count() === 7)
+    val gaps = out.filter(col("city") === "marseille st charles")
+      .select("city_gap_0", "city_gap_1", "city_gap_2").collect()(0)
+    assert((0 until 3).forall(i => gaps.getDouble(i) > 0.0)) // unseen encoded
+    val seen = out.filter(col("city") === "london bridge")
+      .select("city_gap_0").collect()(0).getDouble(0)
+    assert(math.abs(seen - m.hDict("london bridge")(0)) < 1e-12)
+  }
 }
