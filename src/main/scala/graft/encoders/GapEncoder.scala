@@ -161,6 +161,49 @@ object GapEncoder {
     }
   }
 
+  /** OnlineModel <-> JSON (the learner-persistence contract: fit on one
+    * session, save, keep partial-fitting or transforming in another).
+    */
+  def saveOnline(m: OnlineModel): String = {
+    import graft.plans.Json
+    def mat(x: Array[Array[Double]]) =
+      Json.arr(x.toSeq.map(r => Json.arr(r.toSeq.map(Json.num))))
+    Json.obj(Seq(
+      "type" -> Json.str("graft.GapEncoder.OnlineModel"),
+      "c" -> Json.str(m.c),
+      "nComponents" -> Json.num(m.nComponents.toLong),
+      "nBuckets" -> Json.num(m.nBuckets.toLong),
+      "rho" -> Json.num(m.rho),
+      "w" -> mat(m.w), "a" -> mat(m.a),
+      "b" -> Json.arr(m.b.toSeq.map(Json.num)),
+      "h" -> Json.obj(m.hDict.toSeq.sortBy(_._1).map { case (k, v) =>
+        k -> Json.arr(v.toSeq.map(Json.num))
+      })))
+  }
+
+  def loadOnline(json: String): OnlineModel = {
+    import graft.plans.Json
+    val o = Json.parse(json).asInstanceOf[Map[String, Any]]
+    require(o("type") == "graft.GapEncoder.OnlineModel", "not an OnlineModel")
+    def dbl(x: Any): Double = x match {
+      case d: Double => d
+      case l: Long   => l.toDouble
+    }
+    def mat(x: Any): Array[Array[Double]] =
+      x.asInstanceOf[List[Any]].map(_.asInstanceOf[List[Any]]
+        .map(dbl).toArray).toArray
+    OnlineModel(
+      c = o("c").asInstanceOf[String],
+      nComponents = o("nComponents").asInstanceOf[Long].toInt,
+      nBuckets = o("nBuckets").asInstanceOf[Long].toInt,
+      rho = dbl(o("rho")),
+      w = mat(o("w")), a = mat(o("a")),
+      b = o("b").asInstanceOf[List[Any]].map(dbl).toArray,
+      hDict = o("h").asInstanceOf[Map[String, Any]].map { case (k, v) =>
+        k -> v.asInstanceOf[List[Any]].map(dbl).toArray
+      })
+  }
+
   /** Fresh online model with the deterministic init. */
   def initOnline(c: String, nComponents: Int = 10, nBuckets: Int = 128,
                  rho: Double = 0.95): OnlineModel =

@@ -77,6 +77,20 @@ class GapEncoderSpec extends AnyFunSuite {
     assert(m2b.w.flatten.toSeq === m2.w.flatten.toSeq)
   }
 
+  test("online model save/load round-trips bit-identically and keeps fitting") {
+    val m = GapEncoder.partialFit(
+      GapEncoder.initOnline("city", nComponents = 3, nBuckets = 64),
+      values.take(3).toDF("city"))
+    val loaded = GapEncoder.loadOnline(GapEncoder.saveOnline(m))
+    assert(loaded.w.flatten.toSeq === m.w.flatten.toSeq)
+    assert(loaded.hDict.keySet === m.hDict.keySet)
+    // a loaded model continues partial-fitting identically to the original
+    val next = values.drop(3).toDF("city")
+    val cont = GapEncoder.partialFit(loaded, next)
+    val direct = GapEncoder.partialFit(m, next)
+    assert(cont.w.flatten.toSeq === direct.w.flatten.toSeq)
+  }
+
   test("online transform replays seen values and H-steps unseen ones") {
     val m = GapEncoder.partialFit(
       GapEncoder.initOnline("city", nComponents = 3, nBuckets = 64),
