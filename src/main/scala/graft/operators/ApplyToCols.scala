@@ -180,6 +180,88 @@ object ApplyToCols {
         (c: String) => Seq(c -> round(m.expr(col(c)), roundTo))
     }
 
+  /** ToDatetime as a ColEstimator — the reference's canonical allow_reject
+    * example (a DatetimeEncoder pipeline rejecting non-datetime columns):
+    * accepts a string column iff a format guessed from a non-null sample
+    * parses every sampled value; fitCols draws the samples for ALL candidate
+    * columns in ONE job (the Cleaner's batching discipline).
+    */
+  def toDatetime(sampleRows: Int = 10000): ColEstimator = new ColEstimator {
+    def fitCol(df: DataFrame, c: String): ColModel = {
+      if (df.schema(c).dataType != StringType)
+        throw RejectColumn(s"expected a string column, got ${df.schema(c).dataType}")
+      graft.operators.ToDatetime.fitCol(df, c) match {
+        case Some(_) =>
+          val fmt = graft.operators.ToDatetime.guessFormat(
+            graft.operators.ToDatetime.sample(df, c)).get
+          (cn: String) => Seq(cn -> try_to_timestamp(col(cn), lit(fmt)))
+        case None => throw RejectColumn("no datetime format fits the sample")
+      }
+    }
+
+    override def fitCols(df: DataFrame, cs: Seq[String]): Seq[(String, Either[RejectColumn, ColModel])] = {
+      val (strs, others) = cs.partition(df.schema(_).dataType == StringType)
+      val samples: Map[String, Seq[String]] =
+        if (strs.isEmpty) Map.empty
+        else {
+          val exprs = strs.map(c => slice(collect_list(col(c)), 1,
+            graft.operators.ToDatetime.SampleSize).as(c))
+          val row = df.limit(sampleRows).agg(exprs.head, exprs.tail: _*).collect()(0)
+          strs.map(c => c -> row.getSeq[String](row.fieldIndex(c)).toSeq).toMap
+        }
+      cs.map { c =>
+        if (!samples.contains(c))
+          c -> Left(RejectColumn(s"expected a string column, got ${df.schema(c).dataType}"))
+        else graft.operators.ToDatetime.guessFormat(samples(c)) match {
+          case Some(fmt) => c -> Right(new ColModel {
+            def outputs(cn: String) = Seq(cn -> try_to_timestamp(col(cn), lit(fmt)))
+          })
+          case None => c -> Left(RejectColumn("no datetime format fits the sample"))
+        }
+      }
+    }
+  }
+
+  /** ToFloat as a ColEstimator: accepts a string column iff every sampled
+    * non-null value parses as a number; one batched sample job.
+    */
+  def toFloat(sampleRows: Int = 10000): ColEstimator = new ColEstimator {
+    private def parses(s: String): Boolean =
+      scala.util.Try(s.trim.toDouble).isSuccess
+
+    def fitCol(df: DataFrame, c: String): ColModel = {
+      if (df.schema(c).dataType != StringType)
+        throw RejectColumn(s"expected a string column, got ${df.schema(c).dataType}")
+      val sample = df.select(col(c)).filter(col(c).isNotNull)
+        .limit(graft.operators.ToDatetime.SampleSize)
+        .collect().map(_.getString(0)).toSeq
+      if (sample.nonEmpty && sample.forall(parses))
+        (cn: String) => Seq(cn -> col(cn).try_cast(DoubleType))
+      else throw RejectColumn("sampled values do not parse as numbers")
+    }
+
+    override def fitCols(df: DataFrame, cs: Seq[String]): Seq[(String, Either[RejectColumn, ColModel])] = {
+      val (strs, _) = cs.partition(df.schema(_).dataType == StringType)
+      val samples: Map[String, Seq[String]] =
+        if (strs.isEmpty) Map.empty
+        else {
+          val exprs = strs.map(c => slice(collect_list(col(c)), 1,
+            graft.operators.ToDatetime.SampleSize).as(c))
+          val row = df.limit(sampleRows).agg(exprs.head, exprs.tail: _*).collect()(0)
+          strs.map(c => c -> row.getSeq[String](row.fieldIndex(c)).toSeq).toMap
+        }
+      cs.map { c =>
+        if (!samples.contains(c))
+          c -> Left(RejectColumn(s"expected a string column, got ${df.schema(c).dataType}"))
+        else if (samples(c).nonEmpty && samples(c).forall(parses))
+          c -> Right(new ColModel {
+            def outputs(cn: String) = Seq(cn -> col(cn).try_cast(DoubleType))
+          })
+        else c -> Left(RejectColumn("sampled values do not parse as numbers"))
+      }
+    }
+  }
+
   /** DatetimeEncoder as a ColEstimator: rejects non-datetime columns, emits
     * the standard part columns (stateless fit — no job).
     */

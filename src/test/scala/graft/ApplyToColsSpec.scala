@@ -73,6 +73,24 @@ class ApplyToColsSpec extends AnyFunSuite {
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) === ((2024, 3, 5, 10)))
   }
 
+  test("toDatetime/toFloat estimators accept by sample, reject the rest") {
+    val df = Seq(
+      ("2024-01-05", "1.5", "hello", 1),
+      ("2024-02-10", "2.25", "world", 2)
+    ).toDF("d", "f", "s", "k")
+    val out = ApplyToCols.fitTransform(df, ApplyToCols.toDatetime(),
+      allowReject = true)
+    assert(out.schema("d").dataType === TimestampType)
+    assert(out.schema("f").dataType === StringType) // numbers are not dates
+    assert(out.schema("s").dataType === StringType)
+    assert(out.schema("k").dataType === IntegerType)
+    val out2 = ApplyToCols.fitTransform(df, ApplyToCols.toFloat(),
+      allowReject = true)
+    assert(out2.schema("f").dataType === DoubleType)
+    assert(out2.schema("d").dataType === StringType) // dates are not numbers
+    assert(out2.select(sum("f")).head().getDouble(0) === 3.75)
+  }
+
   test("fitSubFrame fits on the selected subset, passthrough untouched") {
     val est = new ApplyToCols.SubFrameEstimator {
       def fitFrame(subset: org.apache.spark.sql.DataFrame, cols: Seq[String]) = {
