@@ -28,6 +28,13 @@ object Bench {
     // in `errors` + a nonzero exit.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = ordered.map { case (name, fn) =>
+      // Queries are independent: drop any cached plans or persisted blocks a
+      // previous query left behind (outside the timed section) so its
+      // storage-memory pressure is not billed to this one — the DuckDB
+      // oracle baseline runs every query in a fresh process, this is the
+      // same discipline.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -48,47 +48,41 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDf: Long = 1000L): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // persist the PER-DOC shingle arrays, not the exploded posting list: the
-    // expensive work is the regex-normalize + shingle transform (it must not
-    // recompute per consumer — the round-2 bench regression), but the
-    // exploded posting is |doc|×|shingles| rows while this frame is |doc|
-    // rows — materializing the compact form and re-exploding per consumer
-    // (cheap columnar generate from cached arrays) halves the cached bytes
-    // and drops one full posting-list materialization pass.
-    val docs = df.select(col(idCol).as("id"),
+    // Inverted index as ONE hash aggregate: group the posting list per
+    // shingle and generate candidate pairs LOCALLY inside each list. This
+    // replaces the previous 4-shuffle shape (df-count pass + anti-join +
+    // two self-join sides) with 2 shuffles total (posting groupBy + pair
+    // aggregate) and needs no persist — the shingle expression is computed
+    // exactly once, in the scan feeding the aggregate.
+    //
+    // The stop-shingle cutoff becomes a size filter on the grouped list:
+    // a shingle with document frequency > maxShingleDf is dropped whole,
+    // identical semantics to the old anti-join, and it bounds the local
+    // pair generation at maxShingleDf^2 rows per task — at 100 TB this is
+    // the difference between a linear shuffle and a quadratic bucket
+    // explosion on a common phrase.
+    val posting = df.select(col(idCol).as("id"),
         graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
-      .withColumn("n_shingles", size(col("shingles")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val posting = docs
-      .select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
-    // stop-shingle cutoff: one groupBy-count, anti-joined away. No broadcast
-    // hint: the hot-shingle set is unbounded in corpus size (a fixed df
-    // cutoff admits more distinct hot shingles as the corpus grows), so AQE
-    // decides — it still broadcasts when the set is actually small.
-    val hot = posting.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select(col("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // When no shingle exceeds the cutoff (common until the corpus is large),
-    // the anti-join is an identity — skip it AND its posting-list persist:
-    // both self-join sides then re-explode the cached per-doc arrays. The
-    // emptiness probe is one action over the (already small) aggregate.
-    val kept =
-      if (hot.isEmpty) posting
-      else posting.join(hot, Seq("shingle"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = kept.select(col("id").as("id_a"), col("n_shingles").as("n_a"), col("shingle"))
-    val b = kept.select(col("id").as("id_b"), col("n_shingles").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val lists = posting.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
+    // ordered local pair generation: docs is sorted by id, so pairing each
+    // element with its successors yields id_a < id_b by construction
+    val pairs = lists.select(explode(flatten(transform(col("docs"),
+        (x, i) => transform(
+          slice(col("docs"), i + lit(2), size(col("docs")) - i - lit(1)),
+          y => struct(x.getField("id").as("id_a"), x.getField("n_sh").as("n_a"),
+            y.getField("id").as("id_b"), y.getField("n_sh").as("n_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.n_a"), col("p.id_b"), col("p.n_b"))
       // size-ratio prefilter: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a
       // pair whose shingle counts are too lopsided can never pass the
       // threshold — dropping it BEFORE the pair aggregate cuts shuffle
       // traffic without changing any surviving pair (necessary condition).
       .filter(least(col("n_a"), col("n_b")).cast(DoubleType) >=
         lit(minJaccard) * greatest(col("n_a"), col("n_b")).cast(DoubleType))
+    pairs
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
@@ -260,6 +254,8 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val idType = pairs.schema("id_a").dataType
+    val sc = pairs.sparkSession.sparkContext
     // Only vertices that touch an edge can ever change label — everything
     // else is trivially its own singleton component. Iterating over the
     // edge-touched set only keeps every per-iteration shuffle proportional
@@ -268,27 +264,40 @@ object Dedup {
     // `src` alone covers every touched vertex.
     //
     // localCheckpoint truncates the logical plan each iteration — without it
-    // the lineage doubles per step (labels feeds both the propagation join
-    // and the update join) and plan compilation blows up after ~8 iterations
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    // the lineage doubles per step and plan compilation blows up after ~8
+    // iterations. Each checkpoint pins its partitions in the block manager,
+    // so the PREVIOUS iteration's blocks are freed explicitly once the next
+    // one is materialized (tracked via getPersistentRDDs — public API) —
+    // otherwise diameter-many copies of the label frame accumulate.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: materialized here
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    var (labels, liveBlocks) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var converged = false
     while (!converged) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      // carry a per-row "label shrank" flag through the checkpoint so
-      // convergence is a single-row aggregate over the already-materialized
-      // partitions — not a second shuffle join against the previous labels
-      // (which doubled the job count per iteration, x component diameter).
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("__chg"))
-        .localCheckpoint()
+      // ONE join + ONE aggregate per iteration (min-label message passing):
+      // neighbor messages carry the sender's label, each vertex also sends
+      // itself its current label tagged in `self` — min(label) is the new
+      // label and min(self) recovers the old one, so the convergence test
+      // rides the same aggregate instead of a second join against the
+      // previous labels.
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(idType).as("self"))
+        .unionAll(labels.select(col("id"), col("label"), col("label").as("self")))
+      val (next, newBlocks) = checkpointTracked(
+        msgs.groupBy(col("id"))
+          .agg(min(col("label")).as("label"), min(col("self")).as("old")))
       val changed = next
-        .agg(coalesce(sum(when(col("__chg"), 1L).otherwise(0L)), lit(0L)))
+        .agg(coalesce(sum(when(col("label") < col("old"), 1L).otherwise(0L)),
+          lit(0L)))
         .head().getLong(0)
+      liveBlocks.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      liveBlocks = newBlocks
       labels = next.select(col("id"), col("label"))
       converged = changed == 0L
     }
@@ -319,9 +328,13 @@ object Dedup {
       n = n, minJaccard = minJaccard)
     val labels = connectedComponents(vals.select(col("id")), pairs)
     val labeled = vals.join(labels, Seq("id"))
-    val reps = labeled.groupBy(col("label"))
-      .agg(min_by(col("v"), struct(negate(col("freq")), col("v"))).as("canonical"))
-    labeled.join(reps, Seq("label"))
+    // cluster representative (most frequent member, ties -> smallest value)
+    // via ONE window aggregate over the label partition — a groupBy+rejoin
+    // would shuffle the same data twice on the same key
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    labeled
+      .withColumn("canonical",
+        min_by(col("v"), struct(negate(col("freq")), col("v"))).over(w))
       .select(col("v").as("value"), col("canonical"))
   }
 
