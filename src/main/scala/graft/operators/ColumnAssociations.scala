@@ -77,11 +77,18 @@ object ColumnAssociations {
   // -------------------------------------------------------------------------
 
   final case class BinPlans(labels: Seq[(String, org.apache.spark.sql.Column)],
-                            numericCols: Seq[String])
+                            numericCols: Seq[String],
+                            extras: Map[String, Option[Double]] = Map.empty)
 
-  /** Fit the per-column discretization (two small stats jobs). */
+  /** Fit the per-column discretization (two small stats jobs). Callers that
+    * need additional whole-frame aggregates (e.g. allPairs' Pearson
+    * correlations) pass them as `extraAggs` — they ride the SAME stats scan
+    * instead of paying their own pass over the input, and come back in
+    * `BinPlans.extras` keyed by their alias.
+    */
   def fitBins(df: DataFrame, cols: Seq[String], nBins: Int = 10,
-              maxCats: Int = 10, catThreshold: Int = 30): BinPlans = {
+              maxCats: Int = 10, catThreshold: Int = 30,
+              extraAggs: Seq[org.apache.spark.sql.Column] = Nil): BinPlans = {
     val numericExpr: Map[String, org.apache.spark.sql.Column] =
       cols.flatMap { c =>
         df.schema(c).dataType match {
@@ -92,15 +99,22 @@ object ColumnAssociations {
           case _ => None
         }
       }.toMap
-    // stats job 1: min/max/approx-distinct for numeric-like columns
+    // stats job 1: min/max/approx-distinct for numeric-like columns, plus any
+    // caller-supplied aggregates — ONE scan for everything
+    val statExprs = numericExpr.toSeq.flatMap { case (c, e) =>
+      Seq(min(e).as(s"${c}__min"), max(e).as(s"${c}__max"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__d"))
+    } ++ extraAggs
+    var extras = Map.empty[String, Option[Double]]
     val numStats: Map[String, (Double, Double, Long)] =
-      if (numericExpr.isEmpty) Map.empty
+      if (statExprs.isEmpty) Map.empty
       else {
-        val exprs = numericExpr.toSeq.flatMap { case (c, e) =>
-          Seq(min(e).as(s"${c}__min"), max(e).as(s"${c}__max"),
-            approx_count_distinct(col(c), 0.02).as(s"${c}__d"))
-        }
-        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        val row = df.agg(statExprs.head, statExprs.tail: _*).collect()(0)
+        extras = extraAggs.map { e =>
+          val name = row.schema.fieldNames(statExprs.indexOf(e))
+          name -> Option(row.getAs[Any](name)).map(_.toString.toDouble)
+            .filterNot(_.isNaN)
+        }.toMap
         numericExpr.keys.map { c =>
           c -> (Option(row.getAs[Any](s"${c}__min")).fold(0.0)(_.toString.toDouble),
             Option(row.getAs[Any](s"${c}__max")).fold(0.0)(_.toString.toDouble),
@@ -150,7 +164,7 @@ object ColumnAssociations {
       df.schema(c).dataType match {
         case _: NumericType | BooleanType => true
         case _ => false
-      }))
+      }), extras)
   }
 
   /** All-pairs associations: one contingency job via GROUPING SETS, then
@@ -167,11 +181,22 @@ object ColumnAssociations {
         case _ => false
       }) => f.name
     }.toSeq
-    val plans = fitBins(df, cols)
-    val binned = df.select(plans.labels.map(_._2): _*)
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.length
     } yield (cols(i), cols(j))
+    // Pearson for numeric pairs rides the fitBins stats scan — numericCols is
+    // schema-derived, so the corr aggregates are known before any stats run
+    val schemaNumeric = cols.filter(c => df.schema(c).dataType match {
+      case _: NumericType | BooleanType => true
+      case _ => false
+    }).toSet
+    val numPairs = pairs.filter { case (a, b) =>
+      schemaNumeric.contains(a) && schemaNumeric.contains(b)
+    }
+    val plans = fitBins(df, cols, extraAggs = numPairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"__corr__${a}__${b}")
+    })
+    val binned = df.select(plans.labels.map(_._2): _*)
 
     val view = s"__graft_assoc_${System.identityHashCode(df).toHexString}"
     binned.createOrReplaceTempView(view)
@@ -197,45 +222,47 @@ object ColumnAssociations {
         col("p")(0)("name").as("col_a"), col("p")(1)("name").as("col_b"),
         col("p")(0)("value").as("va"), col("p")(1)("value").as("vb"), col("o"))
 
-    val wAll = Window.partitionBy(col("col_a"), col("col_b"))
-    val wA = Window.partitionBy(col("col_a"), col("col_b"), col("va"))
-    val wB = Window.partitionBy(col("col_a"), col("col_b"), col("vb"))
-    val enriched = perPair
-      .withColumn("n", sum(col("o")).over(wAll))
-      .withColumn("rt", sum(col("o")).over(wA))
-      .withColumn("ct", sum(col("o")).over(wB))
-      .withColumn("r", size(collect_set(col("va")).over(wAll)).cast(DoubleType))
-      .withColumn("c", size(collect_set(col("vb")).over(wAll)).cast(DoubleType))
+    // A pair's whole contingency table is at most (nBins+1) x (maxCats+1)
+    // cells — collect it into ONE group and compute marginals, dimensions,
+    // and the zero-cell-corrected chi2 locally with array functions. One
+    // shuffle replaces the previous three window passes + final aggregate
+    // over the same key; the local work is O(cells^2) on <= ~121 cells.
+    val cont = perPair.groupBy(col("col_a"), col("col_b"))
+      .agg(collect_list(struct(col("va"), col("vb"), col("o"))).as("cells"))
+    val arr = col("cells")
+    def sumO(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0.0), (acc, x) => acc + x.getField("o"))
+    def marginals(field: String) = map_from_entries(transform(
+      array_distinct(transform(arr, x => x.getField(field))),
+      v => struct(v, sumO(filter(arr, y => y.getField(field) === v)))))
+    val withDims = cont
+      .withColumn("n", sumO(arr))
+      .withColumn("rts", marginals("va"))
+      .withColumn("cts", marginals("vb"))
+      .withColumn("r", size(col("rts")).cast(DoubleType))
+      .withColumn("c", size(col("cts")).cast(DoubleType))
     // zero-cell correction as in cramersV: chi2 = sum[(o-e)^2/e - e] + n
-    val e = col("rt") * col("ct") / col("n")
-    val cell = (col("o") - e) * (col("o") - e) / e - e
-    val vFrame = enriched.groupBy(col("col_a"), col("col_b")).agg(
-        (sum(cell) + first(col("n"))).as("chi2"),
-        first(col("n")).as("n"), first(col("r")).as("r"), first(col("c")).as("c"))
-      .select(col("col_a"), col("col_b"),
-        round(biasCorrectedV(col("chi2"), col("n"), col("r"), col("c")), 6)
-          .as("cramer_v"))
+    val chi2 = aggregate(arr, lit(0.0), (acc, x) => {
+      val e = element_at(col("rts"), x.getField("va")) *
+        element_at(col("cts"), x.getField("vb")) / col("n")
+      val o = x.getField("o")
+      acc + (o - e) * (o - e) / e - e
+    }) + col("n")
+    val vFrame = withDims.select(col("col_a"), col("col_b"),
+      round(biasCorrectedV(chi2, col("n"), col("r"), col("c")), 6).as("cramer_v"))
 
-    // pearson for numeric pairs: one single-row aggregate
-    val numPairs = pairs.filter { case (a, b) =>
-      plans.numericCols.contains(a) && plans.numericCols.contains(b)
-    }
+    // pearson came back with the stats scan (extras); broadcast the tiny map
+    // into a literal lookup instead of joining a 15-row frame
     val result =
       if (numPairs.isEmpty) vFrame.withColumn("pearson_corr", lit(null).cast(DoubleType))
       else {
-        val exprs = numPairs.map { case (a, b) =>
-          round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
-        }
-        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-        val pearson = numPairs.map { case (a, b) =>
-          (a, b, Option(row.getAs[Any](s"${a}__${b}"))
-            .map(_.toString.toDouble).getOrElse(Double.NaN))
-        }
-        val pearsonDf = df.sparkSession.createDataFrame(pearson)
-          .toDF("col_a", "col_b", "pearson_corr")
-          .withColumn("pearson_corr",
-            when(isnan(col("pearson_corr")), lit(null)).otherwise(col("pearson_corr")))
-        vFrame.join(pearsonDf, Seq("col_a", "col_b"), "left")
+        val pearson: Map[String, Double] = numPairs.flatMap { case (a, b) =>
+          plans.extras.getOrElse(s"__corr__${a}__${b}", None).map(v => s"$a\u0001$b" -> v)
+        }.toMap
+        val lookup = if (pearson.isEmpty) lit(null).cast(DoubleType)
+          else element_at(typedLit(pearson),
+            concat_ws("\u0001", col("col_a"), col("col_b")))
+        vFrame.withColumn("pearson_corr", lookup)
       }
     result
       .withColumnRenamed("col_a", "left_column_name")
