@@ -209,10 +209,59 @@ object Kernel {
     */
   def slice(df: DataFrame, orderBy: Seq[String], start: Int, stop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Scale-safe: `orderBy.limit(stop)` plans as TakeOrderedAndProject —
+    // every partition keeps its local top-`stop`, only those survivors merge
+    // — so no row ever passes through a single-task global sort. The window
+    // that numbers the survivors for the `start` cut runs over at most
+    // `stop` rows by construction (slices are interactively bounded; the
+    // cost is O(stop), independent of corpus size).
     val w = Window.orderBy(orderBy.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > start && col("__rn") <= stop)
+    df.orderBy(orderBy.map(col): _*).limit(stop)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > start)
       .drop("__rn")
+  }
+
+  /** Scale-safe global row numbering: equivalent to `row_number() over
+    * (order by keys)` (1-based) but no row passes through a single-task
+    * window. The ordering keys must form a total order (unique rows per
+    * key tuple) — the same explicit-row-identity contract positional ops
+    * already carry (SURVEY §1.2).
+    *
+    * Shape: range-shuffle a slim keys-only projection, number rows with a
+    * per-partition window, lift to global ids with driver prefix-sum
+    * offsets over the per-partition counts (one tiny action; the partition
+    * count is bounded by parallelism), then join the numbers back on the
+    * keys. The wide payload is never globally sorted — it moves once, in
+    * the equi-join's hash shuffle.
+    */
+  def withGlobalRowNumber(df: DataFrame, orderBy: Seq[String],
+                          out: String = "__rn"): DataFrame = {
+    // one distributed range sort + a per-partition-count action (rows never
+    // funnel through one task): after orderBy, partition ids ascend with the
+    // key ranges, so global position = driver prefix-sum offset of the
+    // partition + the row's local monotonically_increasing_id index.
+    // persisted so the count action and the downstream read see the same
+    // sorted partitioning exactly once (same pattern as
+    // SessionEncoder.globalSessionId's distributed fallback).
+    val sorted = df.orderBy(orderBy.map(col): _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
+      .persist()
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 1L // 1-based
+    val offsets = counts.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += counts(p); p -> o
+    }
+    val offExpr =
+      if (offsets.isEmpty) lit(1L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("__pid"))
+    sorted
+      .withColumn(out, col("__mid").bitwiseAND(lit((1L << 33) - 1)) + offExpr)
+      .drop("__mid", "__pid")
   }
 
   /** Horizontal (axis=1) concat of frames sharing a common explicit row
@@ -221,12 +270,11 @@ object Kernel {
     * restricted to same-length frames like the reference).
     */
   def concatHorizontal(dfs: Seq[(DataFrame, Seq[String])]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(dfs.nonEmpty, "concatHorizontal of zero frames")
-    val numbered = dfs.map { case (d, ord) =>
-      val w = Window.orderBy(ord.map(col): _*)
-      d.withColumn("__rn", row_number().over(w))
-    }
+    // positional zip = join on a scale-safe global row number per frame
+    // (each frame's ordering keys define its positions; no single-task
+    // global window anywhere)
+    val numbered = dfs.map { case (d, ord) => withGlobalRowNumber(d, ord) }
     numbered.reduce((a, b) => a.join(b, Seq("__rn"))).drop("__rn")
   }
 

@@ -80,6 +80,21 @@ class FuzzyCleanerSpec extends AnyFunSuite {
     assert(cats === Set(None, Some("ok")))
   }
 
+  test("Cleaner date-parses a sparse column whose values start after the sample window") {
+    // every non-null value sits past the SampleScanRows window, so the
+    // batched head sample sees only nulls — the per-column non-null probe
+    // fallback must still find them and accept the datetime parse
+    val n = Cleaner.SampleScanRows + 6000
+    val df = spark.range(n.toLong).select(
+      col("id"),
+      when(col("id") >= Cleaner.SampleScanRows,
+        concat(lit("2021-01-02 03:04:"), lpad(col("id") % 60, 2, "0")))
+        .otherwise(lit(null)).cast(StringType).as("late_dates"))
+    val out = Cleaner.fitTransform(df)
+    assert(out.schema("late_dates").dataType === TimestampType)
+    assert(out.filter(col("late_dates").isNotNull).count() === 6000L)
+  }
+
   test("minKBy returns the k smallest elements ascending, bounded per group") {
     val df = Seq((1, 5.0), (1, 1.0), (1, 3.0), (1, 2.0), (2, 9.0))
       .toDF("g", "v")
