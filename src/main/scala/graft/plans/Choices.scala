@@ -62,6 +62,22 @@ object Choices {
       .mkString("|"))).take(n)
   }
 
+  /** Human-readable description of the search space (reference
+    * `.skb.describe_param_grid`, _skrub_namespace.py:1568): one line per
+    * choice, `name: [outcomes]`, plus the total combination count.
+    */
+  def describeParamGrid(choices: Seq[Choice[_]]): String = {
+    val lines = choices.map { c =>
+      val vals = c.outcomes.map {
+        case d: Double => f"$d%.4g"
+        case v         => v.toString
+      }
+      s"- ${c.name}: [${vals.mkString(", ")}]"
+    }
+    val total = choices.map(_.outcomes.length.toLong).product
+    (lines :+ s"total combinations: $total").mkString("\n")
+  }
+
   final case class SearchResult(params: Map[String, Any], score: Double,
                                 learner: Learner)
 

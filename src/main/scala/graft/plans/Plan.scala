@@ -27,6 +27,8 @@ sealed trait Plan {
   def transform(fn: DataFrame => DataFrame): Plan = Transform(this, fn)
   def apply(est: Estimator): Plan = Apply(this, est)
   def subsample(n: Int, how: String = "head"): Plan = Subsample(this, n, how)
+  def named(name: String, description: String = null): Plan =
+    Named(this, name, Option(description))
 }
 
 final case class Var(name: String) extends Plan
@@ -49,6 +51,14 @@ final case class IfElse(cond: Plan, pred: DataFrame => Boolean,
   */
 final case class MatchOn(key: Plan, keyFn: DataFrame => String,
                          cases: Map[String, Plan], default: Plan) extends Plan
+
+/** Label node (reference `.skb.set_name` / `.skb.set_description`,
+  * _skrub_namespace.py:3204,3281): a pass-through that names a plan position
+  * for introspection (`describeSteps`, `drawGraph`, `findNode`). Evaluation
+  * ignores it.
+  */
+final case class Named(input: Plan, name: String,
+                       description: Option[String] = None) extends Plan
 
 /** Design-matrix marker (reference `.skb.mark_as_X()`,
   * _skrub_namespace.py:2823): a pass-through node naming the plan position
@@ -111,6 +121,7 @@ object Plan {
         case MatchOn(k, _, cs, d) => walk(k); cs.values.foreach(walk); walk(d)
         case MarkX(in) => walk(in)
         case MarkY(in) => walk(in)
+        case Named(in, _, _) => walk(in)
         case Subsample(in, _, _) => walk(in)
         case _                =>
       }
@@ -148,6 +159,7 @@ object Plan {
           eval(cases.getOrElse(keyFn(eval(k)), default))
         case MarkX(in) => eval(in)
         case MarkY(in) => eval(in)
+        case Named(in, _, _) => eval(in)
         case Subsample(in, n, how) =>
           val d = eval(in)
           if (!subsampleOn) d
@@ -184,11 +196,18 @@ object Plan {
           walk(k).orElse(cs.values.view.flatMap(walk(_)).headOption).orElse(walk(d))
         case MarkX(in)            => walk(in)
         case MarkY(in)            => walk(in)
+        case Named(in, _, _)      => walk(in)
         case Subsample(in, _, _)  => walk(in)
         case _                    => None
       })
     walk(root)
   }
+
+  /** The node labeled `name` by `.named(...)`, if any (reference `.skb.find`,
+    * _skrub_namespace.py:3482).
+    */
+  def findNode(root: Plan, name: String): Option[Plan] =
+    find(root) { case Named(in, n, _) if n == name => in }
 
   /** Compile a plan into a refittable learner (reference
     * `.skb.make_learner()`, _skrub_namespace.py:1815).
@@ -210,11 +229,88 @@ object Plan {
         walk(k); cs.toSeq.sortBy(_._1).foreach(e => walk(e._2)); walk(d)
       case MarkX(in)            => walk(in)
       case MarkY(in)            => walk(in)
+      case Named(in, _, _)      => walk(in)
       case Subsample(in, _, _)  => walk(in)
       case _                    =>
     }
     walk(root)
     out.toList
+  }
+
+  // --- introspection (reference describe_steps / draw_graph,
+  // _skrub_namespace.py:1519,1501) ----------------------------------------
+
+  private def nodeLabel(p: Plan): String = p match {
+    case Var(name)          => s"var '$name'"
+    case _: Value           => "value <dataframe>"
+    case _: Transform       => "transform <function>"
+    case Apply(_, est)      => s"apply ${est.getClass.getSimpleName.stripSuffix("$")}"
+    case Merge(ins, _)      => s"merge of ${ins.length} inputs"
+    case _: IfElse          => "if_else"
+    case m: MatchOn         => s"match on ${m.cases.size} cases"
+    case _: MarkX           => "mark_as_X"
+    case _: MarkY           => "mark_as_y"
+    case Named(_, n, d)     => s"'$n'" + d.fold("")(s => s" — $s")
+    case Subsample(_, n, h) => s"subsample n=$n how=$h"
+  }
+
+  private def children(p: Plan): Seq[Plan] = p match {
+    case Transform(in, _)     => Seq(in)
+    case Apply(in, _)         => Seq(in)
+    case Merge(ins, _)        => ins
+    case IfElse(c, _, t, f)   => Seq(c, t, f)
+    case MatchOn(k, _, cs, d) => k +: cs.toSeq.sortBy(_._1).map(_._2) :+ d
+    case MarkX(in)            => Seq(in)
+    case MarkY(in)            => Seq(in)
+    case Named(in, _, _)      => Seq(in)
+    case Subsample(in, _, _)  => Seq(in)
+    case _                    => Seq.empty
+  }
+
+  /** Deterministic depth-first (children-first) ordering of every distinct
+    * node — the numbering used by `describeSteps` and `drawGraph`.
+    */
+  private def topoOrder(root: Plan): Seq[Plan] = {
+    val seen = scala.collection.mutable.LinkedHashSet[Plan]()
+    def walk(p: Plan): Unit = if (!seen.contains(p)) {
+      children(p).foreach(walk)
+      seen.add(p)
+    }
+    walk(root)
+    seen.toSeq
+  }
+
+  /** Numbered step list of the plan, children before parents (reference
+    * `.skb.describe_steps`, _skrub_namespace.py:1519). A node consumed by
+    * more than one parent is listed once and marked `(shared)` — shared
+    * nodes evaluate once per pass and are persisted (persist-at-fanout).
+    */
+  def describeSteps(root: Plan): String = {
+    val fanout = parentCounts(root)
+    topoOrder(root).zipWithIndex.map { case (p, i) =>
+      val shared = if (fanout.getOrElse(p, 0) > 1) " (shared)" else ""
+      s"$i. ${nodeLabel(p)}$shared"
+    }.mkString("\n")
+  }
+
+  /** GraphViz DOT rendering of the plan DAG (reference `.skb.draw_graph`,
+    * _skrub_namespace.py:1501) — edges point from input to consumer.
+    */
+  def drawGraph(root: Plan): String = {
+    val order = topoOrder(root)
+    val id = order.zipWithIndex.toMap
+    val nodes = order.map { p =>
+      val shape = p match {
+        case _: Var   => "ellipse"
+        case _: Apply => "box"
+        case _: IfElse | _: MatchOn => "diamond"
+        case _        => "plaintext"
+      }
+      val label = nodeLabel(p).replace("\"", "'")
+      s"""  n${id(p)} [label="${id(p)}: $label", shape=$shape];"""
+    }
+    val edges = order.flatMap(p => children(p).map(c => s"  n${id(c)} -> n${id(p)};"))
+    (Seq("digraph plan {", "  rankdir=TB;") ++ nodes ++ edges :+ "}").mkString("\n")
   }
 
   /** Rebuild a fitted learner from `save` output. The plan itself is code
@@ -284,6 +380,37 @@ final class Learner(root: Plan) {
   def transform(env: Map[String, DataFrame]): DataFrame = {
     if (!isFit) throw new IllegalStateException("learner is not fitted")
     Plan.evaluate0(root, env, fitted, fitMode = false)
+  }
+
+  /** HTML report of the plan and its (subsampled) preview output (reference
+    * `.skb.full_report`, _skrub_namespace.py:1687): step list, DOT graph
+    * source, and the preview frame's schema + first rows. Preview fits into
+    * throwaway state, so the learner is untouched.
+    */
+  def fullReport(env: Map[String, DataFrame], maxRows: Int = 10): String = {
+    val out = preview(env)
+    val steps = Plan.describeSteps(root)
+    val dot = Plan.drawGraph(root)
+    val schema = out.schema.fields
+      .map(f => s"<li><code>${f.name}</code>: ${f.dataType.simpleString}</li>")
+      .mkString("\n")
+    val rows = out.limit(maxRows).collect()
+    val header = out.columns.map(c => s"<th>$c</th>").mkString
+    val body = rows.map(r => "<tr>" + out.columns.indices.map { i =>
+      val v = if (r.isNullAt(i)) "<i>null</i>" else r.get(i).toString
+      s"<td>$v</td>"
+    }.mkString + "</tr>").mkString("\n")
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft plan report</title></head>
+       |<body>
+       |<h1>Plan report</h1>
+       |<h2>Steps</h2><pre>$steps</pre>
+       |<h2>Graph (DOT)</h2><pre>$dot</pre>
+       |<h2>Preview schema</h2><ul>$schema</ul>
+       |<h2>Preview rows (first ${rows.length})</h2>
+       |<table border="1"><tr>$header</tr>
+       |$body
+       |</table>
+       |</body></html>""".stripMargin
   }
 
   private[plans] def restore(node: Apply, t: Transformer): Unit = fitted(node) = t

@@ -66,4 +66,66 @@ class PlanSpec extends AnyFunSuite {
     assert(out.count() === TestSpark.table("orders").count())
     assert(out.columns.exists(_.startsWith("o_orderstatus_")))
   }
+
+  test("describeSteps numbers children before parents and marks shared nodes") {
+    val shared = Var("x").transform(identity).named("cleaned", "null-free input")
+    val a = shared.transform(_.select(col("a")))
+    val b = shared.transform(_.select(col("a")))
+    val plan = Merge(Seq(a, b), dfs => dfs(0).unionAll(dfs(1)))
+    val steps = Plan.describeSteps(plan)
+    val lines = steps.linesIterator.toSeq
+    assert(lines.head === "0. var 'x'")
+    assert(lines.exists(_.contains("'cleaned' — null-free input (shared)")))
+    assert(lines.last.contains("merge of 2 inputs"))
+    // children always numbered before the parents consuming them
+    val varIdx = lines.indexWhere(_.contains("var 'x'"))
+    val mergeIdx = lines.indexWhere(_.contains("merge"))
+    assert(varIdx < mergeIdx)
+  }
+
+  test("drawGraph emits a DOT digraph with one edge per consumer") {
+    val shared = Var("x").transform(identity)
+    val plan = Merge(
+      Seq(shared.transform(identity), shared.transform(identity)),
+      dfs => dfs(0).unionAll(dfs(1)))
+    val dot = Plan.drawGraph(plan)
+    assert(dot.startsWith("digraph plan {"))
+    assert(dot.endsWith("}"))
+    assert(dot.contains("var 'x'"))
+    // 5 distinct nodes (var, shared transform, 2 branch transforms, merge),
+    // 4 edges (var->shared, shared->a, shared->b, a->merge, b->merge) = 5
+    assert(dot.linesIterator.count(_.contains("->")) === 5)
+  }
+
+  test("findNode retrieves the node labeled by .named") {
+    val inner = Var("x").transform(identity)
+    val plan = inner.named("mid").transform(identity)
+    assert(Plan.findNode(plan, "mid").contains(inner))
+    assert(Plan.findNode(plan, "absent").isEmpty)
+  }
+
+  test("describeParamGrid lists outcomes and the combination count") {
+    val grid = Choices.describeParamGrid(Seq(
+      Choices.chooseFrom("encoder", Seq("minhash", "gap")),
+      Choices.chooseInt("dims", 10, 30, 3)))
+    assert(grid.contains("- encoder: [minhash, gap]"))
+    assert(grid.contains("- dims: [10, 20, 30]"))
+    assert(grid.contains("total combinations: 6"))
+  }
+
+  test("fullReport renders steps, graph, schema and preview rows") {
+    val plan = Var("x").transform(_.select((col("a") * 2).as("a2")))
+      .subsample(2, "head")
+    val learner = Plan.makeLearner(plan)
+    val html = learner.fullReport(Map("x" -> Seq(1, 2, 3, 4).toDF("a")))
+    assert(html.contains("<h2>Steps</h2>"))
+    assert(html.contains("digraph plan {"))
+    assert(html.contains("<code>a2</code>"))
+    // subsample active in preview: only 2 rows rendered
+    assert(html.contains("Preview rows (first 2)"))
+    // the learner itself stays unfitted: preview fits throwaway state
+    intercept[IllegalStateException] {
+      learner.transform(Map("x" -> Seq(1).toDF("a")))
+    }
+  }
 }
