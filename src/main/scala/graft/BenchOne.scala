@@ -26,7 +26,12 @@ object BenchOne {
     // warmup on the tiny SF so caches/codegen warm without masking the run
     try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     val times = (1 to reps).map { _ =>
+      // same per-query discipline as Bench: drop cached plans AND persisted
+      // blocks (localCheckpoint leftovers), let GC run outside the timed
+      // section — otherwise rep N is billed for rep N-1's storage debt
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9

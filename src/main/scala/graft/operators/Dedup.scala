@@ -274,9 +274,14 @@ object Dedup {
       val out = df.localCheckpoint() // eager: materialized here
       (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
     }
+    // Initial label = min over {self} ∪ direct neighbors — the same single
+    // hash aggregate a distinct() init would cost, but it IS the first
+    // message-passing round, so every call converges one join+checkpoint
+    // iteration earlier (a 2-clique settles in one loop round).
     var (labels, liveBlocks) = checkpointTracked(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
+      edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src").as("id"),
+          least(col("src"), col("__mn")).as("label")))
     var converged = false
     while (!converged) {
       // ONE join + ONE aggregate per iteration (min-label message passing):
@@ -326,16 +331,30 @@ object Dedup {
     val pairs = ngramJaccardPairs(
       vals.select(col("v").as("text"), col("id")), "text", "id",
       n = n, minJaccard = minJaccard)
+    val sc = df.sparkSession.sparkContext
+    val entryBlocks = sc.getPersistentRDDs.keySet.toSet
     val labels = connectedComponents(vals.select(col("id")), pairs)
     val labeled = vals.join(labels, Seq("id"))
     // cluster representative (most frequent member, ties -> smallest value)
     // via ONE window aggregate over the label partition — a groupBy+rejoin
     // would shuffle the same data twice on the same key
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
-    labeled
+    val out = labeled
       .withColumn("canonical",
         min_by(col("v"), struct(negate(col("freq")), col("v"))).over(w))
       .select(col("v").as("value"), col("canonical"))
+    // The translation map is the contract output (|distinct values| rows —
+    // already far smaller than the input); materialize it once and free
+    // every intermediate block (vals persist + the CC loop's final
+    // checkpointed labels), so a long-lived session running many
+    // deduplicate() calls does not accumulate dead storage. Blocks that
+    // existed before this call are never touched.
+    val preMat = sc.getPersistentRDDs.keySet.toSet
+    val mat = out.localCheckpoint()
+    (preMat -- entryBlocks).foreach(i =>
+      sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+    vals.unpersist(blocking = false)
+    mat
   }
 
   /** L2-normalize a float array column (double arithmetic). */
