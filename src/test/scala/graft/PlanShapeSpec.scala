@@ -82,4 +82,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"pair scoring should be a broadcast nested loop:\n$plan")
   }
+
+  /** Every all-pairs comparison in the registry must ride a BROADCAST of a
+    * bounded side (ANN query sets, fuzzy-join aux tables, exact-verification
+    * slices) — a shuffle CartesianProduct anywhere means an operator
+    * regressed to an unbounded n^2 that no cluster survives at 100 TB. The
+    * sweep plans every registered query against the tiny fixture, so a
+    * scale-killer introduced in ANY operator fails here by name.
+    */
+  test("registry sweep: no shuffle cartesian product in any registered query") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = planString(fn(spark, sf))
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a shuffle cartesian product: ${offenders.mkString(", ")}")
+  }
 }
