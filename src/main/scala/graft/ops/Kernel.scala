@@ -237,31 +237,48 @@ object Kernel {
     */
   def withGlobalRowNumber(df: DataFrame, orderBy: Seq[String],
                           out: String = "__rn"): DataFrame = {
-    // one distributed range sort + a per-partition-count action (rows never
-    // funnel through one task): after orderBy, partition ids ascend with the
-    // key ranges, so global position = driver prefix-sum offset of the
-    // partition + the row's local monotonically_increasing_id index.
-    // persisted so the count action and the downstream read see the same
-    // sorted partitioning exactly once (same pattern as
-    // SessionEncoder.globalSessionId's distributed fallback).
-    val sorted = df.orderBy(orderBy.map(col): _*)
+    // The NARROW keys-only projection rides the distributed range sort and a
+    // per-partition-count action (rows never funnel through one task): after
+    // orderBy, partition ids ascend with the key ranges, so global position =
+    // driver prefix-sum offset of the partition + the row's local
+    // monotonically_increasing_id index. The wide payload never moves through
+    // the range sort — it joins the computed numbers back on the keys in ONE
+    // hash shuffle. Positional numbering is only well-defined over a total
+    // order, so duplicate keys (which would also fan out the join-back) are
+    // rejected; the check rides the same counts job as a window over the
+    // already-sorted partitions — equal keys are adjacent after a range sort,
+    // so a partition-local lag sees every duplicate.
+    val keyCols = orderBy.map(col)
+    val sorted = df.select(keyCols: _*).orderBy(keyCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
       .persist()
-    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__mid"))
+    val dup = when(
+      orderBy.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _), 1L)
+      .otherwise(0L)
+    val stats = sorted.withColumn("__dup", dup)
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dup")).as("__d"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nDups = stats.valuesIterator.map(_._2).sum
+    require(nDups == 0,
+      s"withGlobalRowNumber: orderBy keys (${orderBy.mkString(", ")}) contain " +
+        s"$nDups duplicate rows; positional numbering needs a total order")
     var acc = 1L // 1-based
-    val offsets = counts.keys.toSeq.sorted.map { p =>
-      val o = acc; acc += counts(p); p -> o
+    val offsets = stats.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += stats(p)._1; p -> o
     }
     val offExpr =
       if (offsets.isEmpty) lit(1L)
       else element_at(
         map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         col("__pid"))
-    sorted
+    val numbered = sorted
       .withColumn(out, col("__mid").bitwiseAND(lit((1L << 33) - 1)) + offExpr)
-      .drop("__mid", "__pid")
+      .select(keyCols :+ col(out): _*)
+    df.join(numbered, orderBy)
   }
 
   /** Horizontal (axis=1) concat of frames sharing a common explicit row

@@ -90,6 +90,15 @@ class KernelSpec extends AnyFunSuite {
       Seq((1, 10), (2, 20), (3, 30)))
   }
 
+  test("concatHorizontal rejects duplicate ordering keys") {
+    val a = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val b = Seq((10, "A"), (20, "B"), (30, "C")).toDF("k2", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Kernel.concatHorizontal(Seq(a -> Seq("k"), b -> Seq("k2"))).collect()
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
   test("scalingFactor clips a constant column to 1.0") {
     val df = Seq(5.0, 5.0, 5.0).toDF("x")
     assert(Kernel.scalingFactor(df, Seq("x")).head().getDouble(0) === 1.0)
