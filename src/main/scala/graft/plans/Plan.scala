@@ -209,6 +209,21 @@ object Plan {
   def findNode(root: Plan, name: String): Option[Plan] =
     find(root) { case Named(in, n, _) if n == name => in }
 
+  /** Every distinct environment variable the plan reads, in first-use
+    * depth-first order (reference `.skb.get_vars`, _skrub_namespace.py:1398)
+    * — the contract for what an evaluation environment must bind.
+    */
+  def vars(root: Plan): Seq[String] = {
+    val seen = scala.collection.mutable.Set[Plan]()
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(p: Plan): Unit = if (seen.add(p)) p match {
+      case Var(name) => out += name
+      case other     => children(other).foreach(walk)
+    }
+    walk(root)
+    out.toSeq
+  }
+
   /** Compile a plan into a refittable learner (reference
     * `.skb.make_learner()`, _skrub_namespace.py:1815).
     */

@@ -97,6 +97,13 @@ class PlanSpec extends AnyFunSuite {
     assert(dot.linesIterator.count(_.contains("->")) === 5)
   }
 
+  test("vars lists distinct environment variables in first-use order") {
+    val plan = Merge(
+      Seq(Var("orders"), Var("lineitem").transform(identity), Var("orders")),
+      dfs => dfs.head)
+    assert(Plan.vars(plan) === Seq("orders", "lineitem"))
+  }
+
   test("findNode retrieves the node labeled by .named") {
     val inner = Var("x").transform(identity)
     val plan = inner.named("mid").transform(identity)
