@@ -297,14 +297,14 @@ object Dedup {
       val (next, newBlocks) = checkpointTracked(
         msgs.groupBy(col("id"))
           .agg(min(col("label")).as("label"), min(col("self")).as("old")))
-      val changed = next
-        .agg(coalesce(sum(when(col("label") < col("old"), 1L).otherwise(0L)),
-          lit(0L)))
-        .head().getLong(0)
+      // isEmpty short-circuits on the first changed row (limit-1 over the
+      // checkpointed frame) — a full count aggregate only ever runs on the
+      // final (converged) iteration, where the frame is scanned once anyway
+      val anyChanged = !next.filter(col("label") < col("old")).isEmpty
       liveBlocks.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
       liveBlocks = newBlocks
       labels = next.select(col("id"), col("label"))
-      converged = changed == 0L
+      converged = !anyChanged
     }
     edges.unpersist()
     vertices.select(col("id")).join(labels, Seq("id"), "left")

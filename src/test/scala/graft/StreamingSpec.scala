@@ -91,6 +91,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("text-analysis expressions run unchanged on a stream with windowed aggregation") {
+    // language-id + token counting are stateless codegen expressions, so the
+    // same operators the batch oracles verify (q_langid, q_token_counts)
+    // compose directly into a watermarked windowed aggregate on a stream —
+    // the SURVEY §2.11 encoders-on-streams contract.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Timestamp)]
+    val df = source.toDF().toDF("text", "ts")
+    val perLang = df
+      .withColumn("lang", graft.operators.TextAnalysis.langId(col("text")))
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("lang"))
+      .agg(sum(col("n_tokens")).as("tokens"), count(lit(1)).as("docs"))
+    val query = perLang.writeStream
+      .format("memory").queryName("t_lang").outputMode("complete").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      source.addData(
+        ("the quick brown fox jumps over the lazy dog", ts("2021-01-01 00:00:00")),
+        ("it was the best of times it was the worst of times", ts("2021-01-01 00:10:00")))
+      query.processAllAvailable()
+      val out = spark.table("t_lang").collect()
+        .map(r => r.getAs[String]("lang") -> r.getAs[Long]("tokens")).toMap
+      assert(out.values.sum === 9L + 12L)
+    } finally query.stop()
+  }
+
   test("dedupStream batch twin keeps the earliest event per key") {
     import spark.implicits._
     val df = Seq(
