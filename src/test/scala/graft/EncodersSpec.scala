@@ -81,6 +81,29 @@ class EncodersSpec extends AnyFunSuite {
     assert(rows(None).isNullAt(out.columns.indexOf("v_sim_apple")))
   }
 
+  test("fit-time persists are released: no leaked blocks after encode/deduplicate") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // drain anything earlier suites left (e.g. lazy operators whose persist
+    // is released by the ContextCleaner, not eagerly)
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = sc.getPersistentRDDs.keySet
+    val df = Seq("london", "londres", "paris", "parris", "berlin")
+      .toDF("city")
+    // StringEncoder's driver-vocab path must leave NO persisted blocks
+    graft.encoders.StringEncoder.encode(df, "city", nComponents = 4).count()
+    val afterEncode = sc.getPersistentRDDs.keySet -- before
+    assert(afterEncode.isEmpty,
+      s"StringEncoder leaked persisted RDDs: $afterEncode")
+    // deduplicate frees every INTERMEDIATE (vals persist, CC label
+    // checkpoints); the single surviving block is the checkpoint backing its
+    // returned frame, released with the result like any consumer-owned frame
+    graft.operators.Dedup.deduplicate(df, "city", minJaccard = 0.3).count()
+    val afterDedup = sc.getPersistentRDDs.keySet -- before
+    assert(afterDedup.size <= 1,
+      s"deduplicate leaked intermediates beyond its result: $afterDedup")
+  }
+
   test("SquashingScaler output is bounded by max_absolute_value") {
     val cust = TestSpark.table("customer")
     val out = SquashingScaler.fitTransform(cust, "c_acctbal", "scaled")
