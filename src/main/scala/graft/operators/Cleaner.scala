@@ -72,14 +72,20 @@ object Cleaner {
           dropNullFraction: Double = 1.0,
           dropIfConstant: Boolean = true,
           nullMarkers: Seq[String] = Kernel.DefaultNullMarkers): Model = {
-    // one stats job: null fraction + distinct estimate for every column
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // one stats job: null fraction + distinct estimate for every column.
+    // The stats scan and the sample scan below are INDEPENDENT jobs, so the
+    // driver submits them from separate threads and they overlap — on a
+    // cluster the limit-bounded sample job fills scheduler slots the wide
+    // stats scan leaves idle, instead of serializing two round-trips.
     val names = df.schema.fields.map(_.name).toSeq
     val exprs = names.flatMap { c =>
       Seq(count(when(Kernel.isNullLike(df, c), 1)).as(s"${c}__nulls"),
         approx_count_distinct(col(c), 0.02).as(s"${c}__dist"))
     } :+ count(lit(1)).as("__n")
-    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-    val n = row.getAs[Long]("__n").toDouble
+    val rowF = Future { df.agg(exprs.head, exprs.tail: _*).collect()(0) }
 
     // ONE sample job for ALL string columns (not one limit-collect per
     // column — a 500-string-column table must not launch 500 driver jobs):
@@ -99,6 +105,7 @@ object Cleaner {
         val sExprs = stringCols.map(c => slice(
           collect_list(Kernel.cleanNullStrings(col(c), nullMarkers)),
           1, ToDatetime.SampleSize).as(c))
+        // runs on the calling thread, overlapping the in-flight stats future
         val sRow = df.limit(SampleScanRows)
           .agg(sExprs.head, sExprs.tail: _*).collect()(0)
         val windowed =
@@ -120,6 +127,8 @@ object Cleaner {
         }
       }
 
+    val row = Await.result(rowF, Duration.Inf)
+    val n = row.getAs[Long]("__n").toDouble
     val plans = df.schema.fields.toSeq.map { f =>
       val nulls = row.getAs[Long](s"${f.name}__nulls")
       val dist = row.getAs[Long](s"${f.name}__dist")
