@@ -101,10 +101,38 @@ object ColumnAssociations {
       }.toMap
     // stats job 1: min/max/approx-distinct for numeric-like columns, plus any
     // caller-supplied aggregates — ONE scan for everything
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.expressions.Window
+    // melted one-scan top-categories job for the given columns
+    def topCatsJob(catCols: Seq[String]): Map[String, Seq[String]] =
+      if (catCols.isEmpty) Map.empty
+      else {
+        val kv = df.select(explode(array(catCols.map(c =>
+            struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+          .select(col("kv.c").as("c"), col("kv.v").as("v"))
+          .filter(col("v").isNotNull)
+          .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("c")).orderBy(col("cnt").desc, col("v").asc)
+        kv.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= maxCats + 1)
+          .collect().groupBy(_.getString(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getAs[Int]("rn")).map(_.getString(1)).toSeq
+          }
+      }
     val statExprs = numericExpr.toSeq.flatMap { case (c, e) =>
       Seq(min(e).as(s"${c}__min"), max(e).as(s"${c}__max"),
         approx_count_distinct(col(c), 0.02).as(s"${c}__d"))
     } ++ extraAggs
+    // Non-numeric columns are categorical REGARDLESS of the stats results,
+    // so their (melted, one-scan) top-categories job is independent of the
+    // stats job — submit both from separate threads and let them overlap.
+    // Only numeric columns that the stats reveal as low-distinct need a
+    // residual top-cats pass, and usually none do.
+    val alwaysCat = cols.filterNot(numericExpr.contains)
+    val alwaysCatF = Future { topCatsJob(alwaysCat) }
     var extras = Map.empty[String, Option[Double]]
     val numStats: Map[String, (Double, Double, Long)] =
       if (statExprs.isEmpty) Map.empty
@@ -123,24 +151,9 @@ object ColumnAssociations {
       }
     val catCols = cols.filter(c =>
       !numericExpr.contains(c) || numStats(c)._3 < catThreshold)
-    // stats job 2 (melted, one scan): top categories per categorical column
+    val residualCats = catCols.filter(numericExpr.contains)
     val topCats: Map[String, Seq[String]] =
-      if (catCols.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.expressions.Window
-        val kv = df.select(explode(array(catCols.map(c =>
-            struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
-          .select(col("kv.c").as("c"), col("kv.v").as("v"))
-          .filter(col("v").isNotNull)
-          .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy(col("c")).orderBy(col("cnt").desc, col("v").asc)
-        kv.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= maxCats + 1)
-          .collect().groupBy(_.getString(0))
-          .map { case (c, rows) =>
-            c -> rows.sortBy(_.getAs[Int]("rn")).map(_.getString(1)).toSeq
-          }
-      }
+      Await.result(alwaysCatF, Duration.Inf) ++ topCatsJob(residualCats)
     val labels = cols.map { c =>
       if (!catCols.contains(c)) {
         // equal-width bins over [min, max]; x == max clamps into the last bin
