@@ -106,8 +106,17 @@ object InterpolationJoiner {
     val auxVec = assembler.transform(auxF)
     val mainVec = assembler.transform(mainF)
 
-    val out = payloads.foldLeft(mainVec) { (acc, p) =>
-      try {
+    // Per-payload fits are independent (each reads auxVec only), so they run
+    // CONCURRENTLY from driver threads — the reference fits payload models
+    // joblib-parallel (skrub/_interpolation_joiner.py:24-467); ours overlaps
+    // the iterative GBT job chains on the cluster. Each future returns the
+    // transform attaching that payload's predictions; predictions fold onto
+    // the main frame sequentially (pure plan composition, no jobs).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits: Seq[(String, Future[DataFrame => DataFrame])] = payloads.map { p =>
+      p -> Future[DataFrame => DataFrame] {
         aux.schema(p).dataType match {
           case _: NumericType =>
             val model = new GBTRegressor()
@@ -116,7 +125,7 @@ object InterpolationJoiner {
               .setMaxDepth(maxDepth)
               .fit(auxVec.filter(col(p).isNotNull)
                 .withColumn(p, col(p).cast(DoubleType)))
-            model.transform(acc)
+            acc => model.transform(acc)
           case StringType =>
             val indexer = new StringIndexer().setInputCol(p)
               .setOutputCol("__label").setHandleInvalid("skip")
@@ -127,14 +136,20 @@ object InterpolationJoiner {
               .setMaxDepth(maxDepth)
               .fit(indexer.transform(auxVec.filter(col(p).isNotNull)))
             val labels = indexer.labelsArray.head.toSeq
-            val predicted = model.transform(acc)
-            // index -> label stays inside codegen (no serialized UDF)
-            predicted.withColumn(s"${p}_predicted",
-                element_at(typedLit(labels), col("__pred").cast(IntegerType) + 1))
-              .drop("__pred", "__label", "rawPrediction", "probability")
+            acc => {
+              val predicted = model.transform(acc)
+              // index -> label stays inside codegen (no serialized UDF)
+              predicted.withColumn(s"${p}_predicted",
+                  element_at(typedLit(labels), col("__pred").cast(IntegerType) + 1))
+                .drop("__pred", "__label", "rawPrediction", "probability")
+            }
           case dt => throw new IllegalArgumentException(s"payload dtype $dt")
         }
-      } catch {
+      }
+    }
+    val out = fits.foldLeft(mainVec) { case (acc, (p, fitF)) =>
+      try Await.result(fitF, Duration.Inf)(acc)
+      catch {
         case e: Exception if onError != Raise =>
           if (onError == Warn)
             log.warn(s"interpolationJoin: skipping payload column '$p': $e")
