@@ -120,6 +120,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("GapEncoder partial_fit learns online from a stream via foreachBatch") {
+    // the reference's only online-learning artifact (GapEncoder.partial_fit,
+    // _gap_encoder.py:620-713) driven by Structured Streaming: each
+    // micro-batch folds into the sufficient statistics; the fitted model
+    // then transforms a batch frame with the frozen topics
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    var model = graft.encoders.GapEncoder.initOnline("city", 3, 64)
+    val query = source.toDF().toDF("city").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        model = graft.encoders.GapEncoder.partialFit(model, batch)
+      }
+      .outputMode("append").start()
+    try {
+      source.addData("london", "london", "paris")
+      query.processAllAvailable()
+      source.addData("berlin", "paris", "madrid")
+      query.processAllAvailable()
+      assert(model.hDict.keySet ===
+        Set("london", "paris", "berlin", "madrid"))
+      val out = model.transform(Seq("london", "tokyo").toDF("city"))
+      assert(out.count() === 2)
+      // unseen value still gets activations via the frozen-W H-step
+      val tokyo = out.filter(col("city") === "tokyo").head()
+      assert((1 to 3).forall(i => !tokyo.isNullAt(i)))
+    } finally query.stop()
+  }
+
   test("dedupStream batch twin keeps the earliest event per key") {
     import spark.implicits._
     val df = Seq(
