@@ -22,7 +22,15 @@ object TableReport {
     */
   val CardinalityThreshold = 40
 
-  def summarize(df: DataFrame): DataFrame = {
+  /** Per-column profiling stats in long format.
+    *
+    * `exactQuantiles = true` (default) matches the reference's exact
+    * interpolated quartiles — `percentile` buffers per-distinct-value
+    * counts, fine at profiling scale. Pass `false` on continuous columns at
+    * 100 TB: `percentile_approx`'s GK sketch is constant-memory (every
+    * other aggregate here is already constant-memory partial+final).
+    */
+  def summarize(df: DataFrame, exactQuantiles: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
     // numeric-comparable view of a column: numerics as double, datetimes as
     // epoch seconds (min/max of strings stay in the string columns — no
@@ -59,8 +67,11 @@ object TableReport {
       // exact interpolated percentile (sorts values — order-independent;
       // matches DuckDB quantile_cont), like Kernel.quantileExact
       val quarts =
-        if (isNum)
+        if (isNum && exactQuantiles)
           expr(s"percentile(`${f.name}`, array(0.25D, 0.5D, 0.75D))")
+        else if (isNum)
+          expr(s"percentile_approx(`${f.name}`, array(0.25D, 0.5D, 0.75D), 10000)")
+            .cast(ArrayType(DoubleType))
         else lit(null).cast(ArrayType(DoubleType))
       Seq(
         count(c).as(s"${f.name}__count"),

@@ -198,9 +198,25 @@ object Kernel {
   def nUnique(df: DataFrame, c: String): DataFrame =
     df.agg(countDistinct(col(c)).as("n_unique"))
 
-  /** Exact interpolated quantile, nulls dropped first (_common.py:1183-1195). */
+  /** Exact interpolated quantile, nulls dropped first (_common.py:1183-1195).
+    *
+    * Scale note: `percentile` buffers per-distinct-value counts
+    * (ObjectHashAggregate), so memory grows with the column's distinct
+    * count — exact parity with the reference's semantics, right for
+    * profiling at verification scale. For continuous columns at 100 TB use
+    * `quantileApprox`: the Greenwald-Khanna sketch is constant-memory with
+    * a bounded relative error.
+    */
   def quantileExact(df: DataFrame, c: String, q: Double): DataFrame =
     dropNulls(df, Seq(c)).agg(expr(s"percentile($c, $q)").as("quantile"))
+
+  /** Constant-memory quantile (GK sketch, `accuracy` ~ 1/relative-error) —
+    * the 100 TB path for continuous columns; see `quantileExact`.
+    */
+  def quantileApprox(df: DataFrame, c: String, q: Double,
+                     accuracy: Int = 10000): DataFrame =
+    dropNulls(df, Seq(c))
+      .agg(expr(s"percentile_approx($c, $q, $accuracy)").as("quantile"))
 
   /** `slice(start, stop)` / `select_rows` over an EXPLICIT ordering
     * (reference _common.py:1364-1412 relies on positional identity; Spark
