@@ -244,7 +244,16 @@ object Dedup {
     *
     * Returns (id, label) where label = smallest id in the component.
     */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponentsTracked(vertices, pairs)._1
+
+  /** As `connectedComponents`, also returning the RDD ids of the final
+    * label frame's checkpoint blocks — the caller that materializes a
+    * downstream result can free EXACTLY those (and nothing a concurrent
+    * driver thread may have registered meanwhile).
+    */
+  private[operators] def connectedComponentsTracked(
+      vertices: DataFrame, pairs: DataFrame): (DataFrame, Set[Int]) = {
     import org.apache.spark.storage.StorageLevel
     // both directions from ONE pass over `pairs`: a union of two selects
     // would evaluate the (expensive, self-join-shaped) pair pipeline twice
@@ -270,9 +279,10 @@ object Dedup {
     // one is materialized (tracked via getPersistentRDDs — public API) —
     // otherwise diameter-many copies of the label frame accumulate.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint() // eager: materialized here
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+      // exact backing-rdd id (no snapshot diffing — a concurrent driver
+      // thread's blocks must never be attributed to this checkpoint)
+      (out, org.apache.spark.sql.GraftBridge.checkpointedRddId(out).toSet)
     }
     // Initial label = min over {self} ∪ direct neighbors — the same single
     // hash aggregate a distinct() init would cost, but it IS the first
@@ -307,8 +317,9 @@ object Dedup {
       converged = !anyChanged
     }
     edges.unpersist()
-    vertices.select(col("id")).join(labels, Seq("id"), "left")
+    val out = vertices.select(col("id")).join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (out, liveBlocks)
   }
 
   /** The reference's `deduplicate` contract (skrub/_deduplicate.py:15-285):
@@ -332,8 +343,8 @@ object Dedup {
       vals.select(col("v").as("text"), col("id")), "text", "id",
       n = n, minJaccard = minJaccard)
     val sc = df.sparkSession.sparkContext
-    val entryBlocks = sc.getPersistentRDDs.keySet.toSet
-    val labels = connectedComponents(vals.select(col("id")), pairs)
+    val (labels, labelBlocks) =
+      connectedComponentsTracked(vals.select(col("id")), pairs)
     val labeled = vals.join(labels, Seq("id"))
     // cluster representative (most frequent member, ties -> smallest value)
     // via ONE window aggregate over the label partition — a groupBy+rejoin
@@ -345,13 +356,13 @@ object Dedup {
       .select(col("v").as("value"), col("canonical"))
     // The translation map is the contract output (|distinct values| rows —
     // already far smaller than the input); materialize it once and free
-    // every intermediate block (vals persist + the CC loop's final
-    // checkpointed labels), so a long-lived session running many
-    // deduplicate() calls does not accumulate dead storage. Blocks that
-    // existed before this call are never touched.
-    val preMat = sc.getPersistentRDDs.keySet.toSet
+    // every intermediate this call OWNS (the vals persist + the CC loop's
+    // final label checkpoint, whose ids the tracked variant returns) — a
+    // long-lived session running many deduplicate() calls accumulates no
+    // dead storage, and blocks registered by concurrent driver threads are
+    // never touched.
     val mat = out.localCheckpoint()
-    (preMat -- entryBlocks).foreach(i =>
+    labelBlocks.foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
     vals.unpersist(blocking = false)
     mat

@@ -115,8 +115,15 @@ object InterpolationJoiner {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val sc = main.sparkSession.sparkContext
+    // every background fit tags its jobs with one group so a Raise-policy
+    // failure can cancel the in-flight sibling fits (best-effort: an
+    // already-running job chain stops at its next job boundary)
+    val fitGroup = s"graft-interp-${java.util.UUID.randomUUID()}"
     val fits: Seq[(String, Future[DataFrame => DataFrame])] = payloads.map { p =>
       p -> Future[DataFrame => DataFrame] {
+        sc.setJobGroup(fitGroup, s"interpolationJoin fit: $p",
+          interruptOnCancel = true)
         aux.schema(p).dataType match {
           case _: NumericType =>
             val model = new GBTRegressor()
@@ -147,15 +154,20 @@ object InterpolationJoiner {
         }
       }
     }
-    val out = fits.foldLeft(mainVec) { case (acc, (p, fitF)) =>
-      try Await.result(fitF, Duration.Inf)(acc)
-      catch {
-        case e: Exception if onError != Raise =>
-          if (onError == Warn)
-            log.warn(s"interpolationJoin: skipping payload column '$p': $e")
-          acc
+    val out =
+      try {
+        fits.foldLeft(mainVec) { case (acc, (p, fitF)) =>
+          try Await.result(fitF, Duration.Inf)(acc)
+          catch {
+            case e: Exception if onError != Raise =>
+              if (onError == Warn)
+                log.warn(s"interpolationJoin: skipping payload column '$p': $e")
+              acc
+          }
+        }
+      } catch {
+        case e: Throwable => sc.cancelJobGroup(fitGroup); throw e
       }
-    }
     out.drop((auxFeatNames :+ "__features"): _*)
   }
 }

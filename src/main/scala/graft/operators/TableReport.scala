@@ -158,7 +158,7 @@ object TableReport {
   def topAssociations(df: DataFrame, topN: Int = 1000): DataFrame =
     ColumnAssociations.allPairs(df, topN)
 
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   private def renderTable(df: DataFrame, maxRows: Int): String = {

@@ -253,6 +253,11 @@ object Kernel {
     */
   def withGlobalRowNumber(df: DataFrame, orderBy: Seq[String],
                           out: String = "__rn"): DataFrame = {
+    // NOTE: the input plan evaluates twice — once in the keys-only sort,
+    // once as the join probe side. The WIDE payload never rides the range
+    // sort (the shuffle-bytes win this exists for); callers zipping an
+    // expensive derived frame should persist it first.
+    //
     // The NARROW keys-only projection rides the distributed range sort and a
     // per-partition-count action (rows never funnel through one task): after
     // orderBy, partition ids ascend with the key ranges, so global position =
@@ -269,32 +274,49 @@ object Kernel {
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
       .persist()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__mid"))
-    val dup = when(
-      orderBy.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _), 1L)
-      .otherwise(0L)
-    val stats = sorted.withColumn("__dup", dup)
-      .groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"), sum(col("__dup")).as("__d"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val nDups = stats.valuesIterator.map(_._2).sum
-    require(nDups == 0,
-      s"withGlobalRowNumber: orderBy keys (${orderBy.mkString(", ")}) contain " +
-        s"$nDups duplicate rows; positional numbering needs a total order")
-    var acc = 1L // 1-based
-    val offsets = stats.keys.toSeq.sorted.map { p =>
-      val o = acc; acc += stats(p)._1; p -> o
-    }
-    val offExpr =
-      if (offsets.isEmpty) lit(1L)
-      else element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("__pid"))
-    val numbered = sorted
-      .withColumn(out, col("__mid").bitwiseAND(lit((1L << 33) - 1)) + offExpr)
-      .select(keyCols :+ col(out): _*)
-    df.join(numbered, orderBy)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(col("__mid"))
+      // a previous row must EXIST (lag of never-null __mid) — otherwise a
+      // genuinely-null first key would null-safe-match lag's default null
+      val dup = when(
+        lag(col("__mid"), 1).over(w).isNotNull &&
+          orderBy.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _), 1L)
+        .otherwise(0L)
+      val stats = sorted.withColumn("__dup", dup)
+        .groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__n"), sum(col("__dup")).as("__d"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val nDups = stats.valuesIterator.map(_._2).sum
+      require(nDups == 0,
+        s"withGlobalRowNumber: orderBy keys (${orderBy.mkString(", ")}) contain " +
+          s"$nDups duplicate rows; positional numbering needs a total order")
+      var acc = 1L // 1-based
+      val offsets = stats.keys.toSeq.sorted.map { p =>
+        val o = acc; acc += stats(p)._1; p -> o
+      }
+      val offExpr =
+        if (offsets.isEmpty) lit(1L)
+        else element_at(
+          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+          col("__pid"))
+      // the number table is narrow (keys + one long): materialize it so the
+      // sorted keys persist can be released HERE instead of leaking into the
+      // returned plan's lifetime. Keys are RENAMED to fresh columns because
+      // localCheckpoint preserves attribute identity — joining df(c) against
+      // an attribute with the same exprId would be a trivially-true
+      // self-reference, not a join condition.
+      val numbered = sorted
+        .withColumn(out, col("__mid").bitwiseAND(lit((1L << 33) - 1)) + offExpr)
+        .select(orderBy.map(c => col(c).as(s"__gk_$c")) :+ col(out): _*)
+        .localCheckpoint()
+      // null-SAFE join-back: a null ordering key is a valid position (the
+      // sort put it somewhere deterministic); plain equi-join would silently
+      // drop such rows
+      val cond = orderBy.map(c => df(c) <=> numbered(s"__gk_$c")).reduce(_ && _)
+      df.join(numbered, cond)
+        .select(df.columns.map(df(_)).toSeq :+ numbered(out): _*)
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Horizontal (axis=1) concat of frames sharing a common explicit row

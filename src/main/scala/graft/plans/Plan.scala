@@ -321,7 +321,10 @@ object Plan {
         case _: IfElse | _: MatchOn => "diamond"
         case _        => "plaintext"
       }
-      val label = nodeLabel(p).replace("\"", "'")
+      // DOT string escapes: backslashes first, then quotes; newlines become
+      // DOT's literal \n so multi-line descriptions stay one valid label
+      val label = nodeLabel(p).replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "")
       s"""  n${id(p)} [label="${id(p)}: $label", shape=$shape];"""
     }
     val edges = order.flatMap(p => children(p).map(c => s"  n${id(c)} -> n${id(p)};"))
@@ -403,16 +406,17 @@ final class Learner(root: Plan) {
     * throwaway state, so the learner is untouched.
     */
   def fullReport(env: Map[String, DataFrame], maxRows: Int = 10): String = {
+    val esc = graft.operators.TableReport.esc _
     val out = preview(env)
-    val steps = Plan.describeSteps(root)
-    val dot = Plan.drawGraph(root)
+    val steps = esc(Plan.describeSteps(root))
+    val dot = esc(Plan.drawGraph(root))
     val schema = out.schema.fields
-      .map(f => s"<li><code>${f.name}</code>: ${f.dataType.simpleString}</li>")
+      .map(f => s"<li><code>${esc(f.name)}</code>: ${esc(f.dataType.simpleString)}</li>")
       .mkString("\n")
     val rows = out.limit(maxRows).collect()
-    val header = out.columns.map(c => s"<th>$c</th>").mkString
+    val header = out.columns.map(c => s"<th>${esc(c)}</th>").mkString
     val body = rows.map(r => "<tr>" + out.columns.indices.map { i =>
-      val v = if (r.isNullAt(i)) "<i>null</i>" else r.get(i).toString
+      val v = if (r.isNullAt(i)) "<i>null</i>" else esc(r.get(i).toString)
       s"<td>$v</td>"
     }.mkString + "</tr>").mkString("\n")
     s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft plan report</title></head>

@@ -9,4 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** RDD id backing an (eagerly) localCheckpoint'ed DataFrame — the EXACT
+    * block id to unpersist when the frame is released, with no
+    * getPersistentRDDs snapshot diffing (which would misattribute blocks a
+    * concurrent driver thread registers in the same window).
+    */
+  def checkpointedRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
 }

@@ -90,6 +90,23 @@ class KernelSpec extends AnyFunSuite {
       Seq((1, 10), (2, 20), (3, 30)))
   }
 
+  test("withGlobalRowNumber keeps a null-key row and leaves no persisted blocks") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val df = Seq(Some(2), None, Some(1)).toDF("k")
+    val out = Kernel.withGlobalRowNumber(df, Seq("k")).collect()
+    assert(out.length === 3)
+    // nulls sort first: null -> 1, 1 -> 2, 2 -> 3
+    val byKey = out.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getLong(1)).toMap
+    assert(byKey(None) === 1L)
+    assert(byKey(Some(1)) === 2L)
+    assert(byKey(Some(2)) === 3L)
+    // the sorted keys persist is released before returning; only the narrow
+    // number table's checkpoint (backing the returned plan) may remain
+    assert(sc.getPersistentRDDs.size <= 1)
+  }
+
   test("concatHorizontal rejects duplicate ordering keys") {
     val a = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     val b = Seq((10, "A"), (20, "B"), (30, "C")).toDF("k2", "w")
