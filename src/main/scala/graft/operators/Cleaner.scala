@@ -68,66 +68,68 @@ object Cleaner {
     samples.nonEmpty && samples.forall(s =>
       scala.util.Try(s.trim.toDouble).isSuccess)
 
+  /** ONE sample job for ALL string columns (not one limit-collect per
+    * column — a 500-string-column table must not launch 500 driver jobs):
+    * GlobalLimit takes `SampleScanRows` rows in one partition and
+    * collect_list gathers them; slice keeps the first SampleSize cleaned
+    * non-null values per column. Which rows the limit takes (and their
+    * order) is not a hard Spark guarantee across sources/retries, so accept
+    * decisions treat the sample as "some rows", not "THE first rows" — a
+    * column only parses as datetime/float if EVERY sampled value does, so
+    * borderline flips require a genuinely mixed column. Null-marker strings
+    * are cleaned to null BEFORE collection so they never block a
+    * parse-based accept.
+    *
+    * Bias guard: a sparse column whose non-null values all appear after
+    * the sampled window would be silently left unparsed (the reference
+    * samples non-null values of the whole column, _to_datetime.py:17).
+    * Only for columns whose windowed sample came back EMPTY, fall back
+    * to a per-column filter(isNotNull).limit probe — bounded extra jobs
+    * (pathological columns only), zero extra jobs in the common case.
+    */
+  private def drawSamples(df: DataFrame,
+                          nullMarkers: Seq[String]): Map[String, Seq[String]] = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    if (stringCols.isEmpty) Map.empty
+    else {
+      val sExprs = stringCols.map(c => slice(
+        collect_list(Kernel.cleanNullStrings(col(c), nullMarkers)),
+        1, ToDatetime.SampleSize).as(c))
+      val sRow = df.limit(SampleScanRows)
+        .agg(sExprs.head, sExprs.tail: _*).collect()(0)
+      val windowed =
+        stringCols.map(c => c -> sRow.getSeq[String](sRow.fieldIndex(c)).toSeq).toMap
+      windowed.map { case (cName, sample) =>
+        if (sample.nonEmpty) cName -> sample
+        else {
+          val cleaned = Kernel.cleanNullStrings(col(cName), nullMarkers)
+          val probe = df.select(cleaned.as(cName)).filter(col(cName).isNotNull)
+            .limit(ToDatetime.SampleSize).collect().map(_.getString(0)).toSeq
+          cName -> probe
+        }
+      }
+    }
+  }
+
   def fit(df: DataFrame,
           dropNullFraction: Double = 1.0,
           dropIfConstant: Boolean = true,
           nullMarkers: Seq[String] = Kernel.DefaultNullMarkers): Model = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // one stats job: null fraction + distinct estimate for every column.
-    // The stats scan and the sample scan below are INDEPENDENT jobs, so the
-    // driver submits them from separate threads and they overlap — on a
-    // cluster the limit-bounded sample job fills scheduler slots the wide
-    // stats scan leaves idle, instead of serializing two round-trips.
+    // The stats scan and the sample scan below are INDEPENDENT jobs —
+    // Jobs.overlap submits the stats scan from a background thread so the
+    // limit-bounded sample job fills scheduler slots the wide stats scan
+    // leaves idle, instead of serializing two round-trips.
     val names = df.schema.fields.map(_.name).toSeq
     val exprs = names.flatMap { c =>
       Seq(count(when(Kernel.isNullLike(df, c), 1)).as(s"${c}__nulls"),
         approx_count_distinct(col(c), 0.02).as(s"${c}__dist"))
     } :+ count(lit(1)).as("__n")
-    val rowF = Future { df.agg(exprs.head, exprs.tail: _*).collect()(0) }
-
-    // ONE sample job for ALL string columns (not one limit-collect per
-    // column — a 500-string-column table must not launch 500 driver jobs):
-    // GlobalLimit takes `SampleScanRows` rows in one partition and
-    // collect_list gathers them; slice keeps the first SampleSize cleaned
-    // non-null values per column. Which rows the limit takes (and their
-    // order) is not a hard Spark guarantee across sources/retries, so accept
-    // decisions treat the sample as "some rows", not "THE first rows" — a
-    // column only parses as datetime/float if EVERY sampled value does, so
-    // borderline flips require a genuinely mixed column. Null-marker strings
-    // are cleaned to null BEFORE collection so they never block a
-    // parse-based accept.
-    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
-    val samples: Map[String, Seq[String]] =
-      if (stringCols.isEmpty) Map.empty
-      else {
-        val sExprs = stringCols.map(c => slice(
-          collect_list(Kernel.cleanNullStrings(col(c), nullMarkers)),
-          1, ToDatetime.SampleSize).as(c))
-        // runs on the calling thread, overlapping the in-flight stats future
-        val sRow = df.limit(SampleScanRows)
-          .agg(sExprs.head, sExprs.tail: _*).collect()(0)
-        val windowed =
-          stringCols.map(c => c -> sRow.getSeq[String](sRow.fieldIndex(c)).toSeq).toMap
-        // Bias guard: a sparse column whose non-null values all appear after
-        // the sampled window would be silently left unparsed (the reference
-        // samples non-null values of the whole column, _to_datetime.py:17).
-        // Only for columns whose windowed sample came back EMPTY, fall back
-        // to a per-column filter(isNotNull).limit probe — bounded extra jobs
-        // (pathological columns only), zero extra jobs in the common case.
-        windowed.map { case (cName, sample) =>
-          if (sample.nonEmpty) cName -> sample
-          else {
-            val cleaned = Kernel.cleanNullStrings(col(cName), nullMarkers)
-            val probe = df.select(cleaned.as(cName)).filter(col(cName).isNotNull)
-              .limit(ToDatetime.SampleSize).collect().map(_.getString(0)).toSeq
-            cName -> probe
-          }
-        }
-      }
-
-    val row = Await.result(rowF, Duration.Inf)
+    val (row, samples) = graft.ops.Jobs.overlap(df.sparkSession.sparkContext) {
+      df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    } {
+      drawSamples(df, nullMarkers)
+    }
     val n = row.getAs[Long]("__n").toDouble
     val plans = df.schema.fields.toSeq.map { f =>
       val nulls = row.getAs[Long](s"${f.name}__nulls")

@@ -101,9 +101,6 @@ object ColumnAssociations {
       }.toMap
     // stats job 1: min/max/approx-distinct for numeric-like columns, plus any
     // caller-supplied aggregates — ONE scan for everything
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     import org.apache.spark.sql.expressions.Window
     // melted one-scan top-categories job for the given columns
     def topCatsJob(catCols: Seq[String]): Map[String, Seq[String]] =
@@ -128,32 +125,34 @@ object ColumnAssociations {
     } ++ extraAggs
     // Non-numeric columns are categorical REGARDLESS of the stats results,
     // so their (melted, one-scan) top-categories job is independent of the
-    // stats job — submit both from separate threads and let them overlap.
-    // Only numeric columns that the stats reveal as low-distinct need a
-    // residual top-cats pass, and usually none do.
+    // stats job — Jobs.overlap runs them from separate threads. Only numeric
+    // columns that the stats reveal as low-distinct need a residual top-cats
+    // pass, and usually none do.
     val alwaysCat = cols.filterNot(numericExpr.contains)
-    val alwaysCatF = Future { topCatsJob(alwaysCat) }
     var extras = Map.empty[String, Option[Double]]
-    val numStats: Map[String, (Double, Double, Long)] =
-      if (statExprs.isEmpty) Map.empty
-      else {
-        val row = df.agg(statExprs.head, statExprs.tail: _*).collect()(0)
-        extras = extraAggs.map { e =>
-          val name = row.schema.fieldNames(statExprs.indexOf(e))
-          name -> Option(row.getAs[Any](name)).map(_.toString.toDouble)
-            .filterNot(_.isNaN)
-        }.toMap
-        numericExpr.keys.map { c =>
-          c -> (Option(row.getAs[Any](s"${c}__min")).fold(0.0)(_.toString.toDouble),
-            Option(row.getAs[Any](s"${c}__max")).fold(0.0)(_.toString.toDouble),
-            row.getAs[Long](s"${c}__d"))
-        }.toMap
+    val (alwaysCats, numStats) =
+      graft.ops.Jobs.overlap(df.sparkSession.sparkContext) {
+        topCatsJob(alwaysCat)
+      } {
+        if (statExprs.isEmpty) Map.empty[String, (Double, Double, Long)]
+        else {
+          val row = df.agg(statExprs.head, statExprs.tail: _*).collect()(0)
+          extras = extraAggs.map { e =>
+            val name = row.schema.fieldNames(statExprs.indexOf(e))
+            name -> Option(row.getAs[Any](name)).map(_.toString.toDouble)
+              .filterNot(_.isNaN)
+          }.toMap
+          numericExpr.keys.map { c =>
+            c -> (Option(row.getAs[Any](s"${c}__min")).fold(0.0)(_.toString.toDouble),
+              Option(row.getAs[Any](s"${c}__max")).fold(0.0)(_.toString.toDouble),
+              row.getAs[Long](s"${c}__d"))
+          }.toMap
+        }
       }
     val catCols = cols.filter(c =>
       !numericExpr.contains(c) || numStats(c)._3 < catThreshold)
     val residualCats = catCols.filter(numericExpr.contains)
-    val topCats: Map[String, Seq[String]] =
-      Await.result(alwaysCatF, Duration.Inf) ++ topCatsJob(residualCats)
+    val topCats: Map[String, Seq[String]] = alwaysCats ++ topCatsJob(residualCats)
     val labels = cols.map { c =>
       if (!catCols.contains(c)) {
         // equal-width bins over [min, max]; x == max clamps into the last bin

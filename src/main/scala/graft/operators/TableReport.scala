@@ -203,4 +203,14 @@ object TableReport {
        |$assoc
        |</body></html>""".stripMargin
   }
+
+  /** `TableReport.write_html` (reference _table_report.py:98): render and
+    * write the report to a file.
+    */
+  def writeHtml(df: DataFrame, orderBy: Seq[String], path: String,
+                title: String = "TableReport"): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, toHtml(df, orderBy, title))
+  }
 }
