@@ -117,14 +117,20 @@ object InterpolationJoiner {
     import scala.concurrent.ExecutionContext.Implicits.global
     val sc = main.sparkSession.sparkContext
     // every background fit tags its jobs with one group so a Raise-policy
-    // failure can cancel the in-flight sibling fits (best-effort: an
-    // already-running job chain stops at its next job boundary)
+    // failure can cancel the in-flight sibling fits; QUEUED futures (pool
+    // smaller than payload count) check the cancelled flag and never start.
+    // clearJobGroup in the finally keeps reused pool threads from carrying
+    // a stale cancellable group onto unrelated work.
     val fitGroup = s"graft-interp-${java.util.UUID.randomUUID()}"
+    val fitsCancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fits: Seq[(String, Future[DataFrame => DataFrame])] = payloads.map { p =>
       p -> Future[DataFrame => DataFrame] {
+        if (fitsCancelled.get())
+          throw new java.util.concurrent.CancellationException(
+            s"sibling payload fit failed before '$p' started")
         sc.setJobGroup(fitGroup, s"interpolationJoin fit: $p",
           interruptOnCancel = true)
-        aux.schema(p).dataType match {
+        try aux.schema(p).dataType match {
           case _: NumericType =>
             val model = new GBTRegressor()
               .setFeaturesCol("__features").setLabelCol(p)
@@ -151,7 +157,7 @@ object InterpolationJoiner {
                 .drop("__pred", "__label", "rawPrediction", "probability")
             }
           case dt => throw new IllegalArgumentException(s"payload dtype $dt")
-        }
+        } finally sc.clearJobGroup()
       }
     }
     val out =
@@ -166,7 +172,8 @@ object InterpolationJoiner {
           }
         }
       } catch {
-        case e: Throwable => sc.cancelJobGroup(fitGroup); throw e
+        case e: Throwable =>
+          fitsCancelled.set(true); sc.cancelJobGroup(fitGroup); throw e
       }
     out.drop((auxFeatNames :+ "__features"): _*)
   }

@@ -11,23 +11,33 @@ import org.apache.spark.SparkContext
 object Jobs {
 
   /** Run `bg` on a background thread while `fg` runs on the calling thread;
-    * returns both results. The background thread's Spark jobs carry a
-    * dedicated job group: if the foreground fails, the group is cancelled
-    * (best-effort — a running job stops, a pure computation finishes) so no
-    * orphaned job chain outlives the operator that spawned it.
+    * returns both results. If the foreground fails, the background is
+    * stopped best-effort BOTH ways a future can be pending: a not-yet-started
+    * future sees the cancelled flag and never submits work, and an
+    * in-flight one has its job group cancelled (a running job stops at the
+    * next task checkpoint; driver-side computation between jobs finishes its
+    * step). The group is cleared in a finally so a reused pool thread never
+    * carries a stale (cancellable) group id onto unrelated work.
     */
   def overlap[A, B](sc: SparkContext)(bg: => A)(fg: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val group = s"graft-overlap-${java.util.UUID.randomUUID()}"
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val bgF = Future {
+      if (cancelled.get())
+        throw new java.util.concurrent.CancellationException(
+          "foreground job failed before background started")
       sc.setJobGroup(group, "graft background fit job", interruptOnCancel = true)
       try bg finally sc.clearJobGroup()
     }
     val fgResult =
       try fg
-      catch { case e: Throwable => sc.cancelJobGroup(group); throw e }
+      catch {
+        case e: Throwable =>
+          cancelled.set(true); sc.cancelJobGroup(group); throw e
+      }
     (Await.result(bgF, Duration.Inf), fgResult)
   }
 }

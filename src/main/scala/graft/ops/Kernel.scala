@@ -306,6 +306,13 @@ object Kernel {
       // localCheckpoint preserves attribute identity — joining df(c) against
       // an attribute with the same exprId would be a trivially-true
       // self-reference, not a join condition.
+      //
+      // checkpoint, DELIBERATELY not persist-with-lineage: positions were
+      // assigned under ONE concrete range partitioning, and a recompute
+      // after executor loss may re-derive different partition boundaries —
+      // the driver-side offsets map would then silently SHIFT positions.
+      // Losing a checkpoint block fails the job loudly instead; the frame
+      // is tiny and the caller retries.
       val numbered = sorted
         .withColumn(out, col("__mid").bitwiseAND(lit((1L << 33) - 1)) + offExpr)
         .select(orderBy.map(c => col(c).as(s"__gk_$c")) :+ col(out): _*)
