@@ -32,6 +32,26 @@ object KernelQueries {
       Kernel.scalingFactor(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // constant-memory quantile path (Kernel.quantileApprox — the 100 TB
+    // alternative to exact percentile): the GK sketch's estimate must land
+    // between the EXACT quantiles at q ± 0.01 (its rank-error guarantee is
+    // n/accuracy ≈ 1e-4 rank fraction here, two orders under the bracket),
+    // hash-verified as an all-TRUE row
+    "q_quantile_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val c = "l_extendedprice"
+      val qs = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
+      val aggs = qs.flatMap { case (n, q) => Seq(
+        expr(s"percentile($c, ${q - 0.01})").as(s"lo_$n"),
+        expr(s"percentile_approx($c, $q, 10000)").cast(DoubleType).as(s"ap_$n"),
+        expr(s"percentile($c, ${q + 0.01})").as(s"hi_$n"))
+      }
+      li.agg(aggs.head, aggs.tail: _*).select(qs.map { case (n, _) =>
+        (col(s"ap_$n") >= col(s"lo_$n") && col(s"ap_$n") <= col(s"hi_$n"))
+          .as(s"ok_q$n")
+      }: _*)
+    }),
+
     // DropSimilar: a verbatim duplicate column must be detected (V = 1) and
     // dropped, everything else kept
     "q_drop_similar" -> ((s, dir) =>
@@ -197,6 +217,9 @@ object KernelQueries {
     },
 
     "q_drop_similar" -> "SELECT * FROM orders",
+
+    "q_quantile_approx" ->
+      "SELECT TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75",
 
     "q_interpolation_join" ->
       "SELECT c_custkey, c_nationkey, TRUE AS pred_ok FROM customer",
