@@ -32,6 +32,23 @@ object KernelQueries {
       Kernel.scalingFactor(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // HLL++ distinct estimator (TableVectorizer's routing primitive,
+    // Selectors.cardinalityBelow's stats job): the estimate must land within
+    // 3x the requested rsd of the EXACT distinct count for columns at three
+    // different cardinality magnitudes — hash-verified as an all-TRUE row
+    "q_approx_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+      val rsd = 0.02
+      val aggs = cols.flatMap(c => Seq(
+        approx_count_distinct(col(c), rsd).cast(DoubleType).as(s"ap_$c"),
+        countDistinct(col(c)).cast(DoubleType).as(s"ex_$c")))
+      li.agg(aggs.head, aggs.tail: _*).select(cols.map { c =>
+        (abs(col(s"ap_$c") - col(s"ex_$c")) <= col(s"ex_$c") * (3 * rsd))
+          .as(s"ok_$c")
+      }: _*)
+    }),
+
     // constant-memory quantile path (Kernel.quantileApprox — the 100 TB
     // alternative to exact percentile): the GK sketch's estimate must land
     // between the EXACT quantiles at q ± 0.01 (its rank-error guarantee is
@@ -220,6 +237,10 @@ object KernelQueries {
 
     "q_quantile_approx" ->
       "SELECT TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75",
+
+    "q_approx_distinct" ->
+      ("SELECT TRUE AS ok_l_orderkey, TRUE AS ok_l_partkey, " +
+        "TRUE AS ok_l_returnflag"),
 
     "q_interpolation_join" ->
       "SELECT c_custkey, c_nationkey, TRUE AS pred_ok FROM customer",
