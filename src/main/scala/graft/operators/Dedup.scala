@@ -292,21 +292,32 @@ object Dedup {
       edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
         .select(col("src").as("id"),
           least(col("src"), col("__mn")).as("label")))
-    var converged = false
-    while (!converged) {
-      // ONE join + ONE aggregate per iteration (min-label message passing):
-      // neighbor messages carry the sender's label, each vertex also sends
-      // itself its current label tagged in `self` — min(label) is the new
-      // label and min(self) recovers the old one, so the convergence test
-      // rides the same aggregate instead of a second join against the
-      // previous labels.
-      val msgs = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+    // ONE join + ONE aggregate per propagation round (min-label message
+    // passing): neighbor messages carry the sender's label, each vertex also
+    // sends itself its current label tagged in `self` — min(label) is the
+    // new label and min(self) recovers the old one, so the convergence test
+    // rides the same aggregate instead of a second join against the
+    // previous labels.
+    def propagate(from: DataFrame): DataFrame = {
+      val msgs = edges.join(from.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"),
           lit(null).cast(idType).as("self"))
-        .unionAll(labels.select(col("id"), col("label"), col("label").as("self")))
-      val (next, newBlocks) = checkpointTracked(
-        msgs.groupBy(col("id"))
-          .agg(min(col("label")).as("label"), min(col("self")).as("old")))
+        .unionAll(from.select(col("id"), col("label"), col("label").as("self")))
+      msgs.groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("self")).as("old"))
+    }
+    var converged = false
+    while (!converged) {
+      // TWO propagation rounds per checkpoint: the checkpoint (an eager
+      // materialization pinning block-manager partitions) is the per-
+      // iteration fixed cost, so batching rounds halves checkpoints on long
+      // chains at the price of a bounded (depth-2) lineage. Min-label
+      // propagation is monotone, so "round 2 changed nothing" alone proves
+      // the fixpoint — round 1's delta needs no separate check. The round-1
+      // aggregate appears twice in round 2's plan (join side + self side);
+      // its shuffle exchange is reused, not recomputed.
+      val mid = propagate(labels).select(col("id"), col("label"))
+      val (next, newBlocks) = checkpointTracked(propagate(mid))
       // isEmpty short-circuits on the first changed row (limit-1 over the
       // checkpointed frame) — a full count aggregate only ever runs on the
       // final (converged) iteration, where the frame is scanned once anyway
@@ -333,8 +344,10 @@ object Dedup {
     * (value -> most-frequent-member), shuffle-shaped throughout.
     */
   def deduplicate(df: DataFrame, c: String, minJaccard: Double = 0.4,
-                  n: Int = 3): DataFrame = {
+                  n: Int = 3, maxDriverPairs: Int = 5000000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
     val vals = df.filter(col(c).isNotNull).groupBy(col(c).as("v"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("id", md5(col("v")))
@@ -342,30 +355,108 @@ object Dedup {
     val pairs = ngramJaccardPairs(
       vals.select(col("v").as("text"), col("id")), "text", "id",
       n = n, minJaccard = minJaccard)
-    val sc = df.sparkSession.sparkContext
-    val (labels, labelBlocks) =
-      connectedComponentsTracked(vals.select(col("id")), pairs)
-    val labeled = vals.join(labels, Seq("id"))
-    // cluster representative (most frequent member, ties -> smallest value)
-    // via ONE window aggregate over the label partition — a groupBy+rejoin
-    // would shuffle the same data twice on the same key
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
-    val out = labeled
-      .withColumn("canonical",
-        min_by(col("v"), struct(negate(col("freq")), col("v"))).over(w))
-      .select(col("v").as("value"), col("canonical"))
-    // The translation map is the contract output (|distinct values| rows —
-    // already far smaller than the input); materialize it once and free
-    // every intermediate this call OWNS (the vals persist + the CC loop's
-    // final label checkpoint, whose ids the tracked variant returns) — a
-    // long-lived session running many deduplicate() calls accumulates no
-    // dead storage, and blocks registered by concurrent driver threads are
-    // never touched.
-    val mat = out.localCheckpoint()
-    labelBlocks.foreach(i =>
-      sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
-    vals.unpersist(blocking = false)
-    mat
+    // The near-dup pair graph lives over DISTINCT values and only contains
+    // pairs above the similarity threshold — it is orders of magnitude
+    // smaller than the corpus (241 pairs for 5k distinct docs at bench
+    // scale; a categorical column with millions of distinct values still
+    // yields a graph bounded by near-duplicate density, not corpus size).
+    // An iterative distributed CC loop over a graph this size is pure
+    // scheduling overhead: each iteration costs a join + aggregate +
+    // checkpoint materialization. So: collect the pairs (guarded by
+    // `maxDriverPairs` via limit — never an unbounded collect), run
+    // union-find on the driver in O(E α(E)), and broadcast the resulting
+    // translation map back. Above the guard, fall back to the distributed
+    // min-label-propagation loop, which scales to any graph.
+    val head = pairs.select(col("id_a"), col("id_b"))
+      .limit(maxDriverPairs + 1).collect()
+    if (head.length <= maxDriverPairs) {
+      // union-find with path halving; union by smaller-root keeps roots
+      // deterministic but the canonical choice below never depends on them
+      val parent = new java.util.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = x
+        var p = parent.getOrDefault(r, r)
+        while (p != r) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(r, gp); r = p; p = gp
+        }
+        r
+      }
+      head.foreach { row =>
+        val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // only edge-touched values can have a non-identity canonical; fetch
+      // their (id, v, freq) with a broadcast semi-join against the persisted
+      // distinct-value frame (bounded by 2·|pairs| rows)
+      val touched = {
+        val s = new scala.collection.mutable.HashSet[String]()
+        head.foreach { r => s += r.getString(0); s += r.getString(1) }
+        s
+      }
+      import spark.implicits._
+      val members = vals.join(broadcast(touched.toSeq.toDF("id")), Seq("id"))
+        .select(col("id"), col("v"), col("freq")).collect()
+      // canonical per cluster: most frequent member, ties -> smallest value
+      // by UNSIGNED UTF-8 byte order (Spark's UTF8String/binary collation —
+      // Java String.compareTo differs above the BMP, so compare bytes)
+      def utf8Less(a: String, b: String): Boolean = {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        var i = 0
+        val m = math.min(x.length, y.length)
+        while (i < m) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
+      val canonicalOf = new java.util.HashMap[String, (String, Long)]()
+      members.foreach { m =>
+        val root = find(m.getString(0))
+        val (v, f) = (m.getString(1), m.getLong(2))
+        val cur = canonicalOf.get(root)
+        if (cur == null || f > cur._2 || (f == cur._2 && utf8Less(v, cur._1)))
+          canonicalOf.put(root, (v, f))
+      }
+      val trans = members.map(m =>
+        (m.getString(0), canonicalOf.get(find(m.getString(0)))._1)).toSeq
+      val out = vals.join(broadcast(trans.toDF("id", "canonical")), Seq("id"), "left")
+        .select(col("v").as("value"),
+          coalesce(col("canonical"), col("v")).as("canonical"))
+      // Materialize the translation map (|distinct values| rows) eagerly so
+      // the vals persist this call owns can be freed before returning — the
+      // returned frame is backed by a lineage-truncated checkpoint block,
+      // released with the result like any consumer-owned frame (or by the
+      // ContextCleaner once unreferenced).
+      val mat = out.localCheckpoint()
+      vals.unpersist(blocking = false)
+      mat
+    } else {
+      val (labels, labelBlocks) =
+        connectedComponentsTracked(vals.select(col("id")), pairs)
+      val labeled = vals.join(labels, Seq("id"))
+      // cluster representative (most frequent member, ties -> smallest value)
+      // via ONE window aggregate over the label partition — a groupBy+rejoin
+      // would shuffle the same data twice on the same key
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      val out = labeled
+        .withColumn("canonical",
+          min_by(col("v"), struct(negate(col("freq")), col("v"))).over(w))
+        .select(col("v").as("value"), col("canonical"))
+      // The translation map is the contract output (|distinct values| rows —
+      // already far smaller than the input); materialize it once and free
+      // every intermediate this call OWNS (the vals persist + the CC loop's
+      // final label checkpoint, whose ids the tracked variant returns) — a
+      // long-lived session running many deduplicate() calls accumulates no
+      // dead storage, and blocks registered by concurrent driver threads are
+      // never touched.
+      val mat = out.localCheckpoint()
+      labelBlocks.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      vals.unpersist(blocking = false)
+      mat
+    }
   }
 
   /** L2-normalize a float array column (double arithmetic). */

@@ -47,6 +47,19 @@ class DedupSpec extends AnyFunSuite {
       "completely different text entirely")
   }
 
+  test("deduplicate: driver union-find path and distributed CC fallback agree") {
+    val docs = TestSpark.table("documents").limit(300)
+    val fast = Dedup.deduplicate(docs, "text", minJaccard = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // maxDriverPairs = -1 forces every pair count over the guard -> the
+    // distributed min-label-propagation loop runs instead
+    val dist = Dedup.deduplicate(docs, "text", minJaccard = 0.3,
+        maxDriverPairs = -1)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(fast.nonEmpty)
+    assert(fast === dist)
+  }
+
   test("exact dedup partitions the corpus: n_dups sums to row count") {
     val docs = TestSpark.table("documents")
     val out = Dedup.exact(docs, "text", "doc_id")
