@@ -256,7 +256,12 @@ object Kernel {
     // NOTE: the input plan evaluates twice — once in the keys-only sort,
     // once as the join probe side. The WIDE payload never rides the range
     // sort (the shuffle-bytes win this exists for); callers zipping an
-    // expensive derived frame should persist it first.
+    // expensive derived frame should persist it first. DETERMINISM of the
+    // input plan is a hard precondition: a source that returns different
+    // keys per evaluation (sampling, rand-derived columns, re-read mutable
+    // data) would disagree between the two evaluations. A probe row whose
+    // key received no position fails LOUDLY at execution (raise_error below)
+    // instead of silently dropping.
     //
     // The NARROW keys-only projection rides the distributed range sort and a
     // per-partition-count action (rows never funnel through one task): after
@@ -319,10 +324,19 @@ object Kernel {
         .localCheckpoint()
       // null-SAFE join-back: a null ordering key is a valid position (the
       // sort put it somewhere deterministic); plain equi-join would silently
-      // drop such rows
+      // drop such rows. LEFT join + raise_error instead of inner join: with
+      // a nondeterministic input the probe side could produce keys the
+      // numbering pass never saw — an inner join would silently drop those
+      // rows, this fails the job with the actual violation.
       val cond = orderBy.map(c => df(c) <=> numbered(s"__gk_$c")).reduce(_ && _)
-      df.join(numbered, cond)
-        .select(df.columns.map(df(_)).toSeq :+ numbered(out): _*)
+      val checked = when(numbered(out).isNull,
+        raise_error(lit("withGlobalRowNumber: input row has no assigned " +
+          "position — the input plan re-evaluated differently between the " +
+          "numbering pass and the join-back (determinism is a hard " +
+          "precondition; persist nondeterministic inputs first)")))
+        .otherwise(numbered(out)).as(out)
+      df.join(numbered, cond, "left")
+        .select(df.columns.map(df(_)).toSeq :+ checked: _*)
     } finally sorted.unpersist(blocking = false)
   }
 
@@ -333,11 +347,104 @@ object Kernel {
     */
   def concatHorizontal(dfs: Seq[(DataFrame, Seq[String])]): DataFrame = {
     require(dfs.nonEmpty, "concatHorizontal of zero frames")
-    // positional zip = join on a scale-safe global row number per frame
-    // (each frame's ordering keys define its positions; no single-task
-    // global window anywhere)
-    val numbered = dfs.map { case (d, ord) => withGlobalRowNumber(d, ord) }
-    numbered.reduce((a, b) => a.join(b, Seq("__rn"))).drop("__rn")
+    // Same-lineage fast path first (the common pipeline case: several
+    // projections of ONE parent zipped back together): zero sorts, zero
+    // joins, zero extra shuffles, and the parent evaluates exactly once.
+    sameLineageZip(dfs).getOrElse {
+      // general path: positional zip = join on a scale-safe global row
+      // number per frame (each frame's ordering keys define its positions;
+      // no single-task global window anywhere)
+      val numbered = dfs.map { case (d, ord) => withGlobalRowNumber(d, ord) }
+      numbered.reduce((a, b) => a.join(b, Seq("__rn"))).drop("__rn")
+    }
+  }
+
+  /** Detect that every frame is a pure column projection over ONE common
+    * parent plan and that all ordering-key lists resolve to the SAME
+    * expressions over that parent. Positional zip is then the identity
+    * pairing (each parent row pairs with itself), so the concat collapses
+    * to a single combined projection of the parent — no numbering, no
+    * join-back, and no double evaluation of the parent (which also removes
+    * the nondeterministic-input hazard the general path documents).
+    * Returns None when the structure doesn't match; callers fall back.
+    */
+  private def sameLineageZip(
+      dfs: Seq[(DataFrame, Seq[String])]): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Attribute, AttributeReference, BoundReference, Expression,
+      NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, SubqueryAlias}
+    // Unwrap Project/SubqueryAlias chains to a base plan, expressing each
+    // output column as (name, expression over the base's output attributes).
+    def flat(plan: LogicalPlan): (LogicalPlan, Seq[(String, Expression)]) =
+      plan match {
+        case SubqueryAlias(_, child) => flat(child)
+        case Project(list, child) =>
+          val (base, childOut) = flat(child)
+          val byId = child.output.map(_.exprId).zip(childOut.map(_._2)).toMap
+          val out = list.map { ne =>
+            val e = ne match {
+              case a: AttributeReference => byId.getOrElse(a.exprId, a)
+              case al: Alias => al.child.transform {
+                case a: AttributeReference => byId.getOrElse(a.exprId, a)
+              }
+              case other => other
+            }
+            (ne.name, e)
+          }
+          (base, out)
+        case other => (other, other.output.map(a => (a.name, a: Expression)))
+      }
+    // ordinal-normalized form so plans that are canonically equal but carry
+    // different exprIds still compare equal
+    def normalize(e: Expression, baseOut: Seq[Attribute]): Option[Expression] = {
+      var ok = true
+      val n = e.transform {
+        case a: AttributeReference =>
+          val i = baseOut.indexWhere(_.exprId == a.exprId)
+          if (i < 0) { ok = false; a }
+          else BoundReference(i, a.dataType, a.nullable)
+      }
+      if (ok) Some(n.canonicalized) else None
+    }
+    val flats = dfs.map { case (d, ord) =>
+      val (base, out) = flat(d.queryExecution.analyzed)
+      (d, ord, base, out)
+    }
+    val (_, _, base0, _) = flats.head
+    val sameBase = flats.forall { case (_, _, b, _) =>
+      b.canonicalized == base0.canonicalized }
+    if (!sameBase) return None
+    // each frame's ordering keys, as ordinal-normalized base expressions;
+    // bail on a missing or ambiguous name (the general path surfaces the
+    // resolution error with full context)
+    val orderKeyLists = flats.map { case (_, ord, base, out) =>
+      val keys = ord.map { k =>
+        out.filter(_._1 == k) match {
+          case Seq((_, e)) => normalize(e, base.output)
+          case _ => None
+        }
+      }
+      if (keys.forall(_.isDefined)) Some(keys.flatten) else None
+    }
+    if (orderKeyLists.exists(_.isEmpty)) return None
+    val k0 = orderKeyLists.head.get
+    if (!orderKeyLists.forall(_.get == k0)) return None
+    // combined projection over frame 0's base: rebind every frame's output
+    // expressions onto base0's attributes by ordinal
+    val out0 = base0.output
+    val combined: Seq[NamedExpression] = flats.flatMap { case (_, _, base, out) =>
+      val ordinal = base.output.map(_.exprId).zip(out0).toMap
+      out.map { case (name, e) =>
+        val rebased = e.transform {
+          case a: AttributeReference => ordinal.getOrElse(a.exprId, a)
+        }
+        Alias(rebased, name)()
+      }
+    }
+    Some(org.apache.spark.sql.GraftBridge.ofRows(
+      dfs.head._1.sparkSession, Project(combined, base0)))
   }
 
   /** `all_null_like`: frame with the same schema, all values null

@@ -19,4 +19,9 @@ object GraftBridge {
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }
+
+  /** DataFrame from a logical plan (`Dataset.ofRows` is `private[sql]`). */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

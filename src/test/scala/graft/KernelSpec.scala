@@ -107,6 +107,35 @@ class KernelSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.size <= 1)
   }
 
+  test("concatHorizontal same-lineage fast path: no join, same result") {
+    val parent = Seq((3, "c", 30.0), (1, "a", 10.0), (2, "b", 20.0))
+      .toDF("k", "v", "x")
+    val a = parent.select($"k", $"v")
+    val b = parent.select($"k".as("k2"), $"x")
+    val fast = Kernel.concatHorizontal(Seq(a -> Seq("k"), b -> Seq("k2")))
+    // the combined projection must contain NO join (identity pairing over
+    // the shared parent), unlike the general numbering path
+    assert(!fast.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isDefined, fast.queryExecution.optimizedPlan.toString)
+    assert(fast.columns.toSeq === Seq("k", "v", "k2", "x"))
+    val rows = fast.orderBy($"k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq((1, "a", 1, 10.0), (2, "b", 2, 20.0),
+      (3, "c", 3, 30.0)))
+  }
+
+  test("concatHorizontal falls back when orderings differ over one parent") {
+    val parent = Seq((1, 30.0), (2, 20.0), (3, 10.0)).toDF("k", "x")
+    val a = parent.select($"k")
+    val b = parent.select($"x")
+    // a orders by k ascending, b by x ascending -> REVERSED pairing; the
+    // fast path must not claim identity, so position 1 pairs k=1 with x=10
+    val out = Kernel.concatHorizontal(Seq(a -> Seq("k"), b -> Seq("x")))
+      .orderBy($"k").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1, 10.0), (2, 20.0), (3, 30.0)))
+  }
+
   test("concatHorizontal rejects duplicate ordering keys") {
     val a = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     val b = Seq((10, "A"), (20, "B"), (30, "C")).toDF("k2", "w")
