@@ -64,17 +64,12 @@ object Text {
     * reproducible in SQL; the scale path is the blocked hamming join in
     * graft.operators.Dedup.
     */
-  def simhash32(c: Column): Column = {
-    val hexes = transform(tokens(c), t => md5(t))
-    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    // static 32-expression sum: bit i set iff the +/-1 votes of hex digit i's
-    // parity over all tokens sum positive
-    (0 until 32).map { i =>
-      val votes = aggregate(hexes, lit(0),
-        (acc, h) => acc + when(h.substr(i + 1, 1).isin(odd: _*), 1).otherwise(-1))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash32(c: Column): Column =
+    // single-pass loop-codegen expression (VecExprs.Simhash32) — the
+    // composed built-in form re-evaluated tokenize+md5 once PER BIT
+    // (higher-order functions are CodegenFallback). coalesce preserves the
+    // composed form's null collapse: null text -> fingerprint 0.
+    coalesce(graft.functions.VecExprs.simhash32(c), lit(0L))
 
   /** Document fingerprint: md5 of the normalized text — exact-dup key. */
   def contentFingerprint(c: Column): Column = md5(normalize(c))

@@ -174,6 +174,56 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** 32-bit SimHash of the normalized token stream — single pass over the
+    * tokens with one md5 per token. Bit-identical to the composed built-in
+    * form (32 separate `aggregate(transform(tokens, md5))` terms), which
+    * re-evaluated the tokenize+md5 pipeline once PER BIT because
+    * higher-order array functions are CodegenFallback: same definition,
+    * 32x less hashing, and the loop stays inside whole-stage codegen.
+    * Null input is handled by the wrapper (null -> 0, matching the
+    * composed form's `when(null > 0,...).otherwise(0)` collapse).
+    */
+  case class Simhash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val votes = new Array[Int](32)
+      var t = 0
+      while (t < toks.length) {
+        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var i = 0
+        while (i < 32) {
+          // hex digit parity: odd nibble votes +1 for bit i, even -1
+          if ((Character.digit(hex.charAt(i), 16) & 1) == 1) votes(i) += 1
+          else votes(i) -= 1
+          i += 1
+        }
+        t += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 32) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shExpr", this, classOf[Simhash32].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
@@ -185,4 +235,7 @@ object VecExprs {
 
   def tokenShingles(c: Column, n: Int): Column =
     GraftBridge.column(TokenShingles(GraftBridge.expression(c), n))
+
+  def simhash32(c: Column): Column =
+    GraftBridge.column(Simhash32(GraftBridge.expression(c)))
 }

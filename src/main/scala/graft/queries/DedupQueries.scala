@@ -103,22 +103,28 @@ object DedupQueries {
     })
   )
 
-  /** 32-term simhash SQL generated to mirror Text.simhash32 exactly. */
-  private def simhashSql: String = {
+  /** `sh(id, sim)` CTE body mirroring Text.simhash32 exactly — shared with
+    * the streaming near-dup twin's oracle (StreamingQueries).
+    */
+  private[queries] def simhashCte: String = {
     val odd = "('1','3','5','7','9','b','d','f')"
     val bits = (0 until 32).map { i =>
       s"""(CASE WHEN list_sum(list_transform(hexes,
          | h -> CASE WHEN substr(h, ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END)) > 0
          | THEN ${1L << i} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id AS id, list_transform($toksSql, t -> md5(t)) AS hexes
        |  FROM documents),
-       |sh AS (SELECT id, $bits AS sim FROM tk)
+       |sh AS (SELECT id, CAST($bits AS BIGINT) AS sim FROM tk)""".stripMargin
+  }
+
+  /** 32-term simhash SQL generated to mirror Text.simhash32 exactly. */
+  private def simhashSql: String =
+    s"""WITH $simhashCte
        |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sim, b.sim)) AS hamming
        |FROM sh a JOIN sh b ON a.id < b.id
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->

@@ -28,6 +28,18 @@ object StreamingQueries {
         col("ts").isNotNull && col("event_type").isNotNull)
       graft.streaming.StreamingDedup.dedupStream(
         e, Seq("user_id", "event_type"), "ts")
+    }),
+
+    // streaming near-dup suppression, batch-mode twin: the SAME
+    // flatMapGroupsWithState operator runs over the batch frame (one
+    // invocation per block group, rows sorted by doc id inside `judge`),
+    // so a doc is a dup iff some EARLIER doc shares a simhash block within
+    // maxHamming — deterministic and SQL-expressible
+    "q_stream_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamingNearDup.verdicts(docs, "doc_id", "text")
+        .groupBy(col("docId").as("doc_id"))
+        .agg(max(col("isDup").cast("int")).as("is_dup"))
     })
   )
 
@@ -70,6 +82,23 @@ object StreamingQueries {
         |    ORDER BY ts, event_id) AS rn
         |  FROM e)
         |SELECT user_id, event_type, event_id, ts, value, props
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // pigeonhole-blocked prior-doc near-dup: doc b is a dup iff some a < b
+    // shares one of the 4 simhash byte-blocks AND the full 32-bit hamming
+    // distance is <= 3 (the simhash CTE mirrors Text.simhash32 bit-for-bit)
+    "q_stream_neardup" ->
+      s"""WITH ${DedupQueries.simhashCte},
+         |blocked AS (
+         |  SELECT id, sim, t.b AS b, (sim >> (t.b * 8)) & 255 AS blk
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         |dup AS (
+         |  SELECT DISTINCT y.id
+         |  FROM blocked x JOIN blocked y ON x.b = y.b AND x.blk = y.blk
+         |    AND x.id < y.id
+         |  WHERE bit_count(xor(x.sim, y.sim)) <= 3)
+         |SELECT s.id AS doc_id,
+         |  CAST(s.id IN (SELECT id FROM dup) AS INT) AS is_dup
+         |FROM sh s""".stripMargin
   )
 }

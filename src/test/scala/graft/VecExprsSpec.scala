@@ -47,6 +47,31 @@ class VecExprsSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("Simhash32 matches the composed 32-term built-in formulation") {
+    import graft.functions.{Text, VecExprs}
+    // the composed form Simhash32 replaced: 32 separate
+    // aggregate(transform(tokens, md5)) parity-vote terms
+    def composed(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val hexes = transform(Text.tokens(c), t => md5(t))
+      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      (0 until 32).map { i =>
+        val votes = aggregate(hexes, lit(0),
+          (acc, h) => acc + when(h.substr(i + 1, 1).isin(odd: _*), 1).otherwise(-1))
+        when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val docs = TestSpark.table("documents").limit(100)
+      .select(Text.simhash32(col("text")).as("fast"),
+        composed(col("text")).as("slow"))
+    docs.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // edge cases: empty, whitespace/punct-only, and null text
+    val edge = Seq(Some("one two three"), Some(""), Some("  !!  "), None)
+      .toDF("text")
+      .select(Text.simhash32(col("text")).as("fast"),
+        composed(col("text")).as("slow"))
+    edge.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("arrayDot matches the sequential fold dot product") {
     val pairs = vecs.alias("x").crossJoin(vecs.alias("y").limit(4))
     val rows = pairs.select(
