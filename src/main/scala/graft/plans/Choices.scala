@@ -15,9 +15,47 @@ import org.apache.spark.sql.functions._
   * folds are reproducible under any partitioning; fit/score per fold
   * mirrors `cross_validate`'s refit-per-fold contract.
   */
-final case class Choice[A](name: String, outcomes: Seq[A]) {
+final case class Choice[A](name: String, outcomes: Seq[A],
+                           defaultIndex: Int = 0) {
   require(outcomes.nonEmpty, s"choice '$name' has no outcomes")
-  def default: A = outcomes.head
+  require(defaultIndex >= 0 && defaultIndex < outcomes.length,
+    s"choice '$name': defaultIndex $defaultIndex out of range")
+  def default: A = outcomes(defaultIndex)
+}
+
+/** A CONTINUOUS numeric hyperparameter range (reference `choose_float` /
+  * `choose_int` with `n_steps=None`, _choosing.py:707-757 NumericChoice):
+  * draws are uniform over [low, high] — on a log scale when `log` — and
+  * the no-tuning default is the (log-)midpoint of the range. `toInt`
+  * truncates draws (sampling over [low, high+1) so `high` stays reachable)
+  * and rounds the default, exactly like the reference.
+  */
+final case class NumericRange(name: String, low: Double, high: Double,
+                              log: Boolean = false, toInt: Boolean = false,
+                              defaultOverride: Option[Double] = None) {
+  require(low <= high, s"range '$name': low > high")
+  require(!log || low > 0, s"range '$name': log scale needs low > 0")
+
+  def default: Double = defaultOverride.getOrElse {
+    val mid =
+      if (log) math.exp((math.log(low) + math.log(high)) / 2)
+      else (low + high) / 2
+    if (toInt) math.round(mid).toDouble else mid
+  }
+
+  /** One draw (reference `rvs`): uniform / loguniform over the range, with
+    * the +1-1e-6 offset for integer ranges so truncation keeps `high`
+    * inside the support.
+    */
+  def draw(rng: scala.util.Random): Double = {
+    val offset = if (toInt) 1 - 1e-6 else 0.0
+    val v =
+      if (log) {
+        val (l, h) = (math.log(low), math.log(high + offset))
+        math.exp(l + rng.nextDouble() * (h - l))
+      } else low + rng.nextDouble() * (high - low + offset)
+    if (toInt) v.toLong.toDouble else v
+  }
 }
 
 object Choices {
@@ -28,8 +66,11 @@ object Choices {
   def chooseBool(name: String, default: Boolean = true): Choice[Boolean] =
     Choice(name, Seq(default, !default))
 
-  /** `nSteps` evenly spaced values over [low, high] (log-spaced if `log` —
-    * reference choose_float discretization).
+  /** `nSteps` evenly spaced values over [low, high] (log-spaced if `log`) —
+    * reference choose_float with n_steps (DiscretizedNumericChoice,
+    * _choosing.py:759-797): the grid is linspace in (log-)space and the
+    * no-tuning default is the MIDDLE grid element, `grid[(len-1)/2]`.
+    * For a continuous (non-discretized) range use `chooseFloatRange`.
     */
   def chooseFloat(name: String, low: Double, high: Double, nSteps: Int,
                   log: Boolean = false): Choice[Double] = {
@@ -39,13 +80,51 @@ object Choices {
         val (l, h) = (math.log(low), math.log(high))
         (0 until nSteps).map(i => math.exp(l + (h - l) * i / (nSteps - 1)))
       } else (0 until nSteps).map(i => low + (high - low) * i / (nSteps - 1))
-    Choice(name, vals)
+    Choice(name, vals, (vals.length - 1) / 2)
   }
 
   def chooseInt(name: String, low: Int, high: Int, nSteps: Int,
-                log: Boolean = false): Choice[Int] =
-    Choice(name, chooseFloat(name, low.toDouble, high.toDouble, nSteps, log)
-      .outcomes.map(math.round(_).toInt).distinct)
+                log: Boolean = false): Choice[Int] = {
+    val vals = chooseFloat(name, low.toDouble, high.toDouble, nSteps, log)
+      .outcomes.map(math.round(_).toInt).distinct
+    Choice(name, vals, (vals.length - 1) / 2)
+  }
+
+  /** Continuous float range (reference choose_float, n_steps=None). */
+  def chooseFloatRange(name: String, low: Double, high: Double,
+                       log: Boolean = false,
+                       default: Option[Double] = None): NumericRange =
+    NumericRange(name, low, high, log = log, toInt = false,
+      defaultOverride = default)
+
+  /** Continuous int range (reference choose_int, n_steps=None). */
+  def chooseIntRange(name: String, low: Int, high: Int, log: Boolean = false,
+                     default: Option[Int] = None): NumericRange =
+    NumericRange(name, low.toDouble, high.toDouble, log = log, toInt = true,
+      defaultOverride = default.map(_.toDouble))
+
+  /** `n` independent parameter draws over discrete choices + continuous
+    * ranges (reference RandomizedSearchCV sampling: each parameter sampled
+    * independently per candidate). Deterministic under `seed`; discrete
+    * choices draw uniformly from their outcome list, ranges draw via
+    * `NumericRange.draw` (int ranges land as Long in the map).
+    */
+  def randomDraws(choices: Seq[Choice[_]], ranges: Seq[NumericRange], n: Int,
+                  seed: Long = 0L): Seq[Map[String, Any]] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val disc = choices.map(c =>
+        c.name -> c.outcomes(rng.nextInt(c.outcomes.length)))
+      val cont = ranges.map { r =>
+        val v = r.draw(rng)
+        // ascribe Any: a bare if would numerically WIDEN the Long branch to
+        // Double and int draws would box as java.lang.Double downstream
+        val boxed: Any = if (r.toInt) v.toLong else v
+        r.name -> boxed
+      }
+      (disc ++ cont).toMap
+    }
+  }
 
   /** Full cross-product grid over the given choices, as parameter maps. */
   def grid(choices: Seq[Choice[_]]): Seq[Map[String, Any]] =
@@ -89,14 +168,36 @@ object Choices {
                  fitEnv: Map[String, DataFrame],
                  valEnv: Map[String, DataFrame],
                  score: DataFrame => Double,
-                 maxCombinations: Int = Int.MaxValue): Seq[SearchResult] = {
-    val combos = grid(choices).take(maxCombinations)
-    combos.map { params =>
+                 maxCombinations: Int = Int.MaxValue): Seq[SearchResult] =
+    searchParams(grid(choices).take(maxCombinations), planFor, fitEnv,
+      valEnv, score)
+
+  /** Randomized search over discrete choices AND continuous numeric ranges
+    * (reference randomized search over NumericChoice distributions): `n`
+    * independent seeded draws, one full fit + score each, best first.
+    */
+  def randomizedSearch(choices: Seq[Choice[_]], ranges: Seq[NumericRange],
+                       planFor: Map[String, Any] => Plan,
+                       fitEnv: Map[String, DataFrame],
+                       valEnv: Map[String, DataFrame],
+                       score: DataFrame => Double,
+                       n: Int, seed: Long = 0L): Seq[SearchResult] =
+    searchParams(randomDraws(choices, ranges, n, seed), planFor, fitEnv,
+      valEnv, score)
+
+  /** Fit + score one learner per parameter map, best (highest score) first —
+    * the shared engine behind grid / randomized search.
+    */
+  def searchParams(paramSets: Seq[Map[String, Any]],
+                   planFor: Map[String, Any] => Plan,
+                   fitEnv: Map[String, DataFrame],
+                   valEnv: Map[String, DataFrame],
+                   score: DataFrame => Double): Seq[SearchResult] =
+    paramSets.map { params =>
       val learner = Plan.makeLearner(planFor(params))
       learner.fit(fitEnv)
       SearchResult(params, score(learner.transform(valEnv)), learner)
     }.sortBy(-_.score)
-  }
 
   /** Deterministic k-fold assignment column (xxhash64 of all columns mod k —
     * stable under repartitioning; reference folds are row-position based,

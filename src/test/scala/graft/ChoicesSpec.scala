@@ -25,6 +25,43 @@ class ChoicesSpec extends AnyFunSuite {
     assert(i.outcomes === Seq(1, 2, 3)) // rounded duplicates removed
   }
 
+  test("discretized numeric default is the MIDDLE grid element (reference)") {
+    // _choosing.py:794 default() -> grid[(len-1)//2]
+    val f = Choices.chooseFloat("lr", 0.0, 1.0, 5)
+    assert(f.default === 0.5)
+    val i = Choices.chooseInt("k", 1, 3, 5) // grid [1,2,3] after dedup
+    assert(i.default === 2)
+    // categorical default stays FIRST outcome
+    assert(Choices.chooseFrom("m", Seq("a", "b", "c")).default === "a")
+  }
+
+  test("continuous ranges: log midpoint default, bounded deterministic draws") {
+    // _choosing.py:741-752: default = exp(mean(log(low), log(high)))
+    val lr = Choices.chooseFloatRange("lr", 1e-4, 1e-0, log = true)
+    assert(math.abs(lr.default - 1e-2) < 1e-12)
+    val k = Choices.chooseIntRange("k", 1, 100, log = true)
+    assert(k.default === 10.0)
+    // explicit default override wins
+    assert(Choices.chooseFloatRange("d", 0.0, 1.0,
+      default = Some(0.9)).default === 0.9)
+    // draws stay in range; log draws spread across decades; int draws can
+    // reach `high` (the +1-1e-6 truncation offset)
+    val rng = new scala.util.Random(7L)
+    val draws = (1 to 2000).map(_ => lr.draw(rng))
+    assert(draws.forall(v => v >= 1e-4 && v <= 1.0))
+    assert(draws.count(_ < 1e-2) > 600, "log draws should split decades evenly")
+    val rngI = new scala.util.Random(7L)
+    val intDraws = (1 to 2000).map(_ => Choices.chooseIntRange("n", 1, 4).draw(rngI))
+    assert(intDraws.toSet === Set(1.0, 2.0, 3.0, 4.0))
+    // deterministic under the same seed
+    val a = Choices.randomDraws(Seq(Choices.chooseFrom("m", Seq("x", "y"))),
+      Seq(lr), 5, seed = 3L)
+    val b = Choices.randomDraws(Seq(Choices.chooseFrom("m", Seq("x", "y"))),
+      Seq(lr), 5, seed = 3L)
+    assert(a === b)
+    assert(a.forall(m => m.contains("m") && m.contains("lr")))
+  }
+
   test("gridSearch fits each combination and ranks by score") {
     // learnable toy: pick the cardinality threshold that routes v to one-hot
     val fitDf = (1 to 100).map(i => "v" + i % 5).toDF("v")
@@ -41,6 +78,22 @@ class ChoicesSpec extends AnyFunSuite {
       score = df => df.columns.count(_.startsWith("v_v")).toDouble)
     assert(results.head.params("thr") === 40)
     assert(results.head.score > results.last.score)
+  }
+
+  test("randomizedSearch samples continuous ranges and ranks by score") {
+    val fitDf = (1 to 100).map(i => "v" + i % 5).toDF("v")
+    def planFor(p: Map[String, Any]): Plan =
+      Var("x").apply(Stages.tableVectorizer(
+        cardinalityThreshold = p("thr").asInstanceOf[Long].toInt))
+    val results = Choices.randomizedSearch(
+      Nil, Seq(Choices.chooseIntRange("thr", 2, 40)),
+      planFor, Map("x" -> fitDf), Map("x" -> fitDf),
+      score = df => df.columns.count(_.startsWith("v_v")).toDouble,
+      n = 6, seed = 11L)
+    assert(results.length === 6)
+    assert(results.map(_.score).sliding(2).forall(s => s.head >= s.last))
+    // any draw with thr > 5 one-hots the 5-distinct column and wins
+    assert(results.head.score > 0)
   }
 
   test("crossValidate: deterministic folds, refit per fold") {
