@@ -135,6 +135,94 @@ object TableReport {
     }
   }
 
+  /** Top-K value counts for every string column in ONE melted two-level
+    * aggregate (reference `_utils.top_k_value_counts(column, k=10)` feeding
+    * the per-column value_counts plots, _summarize.py:213-236): rows
+    * (column_name, value, value_count, rank) with rank 1 = most frequent,
+    * ties broken toward the smallest value — never a job per column.
+    */
+  def valueCounts(df: DataFrame, topK: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    if (strCols.isEmpty)
+      return spark.range(0).select(
+        lit("").as("column_name"), lit("").as("value"),
+        lit(0L).as("value_count"), lit(0).as("rank"))
+    val melted = df.select(explode(array(strCols.map(c =>
+        struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("e"))
+      .select(col("e.cn").as("cn"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+    val counted = melted.groupBy(col("cn"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded top-k per column: minKBy keeps only k (negCnt, value) pairs
+    // per aggregation state — no per-column sort, no window
+    counted.groupBy(col("cn"))
+      .agg(graft.functions.AggExprs.minKBy(
+        struct(negate(col("cnt")).as("neg"), col("v").as("value"),
+          col("cnt").as("cnt")), topK).as("top"))
+      .select(col("cn").as("column_name"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("column_name"), col("t.value").as("value"),
+        col("t.cnt").as("value_count"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Fixed-width histograms for every numeric column (reference per-column
+    * `np.histogram` distribution plots, _plotting.py:221): rows
+    * (column_name, bin, bin_start, bin_end, bin_count). TWO jobs total for
+    * any column count — one min/max pass, one melted bin-count aggregate.
+    * Unlike the reference we do not trim outliers first (documented
+    * divergence: trimming needs per-column quantiles; the report's quartile
+    * stats already expose the spread).
+    */
+  def numericHistograms(df: DataFrame, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins >= 1")
+    val spark = df.sparkSession
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val empty = spark.range(0).select(
+      lit("").as("column_name"), lit(0).as("bin"),
+      lit(0.0).as("bin_start"), lit(0.0).as("bin_end"),
+      lit(0L).as("bin_count"))
+    if (numCols.isEmpty) return empty
+    // job 1: global min/max per column (tiny single row)
+    val mmAggs = numCols.flatMap(c => Seq(
+      min(col(c).cast(DoubleType)).as(s"${c}__mn"),
+      max(col(c).cast(DoubleType)).as(s"${c}__mx")))
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    val ranges = numCols.flatMap { c =>
+      val (i, j) = (mm.fieldIndex(s"${c}__mn"), mm.fieldIndex(s"${c}__mx"))
+      if (mm.isNullAt(i)) None // all-null column: no histogram
+      else {
+        val (mn, mx) = (mm.getDouble(i), mm.getDouble(j))
+        val width = if (mx > mn) (mx - mn) / nBins else 1.0
+        Some((c, mn, width))
+      }
+    }
+    if (ranges.isEmpty) return empty
+    // job 2: one melted bin-count aggregate; the last bin is CLOSED (values
+    // at the max land in bin nBins-1, like np.histogram's rightmost edge)
+    val melted = df.select(explode(array(ranges.map { case (c, mn, width) =>
+        // explicit null guard: greatest/least SKIP nulls, so without it a
+        // null value would collapse to greatest(null, 0) = bin 0
+        struct(lit(c).as("cn"),
+          when(col(c).isNotNull,
+            least(greatest(floor((col(c).cast(DoubleType) - mn) / width)
+              .cast(IntegerType), lit(0)), lit(nBins - 1))).as("bin"))
+      }: _*)).as("e"))
+      .select(col("e.cn").as("cn"), col("e.bin").as("bin"))
+      .filter(col("bin").isNotNull)
+    val mnMap = map(ranges.flatMap { case (c, mn, _) => Seq(lit(c), lit(mn)) }: _*)
+    val wMap = map(ranges.flatMap { case (c, _, w) => Seq(lit(c), lit(w)) }: _*)
+    melted.groupBy(col("cn"), col("bin"))
+      .agg(count(lit(1)).as("bin_count"))
+      .select(col("cn").as("column_name"), col("bin"),
+        round(element_at(mnMap, col("cn")) +
+          col("bin") * element_at(wMap, col("cn")), 6).as("bin_start"),
+        round(element_at(mnMap, col("cn")) +
+          (col("bin") + 1) * element_at(wMap, col("cn")), 6).as("bin_end"),
+        col("bin_count"))
+  }
+
   /** Top-N / bottom-N sample slices by an explicit ordering key (reference
     * _sample_table.make_table's top_slice/bottom_slice; Spark has no file
     * order, so the key is required). Two TakeOrderedAndProject jobs — never
@@ -181,7 +269,7 @@ object TableReport {
     * driver-side string assembly over their (small) results.
     */
   def toHtml(df: DataFrame, orderBy: Seq[String], title: String = "TableReport",
-             topAssoc: Int = 20): String = {
+             topAssoc: Int = 20, topK: Int = 10, nBins: Int = 10): String = {
     val nCols = df.columns.length
     val stats = renderTable(summarize(df).orderBy(col("column_name")), nCols)
     val sample = renderTable(sampleSlices(df, orderBy), 10)
@@ -189,6 +277,14 @@ object TableReport {
       topAssociations(df, topAssoc)
         .orderBy(col("cramer_v").desc, col("col_a"), col("col_b")),
       topAssoc)
+    // per-column distributions (reference value_counts / histogram plots):
+    // bounded rows — topK per string column, nBins per numeric column
+    val vc = renderTable(
+      valueCounts(df, topK).orderBy(col("column_name"), col("rank")),
+      nCols * topK)
+    val hist = renderTable(
+      numericHistograms(df, nBins).orderBy(col("column_name"), col("bin")),
+      nCols * nBins)
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
        |<style>table{border-collapse:collapse}td,th{border:1px solid #999;padding:2px 6px;font:12px monospace}</style>
@@ -199,6 +295,10 @@ object TableReport {
        |$sample
        |<h2>Column statistics</h2>
        |$stats
+       |<h2>Value counts</h2>
+       |$vc
+       |<h2>Histograms</h2>
+       |$hist
        |<h2>Top associations</h2>
        |$assoc
        |</body></html>""".stripMargin

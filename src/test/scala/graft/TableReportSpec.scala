@@ -43,12 +43,39 @@ class TableReportSpec extends AnyFunSuite {
     assert(out === Set((1L, "top"), (2L, "top"), (5L, "bottom"), (4L, "bottom")))
   }
 
-  test("toHtml renders a self-contained report with all three sections") {
+  test("valueCounts ranks per-column values, most frequent first") {
+    val vc = TableReport.valueCounts(frame, topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // only `cat` is string: a x3 then b (smallest of the count-1 ties)
+    assert(vc.toSeq.sorted === Seq(("cat", "a", 3L, 1), ("cat", "b", 1L, 2)))
+  }
+
+  test("numericHistograms bins every numeric column; max lands in last bin") {
+    val h = TableReport.numericHistograms(frame, nBins = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // x: 10..40 over 3 bins of width 10: [10,20) 1, [20,30) 1, [30,40] 2
+    assert(h(("x", 0)) === ((10.0, 20.0, 1L)))
+    assert(h(("x", 1)) === ((20.0, 30.0, 1L)))
+    assert(h(("x", 2)) === ((30.0, 40.0, 2L)))
+    // k: 1..5 over 3 bins — 5 rows present, max closed into last bin
+    assert((0 to 2).map(b => h(("k", b))._3).sum === 5L)
+    assert(h(("k", 2))._3 >= 1L)
+    // constant column: single-width bins, all rows in bin 0
+    val const = TableReport.numericHistograms(
+      spark.range(4).select(lit(7.5).as("c")), nBins = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(4)))
+    assert(const.toSeq === Seq((0, 4L)))
+  }
+
+  test("toHtml renders a self-contained report with all sections") {
     val html = TableReport.toHtml(frame, Seq("k"), title = "t<est>")
     assert(html.startsWith("<!DOCTYPE html>"))
     assert(html.contains("t&lt;est&gt;"))  // title is escaped
     assert(html.contains("<h2>Sample</h2>"))
     assert(html.contains("<h2>Column statistics</h2>"))
+    assert(html.contains("<h2>Value counts</h2>"))
+    assert(html.contains("<h2>Histograms</h2>"))
     assert(html.contains("<h2>Top associations</h2>"))
     // every column name appears in the stats table
     frame.columns.foreach(c => assert(html.contains(s"<td>$c</td>")))
