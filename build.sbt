@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share ONE SparkSession (TestSpark) and several leak-check tests
+// drain/snapshot the session's persistent-RDD registry; pin suites to
+// sequential execution so a blanket unpersist can never evict blocks a
+// concurrently-running suite owns.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

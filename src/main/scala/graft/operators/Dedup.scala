@@ -342,6 +342,13 @@ object Dedup {
     * distances; our scale path derives clusters as connected components of
     * the jaccard near-dup pair graph at `minJaccard` — same contract
     * (value -> most-frequent-member), shuffle-shaped throughout.
+    *
+    * EAGER contract: the call runs jobs and returns a MATERIALIZED frame
+    * (a lineage-truncated localCheckpoint, |distinct values| rows) so every
+    * intermediate this call owns is freed before returning. The checkpoint
+    * block is released when the frame is garbage-collected (ContextCleaner)
+    * or explicitly via `df.rdd.unpersist()`; it cannot be recomputed after
+    * executor loss — re-run the call in that case.
     */
   def deduplicate(df: DataFrame, c: String, minJaccard: Double = 0.4,
                   n: Int = 3, maxDriverPairs: Int = 5000000): DataFrame = {

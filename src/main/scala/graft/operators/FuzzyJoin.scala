@@ -179,9 +179,9 @@ object FuzzyJoin {
   def referenceDistance(auxVec: DataFrame, keyCols: Seq[String],
                         percentile: Double, sampleSize: Int): Double = {
     val sample = auxVec
-      .orderBy(md5(concat_ws(" ", keyCols.map(col): _*)))
+      .orderBy(md5(concat_ws("\u0000", keyCols.map(col): _*)))
       .limit(sampleSize)
-      .select(col("__vec"), concat_ws(" ", keyCols.map(col): _*).as("__k"))
+      .select(col("__vec"), concat_ws("\u0000", keyCols.map(col): _*).as("__k"))
     val pairs = sample.alias("x").join(sample.alias("y"), col("x.__k") < col("y.__k"))
       .select(sqrt(dist2(col("x.__vec"), col("y.__vec"))).as("d"))
     pairs.agg(expr(s"percentile(d, $percentile)")).head().getDouble(0)

@@ -130,6 +130,13 @@ object InterpolationJoiner {
             s"sibling payload fit failed before '$p' started")
         sc.setJobGroup(fitGroup, s"interpolationJoin fit: $p",
           interruptOnCancel = true)
+        // re-check AFTER the group is registered: the flag is set BEFORE
+        // cancelJobGroup fires, so either this check sees it, or setJobGroup
+        // completed first and the cancel kills the registered group — no
+        // lost-cancel window (same pattern as Jobs.overlap)
+        if (fitsCancelled.get())
+          throw new java.util.concurrent.CancellationException(
+            s"sibling payload fit failed before '$p' submitted work")
         try aux.schema(p).dataType match {
           case _: NumericType =>
             val model = new GBTRegressor()

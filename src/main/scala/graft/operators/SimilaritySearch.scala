@@ -18,11 +18,23 @@ import org.apache.spark.sql.types._
   */
 object SimilaritySearch {
 
+  /** Hard cap on the brute-force query side: beyond this the broadcast
+    * cross product is a scale bug, not a baseline — `ivfTopK` is the path.
+    */
+  val MaxBruteForceQueries = 10000L
+
   /** Exact top-k by cosine for each query vector. `queries` must be small
-    * (broadcast). Ties broken by corpus id ascending for determinism.
+    * (broadcast; enforced via `MaxBruteForceQueries` — one count job):
+    * this is the quadratic VERIFICATION baseline, large query sides must
+    * route to `ivfTopK`. Ties broken by corpus id ascending for
+    * determinism.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int): DataFrame = {
+    val nQ = queries.count()
+    require(nQ <= MaxBruteForceQueries,
+      s"bruteForceTopK: $nQ query rows > $MaxBruteForceQueries — the " +
+        "broadcast cross product is quadratic; use ivfTopK for large query sides")
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))

@@ -30,6 +30,13 @@ object Jobs {
         throw new java.util.concurrent.CancellationException(
           "foreground job failed before background started")
       sc.setJobGroup(group, "graft background fit job", interruptOnCancel = true)
+      // re-check AFTER the group is registered: the flag is set BEFORE
+      // cancelJobGroup fires, so either this check sees it (and no work is
+      // ever submitted), or setJobGroup completed first and cancelJobGroup
+      // kills the registered group — the lost-cancel window is closed
+      if (cancelled.get())
+        throw new java.util.concurrent.CancellationException(
+          "foreground job failed before background submitted work")
       try bg finally sc.clearJobGroup()
     }
     val fgResult =

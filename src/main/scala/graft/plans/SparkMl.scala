@@ -53,7 +53,15 @@ object SparkMl {
     override def fit(ds: Dataset[_]): GraftTransformer =
       new GraftTransformer(wrapped.fit(ds.toDF()), s"$uid-fitted")
 
-    // output schema is data-dependent before fit (see scaladoc)
+    // Output schema is data-dependent before fit, so this stays IDENTITY
+    // (see scaladoc): an empty-frame trial fit is NOT a safe estimate — a
+    // Cleaner fit on zero rows correctly drops every column (null fraction
+    // 1.0), so the "inferred" schema would be degenerate, worse than
+    // identity. Consequence, documented for users: an MLlib stage consuming
+    // columns an UNFITTED graft stage adds fails Pipeline.fit's upfront
+    // transformSchema validation with that stage's missing-column error —
+    // fit the graft stage first and compose the FITTED form (whose
+    // transformSchema is exact) instead.
     override def transformSchema(schema: StructType): StructType = schema
 
     override def copy(extra: ParamMap): GraftEstimator =

@@ -11,6 +11,26 @@ class GeneratorsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("Datasets.load returns the reference Bunch shape over a parquet fixture") {
+    import graft.sources.Datasets
+    val dir = java.nio.file.Files.createTempDirectory("graft-ds").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "cat", "label")
+      .write.mode("overwrite").parquet(s"$dir/toy.parquet")
+    val d = Datasets.load(spark, "toy", dir, target = Some("label"))
+    assert(d.table.count() === 2)
+    assert(d.x.columns.toSeq === Seq("id", "cat"))
+    assert(d.y.get.columns.toSeq === Seq("label"))
+    assert(d.metadata("target") === "label")
+    assert(d.path.endsWith("toy.parquet"))
+    // no target: x is the whole table, y absent
+    val d2 = Datasets.load(spark, "toy", dir)
+    assert(d2.x.columns.length === 3 && d2.y.isEmpty)
+    // unknown target fails loudly
+    intercept[IllegalArgumentException] {
+      Datasets.load(spark, "toy", dir, target = Some("nope"))
+    }
+  }
+
   test("makeDeduplicationData keeps one intact copy and mangles the rest") {
     val out = Generators.makeDeduplicationData(spark,
       Seq("string1", "string2"), Seq(4, 5), probMistake = 0.3, seed = 9L)
