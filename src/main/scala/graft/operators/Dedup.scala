@@ -45,6 +45,17 @@ object Dedup {
     * 100 TB this is the difference between a linear shuffle and a quadratic
     * bucket explosion on a common phrase.
     */
+  /** Corpus-relative stop-shingle cutoff: `fraction` of the corpus size
+    * (floored at `minDf` so tiny corpora never cut legitimate shingles).
+    * The rehearsal at 10x bench scale showed WHY the cutoff must scale:
+    * an absolute cutoff tuned at 1x drops EVERY shingle once the corpus
+    * (and so every shingle's document frequency) grows past it — recall
+    * collapses to zero pairs. One count job.
+    */
+  def shingleDfCutoff(df: DataFrame, fraction: Double = 0.005,
+                      minDf: Long = 1000L): Long =
+    math.max(minDf, (df.count() * fraction).toLong)
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDf: Long = 1000L): DataFrame = {
@@ -207,6 +218,18 @@ object Dedup {
     * (table, bucket); no corpus self-cross-join anywhere. Cost: the posting
     * list is |corpus| * nTables rows — the standard LSH space/recall trade.
     */
+  /** Hyperplane count that keeps expected bucket occupancy near
+    * `targetBucketSize`: ceil(log2(n / target)). The rehearsal at 10x bench
+    * scale showed WHY planes must scale with the corpus: planesPerTable
+    * tuned at 1x (16 buckets/table) degenerates toward an all-pairs join
+    * per bucket once n grows 10x (321s vs 51s with scaled planes, at ~0.8
+    * relative pair recall — fewer collisions is the LSH tradeoff). One
+    * count job; pass the result as `planesPerTable`.
+    */
+  def planesFor(n: Long, targetBucketSize: Int = 250): Int =
+    math.max(1, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize))
+      / math.log(2.0)).toInt)
+
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
                         minCosine: Double, planesPerTable: Int = 4,
                         nTables: Int = 16): DataFrame = {

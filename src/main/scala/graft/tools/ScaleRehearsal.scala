@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Scale rehearsal (VERDICT r5 task 6): run the dedup/ANN/CC family at 1x
+  * and 10x the bench corpus and report wall time + shuffle bytes per query,
+  * so the "constants collapse at scale" claims are MEASURED, not argued.
+  *
+  * The 10x corpus is deterministic: 9 perturbed copies of the sf0.1 tables
+  * (documents get a copy-token appended — near-dup structure per copy is
+  * preserved, cross-copy near-dups are introduced deliberately; embeddings
+  * get a copy-indexed deterministic jitter on one component). Written once
+  * to /tmp parquet so every timed query reads parquet exactly like the
+  * bench.
+  *
+  * Usage: java -cp ... graft.tools.ScaleRehearsal [outDir]
+  */
+object ScaleRehearsal {
+
+  final class ShuffleTally extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft-sf1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    // ---- deterministic 10x corpus ------------------------------------
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val copies = explode(sequence(lit(0), lit(9))).as("copy")
+    docs1.select(col("doc_id"), col("text"), copies)
+      .select((col("doc_id") + col("copy") * lit(1000000L)).as("doc_id"),
+        // copy 0 keeps the original text; others append a copy token so
+        // each copy reproduces the corpus' near-dup structure AND every
+        // original gains 9 cross-copy near-duplicates (a harsher graph
+        // than the bench corpus, on purpose)
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" copytoken"), col("copy")))
+          .as("text"))
+      .write.mode("overwrite").parquet(s"$outDir/documents10.parquet")
+    emb1.select(col("vec_id"), col("embedding"), copies)
+      .select((col("vec_id") + col("copy") * lit(1000000L)).as("vec_id"),
+        // jitter component 0 by copy/1000 — preserves neighborhoods,
+        // breaks exact ties deterministically
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + col("copy").cast("float") / 1000.0f)
+            .otherwise(x)).as("embedding"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings10.parquet")
+
+    def queries(docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = Seq(
+      "dedup_exact" -> (() => Dedup.exact(docs, "text", "doc_id").count()),
+      "dedup_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.2, maxShingleDf = 25L).count()),
+      "dedup_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2).count()),
+      "dedup_simhash" -> (() => Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3).count()),
+      "dedup_canonical" -> (() => Dedup.deduplicate(docs, "text",
+        minJaccard = 0.4).count()),
+      "dedup_embedding_lsh" -> (() => Dedup.embeddingLshPairs(emb, "embedding",
+        "vec_id", minCosine = 0.4, planesPerTable = 4, nTables = 16).count()),
+      "ann_ivf" -> (() => SimilaritySearch.ivfTopK(emb,
+        emb.filter(col("vec_id") % lit(1000000L) < 10), "embedding", "vec_id",
+        k = 5).count()),
+      "stream_neardup_twin" -> (() =>
+        graft.streaming.StreamingNearDup.verdicts(docs, "doc_id", "text")
+          .groupBy(col("docId")).agg(max(col("isDup"))).count()),
+      // scale-aware knobs (the findings of the first rehearsal pass):
+      // an absolute shingle-DF cutoff zeroes recall at 10x, the corpus-
+      // relative cutoff keeps it; planesPerTable sized by log2(n) bounds
+      // bucket occupancy where the 1x-tuned 16-bucket tables degenerate
+      "dedup_jaccard_dfscaled" -> (() => Dedup.ngramJaccardPairs(docs, "text",
+        "doc_id", n = 3, minJaccard = 0.2,
+        maxShingleDf = Dedup.shingleDfCutoff(docs, fraction = 0.005,
+          minDf = 25L)).count()),
+      "dedup_embedding_planes" -> (() => Dedup.embeddingLshPairs(emb,
+        "embedding", "vec_id", minCosine = 0.4,
+        planesPerTable = Dedup.planesFor(emb.count()), nTables = 16).count())
+    )
+
+    def clear(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    def runSuite(label: String, docs: DataFrame, emb: DataFrame,
+                 warm: Boolean): Unit = {
+      // untimed warmup (codegen/JIT), same discipline as Bench — skipped at
+      // 10x, where every query runs seconds-to-minutes and the one-off JIT
+      // constant is noise (the 1x pass has already compiled the kernels)
+      if (warm) queries(docs, emb).foreach { case (_, f) => f(); clear() }
+      queries(docs, emb).foreach { case (name, f) =>
+        clear()
+        val (r0, w0) = (tally.read.get(), tally.write.get())
+        val t0 = System.nanoTime()
+        val n = f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (rd, wr) = (tally.read.get() - r0, tally.write.get() - w0)
+        println(f"[scale] $label%-4s $name%-22s ${sec}%8.2f s  rows=$n%-9d " +
+          f"shufW=${wr / 1e6}%9.1f MB shufR=${rd / 1e6}%9.1f MB")
+      }
+    }
+
+    val docs10 = spark.read.parquet(s"$outDir/documents10.parquet")
+    val emb10 = spark.read.parquet(s"$outDir/embeddings10.parquet")
+    runSuite("1x", docs1.select("doc_id", "text"),
+      emb1.select("vec_id", "embedding"), warm = true)
+    runSuite("10x", docs10, emb10, warm = false)
+    spark.stop()
+  }
+}

@@ -60,6 +60,20 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === dist)
   }
 
+  test("scale-aware knobs: corpus-relative DF cutoff and log2 plane count") {
+    val docs = TestSpark.table("documents")
+    val n = docs.count()
+    // relative cutoff floors at minDf on small corpora, scales past it
+    assert(Dedup.shingleDfCutoff(docs, fraction = 0.005, minDf = 1000L) === 1000L)
+    assert(Dedup.shingleDfCutoff(docs, fraction = 0.5, minDf = 10L) === n / 2)
+    // bucket occupancy target: n / 2^planes <= targetBucketSize
+    for (sz <- Seq(100L, 2000L, 20000L, 1000000L)) {
+      val p = Dedup.planesFor(sz, targetBucketSize = 250)
+      assert(sz.toDouble / math.pow(2, p) <= 250.0, s"n=$sz planes=$p")
+      assert(p >= 1)
+    }
+  }
+
   test("exact dedup partitions the corpus: n_dups sums to row count") {
     val docs = TestSpark.table("documents")
     val out = Dedup.exact(docs, "text", "doc_id")
