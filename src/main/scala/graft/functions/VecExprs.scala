@@ -224,6 +224,75 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Ordered local pair generation over a sorted posting list (the inverted
+    * index's per-shingle doc list): emits a struct (a, b) for every i < j
+    * pair that survives the size-ratio prefilter
+    * least(n_a,n_b) >= minJaccard * greatest(n_a,n_b) — jaccard(A,B) can
+    * never exceed min/max of the set sizes, so dropped pairs cannot pass
+    * the final threshold. Replaces a nested transform(slice(...)) chain:
+    * higher-order functions are CodegenFallback AND allocate an
+    * intermediate array per element; this is one flat loop inside
+    * whole-stage codegen. Elements must be structs whose SECOND field is
+    * the integer shingle count (the first is the doc id, any type).
+    */
+  case class PostingPairs(child: Expression, minJaccard: Double)
+      extends UnaryExpression {
+    private lazy val elemType = child.dataType match {
+      case ArrayType(s: StructType, _) => s
+      case dt => throw new IllegalArgumentException(s"expected array<struct>, got $dt")
+    }
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("a", elemType, nullable = false),
+        StructField("b", elemType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(s: StructType, _)
+        if s.fields.length >= 2 && s.fields(1).dataType == IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"expected array<struct<id, n: int>>, got $dt")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(docs: ArrayData): ArrayData = {
+      val n = docs.numElements()
+      val nFields = elemType.fields.length
+      val rows = new Array[InternalRow](n)
+      val counts = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        // copy: ArrayData rows from an aggregation buffer may be reused
+        rows(i) = docs.getStruct(i, nFields).copy()
+        counts(i) = rows(i).getInt(1)
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val (lo, hi) =
+            if (counts(i) < counts(j)) (counts(i), counts(j))
+            else (counts(j), counts(i))
+          if (lo >= minJaccard * hi)
+            out += InternalRow(rows(i), rows(j))
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ppExpr", this, classOf[PostingPairs].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
@@ -238,4 +307,7 @@ object VecExprs {
 
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))
+
+  def postingPairs(docs: Column, minJaccard: Double): Column =
+    GraftBridge.column(PostingPairs(GraftBridge.expression(docs), minJaccard))
 }

@@ -80,19 +80,16 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("docs"))
       .filter(size(col("docs")).between(2, maxShingleDf))
     // ordered local pair generation: docs is sorted by id, so pairing each
-    // element with its successors yields id_a < id_b by construction
-    val pairs = lists.select(explode(flatten(transform(col("docs"),
-        (x, i) => transform(
-          slice(col("docs"), i + lit(2), size(col("docs")) - i - lit(1)),
-          y => struct(x.getField("id").as("id_a"), x.getField("n_sh").as("n_a"),
-            y.getField("id").as("id_b"), y.getField("n_sh").as("n_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.n_a"), col("p.id_b"), col("p.n_b"))
-      // size-ratio prefilter: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a
-      // pair whose shingle counts are too lopsided can never pass the
-      // threshold — dropping it BEFORE the pair aggregate cuts shuffle
-      // traffic without changing any surviving pair (necessary condition).
-      .filter(least(col("n_a"), col("n_b")).cast(DoubleType) >=
-        lit(minJaccard) * greatest(col("n_a"), col("n_b")).cast(DoubleType))
+    // element with its successors yields id_a < id_b by construction. One
+    // flat codegen loop (VecExprs.PostingPairs) with the size-ratio
+    // prefilter — jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so lopsided
+    // pairs can never pass the threshold and are dropped BEFORE the pair
+    // aggregate shuffle. (The previous nested transform(slice(...)) chain
+    // was CodegenFallback and allocated an intermediate array per element.)
+    val pairs = lists.select(explode(
+        graft.functions.VecExprs.postingPairs(col("docs"), minJaccard)).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.a.n_sh").as("n_a"),
+        col("p.b.id").as("id_b"), col("p.b.n_sh").as("n_b"))
     pairs
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
