@@ -185,6 +185,124 @@ object Choices {
     searchParams(randomDraws(choices, ranges, n, seed), planFor, fitEnv,
       valEnv, score)
 
+  /** Adaptive search — the reference's Optuna driver gap
+    * (skrub/_data_ops/_optuna.py delegates to Optuna's TPE sampler, a
+    * third-party dependency this environment cannot ship). This is an
+    * in-house deterministic TPE (tree-structured Parzen estimator,
+    * Bergstra et al. 2011, published algorithm): after `nStartup` seeded
+    * random trials, each new trial splits history into the top `gamma`
+    * fraction (good) and the rest, draws `nCandidates` parameter sets from
+    * a kernel around good values, and keeps the candidate maximizing the
+    * good/bad density ratio l(x)/g(x). Numeric kernels are Gaussian in
+    * (log-)space with bandwidth = span/sqrt(|good|); discrete choices draw
+    * from +1-smoothed good counts. One full fit + score per trial; results
+    * best-first.
+    */
+  def adaptiveSearch(choices: Seq[Choice[_]], ranges: Seq[NumericRange],
+                     planFor: Map[String, Any] => Plan,
+                     fitEnv: Map[String, DataFrame],
+                     valEnv: Map[String, DataFrame],
+                     score: DataFrame => Double,
+                     nTrials: Int, nStartup: Int = 5,
+                     nCandidates: Int = 24, gamma: Double = 0.25,
+                     seed: Long = 0L): Seq[SearchResult] = {
+    require(nTrials >= 1 && nStartup >= 1, "nTrials/nStartup >= 1")
+    val rng = new scala.util.Random(seed)
+    val history = scala.collection.mutable.ArrayBuffer[SearchResult]()
+    def evalOne(params: Map[String, Any]): Unit = {
+      val learner = Plan.makeLearner(planFor(params))
+      learner.fit(fitEnv)
+      history += SearchResult(params, score(learner.transform(valEnv)), learner)
+    }
+    def drawOne(): Map[String, Any] = {
+      val disc = choices.map(c =>
+        c.name -> c.outcomes(rng.nextInt(c.outcomes.length)))
+      val cont = ranges.map { r =>
+        val v = r.draw(rng)
+        val boxed: Any = if (r.toInt) v.toLong else v
+        r.name -> boxed
+      }
+      (disc ++ cont).toMap
+    }
+    (0 until math.min(nStartup, nTrials)).foreach(_ => evalOne(drawOne()))
+    while (history.length < nTrials) {
+      val ranked = history.sortBy(-_.score)
+      val nGood = math.max(1, math.ceil(gamma * ranked.length).toInt)
+      val (good, bad) = (ranked.take(nGood), ranked.drop(nGood))
+      def numOf(a: Any): Double = a match {
+        case d: Double => d; case l: Long => l.toDouble; case i: Int => i.toDouble
+        case other => throw new IllegalStateException(s"non-numeric $other")
+      }
+      // Parzen density of x under the trial set's values for range r
+      def density(x: Double, vals: scala.collection.Seq[Double],
+                  r: NumericRange): Double = {
+        if (vals.isEmpty) return 1.0
+        def t(v: Double) = if (r.log) math.log(v) else v
+        val span = math.max(t(r.high) - t(r.low), 1e-12)
+        val bw = math.max(span / math.sqrt(vals.length.toDouble), 1e-12)
+        vals.map { v =>
+          val z = (t(x) - t(v)) / bw
+          math.exp(-0.5 * z * z)
+        }.sum / vals.length
+      }
+      val candidates = (0 until nCandidates).map { _ =>
+        val disc = choices.map { c =>
+          // +1-smoothed counts over GOOD trials
+          val counts = c.outcomes.map(o =>
+            1.0 + good.count(_.params(c.name) == o))
+          val total = counts.sum
+          var pick = rng.nextDouble() * total
+          var idx = 0
+          while (idx < counts.length - 1 && pick >= counts(idx)) {
+            pick -= counts(idx); idx += 1
+          }
+          c.name -> c.outcomes(idx)
+        }
+        val cont = ranges.map { r =>
+          val goodVals = good.map(g => numOf(g.params(r.name)))
+          // kernel draw around a random good value (startup fallback: prior)
+          val v0 =
+            if (goodVals.isEmpty) r.draw(rng)
+            else {
+              val center = goodVals(rng.nextInt(goodVals.length))
+              def t(v: Double) = if (r.log) math.log(v) else v
+              def back(v: Double) = if (r.log) math.exp(v) else v
+              val span = math.max(t(r.high) - t(r.low), 1e-12)
+              val bw = span / math.sqrt(goodVals.length.toDouble)
+              val raw = back(t(center) + rng.nextGaussian() * bw)
+              math.min(r.high, math.max(r.low, raw))
+            }
+          val v = if (r.toInt) v0.toLong.toDouble else v0
+          val boxed: Any = if (r.toInt) v.toLong else v
+          r.name -> boxed
+        }
+        (disc ++ cont).toMap
+      }
+      // keep the candidate maximizing the good/bad density ratio (TPE's
+      // expected-improvement surrogate); discrete parts use smoothed count
+      // ratios on the same principle
+      def ratio(params: Map[String, Any]): Double = {
+        val contR = ranges.map { r =>
+          val x = numOf(params(r.name))
+          val l = density(x, good.map(g => numOf(g.params(r.name))), r)
+          val g = density(x, bad.map(b => numOf(b.params(r.name))), r)
+          l / math.max(g, 1e-12)
+        }
+        val discR = choices.map { c =>
+          val v = params(c.name)
+          val l = (1.0 + good.count(_.params(c.name) == v)) /
+            (c.outcomes.length + good.length).toDouble
+          val g = (1.0 + bad.count(_.params(c.name) == v)) /
+            (c.outcomes.length + bad.length).toDouble
+          l / g
+        }
+        (contR ++ discR).product
+      }
+      evalOne(candidates.maxBy(ratio))
+    }
+    history.sortBy(-_.score).toSeq
+  }
+
   /** Fit + score one learner per parameter map, best (highest score) first —
     * the shared engine behind grid / randomized search.
     */

@@ -96,6 +96,45 @@ class ChoicesSpec extends AnyFunSuite {
     assert(results.head.score > 0)
   }
 
+  test("adaptiveSearch (TPE) concentrates trials near the optimum") {
+    val x = Seq(1).toDF("one")
+    // objective over a log range + a binary choice: optimum at lr=1e-2,
+    // mode="good"; the plan writes the params into columns so `score`
+    // (which only sees the frame) can read them back
+    def planFor(p: Map[String, Any]): Plan = {
+      val lr = p("lr").asInstanceOf[Double]
+      val pen = if (p("mode") == "good") 0.0 else 4.0
+      Var("x").transform(df =>
+        df.withColumn("lr", lit(lr)).withColumn("pen", lit(pen)))
+    }
+    val evalLog = scala.collection.mutable.ArrayBuffer[Double]()
+    def score(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.head()
+      val lr = r.getDouble(r.fieldIndex("lr"))
+      val d = math.log10(lr) + 2 // 0 at lr = 1e-2
+      evalLog += math.abs(d)
+      -(d * d) - r.getDouble(r.fieldIndex("pen"))
+    }
+    val lrRange = Choices.chooseFloatRange("lr", 1e-4, 1.0, log = true)
+    val mode = Choices.chooseFrom("mode", Seq("bad", "good"))
+    val results = Choices.adaptiveSearch(Seq(mode), Seq(lrRange), planFor,
+      Map("x" -> x), Map("x" -> x), score,
+      nTrials = 24, nStartup = 6, seed = 5L)
+    assert(results.length === 24)
+    // concentration: post-startup trials sit closer to the optimum than the
+    // random startup trials on average
+    val startup = evalLog.take(6)
+    val guided = evalLog.drop(12)
+    assert(guided.sum / guided.length < startup.sum / startup.length,
+      s"guided=${guided.mkString(",")} startup=${startup.mkString(",")}")
+    // the discrete dimension is learned too: best results pick "good"
+    assert(results.take(3).forall(_.params("mode") == "good"))
+    // beats pure random search with the same budget and seed
+    val rand = Choices.randomizedSearch(Seq(mode), Seq(lrRange), planFor,
+      Map("x" -> x), Map("x" -> x), score, n = 24, seed = 5L)
+    assert(results.head.score >= rand.head.score)
+  }
+
   test("crossValidate: deterministic folds, refit per fold") {
     val x = (1 to 300).map(i => (i, "c" + i % 3)).toDF("id", "cat")
     def planFor(p: Map[String, Any]): Plan =
