@@ -224,6 +224,58 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** MinHash signature in ONE pass over the shingle set: element k of the
+    * output is min over shingles of md5(shingle + "#" + k) — the same
+    * definition as Text.minhashSignature (lexicographic min over
+    * fixed-width lowercase hex == numeric min, oracle-reproducible), but
+    * computed in a flat loop instead of K separate aggregate expressions
+    * over an exploded posting (which shuffled every (doc, shingle) row and
+    * hashed through interpreted HOFs).
+    */
+  case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"expected array<string> shingles, got $dt")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(shingles: ArrayData): ArrayData = {
+      val n = shingles.numElements()
+      val mins = new Array[String](k)
+      var i = 0
+      while (i < n) {
+        val s = shingles.getUTF8String(i).toString
+        var j = 0
+        while (j < k) {
+          val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            (s + "#" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      // empty shingle set -> null signature elements would break the
+      // non-null contract; emit the empty array instead (no shingles, no
+      // bands, doc never collides — same as the aggregate form which
+      // produced no row for an empty posting)
+      if (n == 0) new GenericArrayData(Array.empty[Any])
+      else new GenericArrayData(mins.map(
+        org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mhExpr", this, classOf[MinhashSig].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Ordered local pair generation over a sorted posting list (the inverted
     * index's per-shingle doc list): emits a struct (a, b) for every i < j
     * pair that survives the size-ratio prefilter
@@ -310,4 +362,7 @@ object VecExprs {
 
   def postingPairs(docs: Column, minJaccard: Double): Column =
     GraftBridge.column(PostingPairs(GraftBridge.expression(docs), minJaccard))
+
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinhashSig(GraftBridge.expression(shingles), k))
 }

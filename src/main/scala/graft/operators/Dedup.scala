@@ -109,27 +109,37 @@ object Dedup {
                       n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
                       minJaccard: Double = 0.5): DataFrame = {
     val k = rowsPerBand * nBands
-    // Signature via explode + K static min-aggregates: every hash is a
-    // codegen'd projection expression and the signature is one hash
-    // aggregate — no interpreted higher-order functions in the hot path,
-    // and the same shape scales to a 1000-executor shuffle.
-    val posting = df.select(col(idCol).as("id"),
-      explode(graft.functions.VecExprs.tokenShingles(col(textCol), n)).as("shingle"))
-    val sigs = posting.groupBy(col("id")).agg(
-      min(md5(concat(col("shingle"), lit("#0")))).as("sig_0"),
-      (1 until k).map(i =>
-        min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"sig_$i")): _*)
+    // Signature via ONE loop-codegen pass per doc (VecExprs.MinhashSig):
+    // the previous explode + K static min-aggregates shape shuffled every
+    // (doc, shingle) row and hashed each one K times through separate
+    // aggregate expressions; the flat loop computes the same K min-hex
+    // values (same md5(shingle#k) definition, oracle-reproducible) with no
+    // shuffle at all — signatures are a pure projection over the scan.
+    val sigs = df.select(col(idCol).as("id"),
+        graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
+      .withColumn("sig", graft.functions.VecExprs.minhashSig(col("shingles"), k))
+      .filter(col("sig").isNotNull) // null text -> no signature, as before
+      // one exchange (id, shingles, sig) as the shared materialization
+      // point: the band self-join consumes `banded` twice AND the
+      // verification join reads shingle sets twice — without an exchange
+      // each of the four consumers would recompute shingles+signature from
+      // the scan (the old aggregate shape got two-way reuse for free via
+      // ReusedExchange; this gets four-way reuse, and the shingles ride
+      // the same shuffle instead of being recomputed for verification)
+      .repartition(col("id"))
+    // band keys: md5("<b>:<sig slice joined by |>") — same format as
+    // Text.lshBands and the DuckDB oracle
     val bandExprs = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      md5(concat_ws("", lit(s"$b:") +: parts.head +:
-        parts.tail.flatMap(p => Seq(lit("|"), p)): _*))
+      md5(concat(lit(s"$b:"), concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)))
     }
     val banded = sigs.select(col("id"), explode(array(bandExprs: _*)).as("band"))
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sh = df.select(col(idCol).as("id"), graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
+    val sh = sigs.select(col("id"), col("shingles"))
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))

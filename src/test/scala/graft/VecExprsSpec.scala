@@ -72,6 +72,54 @@ class VecExprsSpec extends AnyFunSuite {
     edge.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("MinhashSig matches Text.minhashSignature on the documents fixture") {
+    import graft.functions.{Text, VecExprs}
+    val docs = TestSpark.table("documents").limit(100)
+      .select(VecExprs.minhashSig(
+          VecExprs.tokenShingles(col("text"), 3), 16).as("fast"),
+        Text.minhashSignature(Text.shingleSet(col("text"), 3), 16).as("slow"))
+    docs.collect().foreach(r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // short/degenerate texts
+    val edge = Seq("one two", "", "  !!  ").toDF("text")
+      .select(VecExprs.minhashSig(
+          VecExprs.tokenShingles(col("text"), 3), 4).as("fast"),
+        Text.minhashSignature(Text.shingleSet(col("text"), 3), 4).as("slow"))
+    edge.collect().foreach(r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("PostingPairs matches the composed nested-transform pair generation") {
+    import graft.functions.VecExprs
+    // sorted posting lists of (id, n_sh) structs, including a singleton
+    // (no pairs) and lopsided counts the size-ratio prefilter must drop
+    val lists = Seq(
+      Seq(("a", 10), ("b", 12), ("c", 30)),
+      Seq(("x", 5)),
+      Seq(("p", 7), ("q", 7), ("r", 8), ("s", 70))
+    ).toDF("docs")
+    def composed(minJ: Double) = {
+      val d = col("docs")
+      explode(flatten(transform(d, (x, i) => transform(
+        slice(d, i + lit(2), size(d) - i - lit(1)),
+        y => struct(x.getField("_1").as("id_a"), x.getField("_2").as("n_a"),
+          y.getField("_1").as("id_b"), y.getField("_2").as("n_b"))))))
+    }
+    for (minJ <- Seq(0.0, 0.4, 0.9)) {
+      val fast = lists.select(explode(
+          VecExprs.postingPairs(col("docs"), minJ)).as("p"))
+        .select(col("p.a._1"), col("p.a._2"), col("p.b._1"), col("p.b._2"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getInt(3))).sorted
+      val slow = lists.select(composed(minJ).as("p")).select(col("p.*"))
+        .filter(least(col("n_a"), col("n_b")).cast("double") >=
+          lit(minJ) * greatest(col("n_a"), col("n_b")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getInt(3))).sorted
+      assert(fast.toSeq === slow.toSeq, s"minJaccard=$minJ")
+    }
+  }
+
   test("arrayDot matches the sequential fold dot product") {
     val pairs = vecs.alias("x").crossJoin(vecs.alias("y").limit(4))
     val rows = pairs.select(
