@@ -159,24 +159,22 @@ object Dedup {
     * parity votes are codegen'd projections; one hash aggregate per doc.
     * Matches Text.simhash32 bit-for-bit (same md5-parity definition).
     */
-  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val posting = df.select(col(idCol).as("id"),
-      explode_outer(Text.tokens(col(textCol))).as("tok"))
-      .withColumn("hex", md5(col("tok")))
-    val votes = (0 until 32).map(i =>
-      sum(when(col("hex").substr(i + 1, 1).isin(odd: _*), 1).otherwise(-1)).as(s"v_$i"))
-    posting.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 32).map(i =>
-          when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
-  }
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // single-pass loop-codegen expression (VecExprs.Simhash32 via
+    // Text.simhash32): one md5 per token, no token-row shuffle — the
+    // previous explode + 32 vote-sum aggregates shuffled every (doc, token)
+    // row. Null/empty text maps to fingerprint 0 in both forms.
+    df.select(col(idCol).as("id"), Text.simhash32(col(textCol)).as("sim"))
 
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val bitsPerBlock = 32 / nBlocks // 32-bit fingerprint
-    val docs = simhashFingerprints(df, textCol, idCol)
+    // slim exchange (id, sim): the block self-join consumes the blocked
+    // frame twice — without a materialization point each side recomputes
+    // every fingerprint from the scan (the old aggregate form had this via
+    // ReusedExchange; 2 longs per doc is far cheaper than the token rows)
+    val docs = simhashFingerprints(df, textCol, idCol).repartition(col("id"))
     val blocks = docs.select(col("id"), col("sim"),
       explode(array((0 until nBlocks).map { bi =>
         struct(lit(bi).as("block_i"),
