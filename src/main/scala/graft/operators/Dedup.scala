@@ -238,18 +238,23 @@ object Dedup {
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
                         minCosine: Double, planesPerTable: Int = 4,
                         nTables: Int = 16): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    // exchange-reuse instead of persist (the previous persists were never
+    // released — a leak in a long-lived session): `v` repartitioned on id
+    // is the exact partitioning the two verification joins require, so one
+    // exchange feeds the posting build AND both join sides; `posting`
+    // repartitioned on (tbl, bkt) IS the band self-join's own shuffle, so
+    // both sides reuse it (ReusedExchange) with no extra hop and the
+    // normalize/bucket expressions evaluate once, not once per consumer.
     val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("id"))
     // bucket ids via the custom loop-codegen expression (VecExprs — the
     // unrolled built-in composition exceeded codegen limits and fell back to
-    // interpreted evaluation, 20s for 2000 rows); posting persisted so the
-    // self-join evaluates it once, not once per side
+    // interpreted evaluation, 20s for 2000 rows)
     val posting = v.select(col("id"),
       posexplode(graft.functions.VecExprs.hyperplaneBuckets(
         col("nv"), nTables, planesPerTable)))
       .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("tbl"), col("bkt"))
     val cand = posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -60,6 +60,16 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === dist)
   }
 
+  test("embeddingLshPairs leaves no persisted blocks behind") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = sc.getPersistentRDDs.keySet
+    val emb = TestSpark.table("embeddings").limit(300)
+    Dedup.embeddingLshPairs(emb, "embedding", "vec_id", minCosine = 0.4).count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"embeddingLshPairs leaked persisted RDDs: $leaked")
+  }
+
   test("scale-aware knobs: corpus-relative DF cutoff and log2 plane count") {
     val docs = TestSpark.table("documents")
     val n = docs.count()
