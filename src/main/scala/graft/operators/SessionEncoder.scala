@@ -70,7 +70,8 @@ object SessionEncoder {
   val MaxDriverEntities = 2000000
 
   def globalSessionId(df: DataFrame, splitBy: Seq[String], tsCol: String,
-                      gapSeconds: Double, out: String = "session_id"): DataFrame = {
+                      gapSeconds: Double, out: String = "session_id",
+                      maxDriverEntities: Int = MaxDriverEntities): DataFrame = {
     // NOT persisted on the fast path: the window recomputes once per action
     // (two actions), which measures cheaper than materializing the full
     // frame into the block store and reading it back
@@ -89,8 +90,8 @@ object SessionEncoder {
     val starts = local0.filter(col("__start") === 1L)
       .groupBy(splitBy.map(col): _*).agg(count(lit(1)).as("__n"))
       .orderBy(splitBy.map(col): _*)
-    val head = starts.take(MaxDriverEntities + 1)
-    if (head.length <= MaxDriverEntities) {
+    val head = starts.take(math.max(0, maxDriverEntities) + 1)
+    if (head.length <= maxDriverEntities) {
       val local = local0
       var acc = 0L
       val rows = head.map { r =>
@@ -112,10 +113,17 @@ object SessionEncoder {
             .otherwise(col("__offset") + col("__local_session")))
         .select(df.columns.map(col).toSeq :+ col(out): _*)
     } else {
-      // the fallback's three consumers would each recompute the window over
-      // a frame too large to rescan casually — persist it here
-      val local = local0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // The fallback's three consumers would each recompute the window over
+      // a frame too large to rescan casually. localCheckpoint, NOT persist:
+      // same storage footprint (materialized once, read three times), but
+      // (a) a DataFrame persist is a CacheManager entry that nothing here
+      // could ever release — a leak for the session's lifetime — while
+      // checkpoint blocks are freed by the ContextCleaner when the caller
+      // drops the result; (b) the numbering below assigns positions under
+      // ONE concrete partitioning, and a lineage recompute after block loss
+      // could silently shift them — truncated lineage fails loudly instead
+      // (same contract as Kernel.withGlobalRowNumber).
+      val local = local0.localCheckpoint()
       val valid = local.filter(col("__local_session") =!= -1L).drop("__start")
       val invalid = local.filter(col("__local_session") === -1L).drop("__start")
         .withColumn(out, lit(-1L))
@@ -129,7 +137,7 @@ object SessionEncoder {
         .withColumn("__mid", monotonically_increasing_id())
         .withColumn("__pid", shiftright(col("__mid"), 33).cast(IntegerType))
         .withColumn("__rid", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-        .persist()
+        .localCheckpoint() // pinned positions + GC-scoped blocks (see above)
       val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
         .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__n")).toMap
       val offsets: Map[Int, Long] = {

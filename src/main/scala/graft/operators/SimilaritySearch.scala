@@ -65,19 +65,20 @@ object SimilaritySearch {
     // bucket ids via the custom loop-codegen expression (see VecExprs);
     // posting lists persisted so the wide projection evaluates exactly once
     // per row, not once per downstream consumer
-    import org.apache.spark.storage.StorageLevel
+    // no persists: each posting frame has exactly ONE consumer (the scored
+    // join / its broadcast build), so the previous persists bought nothing
+    // and — never being released — leaked CacheManager entries for the
+    // session's lifetime
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
       .select(col("corpus_id"), col("cv"),
         posexplode(VecExprs.hyperplaneBuckets(col("cv"), nTables, planesPerTable)))
       .select(col("corpus_id"), col("cv"),
         col("pos").as("tbl"), col("col").as("bkt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
       .select(col("query_id"), col("qv"),
         posexplode(VecExprs.hyperplaneBuckets(col("qv"), nTables, planesPerTable)))
       .select(col("query_id"), col("qv"),
         col("pos").as("tbl"), col("col").as("bkt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // score BEFORE deduplicating the multi-table candidate hits: the dot
     // product is codegen'd and cheap, and once scored the vectors drop out
     // of the row — the dedup shuffle then carries (ids, cosine) instead of

@@ -133,13 +133,25 @@ object Plan {
   /** One evaluation pass. In fit mode every Apply runs `estimator.fit` on
     * its input and records the fitted transformer into `fitted`; in
     * transform mode it replays `fitted`.
+    *
+    * Fan-out persist lifecycle: nodes with 2+ consumers are persisted ONLY
+    * in fit mode, where stage fits run jobs during this pass and genuinely
+    * share the cached parent; every persist this pass registers is returned
+    * so the caller can RELEASE it (a DataFrame persist is a CacheManager
+    * entry — never garbage-collected, so an unreleased one leaks for the
+    * session's lifetime; caught auditing r6). In transform mode the pass is
+    * pure lazy plan composition — no job runs here, a persist would only
+    * leak — and shared subtrees that end in a shuffle still get within-
+    * query sharing from ReusedExchange.
     */
   private[plans] def evaluate0(root: Plan, env: Map[String, DataFrame],
                                fitted: scala.collection.mutable.Map[Apply, Transformer],
                                fitMode: Boolean,
-                               subsampleOn: Boolean = false): DataFrame = {
+                               subsampleOn: Boolean = false)
+      : (DataFrame, Seq[DataFrame]) = {
     val fanout = parentCounts(root)
     val memo = scala.collection.mutable.Map[Plan, DataFrame]()
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame]()
     def eval(p: Plan): DataFrame = memo.getOrElseUpdate(p, {
       val out = p match {
         case Var(name) => env.getOrElse(name,
@@ -170,9 +182,13 @@ object Plan {
               d.columns.map(c => col(c).cast("string")).toSeq: _*))).limit(n)
           }
       }
-      if (fanout(p) > 1) out.persist() else out
+      if (fitMode && fanout(p) > 1) {
+        val cached = out.persist()
+        persisted += cached
+        cached
+      } else out
     })
-    eval(root)
+    (eval(root), persisted.toSeq)
   }
 
   /** The `MarkX` node of a plan, if any (reference `find_X`,
@@ -372,7 +388,11 @@ final class Learner(root: Plan) {
 
   def fit(env: Map[String, DataFrame], subsample: Boolean = false): Learner = {
     fitted.clear()
-    Plan.evaluate0(root, env, fitted, fitMode = true, subsampleOn = subsample)
+    val (_, cached) =
+      Plan.evaluate0(root, env, fitted, fitMode = true, subsampleOn = subsample)
+    // the output frame is discarded — the fan-out caches served the stage
+    // fits that just ran; releasing here costs nothing and leaks nothing
+    cached.foreach(_.unpersist(blocking = false))
     isFit = true
     this
   }
@@ -380,8 +400,13 @@ final class Learner(root: Plan) {
   def fitTransform(env: Map[String, DataFrame],
                    subsample: Boolean = false): DataFrame = {
     fitted.clear()
-    val out = Plan.evaluate0(root, env, fitted, fitMode = true,
+    val (out, cached) = Plan.evaluate0(root, env, fitted, fitMode = true,
       subsampleOn = subsample)
+    // fit jobs already shared the caches; releasing before returning means
+    // actions on `out` recompute shared subtrees lazily (bounded, and
+    // ReusedExchange still collapses shuffle-terminated ones) instead of
+    // this call leaking CacheManager entries for the session's lifetime
+    cached.foreach(_.unpersist(blocking = false))
     isFit = true
     out
   }
@@ -390,14 +415,17 @@ final class Learner(root: Plan) {
     * _subsampling.py:20-25): fits into a THROWAWAY state — the learner's
     * own fitted stages and fit flag are untouched.
     */
-  def preview(env: Map[String, DataFrame]): DataFrame =
-    Plan.evaluate0(root, env,
+  def preview(env: Map[String, DataFrame]): DataFrame = {
+    val (out, cached) = Plan.evaluate0(root, env,
       scala.collection.mutable.Map[Apply, Transformer](),
       fitMode = true, subsampleOn = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   def transform(env: Map[String, DataFrame]): DataFrame = {
     if (!isFit) throw new IllegalStateException("learner is not fitted")
-    Plan.evaluate0(root, env, fitted, fitMode = false)
+    Plan.evaluate0(root, env, fitted, fitMode = false)._1
   }
 
   /** HTML report of the plan and its (subsampled) preview output (reference

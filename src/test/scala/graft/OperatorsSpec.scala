@@ -58,6 +58,20 @@ class OperatorsSpec extends AnyFunSuite {
       ("u2", 0L)))
   }
 
+  test("globalSessionId distributed fallback agrees with the driver fast path") {
+    // maxDriverEntities = -1 forces the take-probe over the guard, so the
+    // range-sort + checkpoint numbering path runs; outputs must be identical
+    val fast = SessionEncoder.globalSessionId(eventsDf, Seq("user"), "ts", 300.0)
+      .select("user", "ts", "session_id").collect()
+      .map(r => (String.valueOf(r.getString(0)), String.valueOf(r.get(1)), r.getLong(2))).sorted
+    val dist = SessionEncoder.globalSessionId(eventsDf, Seq("user"), "ts", 300.0,
+        maxDriverEntities = -1)
+      .select("user", "ts", "session_id").collect()
+      .map(r => (String.valueOf(r.getString(0)), String.valueOf(r.get(1)), r.getLong(2))).sorted
+    assert(fast.nonEmpty)
+    assert(fast.toSeq === dist.toSeq)
+  }
+
   test("globalSessionId densely numbers sessions across entities") {
     val out = SessionEncoder.globalSessionId(eventsDf, Seq("user"), "ts", 300.0)
     val ids = out.filter($"session_id" =!= -1L)

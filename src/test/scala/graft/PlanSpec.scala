@@ -51,6 +51,24 @@ class PlanSpec extends AnyFunSuite {
     assert(evals.get() === 1)
   }
 
+  test("plan evaluation releases its fan-out caches (no CacheManager leak)") {
+    val counted = Var("x").transform(df => df)
+    val plan = Merge(
+      Seq(counted.transform(_.select(col("a"))),
+        counted.transform(_.select((col("a") * 2).as("a2")))),
+      dfs => graft.ops.Kernel.concatHorizontal(
+        Seq(dfs(0) -> Seq("a"), dfs(1) -> Seq("a2"))))
+    val env = Map("x" -> Seq(1, 2, 3).toDF("a"))
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val learner = Plan.makeLearner(plan)
+    learner.fit(env)
+    learner.fitTransform(env).count()
+    learner.transform(env).count()
+    learner.preview(env).count()
+    assert(cm.isEmpty, "plan evaluation left CacheManager entries behind")
+  }
+
   test("multi-table plan: aggJoin merge + vectorizer end to end") {
     val plan = Merge(
       Seq(Var("orders"), Var("lineitem")),
