@@ -408,7 +408,7 @@ object Dedup {
     // translation map back. Above the guard, fall back to the distributed
     // min-label-propagation loop, which scales to any graph.
     val head = pairs.select(col("id_a"), col("id_b"))
-      .limit(maxDriverPairs + 1).collect()
+      .limit(math.min(maxDriverPairs, Int.MaxValue - 1) + 1).collect()
     if (head.length <= maxDriverPairs) {
       // union-find with path halving; union by smaller-root keeps roots
       // deterministic but the canonical choice below never depends on them

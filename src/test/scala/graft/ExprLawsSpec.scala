@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, VecExprs}
+
+/** Randomized cross-checks of the loop-codegen expressions against their
+  * composed built-in formulations (the fixture-based pins in VecExprsSpec
+  * cover realistic text; these sweep generated edge shapes — unicode,
+  * repeated tokens, degenerate whitespace, adversarial posting lists).
+  * Generators run with fixed seeds so failures reproduce.
+  */
+class ExprLawsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val word: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("the", "quick", "BROWN", "fox", "déjà", "naïve", "東京", "a1"),
+    Gen.const(""), Gen.const("!!"), Gen.const("  "))
+
+  private val text: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, word)
+    sep <- Gen.oneOf(" ", "  ", ", ", "\t", " - ")
+  } yield ws.mkString(sep)
+
+  test("Simhash32 == composed parity-vote form on generated texts") {
+    def composed(c: org.apache.spark.sql.Column) = {
+      val hexes = transform(Text.tokens(c), t => md5(t))
+      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      (0 until 32).map { i =>
+        val votes = aggregate(hexes, lit(0),
+          (acc, h) => acc + when(h.substr(i + 1, 1).isin(odd: _*), 1).otherwise(-1))
+        when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val texts = samples(text, 60, 11L)
+    val rows = texts.toDF("t")
+      .select(Text.simhash32(col("t")).as("fast"), composed(col("t")).as("slow"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) === r.getLong(1), s"text=<$t>")
+    }
+  }
+
+  test("MinhashSig == composed min-aggregate form on generated texts") {
+    val texts = samples(text, 60, 23L)
+    val rows = texts.toDF("t")
+      .select(
+        VecExprs.minhashSig(VecExprs.tokenShingles(col("t"), 3), 8).as("fast"),
+        Text.minhashSignature(Text.shingleSet(col("t"), 3), 8).as("slow"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"text=<$t>")
+    }
+  }
+
+  test("PostingPairs == composed nested-transform form on generated lists") {
+    val entry: Gen[(String, Int)] = for {
+      id <- Gen.alphaNumStr.map(_.take(6))
+      n <- Gen.choose(1, 60)
+    } yield (id, n)
+    val list: Gen[Seq[(String, Int)]] = for {
+      n <- Gen.choose(0, 10)
+      es <- Gen.listOfN(n, entry)
+    } yield es.distinctBy(_._1).sortBy(_._1)
+    val lists = samples(list, 40, 37L)
+    for (minJ <- Seq(0.0, 0.3, 0.7)) {
+      val df = lists.toDF("docs")
+      val fast = df.select(explode(
+          VecExprs.postingPairs(col("docs"), minJ)).as("p"))
+        .select(col("p.a._1"), col("p.a._2"), col("p.b._1"), col("p.b._2"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .sorted
+      val slow = df.select(explode(flatten(transform(col("docs"),
+          (x, i) => transform(
+            slice(col("docs"), i + lit(2), size(col("docs")) - i - lit(1)),
+            y => struct(x.getField("_1").as("id_a"), x.getField("_2").as("n_a"),
+              y.getField("_1").as("id_b"), y.getField("_2").as("n_b")))))).as("p"))
+        .select(col("p.*"))
+        .filter(least(col("n_a"), col("n_b")).cast("double") >=
+          lit(minJ) * greatest(col("n_a"), col("n_b")).cast("double"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .sorted
+      assert(fast.toSeq === slow.toSeq, s"minJaccard=$minJ")
+    }
+  }
+}
