@@ -27,6 +27,15 @@ object KernelQueries {
       Kernel.concatHorizontal(Seq(a -> Seq("o_orderkey"), b -> Seq("k2")))
     }),
 
+    // TableReport distribution sections (r6): top-K value counts per string
+    // column in one melted minKBy aggregate, and fixed-width histograms per
+    // numeric column in a min/max pass + one melted bin-count aggregate
+    "q_report_value_counts" -> ((s, dir) =>
+      graft.operators.TableReport.valueCounts(t(s, dir, "customer"), topK = 5)),
+    "q_report_histograms" -> ((s, dir) =>
+      graft.operators.TableReport.numericHistograms(t(s, dir, "customer"),
+        nBins = 10)),
+
     // total-standard-deviation scaler over lineitem numeric columns
     "q_scaling_factor" -> ((s, dir) =>
       Kernel.scalingFactor(t(s, dir, "lineitem"),
@@ -218,6 +227,40 @@ object KernelQueries {
         |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
         |SELECT a.o_orderkey, a.o_totalprice, b.k2, b.o_orderpriority
         |FROM a JOIN b USING (rn)""".stripMargin,
+
+    "q_report_value_counts" -> {
+      val strCols = Seq("c_name", "c_mktsegment")
+      strCols.map { c =>
+        s"""SELECT * FROM (
+           |  SELECT '$c' AS column_name, $c AS value,
+           |    count(*) AS value_count,
+           |    CAST(row_number() OVER (ORDER BY count(*) DESC, $c) AS INT) AS rank
+           |  FROM customer WHERE $c IS NOT NULL GROUP BY $c)
+           |WHERE rank <= 5""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
+    "q_report_histograms" -> {
+      val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+      numCols.map { c =>
+        s"""SELECT '$c' AS column_name, bin,
+           |  round(mn + bin * w, 6) AS bin_start,
+           |  round(mn + (bin + 1) * w, 6) AS bin_end,
+           |  count(*) AS bin_count
+           |FROM (
+           |  SELECT CAST(least(greatest(
+           |      floor((CAST($c AS DOUBLE) - mn) / w), 0), 9) AS INT) AS bin,
+           |    mn, w
+           |  FROM customer, (
+           |    SELECT min(CAST($c AS DOUBLE)) AS mn,
+           |      CASE WHEN max(CAST($c AS DOUBLE)) > min(CAST($c AS DOUBLE))
+           |        THEN (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10
+           |        ELSE 1.0 END AS w
+           |    FROM customer)
+           |  WHERE $c IS NOT NULL)
+           |GROUP BY bin, mn, w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     "q_scaling_factor" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
