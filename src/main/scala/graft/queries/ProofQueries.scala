@@ -101,6 +101,24 @@ object ProofQueries {
         orders.filter(col("o_orderpriority") =!= "1-URGENT")))
     }),
 
+    // the search DRIVER end to end (r6: the last unit-only family gets an
+    // oracle): gridSearch fits one Learner per candidate threshold, scores
+    // each on the val frame, and ranks best-first; scores are plain row
+    // counts so the oracle replays the whole loop in SQL
+    "q_grid_search" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val results = Choices.gridSearch(
+        Seq(Choices.chooseFrom("thr", Seq(0.0, 1000.0, 5000.0))),
+        p => Var("x").transform(_.filter(
+          col("c_acctbal") > lit(p("thr").asInstanceOf[Double]))),
+        fitEnv = Map("x" -> cust), valEnv = Map("x" -> cust),
+        score = _.count().toDouble)
+      import s.implicits._
+      results.zipWithIndex.map { case (r, i) =>
+        (r.params("thr").asInstanceOf[Double], r.score, i + 1)
+      }.toDF("thr", "score", "rank")
+    }),
+
     // deterministic train/test split as a labeled column: md5-bucket
     // predicate, no shuffle, replayed exactly by the oracle
     "q_train_test_split" -> ((s, dir) =>
@@ -192,6 +210,20 @@ object ProofQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // scores are strictly decreasing in thr on this data, so rank order is
+    // unambiguous; the tie-break mirror (score DESC, thr ASC) matches the
+    // stable sortBy over the ascending grid
+    "q_grid_search" ->
+      """WITH cand AS (SELECT unnest([0.0, 1000.0, 5000.0]) AS thr),
+        |scored AS (
+        |  SELECT thr,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM customer
+        |     WHERE c_acctbal > thr) AS score
+        |  FROM cand)
+        |SELECT thr, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, thr) AS INT) AS rank
+        |FROM scored""".stripMargin,
+
     "q_toy_cities" -> toyCitiesOracle,
 
     "q_make_dedup_data" -> makeDedupOracle,
