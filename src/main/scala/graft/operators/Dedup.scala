@@ -72,8 +72,13 @@ object Dedup {
     // pair generation at maxShingleDf^2 rows per task — at 100 TB this is
     // the difference between a linear shuffle and a quadratic bucket
     // explosion on a common phrase.
-    val posting = df.select(col(idCol).as("id"),
-        graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
+    // repartition the RAW text before shingling (see minhashLshPairs): a
+    // one-split corpus otherwise shingles + explodes + partially aggregates
+    // entirely inside the scan's single task
+    val posting = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        graft.functions.VecExprs.tokenShingles(col("__text"), n).as("shingles"))
       .select(col("id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
     val lists = posting.groupBy(col("shingle"))
@@ -115,18 +120,33 @@ object Dedup {
     // aggregate expressions; the flat loop computes the same K min-hex
     // values (same md5(shingle#k) definition, oracle-reproducible) with no
     // shuffle at all — signatures are a pure projection over the scan.
-    val sigs = df.select(col(idCol).as("id"),
-        graft.functions.VecExprs.tokenShingles(col(textCol), n).as("shingles"))
-      .withColumn("sig", graft.functions.VecExprs.minhashSig(col("shingles"), k))
-      .filter(col("sig").isNotNull) // null text -> no signature, as before
-      // one exchange (id, shingles, sig) as the shared materialization
-      // point: the band self-join consumes `banded` twice AND the
-      // verification join reads shingle sets twice — without an exchange
-      // each of the four consumers would recompute shingles+signature from
-      // the scan (the old aggregate shape got two-way reuse for free via
-      // ReusedExchange; this gets four-way reuse, and the shingles ride
-      // the same shuffle instead of being recomputed for verification)
-      .repartition(col("id"))
+    // Repartition the RAW text BEFORE any hashing: a small corpus often
+    // arrives as one parquet split, and a projection computed below the
+    // exchange runs in the scan's single task — profiling showed the whole
+    // signature computation (16 md5s x every shingle) serialized on one
+    // core (2.6s of a 3.0s query) while the cluster idled. Shuffling the
+    // raw (id, text) first means every consumer of the reused exchange
+    // computes its per-doc work across all partitions: both band-join
+    // sides recompute the (now parallel, ~0.1s) signatures, both
+    // verification joins recompute shingles, and the exchange is also
+    // hash-partitioned on id — exactly the partitioning the verification
+    // joins require.
+    // Null docs are dropped on the CHEAP input column, pre-exchange — a
+    // `filter(sig.isNotNull)` here got predicate-pushed through the
+    // repartition INTO THE SCAN, computing the entire signature in the
+    // scan's single task just to test null-ness (and again above the
+    // exchange): the pushdown that usually helps turned the fix inside out.
+    // sig is null exactly when text is null, so the filters are equivalent.
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .filter(col(textCol).isNotNull)
+      // explicit partition COUNT: a bare repartition(col) is
+      // REPARTITION_BY_COL, which AQE freely coalesces back to one
+      // partition for a small-bytes corpus — and the whole point here is
+      // spreading CPU (hashing), not bytes (same as embeddingCosinePairs)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val sigs = base.select(col("id"),
+        graft.functions.VecExprs.minhashSig(
+          graft.functions.VecExprs.tokenShingles(col("__text"), n), k).as("sig"))
     // band keys: md5("<b>:<sig slice joined by |>") — same format as
     // Text.lshBands and the DuckDB oracle
     val bandExprs = (0 until nBands).map { b =>
@@ -139,7 +159,8 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sh = sigs.select(col("id"), col("shingles"))
+    val sh = base.select(col("id"),
+      graft.functions.VecExprs.tokenShingles(col("__text"), n).as("shingles"))
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
@@ -170,11 +191,14 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val bitsPerBlock = 32 / nBlocks // 32-bit fingerprint
-    // slim exchange (id, sim): the block self-join consumes the blocked
-    // frame twice — without a materialization point each side recomputes
-    // every fingerprint from the scan (the old aggregate form had this via
-    // ReusedExchange; 2 longs per doc is far cheaper than the token rows)
-    val docs = simhashFingerprints(df, textCol, idCol).repartition(col("id"))
+    // Repartition the RAW text BEFORE fingerprinting (see minhashLshPairs:
+    // a one-split corpus otherwise computes every fingerprint in the scan's
+    // single task); the reused exchange is consumed by both block-join
+    // sides, each recomputing the now-parallel cheap fingerprint.
+    val docs = simhashFingerprints(
+      df.select(col(idCol), col(textCol)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col(idCol)),
+      textCol, idCol)
     val blocks = docs.select(col("id"), col("sim"),
       explode(array((0 until nBlocks).map { bi =>
         struct(lit(bi).as("block_i"),
