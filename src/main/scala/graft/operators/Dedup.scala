@@ -270,7 +270,10 @@ object Dedup {
     // both sides reuse it (ReusedExchange) with no extra hop and the
     // normalize/bucket expressions evaluate once, not once per consumer.
     val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
-      .repartition(col("id"))
+      // explicit COUNT: REPARTITION_BY_COL lets AQE coalesce a small-bytes
+      // exchange to one partition, serializing every downstream normalize/
+      // bucket computation onto a single task (see minhashLshPairs)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
     // bucket ids via the custom loop-codegen expression (VecExprs — the
     // unrolled built-in composition exceeded codegen limits and fell back to
     // interpreted evaluation, 20s for 2000 rows)

@@ -35,7 +35,13 @@ object SimilaritySearch {
     require(nQ <= MaxBruteForceQueries,
       s"bruteForceTopK: $nQ query rows > $MaxBruteForceQueries — the " +
         "broadcast cross product is quadratic; use ivfTopK for large query sides")
+    // repartition with an explicit count so the scoring loop is spread over
+    // every core — the corpus usually arrives as one parquet split, and the
+    // whole O(corpus x queries) dot-product loop would otherwise run inside
+    // the scan's single task
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id"))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -62,14 +68,14 @@ object SimilaritySearch {
               idCol: String, k: Int, planesPerTable: Int = 4,
               nTables: Int = 16): DataFrame = {
     import graft.functions.VecExprs
-    // bucket ids via the custom loop-codegen expression (see VecExprs);
-    // posting lists persisted so the wide projection evaluates exactly once
-    // per row, not once per downstream consumer
-    // no persists: each posting frame has exactly ONE consumer (the scored
-    // join / its broadcast build), so the previous persists bought nothing
-    // and — never being released — leaked CacheManager entries for the
-    // session's lifetime
+    // bucket ids via the custom loop-codegen expression (see VecExprs); no
+    // persists — each posting frame has exactly ONE consumer (the scored
+    // join / its broadcast build)
     val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
+      // explicit-count repartition: spread the normalize + bucket hashing
+      // over every core instead of the scan's single split (CPU, not bytes)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("corpus_id"))
       .select(col("corpus_id"), col("cv"),
         posexplode(VecExprs.hyperplaneBuckets(col("cv"), nTables, planesPerTable)))
       .select(col("corpus_id"), col("cv"),
