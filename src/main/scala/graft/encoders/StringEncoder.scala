@@ -51,7 +51,14 @@ object StringEncoder {
   def encode(df: DataFrame, c: String, nComponents: Int = 30,
              nBuckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
-    val values = df.select(col(c)).filter(col(c).isNotNull).distinct()
+    // explicit-count repartition BEFORE distinct: the aggregate reuses the
+    // partitioning (no extra exchange), and AQE cannot coalesce it to one
+    // partition the way it does a small-bytes distinct shuffle — without
+    // this, the tf-idf treeAggregate and the Gram matrix pass both ran in
+    // a single task (CPU-bound hashing, not bytes)
+    val values = df.select(col(c)).filter(col(c).isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col(c))
+      .distinct()
       .rdd.map(_.getString(0)).persist()
 
     // 1. document frequencies -> idf weights (broadcast-size: nBuckets)
