@@ -281,7 +281,8 @@ object Dedup {
       posexplode(graft.functions.VecExprs.hyperplaneBuckets(
         col("nv"), nTables, planesPerTable)))
       .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
-      .repartition(col("tbl"), col("bkt"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("tbl"), col("bkt"))
     val cand = posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
