@@ -108,7 +108,8 @@ object TableVectorizer {
     * every one-hot vocabulary (`collect_set` is safe: low-card columns have
     * < threshold values by construction).
     */
-  def fit(df: DataFrame, cardinalityThreshold: Int = 40,
+  def fit(df: DataFrame,
+          cardinalityThreshold: Int = graft.ops.Config.get.cardinalityThreshold,
           datetimeResolution: String = "hour",
           nHashFeatures: Int = 8,
           highCardEncoder: String = "minhash",
@@ -153,7 +154,8 @@ object TableVectorizer {
       nComponents)
   }
 
-  def fitTransform(df: DataFrame, cardinalityThreshold: Int = 40,
+  def fitTransform(df: DataFrame,
+                   cardinalityThreshold: Int = graft.ops.Config.get.cardinalityThreshold,
                    highCardEncoder: String = "minhash"): DataFrame =
     fit(df, cardinalityThreshold, highCardEncoder = highCardEncoder).transform(df)
 

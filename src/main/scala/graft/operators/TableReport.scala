@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   */
 object TableReport {
 
-  /** Cardinality above which a column is flagged high-card (reference
-    * `cardinality_threshold` default in _config.py).
+  /** Cardinality above which a column is flagged high-card — read from
+    * `graft.ops.Config` (reference `cardinality_threshold`, _config.py:86;
+    * same default 40, overridable via set/config_context).
     */
-  val CardinalityThreshold = 40
+  def CardinalityThreshold: Int = graft.ops.Config.get.cardinalityThreshold
 
   /** Per-column profiling stats in long format.
     *

@@ -90,6 +90,15 @@ object Choices {
     Choice(name, vals, (vals.length - 1) / 2)
   }
 
+  /** A choice between `Some(value)` and `None` (reference `optional`,
+    * _choosing.py:460: equivalent to choose_from([value, None]) — an
+    * optional pipeline component such as a dimensionality-reduction step).
+    * Default outcome is the value; pass `defaultNone = true` to flip.
+    */
+  def optional[A](name: String, value: A,
+                  defaultNone: Boolean = false): Choice[Option[A]] =
+    Choice(name, Seq(Some(value), None), if (defaultNone) 1 else 0)
+
   /** Continuous float range (reference choose_float, n_steps=None). */
   def chooseFloatRange(name: String, low: Double, high: Double,
                        log: Boolean = false,

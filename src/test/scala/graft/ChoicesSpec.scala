@@ -62,6 +62,31 @@ class ChoicesSpec extends AnyFunSuite {
     assert(a.forall(m => m.contains("m") && m.contains("lr")))
   }
 
+  test("optional: Some(value)/None choice with flippable default") {
+    val o = Choices.optional("reduce", "pca")
+    assert(o.outcomes === Seq(Some("pca"), None))
+    assert(o.default === Some("pca"))
+    assert(Choices.optional("reduce", "pca", defaultNone = true).default === None)
+  }
+
+  test("Config: thread-local context overrides and restores; wires thresholds") {
+    import graft.ops.Config
+    assert(Config.get.cardinalityThreshold === 40)
+    val out = Config.context(Config.Settings(cardinalityThreshold = 2)) {
+      assert(Config.get.cardinalityThreshold === 2)
+      // TableReport reads the active config: a 3-distinct column flags
+      // high-card under threshold 2
+      graft.operators.TableReport.summarize(
+          Seq("a", "b", "c").toDF("v")).collect()
+        .map(r => r.getAs[Boolean]("is_high_cardinality")).head
+    }
+    assert(out === true)
+    assert(Config.get.cardinalityThreshold === 40) // restored
+    intercept[IllegalArgumentException] {
+      Config.Settings(enableSubsampling = "sometimes")
+    }
+  }
+
   test("gridSearch fits each combination and ranks by score") {
     // learnable toy: pick the cardinality threshold that routes v to one-hot
     val fitDf = (1 to 100).map(i => "v" + i % 5).toDF("v")
