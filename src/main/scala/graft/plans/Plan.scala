@@ -386,10 +386,23 @@ final class Learner(root: Plan) {
   private val fitted = scala.collection.mutable.Map[Apply, Transformer]()
   private var isFit = false
 
+  /** The config gate on subsampling (reference enable_subsampling,
+    * _config.py:85 + _subsampling.py): "force" subsamples every fit,
+    * "disable" turns it off everywhere INCLUDING preview, "default" honors
+    * the per-call request.
+    */
+  private def gated(requested: Boolean): Boolean =
+    graft.ops.Config.get.enableSubsampling match {
+      case "force"   => true
+      case "disable" => false
+      case _         => requested
+    }
+
   def fit(env: Map[String, DataFrame], subsample: Boolean = false): Learner = {
     fitted.clear()
     val (_, cached) =
-      Plan.evaluate0(root, env, fitted, fitMode = true, subsampleOn = subsample)
+      Plan.evaluate0(root, env, fitted, fitMode = true,
+        subsampleOn = gated(subsample))
     // the output frame is discarded — the fan-out caches served the stage
     // fits that just ran; releasing here costs nothing and leaks nothing
     cached.foreach(_.unpersist(blocking = false))
@@ -401,7 +414,7 @@ final class Learner(root: Plan) {
                    subsample: Boolean = false): DataFrame = {
     fitted.clear()
     val (out, cached) = Plan.evaluate0(root, env, fitted, fitMode = true,
-      subsampleOn = subsample)
+      subsampleOn = gated(subsample))
     // fit jobs already shared the caches; releasing before returning means
     // actions on `out` recompute shared subtrees lazily (bounded, and
     // ReusedExchange still collapses shuffle-terminated ones) instead of
@@ -418,7 +431,7 @@ final class Learner(root: Plan) {
   def preview(env: Map[String, DataFrame]): DataFrame = {
     val (out, cached) = Plan.evaluate0(root, env,
       scala.collection.mutable.Map[Apply, Transformer](),
-      fitMode = true, subsampleOn = true)
+      fitMode = true, subsampleOn = gated(true))
     cached.foreach(_.unpersist(blocking = false))
     out
   }

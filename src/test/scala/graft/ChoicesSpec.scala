@@ -87,6 +87,22 @@ class ChoicesSpec extends AnyFunSuite {
     }
   }
 
+  test("enableSubsampling config gates fit and preview subsampling") {
+    import graft.ops.Config
+    val x = (1 to 100).map(i => (i, i * 2.0)).toDF("id", "v")
+    val plan = Var("x").subsample(10).transform(df => df)
+    // force: a plain fitTransform subsamples without the per-call opt-in
+    Config.context(Config.Settings(enableSubsampling = "force")) {
+      assert(Plan.makeLearner(plan).fitTransform(Map("x" -> x)).count() === 10)
+    }
+    // disable: even preview sees everything
+    Config.context(Config.Settings(enableSubsampling = "disable")) {
+      assert(Plan.makeLearner(plan).preview(Map("x" -> x)).count() === 100)
+    }
+    // default: per-call request honored (pinned elsewhere too)
+    assert(Plan.makeLearner(plan).fitTransform(Map("x" -> x)).count() === 100)
+  }
+
   test("gridSearch fits each combination and ranks by score") {
     // learnable toy: pick the cardinality threshold that routes v to one-hot
     val fitDf = (1 to 100).map(i => "v" + i % 5).toDF("v")
