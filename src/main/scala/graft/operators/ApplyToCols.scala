@@ -136,6 +136,19 @@ object ApplyToCols {
 
   // ---- library estimators ----------------------------------------------
 
+  /** Reference `Drop` (skrub/_select_cols.py:200): unconditionally drop
+    * each selected column. Unlike the `DropCols` STAGE this is a
+    * per-column transformer, so it composes with other ColEstimators over
+    * selector-chosen columns (e.g. drop everything of one dtype inside an
+    * ApplyToCols pipeline); a fitted model emitting zero outputs removes
+    * the column slot from the single output projection.
+    */
+  val drop: ColEstimator = new ColEstimator {
+    def fitCol(df: DataFrame, c: String): ColModel = new ColModel {
+      def outputs(colName: String): Seq[(String, Column)] = Seq.empty
+    }
+  }
+
   /** SquashingScaler as a ColEstimator: rejects non-numeric columns; fits
     * the quantiles of ALL accepted columns in ONE aggregate job.
     */

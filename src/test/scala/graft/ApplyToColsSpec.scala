@@ -20,6 +20,16 @@ class ApplyToColsSpec extends AnyFunSuite {
     (4, 40.0, "d", 400.0)
   ).toDF("id", "x", "s", "y")
 
+  test("drop removes selector-chosen columns, keeping the rest in order") {
+    val out = ApplyToCols.fitTransform(frame, ApplyToCols.drop,
+      cols = Selectors.numeric)
+    assert(out.columns.toSeq === Seq("s"))
+    // composes like any ColEstimator: exclusion respected
+    val out2 = ApplyToCols.fitTransform(frame, ApplyToCols.drop,
+      cols = Selectors.numeric, excludeCols = Some(Selectors.cols("x")))
+    assert(out2.columns.toSeq === Seq("x", "s"))
+  }
+
   test("rejected columns pass through with allowReject; selection respected") {
     val out = ApplyToCols.fitTransform(frame, ApplyToCols.squashingScaler(),
       cols = Selectors.all, excludeCols = Some(Selectors.cols("id")),
