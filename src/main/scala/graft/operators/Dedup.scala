@@ -412,17 +412,30 @@ object Dedup {
     * executor loss — re-run the call in that case.
     */
   def deduplicate(df: DataFrame, c: String, minJaccard: Double = 0.4,
-                  n: Int = 3, maxDriverPairs: Int = 5000000): DataFrame = {
+                  n: Int = 3, maxDriverPairs: Int = 5000000,
+                  candidates: String = "jaccard"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    require(candidates == "jaccard" || candidates == "minhash",
+      s"candidates must be jaccard|minhash, got $candidates")
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val vals = df.filter(col(c).isNotNull).groupBy(col(c).as("v"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("id", md5(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = ngramJaccardPairs(
-      vals.select(col("v").as("text"), col("id")), "text", "id",
-      n = n, minJaccard = minJaccard)
+    // Candidate generator: "jaccard" (exact inverted index — every pair at
+    // or above the threshold) is the default and the oracle-verified form;
+    // "minhash" routes through the banded-LSH generator, whose 10x
+    // rehearsal cost grows ~6x more slowly (pairs verified with the SAME
+    // exact jaccard, so false positives are impossible — the tradeoff is
+    // LSH recall: band-collision misses drop a pair entirely).
+    val valsText = vals.select(col("v").as("text"), col("id"))
+    val pairs =
+      if (candidates == "minhash")
+        minhashLshPairs(valsText, "text", "id", n = n, minJaccard = minJaccard)
+          .select(col("id_a"), col("id_b"))
+      else ngramJaccardPairs(valsText, "text", "id",
+        n = n, minJaccard = minJaccard)
     // The near-dup pair graph lives over DISTINCT values and only contains
     // pairs above the similarity threshold — it is orders of magnitude
     // smaller than the corpus (241 pairs for 5k distinct docs at bench

@@ -60,6 +60,18 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === dist)
   }
 
+  test("deduplicate minhash candidate generator agrees on the fixture") {
+    val docs = TestSpark.table("documents").limit(300)
+    val jac = Dedup.deduplicate(docs, "text", minJaccard = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val mh = Dedup.deduplicate(docs, "text", minJaccard = 0.3,
+        candidates = "minhash")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // band recall is 1.0 on this fixture (high-jaccard variants collide),
+    // so the two generators yield the same translation map
+    assert(jac.toSeq === mh.toSeq)
+  }
+
   test("embeddingLshPairs leaves no persisted blocks behind") {
     val sc = spark.sparkContext
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
