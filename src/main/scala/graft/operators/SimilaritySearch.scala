@@ -47,13 +47,24 @@ object SimilaritySearch {
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
         round(graft.functions.VecExprs.arrayDot(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("corpus_id"), col("cosine"))
+    topK(scored, k)
   }
+
+  /** Global top-k per query WITHOUT a window: the window form range-
+    * shuffles EVERY candidate score to sort it, while minKBy keeps a
+    * bounded k-element buffer per query with map-side partial aggregation,
+    * so only k rows per (query, partition) ever reach the shuffle. Rank
+    * order (cosine desc, corpus_id asc) matches the previous window
+    * ordering exactly via the (negated-cosine, corpus_id) sort key.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.AggExprs.minKBy(
+        struct(negate(col("cosine")).as("nc"), col("corpus_id").as("corpus_id"),
+          col("cosine").as("cosine")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("t.corpus_id").as("corpus_id"), col("t.cosine").as("cosine"))
 
   /** IVF/LSH ANN: corpus vectors are indexed under `nTables` independent
     * hyperplane-sign bucket keys (multi-table LSH — single-bucket probe=1
@@ -96,11 +107,6 @@ object SimilaritySearch {
       .withColumn("cosine", round(VecExprs.arrayDot(col("cv"), col("qv")), 6))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(first(col("cosine")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("corpus_id"), col("cosine"))
+    topK(scored, k)
   }
 }
