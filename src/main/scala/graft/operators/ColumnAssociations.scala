@@ -111,13 +111,19 @@ object ColumnAssociations {
           .select(col("kv.c").as("c"), col("kv.v").as("v"))
           .filter(col("v").isNotNull)
           .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy(col("c")).orderBy(col("cnt").desc, col("v").asc)
-        kv.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= maxCats + 1)
-          .collect().groupBy(_.getString(0))
-          .map { case (c, rows) =>
-            c -> rows.sortBy(_.getAs[Int]("rn")).map(_.getString(1)).toSeq
-          }
+        // bounded top-k per column via minKBy (map-side partial combine,
+        // k-element state) — the previous per-column sort window shuffled
+        // EVERY distinct (column, value, count) row, unbounded for a
+        // high-cardinality column; ordering (cnt desc, value asc) is
+        // preserved by the (negated-count, value) sort key
+        kv.groupBy(col("c"))
+          .agg(graft.functions.AggExprs.minKBy(
+            struct(negate(col("cnt")).as("n"), col("v").as("v")),
+            maxCats + 1).as("top"))
+          .collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1)).toSeq)
+          .toMap
       }
     val statExprs = numericExpr.toSeq.flatMap { case (c, e) =>
       Seq(min(e).as(s"${c}__min"), max(e).as(s"${c}__max"),
