@@ -63,13 +63,30 @@ object Bench {
           name -> None
       }
     }
-    val qs = results.map { case (k, v) =>
-      s"\"" + esc(k) + "\":" + v.fold("null")(_.toString)
+    // The driver keeps only the LAST ~2000 chars of stdout: full-precision
+    // seconds for 80 queries overflow that, silently truncating the
+    // alphabetically-first ~19 queries out of the graded BENCH file (both
+    // r5 and r6 tails were front-cut). Centisecond precision (trailing
+    // zeros stripped) keeps the whole line under the capture window with
+    // headroom for more queries; the full-precision numbers go to
+    // BENCH_LOCAL.json alongside the repo for in-repo evidence.
+    def fmt(d: Double): String = {
+      val s = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    def queryJson(f: Double => String): String = results.map { case (k, v) =>
+      s"\"" + esc(k) + "\":" + v.fold("null")(f)
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${queryJson(_.toString)},"errors":$errJson,"sf":"$sfDir"}""" + "\n")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queryJson(fmt)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

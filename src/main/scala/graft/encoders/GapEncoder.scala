@@ -199,9 +199,12 @@ object GapEncoder {
       rho = dbl(o("rho")),
       w = mat(o("w")), a = mat(o("a")),
       b = o("b").asInstanceOf[List[Any]].map(dbl).toArray,
-      hDict = o("h").asInstanceOf[Map[String, Any]].map { case (k, v) =>
-        k -> v.asInstanceOf[List[Any]].map(dbl).toArray
-      })
+      // VectorMap in sorted-key order: the JSON object is saved key-sorted,
+      // so load is deterministic — LRU recency restarts from that order
+      hDict = scala.collection.immutable.VectorMap.from(
+        o("h").asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1).map {
+          case (k, v) => k -> v.asInstanceOf[List[Any]].map(dbl).toArray
+        }))
   }
 
   /** Fresh online model with the deterministic init. */
@@ -212,7 +215,7 @@ object GapEncoder {
       a = Array.tabulate(nComponents, nBuckets)((i, j) =>
         initCell("w", i, j) * 0.1),
       b = Array.fill(nComponents)(0.1),
-      hDict = Map.empty)
+      hDict = scala.collection.immutable.VectorMap.empty)
 
   /** One partial_fit step over a batch frame (reference contract: batches
     * arrive one by one; each call folds the batch's UNIQUE values in). The
@@ -223,9 +226,21 @@ object GapEncoder {
     * values), then the reference's online W update
     *   A <- rho*A + W .* (Ht (V / HW));  B <- rho*B + Ht 1;  W = A / B.
     */
+  /** Cap on the cached per-value activations carried across batches: on an
+    * unbounded stream the distinct-value count grows without bound, and an
+    * uncapped `hDict` is a driver-memory leak (the reference caps its own
+    * per-value cache with an LRU, _minhash_encoder.py:116). Least-recently-
+    * SEEN values are evicted first; an evicted value that reappears simply
+    * re-derives its activation from the frozen topics W (the same cold-start
+    * H-step every unseen value takes), so eviction affects warm-start speed,
+    * never correctness.
+    */
+  val MaxHDict = 100000
+
   def partialFit(m: OnlineModel, df: DataFrame,
                  maxBatchDistinct: Int = 50000,
-                 eps: Double = 1e-10): OnlineModel = {
+                 eps: Double = 1e-10,
+                 maxHDict: Int = MaxHDict): OnlineModel = {
     val vals = df.filter(col(m.c).isNotNull).select(col(m.c)).distinct()
       .limit(maxBatchDistinct + 1).collect().map(_.getString(0)).sorted
     require(vals.length <= maxBatchDistinct,
@@ -264,8 +279,15 @@ object GapEncoder {
     }
     val w = Array.tabulate(k, nbk)((t, j) =>
       math.max(a(t)(j) / math.max(b(t), eps), eps))
-    m.copy(w = w, a = a, b = b,
-      hDict = m.hDict ++ vals.zip(hRef).toMap)
+    // LRU update: this batch's values are the most recently seen — remove
+    // then re-append so they move to the back of the insertion order
+    // (hDict is a VectorMap: iteration order == insertion order), then
+    // evict from the FRONT (least recently seen) down to the cap.
+    val merged = (m.hDict -- vals) ++ vals.zip(hRef)
+    val capped =
+      if (merged.size <= maxHDict) merged
+      else merged.drop(merged.size - maxHDict)
+    m.copy(w = w, a = a, b = b, hDict = capped)
   }
 
   /** hStep warm-started from an existing activation row. */

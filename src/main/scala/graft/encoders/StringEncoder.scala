@@ -56,8 +56,9 @@ object StringEncoder {
     // partition the way it does a small-bytes distinct shuffle — without
     // this, the tf-idf treeAggregate and the Gram matrix pass both ran in
     // a single task (CPU-bound hashing, not bytes)
-    val values = df.select(col(c)).filter(col(c).isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism, col(c))
+    val raw = df.select(col(c)).filter(col(c).isNotNull)
+    val values = raw
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col(c))
       .distinct()
       .rdd.map(_.getString(0)).persist()
 

@@ -71,6 +71,15 @@ object Text {
     // composed form's null collapse: null text -> fingerprint 0.
     coalesce(graft.functions.VecExprs.simhash32(c), lit(0L))
 
+  /** 64-bit SimHash — the scale fingerprint: bits 0..31 are simhash32's
+    * md5(token) digit parities, bits 32..63 the same over md5(token || "@").
+    * Wider fingerprints let the blocked hamming join use 16-bit pigeonhole
+    * blocks (bucket occupancy corpus/65536 instead of corpus/256 — the
+    * difference between linear and quadratic block buckets at 100 TB).
+    */
+  def simhash64(c: Column): Column =
+    coalesce(graft.functions.VecExprs.simhash64(c), lit(0L))
+
   /** Document fingerprint: md5 of the normalized text — exact-dup key. */
   def contentFingerprint(c: Column): Column = md5(normalize(c))
 

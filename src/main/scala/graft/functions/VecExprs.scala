@@ -224,6 +224,58 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash — the scale fingerprint (Simhash32's 8-bit pigeonhole
+    * blocks give corpus/256 bucket occupancy with quadratic in-bucket pair
+    * generation; 64 bits split into 16-bit blocks keep occupancy near
+    * corpus/65536). Definition stays md5-parity and oracle-reproducible:
+    * bits 0..31 vote on the hex-digit parities of md5(token) (exactly
+    * Simhash32), bits 32..63 on md5(token || "@") — '@' cannot occur in a
+    * normalized token, so the two hash families are independent.
+    */
+  case class Simhash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val votes = new Array[Int](64)
+      var t = 0
+      while (t < toks.length) {
+        val h1 = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h2 = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          (toks(t) + "@").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var i = 0
+        while (i < 32) {
+          if ((Character.digit(h1.charAt(i), 16) & 1) == 1) votes(i) += 1
+          else votes(i) -= 1
+          if ((Character.digit(h2.charAt(i), 16) & 1) == 1) votes(32 + i) += 1
+          else votes(32 + i) -= 1
+          i += 1
+        }
+        t += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shExpr", this, classOf[Simhash64].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** MinHash signature in ONE pass over the shingle set: element k of the
     * output is min over shingles of md5(shingle + "#" + k) — the same
     * definition as Text.minhashSignature (lexicographic min over
@@ -359,6 +411,9 @@ object VecExprs {
 
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))
+
+  def simhash64(c: Column): Column =
+    GraftBridge.column(Simhash64(GraftBridge.expression(c)))
 
   def postingPairs(docs: Column, minJaccard: Double): Column =
     GraftBridge.column(PostingPairs(GraftBridge.expression(docs), minJaccard))

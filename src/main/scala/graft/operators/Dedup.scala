@@ -21,9 +21,9 @@ import graft.functions.Text
   *                    a stop-shingle cannot produce a quadratic bucket.
   *  - minhash-LSH:    K md5-derived minhashes, banded; candidates collide on
   *                    a band key, then verified with the real Jaccard.
-  *  - simhash:        32-bit parity simhash; pigeonhole-blocked hamming join
-  *                    (4 bytes -> <=3 differing bits guarantees >=1 equal
-  *                    block), never all-pairs.
+  *  - simhash:        64-bit parity simhash; pigeonhole-blocked hamming join
+  *                    (4 16-bit blocks -> <=3 differing bits guarantees >=1
+  *                    equal block), never all-pairs.
   *  - embedding:      cosine near-dup on embedding columns; brute blocked
   *                    pairs at verify scale, LSH hyperplane buckets at scale.
   */
@@ -75,8 +75,9 @@ object Dedup {
     // repartition the RAW text before shingling (see minhashLshPairs): a
     // one-split corpus otherwise shingles + explodes + partially aggregates
     // entirely inside the scan's single task
-    val posting = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val raw = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val posting = raw
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("id"))
       .select(col("id"),
         graft.functions.VecExprs.tokenShingles(col("__text"), n).as("shingles"))
       .select(col("id"), size(col("shingles")).as("n_sh"),
@@ -137,22 +138,33 @@ object Dedup {
     // scan's single task just to test null-ness (and again above the
     // exchange): the pushdown that usually helps turned the fix inside out.
     // sig is null exactly when text is null, so the filters are equivalent.
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val raw = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .filter(col(textCol).isNotNull)
+    val base = raw
       // explicit partition COUNT: a bare repartition(col) is
       // REPARTITION_BY_COL, which AQE freely coalesces back to one
       // partition for a small-bytes corpus — and the whole point here is
-      // spreading CPU (hashing), not bytes (same as embeddingCosinePairs)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      // spreading CPU (hashing), not bytes (same as embeddingCosinePairs);
+      // the count itself is size-gated (Partitions.cpuSpread) so a tiny
+      // vocabulary doesn't pay full-width shuffle overhead
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("id"))
     val sigs = base.select(col("id"),
         graft.functions.VecExprs.minhashSig(
           graft.functions.VecExprs.tokenShingles(col("__text"), n), k).as("sig"))
     // band keys: md5("<b>:<sig slice joined by |>") — same format as
     // Text.lshBands and the DuckDB oracle
+    // Empty signature (empty shingle set) -> NULL band key, and null keys
+    // never match in the equi-join below, so such docs can never pair. The
+    // unguarded form was a latent trap: element_at on an empty array is null
+    // (non-ANSI) and concat_ws skips nulls, so every empty-signature doc
+    // would share the constant band md5("<b>:") and pair QUADRATICALLY.
+    // Unreachable via tokenShingles (always >= 1 shingle) but the guard
+    // makes the documented no-collision contract hold for any caller.
     val bandExprs = (0 until nBands).map { b =>
-      md5(concat(lit(s"$b:"), concat_ws("|",
-        (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)))
+      when(size(col("sig")) === k,
+        md5(concat(lit(s"$b:"), concat_ws("|",
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))))
     }
     val banded = sigs.select(col("id"), explode(array(bandExprs: _*)).as("band"))
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band"))
@@ -171,33 +183,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 7 with 8
-    * blocks of 4 bits; default 3 with 4 byte-blocks). Pigeonhole blocking:
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (default 3
+    * with 4 16-bit blocks — the standard 64/4 split). Pigeonhole blocking:
     * two fingerprints within hamming k must agree on >= 1 of k+1 blocks, so
     * the join key is (blockIndex, blockValue) — linear in corpus size.
+    * 64-bit fingerprints (r7; was 32) keep expected block-bucket occupancy
+    * near corpus/2^16 instead of corpus/2^8 — in-bucket pair generation is
+    * quadratic in occupancy, so the wider blocks are what keep the blocked
+    * join linear at 100 TB (the r6 scale rehearsal's named hazard).
     */
-  /** SimHash fingerprints via explode + 32 static vote sums: per-token
-    * parity votes are codegen'd projections; one hash aggregate per doc.
-    * Matches Text.simhash32 bit-for-bit (same md5-parity definition).
+  /** SimHash fingerprints: one loop-codegen pass per doc (VecExprs.Simhash64
+    * via Text.simhash64 — two md5s per token, no token-row shuffle).
+    * Null/empty text maps to fingerprint 0.
     */
   def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    // single-pass loop-codegen expression (VecExprs.Simhash32 via
-    // Text.simhash32): one md5 per token, no token-row shuffle — the
-    // previous explode + 32 vote-sum aggregates shuffled every (doc, token)
-    // row. Null/empty text maps to fingerprint 0 in both forms.
-    df.select(col(idCol).as("id"), Text.simhash32(col(textCol)).as("sim"))
+    df.select(col(idCol).as("id"), Text.simhash64(col(textCol)).as("sim"))
 
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
-    val bitsPerBlock = 32 / nBlocks // 32-bit fingerprint
+    val bitsPerBlock = 64 / nBlocks // 64-bit fingerprint
     // Repartition the RAW text BEFORE fingerprinting (see minhashLshPairs:
     // a one-split corpus otherwise computes every fingerprint in the scan's
     // single task); the reused exchange is consumed by both block-join
     // sides, each recomputing the now-parallel cheap fingerprint.
+    val raw = df.select(col(idCol), col(textCol))
     val docs = simhashFingerprints(
-      df.select(col(idCol), col(textCol)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, col(idCol)),
+      raw.repartition(graft.ops.Partitions.cpuSpread(raw), col(idCol)),
       textCol, idCol)
     val blocks = docs.select(col("id"), col("sim"),
       explode(array((0 until nBlocks).map { bi =>
@@ -221,12 +233,12 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
                            minCosine: Double): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // repartition the streamed side: the corpus usually arrives as one
     // parquet split, which would serialize the whole O(n^2) loop onto a
     // single task
-    val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
-      .repartition(parallelism, col("id"))
+    val raw = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val v = raw.repartition(graft.ops.Partitions.cpuSpread(raw), col("id"))
+      .select(col("id"), normalized(col("__v")).as("nv"))
     v.alias("x").join(broadcast(v.alias("y")), col("x.id") < col("y.id"))
       .withColumn("cosine", graft.functions.VecExprs.arrayDot(col("x.nv"), col("y.nv")))
       .filter(col("cosine") >= minCosine)
@@ -269,11 +281,15 @@ object Dedup {
     // repartitioned on (tbl, bkt) IS the band self-join's own shuffle, so
     // both sides reuse it (ReusedExchange) with no extra hop and the
     // normalize/bucket expressions evaluate once, not once per consumer.
-    val v = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("nv"))
+    val raw = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val nSpread = graft.ops.Partitions.cpuSpread(raw)
+    val v = raw
       // explicit COUNT: REPARTITION_BY_COL lets AQE coalesce a small-bytes
       // exchange to one partition, serializing every downstream normalize/
-      // bucket computation onto a single task (see minhashLshPairs)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      // bucket computation onto a single task (see minhashLshPairs); the
+      // count is size-gated (Partitions.cpuSpread)
+      .repartition(nSpread, col("id"))
+      .select(col("id"), normalized(col("__v")).as("nv"))
     // bucket ids via the custom loop-codegen expression (VecExprs — the
     // unrolled built-in composition exceeded codegen limits and fell back to
     // interpreted evaluation, 20s for 2000 rows)
@@ -281,8 +297,7 @@ object Dedup {
       posexplode(graft.functions.VecExprs.hyperplaneBuckets(
         col("nv"), nTables, planesPerTable)))
       .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("tbl"), col("bkt"))
+      .repartition(nSpread, col("tbl"), col("bkt"))
     val cand = posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -411,12 +426,26 @@ object Dedup {
     * or explicitly via `df.rdd.unpersist()`; it cannot be recomputed after
     * executor loss — re-run the call in that case.
     */
+  /** Above this many distinct values, `candidates = "auto"` routes to the
+    * minhash-band generator: the exact inverted index's pair amplification
+    * (each pair shuffled once per shared shingle) grew ~6x faster than the
+    * banded generator in the 10x scale rehearsal (BASELINE.md), and at
+    * 100 TB the exact generator's shuffle is the dominating cost.
+    */
+  val AutoMinhashAbove = 20000L
+
+  /** `maxDriverPairs` default sizing: the driver path collects up to
+    * (limit+1) two-md5-string rows (~200 B each on-heap) and touches up to
+    * 2x that many id strings — 1M pairs keeps the worst case near ~0.5 GB
+    * driver heap; larger graphs take the distributed min-label CC fallback,
+    * which scales to any size.
+    */
   def deduplicate(df: DataFrame, c: String, minJaccard: Double = 0.4,
-                  n: Int = 3, maxDriverPairs: Int = 5000000,
-                  candidates: String = "jaccard"): DataFrame = {
+                  n: Int = 3, maxDriverPairs: Int = 1000000,
+                  candidates: String = "auto"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    require(candidates == "jaccard" || candidates == "minhash",
-      s"candidates must be jaccard|minhash, got $candidates")
+    require(Set("auto", "jaccard", "minhash").contains(candidates),
+      s"candidates must be auto|jaccard|minhash, got $candidates")
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val vals = df.filter(col(c).isNotNull).groupBy(col(c).as("v"))
@@ -424,14 +453,19 @@ object Dedup {
       .withColumn("id", md5(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Candidate generator: "jaccard" (exact inverted index — every pair at
-    // or above the threshold) is the default and the oracle-verified form;
-    // "minhash" routes through the banded-LSH generator, whose 10x
-    // rehearsal cost grows ~6x more slowly (pairs verified with the SAME
-    // exact jaccard, so false positives are impossible — the tradeoff is
-    // LSH recall: band-collision misses drop a pair entirely).
+    // or above the threshold) is the oracle-verified exact form; "minhash"
+    // routes through the banded-LSH generator, whose 10x rehearsal cost
+    // grows ~6x more slowly (pairs verified with the SAME exact jaccard,
+    // so false positives are impossible — the tradeoff is LSH recall:
+    // band-collision misses drop a pair entirely). "auto" (default) keeps
+    // the exact generator for small vocabularies and switches to minhash
+    // above `AutoMinhashAbove` distinct values — the count is read from
+    // the already-persisted distinct-value frame (one cheap job).
     val valsText = vals.select(col("v").as("text"), col("id"))
+    val useMinhash = candidates == "minhash" ||
+      (candidates == "auto" && vals.count() > AutoMinhashAbove)
     val pairs =
-      if (candidates == "minhash")
+      if (useMinhash)
         minhashLshPairs(valsText, "text", "id", n = n, minJaccard = minJaccard)
           .select(col("id_a"), col("id_b"))
       else ngramJaccardPairs(valsText, "text", "id",

@@ -39,9 +39,9 @@ object SimilaritySearch {
     // every core — the corpus usually arrives as one parquet split, and the
     // whole O(corpus x queries) dot-product loop would otherwise run inside
     // the scan's single task
-    val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
-        col("corpus_id"))
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+    val c = raw.repartition(graft.ops.Partitions.cpuSpread(raw), col("corpus_id"))
+      .select(col("corpus_id"), Dedup.normalized(col("__v")).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), Dedup.normalized(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -58,7 +58,12 @@ object SimilaritySearch {
     * ordering exactly via the (negated-cosine, corpus_id) sort key.
     */
   private def topK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
+    // null cosines (null corpus vectors) are dropped, never ranked: the
+    // struct sort key would order null fields FIRST, so without the filter a
+    // null-vector corpus row would occupy ranks 1..k instead of being
+    // excluded (the replaced window form sorted cosine DESC = NULLS LAST)
+    scored.filter(col("cosine").isNotNull)
+      .groupBy(col("query_id"))
       .agg(graft.functions.AggExprs.minKBy(
         struct(negate(col("cosine")).as("nc"), col("corpus_id").as("corpus_id"),
           col("cosine").as("cosine")), k).as("top"))
@@ -75,18 +80,28 @@ object SimilaritySearch {
     * scan reduction vs brute force survives because candidates, not the
     * corpus, are scored. Same output schema as brute force.
     */
+  /** Query sides above this row count are never broadcast: a million-query
+    * batch (the realistic training-data shape — query set ≈ corpus) blows
+    * the broadcast limit, so the candidate join falls back to a shuffle
+    * equi-join on (tbl, bkt), which scales to any query count.
+    */
+  val MaxBroadcastQueries = 100000L
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, planesPerTable: Int = 4,
-              nTables: Int = 16): DataFrame = {
+              nTables: Int = 16,
+              maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
     import graft.functions.VecExprs
     // bucket ids via the custom loop-codegen expression (see VecExprs); no
     // persists — each posting frame has exactly ONE consumer (the scored
     // join / its broadcast build)
-    val c = corpus.select(col(idCol).as("corpus_id"), Dedup.normalized(col(vecCol)).as("cv"))
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+    val c = raw
       // explicit-count repartition: spread the normalize + bucket hashing
-      // over every core instead of the scan's single split (CPU, not bytes)
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
-        col("corpus_id"))
+      // over every core instead of the scan's single split (CPU, not
+      // bytes); size-gated so small corpora don't pay full-width overhead
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("corpus_id"))
+      .select(col("corpus_id"), Dedup.normalized(col("__v")).as("cv"))
       .select(col("corpus_id"), col("cv"),
         posexplode(VecExprs.hyperplaneBuckets(col("cv"), nTables, planesPerTable)))
       .select(col("corpus_id"), col("cv"),
@@ -102,7 +117,14 @@ object SimilaritySearch {
     // two full vectors per row, with map-side combine collapsing the up-to-
     // nTables duplicate hits per pair before they ever hit the wire
     // (a distinct() here shuffled and hash-compared whole arrays)
-    val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
+    // small query sides broadcast (one count job to decide — honest row
+    // count, not a plan-stats guess: filter estimates don't shrink
+    // sizeInBytes without CBO); large ones shuffle-join on (tbl, bkt) —
+    // both sides are already keyed by bucket, so the join stays an equi
+    // shuffle with per-bucket locality and no driver-side materialization
+    val nQ = queries.count()
+    val qSide = if (nQ <= maxBroadcastQueries) broadcast(q) else q
+    val scored = c.join(qSide, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", round(VecExprs.arrayDot(col("cv"), col("qv")), 6))
       .groupBy(col("query_id"), col("corpus_id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -185,10 +185,21 @@ object TableReport {
       lit(0.0).as("bin_start"), lit(0.0).as("bin_end"),
       lit(0L).as("bin_count"))
     if (numCols.isEmpty) return empty
+    // NaN exclusion for floating-point columns: Spark's max orders NaN as
+    // LARGEST (poisoning the bin width) and floor(NaN) cast to int is 0 in
+    // non-ANSI mode (silently counting NaNs in bin 0), so NaN values are
+    // excluded from both the min/max pass and the binning — like nulls
+    val isFloating = df.schema.fields
+      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+      .map(_.name).toSet
+    def cleanVal(c: String): Column = {
+      val d = col(c).cast(DoubleType)
+      if (isFloating(c)) when(!isnan(d), d) else d
+    }
     // job 1: global min/max per column (tiny single row)
     val mmAggs = numCols.flatMap(c => Seq(
-      min(col(c).cast(DoubleType)).as(s"${c}__mn"),
-      max(col(c).cast(DoubleType)).as(s"${c}__mx")))
+      min(cleanVal(c)).as(s"${c}__mn"),
+      max(cleanVal(c)).as(s"${c}__mx")))
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
     val ranges = numCols.flatMap { c =>
       val (i, j) = (mm.fieldIndex(s"${c}__mn"), mm.fieldIndex(s"${c}__mx"))
@@ -204,10 +215,11 @@ object TableReport {
     // at the max land in bin nBins-1, like np.histogram's rightmost edge)
     val melted = df.select(explode(array(ranges.map { case (c, mn, width) =>
         // explicit null guard: greatest/least SKIP nulls, so without it a
-        // null value would collapse to greatest(null, 0) = bin 0
+        // null value would collapse to greatest(null, 0) = bin 0; cleanVal
+        // additionally nulls out NaN for floating-point columns
         struct(lit(c).as("cn"),
-          when(col(c).isNotNull,
-            least(greatest(floor((col(c).cast(DoubleType) - mn) / width)
+          when(cleanVal(c).isNotNull,
+            least(greatest(floor((cleanVal(c) - mn) / width)
               .cast(IntegerType), lit(0)), lit(nBins - 1))).as("bin"))
       }: _*)).as("e"))
       .select(col("e.cn").as("cn"), col("e.bin").as("bin"))
@@ -250,9 +262,7 @@ object TableReport {
   private[graft] def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  private def renderTable(df: DataFrame, maxRows: Int): String = {
-    val cols = df.columns.toSeq
-    val rows = df.limit(maxRows).collect()
+  private def rowsToTable(cols: Seq[String], rows: Array[Row]): String = {
     val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
     val body = rows.map { r =>
       val tds = cols.indices.map { i =>
@@ -262,6 +272,30 @@ object TableReport {
       s"<tr>$tds</tr>"
     }.mkString("\n")
     s"<table>\n<thead><tr>$head</tr></thead>\n<tbody>\n$body\n</tbody>\n</table>"
+  }
+
+  private def renderTable(df: DataFrame, maxRows: Int): String =
+    rowsToTable(df.columns.toSeq, df.limit(maxRows).collect())
+
+  /** Inline SVG horizontal bar chart (reference embeds per-column
+    * distribution plots, skrub/_reporting/_plotting.py:26-221; ours are
+    * dependency-free SVG): one labeled bar per (label, count), widths
+    * scaled to the max count. Pure string assembly over rows the caller
+    * already collected — NO extra Spark jobs for chart rendering.
+    */
+  private[graft] def svgBars(items: Seq[(String, Long)]): String = {
+    if (items.isEmpty) return ""
+    val mx = math.max(1L, items.map(_._2).max)
+    val (labelW, maxBarW, rowH) = (170, 220, 16)
+    val bars = items.zipWithIndex.map { case ((label, cnt), i) =>
+      val w = math.max(1L, cnt * maxBarW / mx)
+      val y = i * rowH
+      s"""<text x="${labelW - 6}" y="${y + 12}" text-anchor="end">${esc(label.take(26))}</text>""" +
+        s"""<rect x="$labelW" y="${y + 3}" width="$w" height="${rowH - 6}" fill="#5b7fa6"/>""" +
+        s"""<text x="${labelW + w + 5}" y="${y + 12}">$cnt</text>"""
+    }.mkString
+    s"""<svg width="${labelW + maxBarW + 70}" height="${rowH * items.size}" """ +
+      s"""font-size="10" font-family="monospace" xmlns="http://www.w3.org/2000/svg">$bars</svg>"""
   }
 
   /** Self-contained HTML report string (reference TableReport.html(),
@@ -279,13 +313,25 @@ object TableReport {
         .orderBy(col("cramer_v").desc, col("col_a"), col("col_b")),
       topAssoc)
     // per-column distributions (reference value_counts / histogram plots):
-    // bounded rows — topK per string column, nBins per numeric column
-    val vc = renderTable(
-      valueCounts(df, topK).orderBy(col("column_name"), col("rank")),
-      nCols * topK)
-    val hist = renderTable(
-      numericHistograms(df, nBins).orderBy(col("column_name"), col("bin")),
-      nCols * nBins)
+    // bounded rows — topK per string column, nBins per numeric column.
+    // Each frame is collected ONCE and feeds both the data table and the
+    // per-column SVG chart (chart rendering adds zero jobs).
+    val vcRows = valueCounts(df, topK).orderBy(col("column_name"), col("rank"))
+      .limit(nCols * topK).collect()
+    val vc = rowsToTable(
+      Seq("column_name", "value", "value_count", "rank"), vcRows) +
+      vcRows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (cn, rs) =>
+        s"<h3>${esc(cn)}</h3>" + svgBars(rs.sortBy(_.getInt(3)).toSeq
+          .map(r => (r.getString(1), r.getLong(2))))
+      }.mkString("\n")
+    val histRows = numericHistograms(df, nBins)
+      .orderBy(col("column_name"), col("bin")).limit(nCols * nBins).collect()
+    val hist = rowsToTable(
+      Seq("column_name", "bin", "bin_start", "bin_end", "bin_count"), histRows) +
+      histRows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (cn, rs) =>
+        s"<h3>${esc(cn)}</h3>" + svgBars(rs.sortBy(_.getInt(1)).toSeq
+          .map(r => (s"[${r.getDouble(2)}, ${r.getDouble(3)})", r.getLong(4))))
+      }.mkString("\n")
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
        |<style>table{border-collapse:collapse}td,th{border:1px solid #999;padding:2px 6px;font:12px monospace}</style>

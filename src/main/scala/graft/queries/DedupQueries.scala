@@ -52,6 +52,15 @@ object DedupQueries {
     "q_dedup_canonical" -> ((s, dir) =>
       Dedup.deduplicate(t(s, dir, "documents"), "text", minJaccard = 0.4)),
 
+    // the minhash-band candidate generator's translation map, end to end —
+    // the scale path deduplicate auto-routes to above AutoMinhashAbove
+    // distinct values (candidate recall differs from the exact inverted
+    // index, so it carries its own oracle rather than sharing q_dedup_
+    // canonical's)
+    "q_dedup_canonical_minhash" -> ((s, dir) =>
+      Dedup.deduplicate(t(s, dir, "documents"), "text", minJaccard = 0.4,
+        candidates = "minhash")),
+
     // recall harness for the LSH near-dup path: fraction of EXACT cosine
     // pairs (on a bounded deterministic id-slice) that the bucketed LSH
     // variant recovers — the quality regression of the approximation is
@@ -103,23 +112,30 @@ object DedupQueries {
     })
   )
 
-  /** `sh(id, sim)` CTE body mirroring Text.simhash32 exactly — shared with
-    * the streaming near-dup twin's oracle (StreamingQueries).
+  /** `sh(id, sim)` CTE body mirroring Text.simhash64 exactly — shared with
+    * the streaming near-dup twin's oracle (StreamingQueries). Bits 0..31
+    * vote on md5(token) hex-digit parities, bits 32..63 on md5(token||'@');
+    * bit 63's weight is Long.MinValue (two's complement: adding -2^63 to a
+    * sum of disjoint lower powers sets the sign bit exactly like `|=`).
     */
   private[queries] def simhashCte: String = {
     val odd = "('1','3','5','7','9','b','d','f')"
-    val bits = (0 until 32).map { i =>
-      s"""(CASE WHEN list_sum(list_transform(hexes,
-         | h -> CASE WHEN substr(h, ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END)) > 0
+    val bits = (0 until 64).map { i =>
+      val hexList = if (i < 32) "h1" else "h2"
+      val digit = (i % 32) + 1
+      s"""(CASE WHEN list_sum(list_transform($hexList,
+         | h -> CASE WHEN substr(h, $digit, 1) IN $odd THEN 1 ELSE -1 END)) > 0
          | THEN ${1L << i} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
     s"""tk AS (
-       |  SELECT doc_id AS id, list_transform($toksSql, t -> md5(t)) AS hexes
+       |  SELECT doc_id AS id,
+       |    list_transform($toksSql, t -> md5(t)) AS h1,
+       |    list_transform($toksSql, t -> md5(t || '@')) AS h2
        |  FROM documents),
        |sh AS (SELECT id, CAST($bits AS BIGINT) AS sim FROM tk)""".stripMargin
   }
 
-  /** 32-term simhash SQL generated to mirror Text.simhash32 exactly. */
+  /** 64-term simhash SQL generated to mirror Text.simhash64 exactly. */
   private def simhashSql: String =
     s"""WITH $simhashCte
        |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sim, b.sim)) AS hamming
@@ -193,6 +209,48 @@ object DedupQueries {
          |  WHERE a.id < b.id
          |  GROUP BY a.id, b.id, a.n, b.n
          |  HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM vals
+         |  UNION
+         |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT l.label, va.v, va.freq FROM vals va JOIN labels l ON va.id = l.id),
+         |reps AS (
+         |  SELECT label, v AS canonical FROM (
+         |    SELECT label, v, row_number() OVER (PARTITION BY label
+         |      ORDER BY freq DESC, v ASC) AS rn FROM labeled) WHERE rn = 1)
+         |SELECT lb.v AS value, r.canonical
+         |FROM labeled lb JOIN reps r ON lb.label = r.label""".stripMargin
+    },
+
+    "q_dedup_canonical_minhash" -> {
+      val normV = "trim(regexp_replace(lower(v), '[^a-z0-9]+', ' ', 'g'))"
+      val toksV = s"list_filter(string_split($normV, ' '), x -> len(x) > 0)"
+      s"""WITH RECURSIVE vals AS (
+         |  SELECT text AS v, count(*) AS freq, md5(text) AS id
+         |  FROM documents WHERE text IS NOT NULL GROUP BY text),
+         |tok AS (SELECT id, $toksV AS toks FROM vals),
+         |docs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tok),
+         |sigs AS (
+         |  SELECT id, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM docs),
+         |bands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN docs x ON cand.id_a = x.id JOIN docs y ON cand.id_b = y.id
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.4),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),

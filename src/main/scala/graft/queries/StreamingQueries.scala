@@ -85,12 +85,12 @@ object StreamingQueries {
         |FROM r WHERE rn = 1""".stripMargin,
 
     // pigeonhole-blocked prior-doc near-dup: doc b is a dup iff some a < b
-    // shares one of the 4 simhash byte-blocks AND the full 32-bit hamming
-    // distance is <= 3 (the simhash CTE mirrors Text.simhash32 bit-for-bit)
+    // shares one of the 4 simhash 16-bit blocks AND the full 64-bit hamming
+    // distance is <= 3 (the simhash CTE mirrors Text.simhash64 bit-for-bit)
     "q_stream_neardup" ->
       s"""WITH ${DedupQueries.simhashCte},
          |blocked AS (
-         |  SELECT id, sim, t.b AS b, (sim >> (t.b * 8)) & 255 AS blk
+         |  SELECT id, sim, t.b AS b, (sim >> (t.b * 16)) & 65535 AS blk
          |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
          |dup AS (
          |  SELECT DISTINCT y.id

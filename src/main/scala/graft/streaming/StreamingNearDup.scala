@@ -10,13 +10,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * dedup is exact-key only, so near-dup filtering needs explicit per-group
   * state.
   *
-  * Shape: each document's 32-bit simhash fingerprint (graft.functions.Text
-  * .simhash32 — same definition as the batch path, bit for bit) is split
-  * into `maxHamming + 1` blocks; by pigeonhole, any two fingerprints within
-  * `maxHamming` agree on at least one block, so the stream is keyed by
-  * (blockIndex, blockValue) and candidate comparisons happen ONLY within a
-  * block group — never all-pairs, state sharded across executors exactly
-  * like the batch join key.
+  * Shape: each document's 64-bit simhash fingerprint (graft.functions.Text
+  * .simhash64 — same definition as the batch path, bit for bit) is split
+  * into `maxHamming + 1` 16-bit blocks; by pigeonhole, any two fingerprints
+  * within `maxHamming` agree on at least one block, so the stream is keyed
+  * by (blockIndex, blockValue) and candidate comparisons happen ONLY within
+  * a block group — never all-pairs, state sharded across executors exactly
+  * like the batch join key. 16-bit blocks keep per-group state population
+  * near corpus/65536 (8-bit blocks concentrated corpus/256 fingerprints in
+  * one group — the r6 rehearsal's quadratic-bucket hazard).
   *
   * Per group the state holds the fingerprints seen so far (bounded via
   * processing-time timeout eviction); a document is emitted as `is_dup`
@@ -32,12 +34,12 @@ object StreamingNearDup {
 
   val Blocks = 4 // maxHamming = Blocks - 1 pigeonhole guarantee
 
-  /** (blockIndex, 8-bit block value) keys for a 32-bit fingerprint. */
+  /** (blockIndex, 16-bit block value) keys for a 64-bit fingerprint. */
   def blockKeys(fp: Long): Seq[String] =
-    (0 until Blocks).map(b => s"$b:${(fp >> (8 * b)) & 0xffL}")
+    (0 until Blocks).map(b => s"$b:${(fp >> (16 * b)) & 0xffffL}")
 
   private def hamming(a: Long, b: Long): Int =
-    java.lang.Long.bitCount((a ^ b) & 0xffffffffL)
+    java.lang.Long.bitCount(a ^ b)
 
   /** Newest fingerprints kept per block group — bounds state size without
     * timeout machinery: a block bucket holding this many near-colliding
@@ -72,12 +74,12 @@ object StreamingNearDup {
     import spark.implicits._
     val blocked = df
       .select(col(idCol).cast("long").as("docId"),
-        graft.functions.Text.simhash32(col(textCol)).as("fingerprint"))
+        graft.functions.Text.simhash64(col(textCol)).as("fingerprint"))
       .select(col("docId"), col("fingerprint"),
         explode(typedLit((0 until Blocks).toList)).as("b"))
       .select(
         concat_ws(":", col("b"),
-          expr("shiftright(fingerprint, b * 8)").bitwiseAND(lit(0xffL)))
+          expr("shiftright(fingerprint, b * 16)").bitwiseAND(lit(0xffffL)))
           .as("blockKey"),
         col("docId"), col("fingerprint"))
       .as[BlockedDoc]

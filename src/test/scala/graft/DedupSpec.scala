@@ -126,6 +126,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"LSH pair recall degraded to $recall")
   }
 
+  test("ivfTopK: shuffle-join path (large query side) matches the broadcast path") {
+    // above maxBroadcastQueries the candidate join must not broadcast the
+    // query side (a corpus-sized query batch blows the broadcast limit);
+    // forcing the threshold to 0 routes through the shuffle equi-join on
+    // (tbl, bkt) — identical results, different physical plan
+    val emb = TestSpark.table("embeddings")
+    val qs = emb.filter($"vec_id" < 10)
+    val viaBroadcast = SimilaritySearch.ivfTopK(emb, qs, "embedding", "vec_id", 5)
+    val viaShuffle = SimilaritySearch.ivfTopK(emb, qs, "embedding", "vec_id", 5,
+      maxBroadcastQueries = 0L)
+    assert(viaBroadcast.count() > 0)
+    assert(viaBroadcast.except(viaShuffle).count() === 0)
+    assert(viaShuffle.except(viaBroadcast).count() === 0)
+  }
+
   test("minhash LSH recovers high-jaccard pairs found by the exact path") {
     val docs = TestSpark.table("documents")
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",

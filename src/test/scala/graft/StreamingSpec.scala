@@ -149,6 +149,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("GapEncoder online hDict is LRU-capped: state stays flat past the cap") {
+    // an unbounded stream must not grow driver state without bound — the
+    // activation cache evicts least-recently-SEEN values at maxHDict, and an
+    // evicted value re-derives its H from the frozen topics W on return
+    import spark.implicits._
+    var m = graft.encoders.GapEncoder.initOnline("city", 2, 32)
+    m = graft.encoders.GapEncoder.partialFit(
+      m, Seq("a1", "a2", "a3").toDF("city"), maxHDict = 4)
+    assert(m.hDict.keySet === Set("a1", "a2", "a3"))
+    // batch 2 pushes the count to 5 -> the two least-recently-seen evicted
+    m = graft.encoders.GapEncoder.partialFit(
+      m, Seq("b1", "b2").toDF("city"), maxHDict = 4)
+    assert(m.hDict.size === 4)
+    assert(m.hDict.contains("b1") && m.hDict.contains("b2"))
+    assert(!m.hDict.contains("a1")) // oldest insertion evicted first
+    // a re-seen value counts as recent again and survives the next eviction
+    m = graft.encoders.GapEncoder.partialFit(
+      m, Seq("a2", "c1").toDF("city"), maxHDict = 4)
+    assert(m.hDict.size === 4)
+    assert(m.hDict.contains("a2") && m.hDict.contains("c1"))
+    // transform still handles evicted values (frozen-W H-step path)
+    val out = m.transform(Seq("a1", "a2").toDF("city"))
+    assert(out.count() === 2)
+    assert((1 to 2).forall(i => !out.filter(col("city") === "a1").head().isNullAt(i)))
+  }
+
   test("dedupStream batch twin keeps the earliest event per key") {
     import spark.implicits._
     val df = Seq(

@@ -79,5 +79,12 @@ class TableReportSpec extends AnyFunSuite {
     assert(html.contains("<h2>Top associations</h2>"))
     // every column name appears in the stats table
     frame.columns.foreach(c => assert(html.contains(s"<td>$c</td>")))
+    // per-column distribution charts render as inline SVG (value-count bars
+    // for the string column, histogram bars for the numerics) with bars
+    assert(html.contains("<h3>cat</h3><svg"))
+    assert(html.contains("<h3>x</h3><svg"))
+    assert(html.contains("<rect "))
+    // the most frequent cat value labels its bar
+    assert(html.contains(">a</text>"))
   }
 }

@@ -52,12 +52,17 @@ class TextSpec extends AnyFunSuite {
       }
   }
 
-  test("simhash32 expression matches the aggregate fingerprint path") {
+  test("simhash64 expression matches the fingerprint path; low half == simhash32") {
     val docs = TestSpark.table("documents").limit(50)
-    val viaExpr = docs.select($"doc_id".as("id"), Text.simhash32($"text").as("sim"))
+    val viaExpr = docs.select($"doc_id".as("id"), Text.simhash64($"text").as("sim"))
     val viaAgg = Dedup.simhashFingerprints(docs, "text", "doc_id")
     assert(viaExpr.except(viaAgg).count() === 0)
     assert(viaAgg.except(viaExpr).count() === 0)
+    // bits 0..31 of simhash64 are DEFINED as simhash32 (same md5 parities)
+    val halves = docs.select(
+      Text.simhash32($"text").as("s32"),
+      (Text.simhash64($"text").bitwiseAND(lit(0xffffffffL))).as("lo"))
+    assert(halves.filter($"s32" =!= $"lo").count() === 0)
   }
 
   test("lshBands: identical signatures collide on every band") {
