@@ -42,6 +42,13 @@ import graft.functions.Text
   * (the fit-on-distinct optimization) against a broadcast aux-vector table,
   * with `min_by` partial aggregation so the shuffle carries one row per
   * distinct key. The final joins are AQE-decided.
+  *
+  * Beyond the reference: `candidates = "lsh"` transcends the in-memory aux
+  * limitation — hyperplane-LSH bucketed candidate generation (equi shuffle
+  * join on (table, bucket)) with exact re-ranking within candidates, so an
+  * aux table of any size joins without a broadcast (see the fuzzyJoin
+  * scaladoc for the approximation contract; recall measured by
+  * FuzzyCleanerSpec's floor test and the hash-verified q_fuzzy_join_lsh).
   */
 object FuzzyJoin {
 
@@ -222,6 +229,29 @@ object FuzzyJoin {
     * @param suffix      rename suffix for colliding aux payload columns
     * @param refStrategy explicit ref_dist strategy; overrides `rescale` /
     *                    `refPercentile` / `refSampleSize` when set
+    * @param candidates  "broadcast" (default, reference parity — the whole
+    *                    vectorized aux broadcast, every main key scored
+    *                    against every aux row, exact 1-NN; the reference
+    *                    itself requires aux in memory, _joiner.py:96-104) or
+    *                    "lsh": hyperplane-LSH bucketed candidate generation
+    *                    (VecExprs.hyperplaneBuckets — the md5-derived planes
+    *                    the dedup/ANN kernels use) with the exact distance
+    *                    re-ranked WITHIN candidates. The LSH path is the
+    *                    beyond-broadcast scale shape: both sides explode to
+    *                    nTables (tbl, bkt) keys and the candidate join is a
+    *                    plain equi shuffle join — an aux table of any size
+    *                    works. Approximate by nature: a main key whose true
+    *                    1-NN never shares a bucket matches its nearest
+    *                    CANDIDATE instead (or nothing when no bucket
+    *                    collides -> unmatched row with null match info);
+    *                    sign-LSH approximates angular similarity, which
+    *                    matches the string blocks' l2-normalized vectors
+    *                    (euclidean is monotone in cosine there).
+    *                    SelfJoinNeighbor's per-aux reference distance still
+    *                    uses the broadcast aux self-scan — combine the LSH
+    *                    path with scalar strategies or SecondNeighbor.
+    * @param lshTables   LSH tables (recall amplification), "lsh" only
+    * @param lshPlanes   hyperplanes per table (2^planes buckets), "lsh" only
     */
   def fuzzyJoin(main: DataFrame, aux: DataFrame, keys: Seq[(String, String)],
                 maxDist: Double = Double.PositiveInfinity,
@@ -231,7 +261,12 @@ object FuzzyJoin {
                 refPercentile: Double = 0.25,
                 refSampleSize: Int = 500,
                 suffix: String = "_aux",
-                refStrategy: Option[RefDist] = None): DataFrame = {
+                refStrategy: Option[RefDist] = None,
+                candidates: String = "broadcast",
+                lshTables: Int = 8,
+                lshPlanes: Int = 4): DataFrame = {
+    require(candidates == "broadcast" || candidates == "lsh",
+      s"candidates must be broadcast|lsh, got $candidates")
     val blocks = inferBlocks(aux, keys, nBuckets)
     val auxKeys = keys.map(_._2)
     val mainKeys = keys.map(_._1)
@@ -257,8 +292,33 @@ object FuzzyJoin {
       .withColumn("__mvec", fitted.vector(b => col(b.mainCol)))
     val auxSide = broadcast(auxVec.select(
       struct(auxKeys.map(col): _*).as("__akey") +: Seq(col("__vec").as("__avec")): _*))
-    val pairs = mDistinct.crossJoin(auxSide)
-      .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
+    // (main key, aux key, distance) candidate pairs — the only stage that
+    // differs between the exact and the LSH candidate generators
+    val pairs = candidates match {
+      case "lsh" =>
+        import graft.functions.VecExprs
+        val aB = auxVec.select(
+            struct(auxKeys.map(col): _*).as("__akey"), col("__vec").as("__avec"))
+          .select(col("__akey"), col("__avec"),
+            posexplode(VecExprs.hyperplaneBuckets(col("__avec"), lshTables, lshPlanes)))
+          .select(col("__akey"), col("__avec"),
+            col("pos").as("__tbl"), col("col").as("__bkt"))
+        val mB = mDistinct
+          .select(mainKeyCols :+ col("__mvec") :+
+            posexplode(VecExprs.hyperplaneBuckets(col("__mvec"), lshTables, lshPlanes)): _*)
+          .withColumnRenamed("pos", "__tbl").withColumnRenamed("col", "__bkt")
+        // score in the bucket join, THEN collapse the up-to-lshTables
+        // duplicate hits per (main, aux) pair: the aggregate both dedups
+        // (SecondNeighbor's k-NN must see each aux once) and sheds the two
+        // vectors from the row before the 1-NN shuffle
+        mB.join(aB, Seq("__tbl", "__bkt"))
+          .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
+          .groupBy(mainKeyCols :+ col("__akey"): _*)
+          .agg(first(col("__d")).as("__d"))
+      case _ =>
+        mDistinct.crossJoin(auxSide)
+          .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
+    }
     val tieBreak = struct(col("__d") +: auxKeys.indices.map(i =>
       col(s"__akey.${auxKeys(i)}")): _*)
 

@@ -21,6 +21,8 @@ object FuzzyJoinQueries {
 
   private val NB = 32 // hash buckets (must match the oracle generator below)
   private val MaxDist = 1.0
+  private val LshT = 16 // LSH tables for q_fuzzy_join_lsh
+  private val LshP = 4  // hyperplanes per table (16 buckets)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> ((s, dir) => {
@@ -52,6 +54,22 @@ object FuzzyJoinQueries {
           Seq("nation_guess" -> "n_name"),
           maxDist = 0.9, nBuckets = NB,
           refStrategy = Some(FuzzyJoin.RefDist.SecondNeighbor(1)))
+        .select(col("c_custkey"), col("nation_guess"),
+          col("n_name"), col("n_regionkey"),
+          round(col(FuzzyJoin.MatchInfoDistance), 6).as("distance"),
+          round(col(FuzzyJoin.MatchInfoRescaled), 6).as("rescaled_distance"),
+          col(FuzzyJoin.MatchInfoAccepted).as("match_accepted"))
+    }),
+    // LSH-bucketed candidate generation (the beyond-broadcast-aux scale
+    // path): hyperplane buckets on both vector sides, exact re-rank within
+    // candidates — hash-verified end to end including the md5-derived
+    // bucket membership (Planes.bucketTablesSql mirrors the plane family)
+    "q_fuzzy_join_lsh" -> ((s, dir) => {
+      val nation = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
+      FuzzyJoin.fuzzyJoin(mangledGuesses(s, dir), nation,
+          Seq("nation_guess" -> "n_name"),
+          maxDist = MaxDist, nBuckets = NB,
+          candidates = "lsh", lshTables = LshT, lshPlanes = LshP)
         .select(col("c_custkey"), col("nation_guess"),
           col("n_name"), col("n_regionkey"),
           round(col(FuzzyJoin.MatchInfoDistance), 6).as("distance"),
@@ -105,11 +123,10 @@ object FuzzyJoinQueries {
 
   private val d2 = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
-  /** Shared oracle CTE chain: aux vectorization, idf, guesses, main-key
-    * vectors, and all (main, aux) pair distances ranked per main key —
-    * mirrors the q_fuzzy_join oracle's prefix exactly.
+  /** Shared oracle CTE chain: aux vectorization, idf, guesses, and main-key
+    * vectors (no pair scoring — generators differ per query).
     */
-  private def commonCtes: String =
+  private def vecCtes: String =
     s"""WITH aux AS (
        |  SELECT n_name, n_regionkey, ${tfSql("n_name")} AS tf FROM nation),
        |dfc AS (
@@ -154,7 +171,11 @@ object FuzzyJoinQueries {
        |mvec AS (
        |  SELECT nation_guess,
        |    CASE WHEN nrm = 0 THEN wv ELSE list_transform(wv, x -> x / nrm) END AS vec
-       |  FROM mn),
+       |  FROM mn)""".stripMargin
+
+  /** All-pairs exact scoring (the broadcast path's oracle). */
+  private def commonCtes: String =
+    s"""$vecCtes,
        |scored AS (
        |  SELECT m.nation_guess, a.n_name, a.n_regionkey,
        |    sqrt(${d2.format("m.vec", "a.vec")}) AS d,
@@ -225,6 +246,43 @@ object FuzzyJoinQueries {
          |         WHEN (SELECT ref FROM refd) = 0 THEN 1e308 * 10
          |         ELSE d / (SELECT ref FROM refd) END AS resc
          |  FROM scored WHERE rn = 1),
+         |flags AS (
+         |  SELECT *, resc <= $MaxDist AS ok FROM best)
+         |SELECT g.c_custkey, g.nation_guess,
+         |  CASE WHEN f.ok THEN f.n_name END AS n_name,
+         |  CASE WHEN f.ok THEN f.n_regionkey END AS n_regionkey,
+         |  round(f.d, 6) AS distance,
+         |  round(f.resc, 6) AS rescaled_distance,
+         |  f.ok AS match_accepted
+         |FROM guesses g LEFT JOIN flags f ON g.nation_guess = f.nation_guess""".stripMargin
+    },
+    "q_fuzzy_join_lsh" -> {
+      import graft.functions.Planes
+      s"""$vecCtes,
+         |refd AS (
+         |  SELECT quantile_cont(d, 0.25) AS ref FROM (
+         |    SELECT sqrt(${d2.format("x.vec", "y.vec")}) AS d
+         |    FROM auxvec x JOIN auxvec y ON x.n_name < y.n_name)),
+         |abkt AS (SELECT n_name, unnest(${Planes.bucketTablesSql("vec", LshT, LshP)}) AS tb FROM auxvec),
+         |abt AS (SELECT n_name, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM abkt),
+         |mbkt AS (SELECT nation_guess, unnest(${Planes.bucketTablesSql("vec", LshT, LshP)}) AS tb FROM mvec),
+         |mbt AS (SELECT nation_guess, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM mbkt),
+         |cand AS (
+         |  SELECT DISTINCT m.nation_guess, a.n_name
+         |  FROM mbt m JOIN abt a ON m.tbl = a.tbl AND m.bkt = a.bkt),
+         |lscored AS (
+         |  SELECT c.nation_guess, c.n_name, a.n_regionkey,
+         |    sqrt(${d2.format("m.vec", "a.vec")}) AS d,
+         |    row_number() OVER (PARTITION BY c.nation_guess
+         |      ORDER BY sqrt(${d2.format("m.vec", "a.vec")}) ASC, a.n_name ASC) AS rn
+         |  FROM cand c JOIN mvec m ON c.nation_guess = m.nation_guess
+         |    JOIN auxvec a ON c.n_name = a.n_name),
+         |best AS (
+         |  SELECT nation_guess, n_name, n_regionkey, d,
+         |    CASE WHEN d = 0 THEN 0.0
+         |         WHEN (SELECT ref FROM refd) = 0 THEN 1e308 * 10
+         |         ELSE d / (SELECT ref FROM refd) END AS resc
+         |  FROM lscored WHERE rn = 1),
          |flags AS (
          |  SELECT *, resc <= $MaxDist AS ok FROM best)
          |SELECT g.c_custkey, g.nation_guess,

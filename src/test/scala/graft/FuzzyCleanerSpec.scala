@@ -37,6 +37,28 @@ class FuzzyCleanerSpec extends AnyFunSuite {
     assert(!rows("zzzqqqxxx")._2)
   }
 
+  test("RECALL FLOOR: LSH candidate path agrees with the exact 1-NN on >= 90% of keys") {
+    // the beyond-broadcast path (candidates = "lsh") must recover the exact
+    // broadcast path's match for nearly all keys on the nation fixture —
+    // the quality cost of the approximation is measured, not assumed
+    val nation = TestSpark.table("nation").select($"n_name", $"n_regionkey")
+    val guesses = TestSpark.table("customer")
+      .join(TestSpark.table("nation"), $"c_nationkey" === $"n_nationkey", "left")
+      .withColumn("nation_guess",
+        when($"c_custkey" % 3 === 0, regexp_replace(lower($"n_name"), "[aeiou]", ""))
+          .when($"c_custkey" % 3 === 1, lower($"n_name").substr(lit(1), length($"n_name") - 1))
+          .otherwise(lower($"n_name")))
+      .select($"c_custkey", $"nation_guess")
+    val exact = FuzzyJoin.fuzzyJoin(guesses, nation, Seq("nation_guess" -> "n_name"))
+      .select($"c_custkey", $"n_name".as("m_exact"))
+    val lsh = FuzzyJoin.fuzzyJoin(guesses, nation, Seq("nation_guess" -> "n_name"),
+        candidates = "lsh", lshTables = 16, lshPlanes = 4)
+      .select($"c_custkey", $"n_name".as("m_lsh"))
+    val agree = exact.join(lsh, Seq("c_custkey"))
+      .agg(avg(($"m_exact" <=> $"m_lsh").cast("double"))).head().getDouble(0)
+    assert(agree >= 0.9, s"LSH fuzzy-join agreement degraded to $agree")
+  }
+
   test("fuzzyJoin numeric keys use standard-scaled euclidean distance") {
     val main = Seq(10.0, 55.0).toDF("x")
     val aux = Seq((10.0, "a"), (50.0, "b"), (100.0, "c")).toDF("ax", "tag")
