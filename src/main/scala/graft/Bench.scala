@@ -86,7 +86,11 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${queryJson(_.toString)},"errors":$errJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queryJson(fmt)},"errors":$errJson,"sf":"$sfDir"}""")
+    // "errors" appears only when non-empty — a failed query still surfaces
+    // (null time + this field + nonzero exit), and the common all-green line
+    // stays 12 chars shorter, inside the capture window
+    val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queryJson(fmt)}$errPart,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
