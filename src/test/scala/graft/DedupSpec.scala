@@ -126,6 +126,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"LSH pair recall degraded to $recall")
   }
 
+  test("simhashPairs == brute-force 64-bit hamming filter (pigeonhole completeness)") {
+    // 4 16-bit blocks guarantee any pair within hamming 3 agrees on >= 1
+    // block, so the blocked join must find EXACTLY the brute-force pair set
+    val docs = TestSpark.table("documents").limit(300)
+    val fp = Dedup.simhashFingerprints(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- fp; (ib, sb) <- fp
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val blocked = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "fixture has no near-dup fingerprints in the slice")
+  }
+
   test("ivfTopK: shuffle-join path (large query side) matches the broadcast path") {
     // above maxBroadcastQueries the candidate join must not broadcast the
     // query side (a corpus-sized query batch blows the broadcast limit);

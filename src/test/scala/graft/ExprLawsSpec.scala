@@ -49,6 +49,30 @@ class ExprLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("Simhash64 == composed two-family parity-vote form on generated texts") {
+    // bits 0..31 vote on md5(token) digit parities, 32..63 on
+    // md5(token || '@') — the definition the DuckDB oracle CTE mirrors
+    def composed(c: org.apache.spark.sql.Column) = {
+      val h1 = transform(Text.tokens(c), t => md5(t))
+      val h2 = transform(Text.tokens(c), t => md5(concat(t, lit("@"))))
+      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      (0 until 64).map { i =>
+        val hexes = if (i < 32) h1 else h2
+        val d = i % 32
+        val votes = aggregate(hexes, lit(0),
+          (acc, h) => acc + when(h.substr(d + 1, 1).isin(odd: _*), 1).otherwise(-1))
+        when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val texts = samples(text, 40, 47L)
+    val rows = texts.toDF("t")
+      .select(Text.simhash64(col("t")).as("fast"), composed(col("t")).as("slow"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) === r.getLong(1), s"text=<$t>")
+    }
+  }
+
   test("MinhashSig == composed min-aggregate form on generated texts") {
     val texts = samples(text, 60, 23L)
     val rows = texts.toDF("t")
