@@ -143,39 +143,46 @@ object FuzzyJoin {
   }
 
   /** Fit idf / scaler stats on the (deduplicated) aux table — small driver
-    * collects, mirroring the reference's in-memory aux fit.
+    * collects, mirroring the reference's in-memory aux fit. The row count
+    * rides the numeric-stats aggregate (one job, not two), and the string
+    * blocks' bucket-DF jobs overlap it on a driver thread (Jobs.overlap) —
+    * the whole fit is ONE job wave instead of 3+ sequential barriers, which
+    * was most of fuzzyJoin's constant cost on small inputs.
     */
   def fit(auxDedup: DataFrame, blocks: Seq[KeyBlock]): Fitted = {
-    val n = auxDedup.count()
-    val idf = blocks.collect { case b @ StringBlock(_, _, nB) =>
-      // df[bucket] = number of aux values containing >=1 n-gram in the bucket
-      val df = auxDedup
-        .select(posexplode(tfArray(col(b.auxCol), nB)).as(Seq("bucket", "tf")))
-        .filter(col("tf") > 0.0)
-        .groupBy("bucket").agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val weights = Array.tabulate(nB) { i =>
-        math.sqrt((1.0 + n) / (1.0 + df.getOrElse(i, 0L)))
-      }
-      b.auxCol -> weights
-    }.toMap
     val numBlocks = blocks.collect {
       case b: NumericBlock  => (b: KeyBlock, col(b.auxCol).cast(DoubleType))
       case b: DatetimeBlock =>
         (b: KeyBlock, unix_micros(col(b.auxCol).cast(TimestampType)).cast(DoubleType) / 1e6)
     }
-    val scale = if (numBlocks.isEmpty) Map.empty[String, (Double, Double)] else {
-      val exprs = numBlocks.flatMap { case (b, c) =>
-        Seq(avg(c).as(s"${b.auxCol}__mean"), stddev_samp(c).as(s"${b.auxCol}__std"))
-      }
-      val row = auxDedup.agg(exprs.head, exprs.tail: _*).collect()(0)
-      numBlocks.map { case (b, _) =>
-        val m = row.getAs[Double](s"${b.auxCol}__mean")
-        val s0 = row.getAs[Double](s"${b.auxCol}__std")
-        val s = if (s0 == 0.0 || s0.isNaN) 1.0 else s0
-        b.auxCol -> (m, s)
-      }.toMap
+    val statExprs = count(lit(1)).as("__n") +: numBlocks.flatMap { case (b, c) =>
+      Seq(avg(c).as(s"${b.auxCol}__mean"), stddev_samp(c).as(s"${b.auxCol}__std"))
     }
+    val (dfMaps, statRow) = graft.ops.Jobs.overlap(
+      auxDedup.sparkSession.sparkContext) {
+      blocks.collect { case b @ StringBlock(_, _, nB) =>
+        // df[bucket] = number of aux values with >=1 n-gram in the bucket
+        (b.auxCol, nB, auxDedup
+          .select(posexplode(tfArray(col(b.auxCol), nB)).as(Seq("bucket", "tf")))
+          .filter(col("tf") > 0.0)
+          .groupBy("bucket").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      }
+    } {
+      auxDedup.agg(statExprs.head, statExprs.tail: _*).collect()(0)
+    }
+    val n = statRow.getAs[Long]("__n")
+    val idf = dfMaps.map { case (c, nB, df) =>
+      c -> Array.tabulate(nB) { i =>
+        math.sqrt((1.0 + n) / (1.0 + df.getOrElse(i, 0L)))
+      }
+    }.toMap
+    val scale = numBlocks.map { case (b, _) =>
+      val m = statRow.getAs[Double](s"${b.auxCol}__mean")
+      val s0 = statRow.getAs[Double](s"${b.auxCol}__std")
+      val s = if (s0 == 0.0 || s0.isNaN) 1.0 else s0
+      b.auxCol -> (m, s)
+    }.toMap
     Fitted(blocks, idf, scale)
   }
 
