@@ -17,10 +17,20 @@ object NgramVec {
 
   // hot path: a format-string hex encoder + per-call getInstance measured
   // ~400us per value (String.format dominates) — this is ~50x faster
-  def md5Hex(s: String): String = {
+  def md5Hex(s: String): String = hex(md5Bytes(s))
+
+  /** Raw 16-byte digest from the pooled MessageDigest — for hot loops that
+    * compare digests (lexicographic lowercase-hex order == unsigned byte
+    * order, so callers can compare bytes and hex-encode only winners) or
+    * read nibbles directly (hex char i = nibble i of the byte stream).
+    */
+  def md5Bytes(s: String): Array[Byte] = {
     val md = mdPool.get()
     md.reset()
-    val bytes = md.digest(s.getBytes("UTF-8"))
+    md.digest(s.getBytes("UTF-8"))
+  }
+
+  def hex(bytes: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -29,6 +39,19 @@ object NgramVec {
       i += 1
     }
     new String(out)
+  }
+
+  /** Unsigned lexicographic compare of two 16-byte digests (== comparing
+    * their lowercase-hex encodings as strings).
+    */
+  def compareDigests(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
   }
 
   /** Text.normalize: lowercase, non-alphanumerics to single spaces, trim. */

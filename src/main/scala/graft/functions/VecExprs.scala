@@ -198,13 +198,15 @@ object VecExprs {
       val votes = new Array[Int](32)
       var t = 0
       while (t < toks.length) {
-        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-          toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // pooled digest + raw bytes (NgramVec): hex digit i's parity is the
+        // low bit of nibble i — high nibble of byte i/2 for even i, low for
+        // odd — so no hex string or per-call MessageDigest is ever built
+        val d = NgramVec.md5Bytes(toks(t))
         var i = 0
-        while (i < 32) {
+        while (i < 16) {
           // hex digit parity: odd nibble votes +1 for bit i, even -1
-          if ((Character.digit(hex.charAt(i), 16) & 1) == 1) votes(i) += 1
-          else votes(i) -= 1
+          if (((d(i) >> 4) & 1) == 1) votes(2 * i) += 1 else votes(2 * i) -= 1
+          if ((d(i) & 1) == 1) votes(2 * i + 1) += 1 else votes(2 * i + 1) -= 1
           i += 1
         }
         t += 1
@@ -247,16 +249,17 @@ object VecExprs {
       val votes = new Array[Int](64)
       var t = 0
       while (t < toks.length) {
-        val h1 = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-          toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val h2 = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-          (toks(t) + "@").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // same raw-byte nibble-parity read as Simhash32 (see there)
+        val d1 = NgramVec.md5Bytes(toks(t))
+        val d2 = NgramVec.md5Bytes(toks(t) + "@")
         var i = 0
-        while (i < 32) {
-          if ((Character.digit(h1.charAt(i), 16) & 1) == 1) votes(i) += 1
-          else votes(i) -= 1
-          if ((Character.digit(h2.charAt(i), 16) & 1) == 1) votes(32 + i) += 1
-          else votes(32 + i) -= 1
+        while (i < 16) {
+          if (((d1(i) >> 4) & 1) == 1) votes(2 * i) += 1 else votes(2 * i) -= 1
+          if ((d1(i) & 1) == 1) votes(2 * i + 1) += 1 else votes(2 * i + 1) -= 1
+          if (((d2(i) >> 4) & 1) == 1) votes(32 + 2 * i) += 1
+          else votes(32 + 2 * i) -= 1
+          if ((d2(i) & 1) == 1) votes(32 + 2 * i + 1) += 1
+          else votes(32 + 2 * i + 1) -= 1
           i += 1
         }
         t += 1
@@ -297,15 +300,18 @@ object VecExprs {
 
     def compute(shingles: ArrayData): ArrayData = {
       val n = shingles.numElements()
-      val mins = new Array[String](k)
+      // compare RAW digests (unsigned byte order == lowercase-hex string
+      // order) and hex-encode only the k winners: the hot loop does
+      // n*k digests but zero hex strings and no per-call MessageDigest
+      val mins = new Array[Array[Byte]](k)
       var i = 0
       while (i < n) {
         val s = shingles.getUTF8String(i).toString
         var j = 0
         while (j < k) {
-          val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-            (s + "#" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          val h = NgramVec.md5Bytes(s + "#" + j)
+          if (mins(j) == null || NgramVec.compareDigests(h, mins(j)) < 0)
+            mins(j) = h
           j += 1
         }
         i += 1
@@ -315,8 +321,8 @@ object VecExprs {
       // bands, doc never collides — same as the aggregate form which
       // produced no row for an empty posting)
       if (n == 0) new GenericArrayData(Array.empty[Any])
-      else new GenericArrayData(mins.map(
-        org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+      else new GenericArrayData(mins.map(b =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(NgramVec.hex(b)): Any))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
