@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins — the storage-side half of
+  * the 100 TB story (beyond the reference, which is single-node in-memory:
+  * skrub/_joiner.py:96-104 holds the aux table in RAM).
+  *
+  * Writing both sides of a hot equi-join `bucketBy(n, keys)` + sorted lets
+  * every subsequent SortMergeJoin on those keys read pre-partitioned,
+  * pre-sorted buckets: ZERO Exchange on either side, at any scale — the
+  * shuffle is paid once at layout time instead of once per query. This is
+  * the standard Spark answer to "repeated 100 TB fact-to-fact joins".
+  *
+  * Tables are written as EXTERNAL parquet (explicit `path`) so callers
+  * control the storage location; the catalog entry carries the bucket
+  * spec. Both sides must use the same `numBuckets` and join on a prefix
+  * of the bucket keys for the exchange-free plan to kick in.
+  */
+object Bucketize {
+
+  /** Write `df` as an external bucketed+sorted parquet table. Replaces any
+    * existing catalog entry of the same name.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keys: Seq[String], numBuckets: Int): Unit = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.format("parquet").mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Number of shuffle exchanges in the (possibly adaptive) physical plan —
+    * the assertion primitive for "this join is co-located". Counts inside
+    * AQE-wrapped plans and reused exchanges.
+    */
+  def shuffleExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def count(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case _: ShuffleExchangeLike   => 1
+    }.sum
+    count(df.queryExecution.executedPlan)
+  }
+}
