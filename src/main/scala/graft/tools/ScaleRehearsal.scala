@@ -102,6 +102,13 @@ object ScaleRehearsal {
         planesPerTable = Dedup.planesFor(emb.count()), nTables = 16).count())
     )
 
+    // Optional comma-separated name filter (same contract as Bench's
+    // SPARK_GRAFT_QUERIES) for targeted re-timing of one family.
+    val only = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] =
+      queries(docs, emb).filter { case (n, _) => only.forall(_.contains(n)) }
+
     def clear(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -113,8 +120,8 @@ object ScaleRehearsal {
       // untimed warmup (codegen/JIT), same discipline as Bench — skipped at
       // 10x, where every query runs seconds-to-minutes and the one-off JIT
       // constant is noise (the 1x pass has already compiled the kernels)
-      if (warm) queries(docs, emb).foreach { case (_, f) => f(); clear() }
-      queries(docs, emb).foreach { case (name, f) =>
+      if (warm) selected(docs, emb).foreach { case (_, f) => f(); clear() }
+      selected(docs, emb).foreach { case (name, f) =>
         clear()
         val (r0, w0) = (tally.read.get(), tally.write.get())
         val t0 = System.nanoTime()
