@@ -31,41 +31,63 @@ object GapEncoder {
 
   /** Driver-side KL-NMF via multiplicative updates. V: n x m (rows = values,
     * cols = ngram buckets). Returns (H: n x k, W: k x m).
+    *
+    * Parallelized over DETERMINISTIC axes only: HW and H rows are
+    * cell-independent (parallel over i), and the W update parallelizes over
+    * components t while each cell's reduction over i stays sequential in i
+    * order — so every float addition happens in the same order as the
+    * sequential form and the result is bit-identical (the oracle's
+    * convergence gate and GapEncoderSpec's monotonicity assertion depend on
+    * exact reproducibility). At the 50k-value `maxDistinct` cap the
+    * sequential form is ~6B multiply-adds (tens of seconds on one core);
+    * this brings the fit back to driver-core-count speedup.
     */
   def nmf(v: Array[Array[Double]], k: Int, maxIter: Int = 30,
           eps: Double = 1e-10): (Array[Array[Double]], Array[Array[Double]]) = {
+    import scala.collection.parallel.CollectionConverters._
     val n = v.length
     val m = v.head.length
     val h = Array.tabulate(n, k)((i, j) => initCell("h", i, j))
     val w = Array.tabulate(k, m)((i, j) => initCell("w", i, j))
+    val hw = Array.ofDim[Double](n, m)
+    // R = V / (HW) computed cell-wise on demand
+    def recomputeHw(): Unit = (0 until n).par.foreach { i =>
+      val hi = h(i); val row = hw(i)
+      var j = 0
+      while (j < m) {
+        var s = 0.0; var t = 0
+        while (t < k) { s += hi(t) * w(t)(j); t += 1 }
+        row(j) = math.max(s, eps); j += 1
+      }
+    }
     var iter = 0
     while (iter < maxIter) {
-      // R = V / (HW) computed cell-wise on demand
-      val hw = Array.tabulate(n, m)((i, j) => {
-        var s = 0.0; var t = 0
-        while (t < k) { s += h(i)(t) * w(t)(j); t += 1 }
-        math.max(s, eps)
-      })
-      // H update
-      for (i <- 0 until n; t <- 0 until k) {
-        var num = 0.0; var den = 0.0; var j = 0
-        while (j < m) {
-          num += w(t)(j) * v(i)(j) / hw(i)(j); den += w(t)(j); j += 1
+      recomputeHw()
+      // H update — each row i writes only h(i)
+      (0 until n).par.foreach { i =>
+        val hi = h(i); val vi = v(i); val hwi = hw(i)
+        var t = 0
+        while (t < k) {
+          val wt = w(t)
+          var num = 0.0; var den = 0.0; var j = 0
+          while (j < m) { num += wt(j) * vi(j) / hwi(j); den += wt(j); j += 1 }
+          hi(t) = math.max(hi(t) * num / math.max(den, eps), eps)
+          t += 1
         }
-        h(i)(t) = math.max(h(i)(t) * num / math.max(den, eps), eps)
       }
       // recompute HW with the new H for the W update
-      val hw2 = Array.tabulate(n, m)((i, j) => {
-        var s = 0.0; var t = 0
-        while (t < k) { s += h(i)(t) * w(t)(j); t += 1 }
-        math.max(s, eps)
-      })
-      for (t <- 0 until k; j <- 0 until m) {
-        var num = 0.0; var den = 0.0; var i = 0
-        while (i < n) {
-          num += h(i)(t) * v(i)(j) / hw2(i)(j); den += h(i)(t); i += 1
+      recomputeHw()
+      (0 until k).par.foreach { t =>
+        val wt = w(t)
+        var j = 0
+        while (j < m) {
+          var num = 0.0; var den = 0.0; var i = 0
+          while (i < n) {
+            num += h(i)(t) * v(i)(j) / hw(i)(j); den += h(i)(t); i += 1
+          }
+          wt(j) = math.max(wt(j) * num / math.max(den, eps), eps)
+          j += 1
         }
-        w(t)(j) = math.max(w(t)(j) * num / math.max(den, eps), eps)
       }
       iter += 1
     }
