@@ -66,12 +66,14 @@ object Bench {
     // The driver keeps only the LAST ~2000 chars of stdout: full-precision
     // seconds for 80 queries overflow that, silently truncating the
     // alphabetically-first ~19 queries out of the graded BENCH file (both
-    // r5 and r6 tails were front-cut). Centisecond precision (trailing
-    // zeros stripped) keeps the whole line under the capture window with
-    // headroom for more queries; the full-precision numbers go to
-    // BENCH_LOCAL.json alongside the repo for in-repo evidence.
+    // r5 and r6 tails were front-cut). At 82 queries even centisecond
+    // precision left only ~15 chars of margin, so the compact line uses
+    // DECIsecond precision (trailing zeros stripped) plus a basename-only
+    // sf — ~110 chars of headroom, several queries' worth; the
+    // full-precision numbers go to BENCH_LOCAL.json alongside the repo for
+    // in-repo evidence.
     def fmt(d: Double): String = {
-      val s = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      val s = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').reverse
         if (t.endsWith(".")) t.dropRight(1) else t
@@ -90,7 +92,8 @@ object Bench {
     // (null time + this field + nonzero exit), and the common all-green line
     // stays 12 chars shorter, inside the capture window
     val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queryJson(fmt)}$errPart,"sf":"$sfDir"}""")
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queryJson(fmt)}$errPart,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

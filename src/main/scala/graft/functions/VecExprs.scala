@@ -403,6 +403,109 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Hashed char-2-4-gram term-frequency vector — the loop-codegen twin of
+    * `FuzzyJoin.tfArray` (normalize -> padded char 2-4-grams -> md5 bucket
+    * -> counts), delegating to `NgramVec.tf`. The HOF form's lambda captures
+    * the whole `padded` subtree (normalize regex included), so interpreted
+    * evaluation re-runs the full-document regex once PER N-GRAM POSITION —
+    * O(len^2) per value, harmless on 20-char keys and catastrophic on
+    * document text (a fuzzy join on sf0.1 `documents.text` never finished
+    * its warmup). Bit-identical counts (integers), pinned to the HOF form
+    * in FuzzyJoinSpec.
+    */
+  case class NgramTf(child: Expression, nBuckets: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      new GenericArrayData(NgramVec.tf(s.toString, nBuckets))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tfExpr", this, classOf[NgramTf].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** L2-normalized (tf * idf) over the hashed n-gram buckets — the fused
+    * loop-codegen form of `FuzzyJoin.Fitted.vector`'s string block
+    * (`l2Normalize(zip_with(tfArray, idf))`), delegating to
+    * `NgramVec.tfidf`. Multiplication, the norm accumulation and the final
+    * division all run in index order — the exact association order of the
+    * HOF form and of the DuckDB oracle, so vectors are bit-identical.
+    * `weights` is a Seq for case-class equality; nBuckets = weights.length.
+    */
+  case class NgramTfIdf(child: Expression, weights: Seq[Double])
+      extends UnaryExpression {
+    @transient private lazy val w: Array[Double] = weights.toArray
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      new GenericArrayData(NgramVec.tfidf(s.toString, w, w.length))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tfidfExpr", this, classOf[NgramTfIdf].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Squared euclidean distance between two equal-length double arrays —
+    * loop-codegen twin of `FuzzyJoin.dist2`'s
+    * `aggregate(zip_with(a,b,(x,y)=>(x-y)^2), 0.0, +)`: the sum accumulates
+    * left-associated in index order, bit-identical to the HOF fold and the
+    * oracle's list_sum(list_zip). The HOF form is CodegenFallback and
+    * re-interprets the lambda per element on every candidate pair — this
+    * stays inside whole-stage codegen of the scoring join.
+    */
+  case class ArrayDist2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected array<double> inputs, got ${left.dataType}, ${right.dataType}")
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val x = a.toDoubleArray()
+      val y = b.toDoubleArray()
+      var s = 0.0
+      var i = 0
+      while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("d2Expr", this, classOf[ArrayDist2].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column wrappers. */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
@@ -426,4 +529,14 @@ object VecExprs {
 
   def minhashSig(shingles: Column, k: Int): Column =
     GraftBridge.column(MinhashSig(GraftBridge.expression(shingles), k))
+
+  def ngramTf(c: Column, nBuckets: Int): Column =
+    GraftBridge.column(NgramTf(GraftBridge.expression(c), nBuckets))
+
+  def ngramTfIdf(c: Column, weights: Seq[Double]): Column =
+    GraftBridge.column(NgramTfIdf(GraftBridge.expression(c), weights))
+
+  def arrayDist2(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayDist2(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
 }

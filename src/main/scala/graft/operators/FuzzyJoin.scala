@@ -124,12 +124,13 @@ object FuzzyJoin {
       */
     def vector(colFor: KeyBlock => Column): Column = {
       val parts = blocks.map {
-        case b @ StringBlock(_, _, nB) =>
-          val weights = idf(b.auxCol)
-          val tf = tfArray(colFor(b), nB)
-          val weighted = zip_with(tf,
-            array(weights.map(lit(_)): _*), (t, w) => t * w)
-          l2Normalize(weighted)
+        case b @ StringBlock(_, _, _) =>
+          // loop-codegen fused tf-idf (VecExprs.NgramTfIdf) — bit-identical
+          // to l2Normalize(zip_with(tfArray, idf)) (pinned in
+          // FuzzyJoinSpec); the HOF form re-ran the normalize regex once
+          // per n-gram position under interpreted eval (O(len^2) per value)
+          graft.functions.VecExprs.ngramTfIdf(colFor(b),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(idf(b.auxCol)))
         case b @ NumericBlock(_, _) =>
           val (mean, std) = scale(b.auxCol)
           array((colFor(b).cast(DoubleType) - mean) / std)
@@ -163,7 +164,11 @@ object FuzzyJoin {
       blocks.collect { case b @ StringBlock(_, _, nB) =>
         // df[bucket] = number of aux values with >=1 n-gram in the bucket
         (b.auxCol, nB, auxDedup
-          .select(posexplode(tfArray(col(b.auxCol), nB)).as(Seq("bucket", "tf")))
+          // spread the CPU-bound n-gram hashing (counts are exact integers,
+          // partitioning-independent)
+          .repartition(graft.ops.Partitions.cpuSpread(auxDedup.select(col(b.auxCol))))
+          .select(posexplode(graft.functions.VecExprs.ngramTf(col(b.auxCol), nB))
+            .as(Seq("bucket", "tf")))
           .filter(col("tf") > 0.0)
           .groupBy("bucket").agg(count(lit(1)).as("df"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
@@ -197,7 +202,7 @@ object FuzzyJoin {
       .limit(sampleSize)
       .select(col("__vec"), concat_ws("\u0000", keyCols.map(col): _*).as("__k"))
     val pairs = sample.alias("x").join(sample.alias("y"), col("x.__k") < col("y.__k"))
-      .select(sqrt(dist2(col("x.__vec"), col("y.__vec"))).as("d"))
+      .select(sqrt(graft.functions.VecExprs.arrayDist2(col("x.__vec"), col("y.__vec"))).as("d"))
     pairs.agg(expr(s"percentile(d, $percentile)")).head().getDouble(0)
   }
 
@@ -287,7 +292,16 @@ object FuzzyJoin {
         .select(auxKeys.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
 
     val fitted = fit(auxDedup, blocks)
-    val auxVec = auxDedup.withColumn("__vec", fitted.vector(b => col(b.auxCol)))
+    // CPU-spread the vector projections: the dedup exchanges upstream get
+    // AQE-coalesced to ~1 partition for small BYTES, but vectorization is
+    // CPU-bound in value LENGTH (one md5 per char n-gram), so an explicit
+    // size-gated count (Partitions.cpuSpread on the pruned scan estimate)
+    // keeps document-length keys off a single core. Vector values are
+    // per-row deterministic — partitioning cannot change them — and the
+    // fit's stat aggregates read auxDedup directly, untouched by this.
+    val auxVec = auxDedup
+      .repartition(graft.ops.Partitions.cpuSpread(aux.select(auxKeys.map(col): _*)))
+      .withColumn("__vec", fitted.vector(b => col(b.auxCol)))
 
     val strategy = refStrategy.getOrElse(
       if (rescale) RefDist.RandomPairs(refPercentile, refSampleSize)
@@ -296,6 +310,7 @@ object FuzzyJoin {
     // match DISTINCT main key tuples against the broadcast aux vectors
     val mainKeyCols = mainKeys.map(col)
     val mDistinct = main.select(mainKeyCols: _*).distinct()
+      .repartition(graft.ops.Partitions.cpuSpread(main.select(mainKeyCols: _*)))
       .withColumn("__mvec", fitted.vector(b => col(b.mainCol)))
     val auxSide = broadcast(auxVec.select(
       struct(auxKeys.map(col): _*).as("__akey") +: Seq(col("__vec").as("__avec")): _*))
@@ -319,12 +334,12 @@ object FuzzyJoin {
         // (SecondNeighbor's k-NN must see each aux once) and sheds the two
         // vectors from the row before the 1-NN shuffle
         mB.join(aB, Seq("__tbl", "__bkt"))
-          .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
+          .withColumn("__d", sqrt(graft.functions.VecExprs.arrayDist2(col("__mvec"), col("__avec"))))
           .groupBy(mainKeyCols :+ col("__akey"): _*)
           .agg(first(col("__d")).as("__d"))
       case _ =>
         mDistinct.crossJoin(auxSide)
-          .withColumn("__d", sqrt(dist2(col("__mvec"), col("__avec"))))
+          .withColumn("__d", sqrt(graft.functions.VecExprs.arrayDist2(col("__mvec"), col("__avec"))))
     }
     val tieBreak = struct(col("__d") +: auxKeys.indices.map(i =>
       col(s"__akey.${auxKeys(i)}")): _*)
@@ -360,7 +375,7 @@ object FuzzyJoin {
           struct(auxKeys.map(col): _*).as("__skey"), col("__vec").as("__svec"))
         val auxRef = sSide.crossJoin(auxSide)
           .filter(!(col("__skey") === col("__akey")))
-          .withColumn("__d", sqrt(dist2(col("__svec"), col("__avec"))))
+          .withColumn("__d", sqrt(graft.functions.VecExprs.arrayDist2(col("__svec"), col("__avec"))))
           .groupBy(col("__skey"))
           .agg(graft.functions.AggExprs.minKBy(
             struct(col("__d").as("d"), col("__akey").as("k")), k).as("__top"))

@@ -99,7 +99,20 @@ object ScaleRehearsal {
           minDf = 25L)).count()),
       "dedup_embedding_planes" -> (() => Dedup.embeddingLshPairs(emb,
         "embedding", "vec_id", minCosine = 0.4,
-        planesPerTable = Dedup.planesFor(emb.count()), nTables = 16).count())
+        planesPerTable = Dedup.planesFor(emb.count()), nTables = 16).count()),
+      // fuzzy join beyond broadcast-aux (r7): main = this corpus, aux = the
+      // 1x corpus' first 2000 docs — at 10x the aux stays fixed while the
+      // main side grows, the realistic "enrich a growing corpus against a
+      // reference table" shape; LSH candidates + exact re-rank, no
+      // broadcast of the vectorized aux
+      "fuzzy_join_lsh" -> (() => {
+        val aux = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") < 2000)
+          .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+        graft.operators.FuzzyJoin.fuzzyJoin(
+          docs.select(col("doc_id"), col("text")), aux,
+          Seq(("text", "ref_text")), candidates = "lsh").count()
+      })
     )
 
     // Optional comma-separated name filter (same contract as Bench's

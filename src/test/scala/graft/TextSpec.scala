@@ -93,4 +93,49 @@ class TextSpec extends AnyFunSuite {
       assert(r.getSeq[Double](2) === NgramVec.tf(s, 32).toSeq, s"tf of '$s'")
     }
   }
+
+  test("loop-codegen NgramTf/NgramTfIdf/ArrayDist2 are bit-identical to the HOF forms") {
+    import graft.operators.FuzzyJoin
+    import graft.functions.VecExprs
+    // include a document-length value — the case the HOF form evaluated in
+    // O(len^2) and the loop form exists for
+    val doc = Seq.tabulate(200)(i => s"word$i token${i % 7}").mkString(" ")
+    val samples = Seq("FRANCE", "unit ed kingdom", "a", "", "Ægypt 12!x", doc, null)
+    val weights = Array.tabulate(32)(i => math.sqrt((1.0 + 7) / (1.0 + i)))
+    val wLit = array(weights.map(lit(_)): _*)
+    val df = samples.toDF("s")
+    val rows = df.select(
+      FuzzyJoin.tfArray($"s", 32).as("tf_hof"),
+      VecExprs.ngramTf($"s", 32).as("tf_loop"),
+      FuzzyJoin.l2Normalize(zip_with(FuzzyJoin.tfArray($"s", 32), wLit,
+        (t, w) => t * w)).as("v_hof"),
+      VecExprs.ngramTfIdf($"s",
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(weights)).as("v_loop"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      assert(r.isNullAt(2) === r.isNullAt(3))
+      if (!r.isNullAt(0)) assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+      if (!r.isNullAt(2)) {
+        // exact double equality — same index-order multiply/accumulate
+        val a = r.getSeq[Double](2); val b = r.getSeq[Double](3)
+        assert(a.length === b.length)
+        a.indices.foreach(i =>
+          assert(java.lang.Double.doubleToLongBits(a(i)) ===
+            java.lang.Double.doubleToLongBits(b(i)), s"dim $i"))
+      }
+    }
+    val pairs = df.filter($"s".isNotNull).select(
+        VecExprs.ngramTfIdf($"s",
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(weights)).as("v"))
+      .crossJoin(spark.range(1).select(
+        VecExprs.ngramTfIdf(lit("unit ed kingdom"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(weights)).as("w")))
+      .select(FuzzyJoin.dist2($"v", $"w").as("d_hof"),
+        VecExprs.arrayDist2($"v", $"w").as("d_loop")).collect()
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
 }
