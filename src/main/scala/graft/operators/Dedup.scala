@@ -426,13 +426,24 @@ object Dedup {
     * or explicitly via `df.rdd.unpersist()`; it cannot be recomputed after
     * executor loss — re-run the call in that case.
     */
-  /** Above this many distinct values, `candidates = "auto"` routes to the
-    * minhash-band generator: the exact inverted index's pair amplification
-    * (each pair shuffled once per shared shingle) grew ~6x faster than the
-    * banded generator in the 10x scale rehearsal (BASELINE.md), and at
-    * 100 TB the exact generator's shuffle is the dominating cost.
+  /** `candidates = "auto"` routes to the minhash-band generator above
+    * EITHER gate: the exact inverted index's pair amplification (each pair
+    * shuffled once per shared shingle) grew ~6x faster than the banded
+    * generator in the 10x scale rehearsal (BASELINE.md), and at 100 TB the
+    * exact generator's shuffle is the dominating cost. The cost driver is
+    * total shingle VOLUME, not value count — 5k document-length values
+    * (~1.5M chars, the bench corpus) amplify far more than 20k short
+    * category keys (~0.4M chars, the reference's typical dirty-category
+    * shape) — so the primary gate is summed value length, with the
+    * distinct-count gate kept as a backstop for huge vocabularies.
     */
   val AutoMinhashAbove = 20000L
+  val AutoMinhashCharsAbove = 1000000L
+
+  /** The auto-routing decision as a pure function of the two corpus stats
+    * (unit-testable without running the generators). */
+  def autoRoutesToMinhash(nVals: Long, totalChars: Long): Boolean =
+    nVals > AutoMinhashAbove || totalChars > AutoMinhashCharsAbove
 
   /** `maxDriverPairs` default sizing: the driver path collects up to
     * (limit+1) two-md5-string rows (~200 B each on-heap) and touches up to
@@ -459,11 +470,13 @@ object Dedup {
     // so false positives are impossible — the tradeoff is LSH recall:
     // band-collision misses drop a pair entirely). "auto" (default) keeps
     // the exact generator for small vocabularies and switches to minhash
-    // above `AutoMinhashAbove` distinct values — the count is read from
-    // the already-persisted distinct-value frame (one cheap job).
+    // above the char-volume / distinct-count gates — both stats read in ONE
+    // job from the already-persisted distinct-value frame.
     val valsText = vals.select(col("v").as("text"), col("id"))
-    val useMinhash = candidates == "minhash" ||
-      (candidates == "auto" && vals.count() > AutoMinhashAbove)
+    val useMinhash = candidates == "minhash" || (candidates == "auto" && {
+      val r = vals.agg(count(lit(1)), sum(length(col("v")))).head()
+      autoRoutesToMinhash(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    })
     val pairs =
       if (useMinhash)
         minhashLshPairs(valsText, "text", "id", n = n, minJaccard = minJaccard)

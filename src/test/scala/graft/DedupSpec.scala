@@ -60,6 +60,16 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === dist)
   }
 
+  test("auto routing gates on char volume OR distinct count") {
+    // the bench corpus shape: ~5k document-length values (~1.5M chars)
+    // must route to minhash even though the count is far below the
+    // distinct-count backstop; short-key vocabularies stay exact
+    assert(Dedup.autoRoutesToMinhash(5000L, 1500000L))
+    assert(Dedup.autoRoutesToMinhash(100000L, 400000L))
+    assert(!Dedup.autoRoutesToMinhash(500L, 150000L)) // sf0.01 oracle corpus
+    assert(!Dedup.autoRoutesToMinhash(20000L, 400000L)) // dirty categories
+  }
+
   test("deduplicate minhash candidate generator agrees on the fixture") {
     val docs = TestSpark.table("documents").limit(300)
     val jac = Dedup.deduplicate(docs, "text", minJaccard = 0.3)
