@@ -111,6 +111,21 @@ object Dedup {
     * materialized; the verification join re-reads shingle sets for candidate
     * ids only.
     */
+  /** Guarded band-key expressions over a minhash signature column:
+    * md5("<b>:<sig slice joined by |>"), null when the signature is not
+    * exactly rowsPerBand*nBands elements (empty shingle set) so such docs
+    * never collide. Shared by minhashLshPairs and DedupIndex so the band
+    * format (and the DuckDB oracle that mirrors it) cannot drift.
+    */
+  private[operators] def bandExprs(sig: Column, rowsPerBand: Int,
+                                   nBands: Int): Seq[Column] =
+    (0 until nBands).map { b =>
+      when(size(sig) === rowsPerBand * nBands,
+        md5(concat(lit(s"$b:"), concat_ws("|",
+          (0 until rowsPerBand).map(r =>
+            element_at(sig, b * rowsPerBand + r + 1)): _*))))
+    }
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
                       minJaccard: Double = 0.5): DataFrame = {
@@ -160,13 +175,8 @@ object Dedup {
     // would share the constant band md5("<b>:") and pair QUADRATICALLY.
     // Unreachable via tokenShingles (always >= 1 shingle) but the guard
     // makes the documented no-collision contract hold for any caller.
-    val bandExprs = (0 until nBands).map { b =>
-      when(size(col("sig")) === k,
-        md5(concat(lit(s"$b:"), concat_ws("|",
-          (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))))
-    }
-    val banded = sigs.select(col("id"), explode(array(bandExprs: _*)).as("band"))
+    val banded = sigs.select(col("id"),
+      explode(array(bandExprs(col("sig"), rowsPerBand, nBands): _*)).as("band"))
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

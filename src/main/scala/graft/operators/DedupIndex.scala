@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Persisted minhash-LSH dedup index — the incremental-ingestion half of
+  * the 100 TB dedup story, beyond the reference (skrub's `deduplicate`,
+  * skrub/_deduplicate.py:15-285, is a one-shot in-memory call over a
+  * complete corpus). A training-data pipeline accumulates its corpus over
+  * months and must answer "is anything in this NEW batch a near-duplicate
+  * of anything already ingested?" per ingest, without rescanning — or
+  * reshuffling — the accumulated corpus.
+  *
+  * `write` lays the corpus' banded minhash signatures and shingle sets out
+  * ONCE as bucketed+sorted external parquet (`graft.sources.Bucketize`):
+  * the bands table bucketed by band key, the docs table bucketed by doc id.
+  * Every subsequent `probe` then joins batch bands to index bands and the
+  * surviving candidates to the index shingle docs with ZERO Exchange on the
+  * index side (asserted by plan in DedupIndexSpec) — only the batch moves,
+  * so probe cost is O(batch · bands), independent of corpus size. Band
+  * keys, signatures and the exact-jaccard verify reuse the same expressions
+  * as `Dedup.minhashLshPairs` (`Dedup.bandExprs`, `VecExprs.minhashSig`,
+  * `VecExprs.tokenShingles`), so the index is oracle-reproducible in SQL.
+  */
+object DedupIndex {
+
+  def bandsTable(name: String): String = s"${name}_bands"
+  def docsTable(name: String): String = s"${name}_docs"
+
+  /** (bands: (id, band) null-free, docs: (id, shingles)) for a corpus side.
+    * The raw text is CPU-spread before hashing for the same reason as
+    * minhashLshPairs: signature cost is per-character, not per-byte-split.
+    */
+  private def parts(df: DataFrame, textCol: String, idCol: String, n: Int,
+                    rowsPerBand: Int, nBands: Int): (DataFrame, DataFrame) = {
+    val raw = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+    val spread = raw.repartition(graft.ops.Partitions.cpuSpread(raw), col("id"))
+    val shingles = graft.functions.VecExprs.tokenShingles(col("__text"), n)
+    val docs = spread.select(col("id"), shingles.as("shingles"))
+    val sigs = spread.select(col("id"),
+      graft.functions.VecExprs.minhashSig(shingles, rowsPerBand * nBands).as("sig"))
+    val bands = sigs.select(col("id"),
+        explode(array(Dedup.bandExprs(col("sig"), rowsPerBand, nBands): _*)).as("band"))
+      .filter(col("band").isNotNull)
+    (bands, docs)
+  }
+
+  /** Build (or rebuild) the index for `df` under catalog name `name`,
+    * storing external parquet below `path`. `numBuckets` sizes both tables'
+    * bucket count — pick it for the CORPUS scale (buckets of a few hundred
+    * MB), since probes shuffle only the batch to match it.
+    */
+  def write(df: DataFrame, textCol: String, idCol: String, name: String,
+            path: String, n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
+            numBuckets: Int = 32): Unit = {
+    val (bands, docs) = parts(df, textCol, idCol, n, rowsPerBand, nBands)
+    graft.sources.Bucketize.writeBucketed(bands, bandsTable(name),
+      s"$path/bands", Seq("band"), numBuckets)
+    graft.sources.Bucketize.writeBucketed(docs, docsTable(name),
+      s"$path/docs", Seq("id"), numBuckets)
+  }
+
+  /** Best near-duplicate already in the index for each batch doc:
+    * (id, match_id, jaccard) — highest exact jaccard >= `minJaccard` among
+    * band-collision candidates, ties to the smallest match_id; batch docs
+    * with no match emit no row. `n`/`rowsPerBand`/`nBands` must match the
+    * `write` call. The two index joins read bucketed scans — no Exchange on
+    * the index side; the aggregate is a bounded per-id best, map-side
+    * combined.
+    */
+  def probe(batch: DataFrame, textCol: String, idCol: String, name: String,
+            minJaccard: Double = 0.4, n: Int = 3, rowsPerBand: Int = 2,
+            nBands: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val (bBands, bDocs) = parts(batch, textCol, idCol, n, rowsPerBand, nBands)
+    val iBands = spark.table(bandsTable(name))
+      .select(col("band"), col("id").as("match_id"))
+    val cand = bBands.join(iBands, Seq("band"))
+      .select(col("id"), col("match_id")).distinct()
+    val iDocs = spark.table(docsTable(name))
+      .select(col("id").as("match_id"), col("shingles").as("sh_i"))
+    val verified = cand
+      .join(bDocs, Seq("id"))
+      .join(iDocs, Seq("match_id"))
+      .withColumn("n_common", size(array_intersect(col("shingles"), col("sh_i"))))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (size(col("shingles")) + size(col("sh_i")) - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+    // best match as a bounded struct-min aggregate (no window sort): struct
+    // ordering on (negated jaccard, match_id) gives highest-jaccard,
+    // smallest-id; abs() normalizes the negated zero of a 0.0 jaccard
+    verified.groupBy(col("id"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("match_id").as("m"))).as("best"))
+      .select(col("id"), col("best.m").as("match_id"),
+        round(abs(col("best.nj")), 6).as("jaccard"))
+  }
+}

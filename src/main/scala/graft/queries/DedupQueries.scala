@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Kernel
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, DedupIndex, SimilaritySearch}
 
 /** Dedup + similarity-search queries over the `documents` / `embeddings`
   * tables, with DuckDB oracles that recompute the same md5-derived hashes —
@@ -38,6 +38,20 @@ object DedupQueries {
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
+
+    // persisted dedup index, end to end: build the bucketed index over the
+    // even-id half of the corpus, probe the odd-id half against it — the
+    // incremental-ingestion shape (index laid out once, probes shuffle only
+    // the batch). Parity split keeps the query scale-invariant.
+    "q_dedup_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_index")
+        .toString
+      DedupIndex.write(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        "graft_dedup_index_q", path, numBuckets = 8)
+      DedupIndex.probe(docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+        "graft_dedup_index_q", minJaccard = 0.2)
+    }),
 
     // multi-table hyperplane-LSH near-dup — the registered query IS the
     // scale path (the exact all-pairs variant stays available for small-n
@@ -190,6 +204,47 @@ object DedupQueries {
          |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
+
+    "q_dedup_index" ->
+      s"""WITH itok AS (
+         |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+         |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+         |btok AS (
+         |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+         |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+         |idocs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM itok),
+         |bdocs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM btok),
+         |isigs AS (
+         |  SELECT id, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM idocs),
+         |bsigs AS (
+         |  SELECT id, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM bdocs),
+         |ibands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM isigs),
+         |bbands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM bsigs),
+         |cand AS (
+         |  SELECT DISTINCT b.id AS bid, i.id AS iid
+         |  FROM bbands b JOIN ibands i USING (band)),
+         |verif AS (
+         |  SELECT bid, iid,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+         |  FROM cand JOIN bdocs x ON cand.bid = x.id
+         |            JOIN idocs y ON cand.iid = y.id),
+         |best AS (
+         |  SELECT bid, iid, j, row_number() OVER (
+         |    PARTITION BY bid ORDER BY j DESC, iid ASC) AS rn
+         |  FROM verif WHERE j >= 0.2)
+         |SELECT bid AS id, iid AS match_id, round(j, 6) AS jaccard
+         |FROM best WHERE rn = 1""".stripMargin,
 
     "q_dedup_canonical" -> {
       val normV = "trim(regexp_replace(lower(v), '[^a-z0-9]+', ' ', 'g'))"

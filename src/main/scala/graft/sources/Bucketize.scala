@@ -34,16 +34,31 @@ object Bucketize {
   }
 
   /** Number of shuffle exchanges in the (possibly adaptive) physical plan —
-    * the assertion primitive for "this join is co-located". Counts inside
-    * AQE-wrapped plans and reused exchanges.
+    * the assertion primitive for "this join is co-located". Descends into
+    * AQE query stages: QueryStageExec is a LEAF node, so a plain `collect`
+    * over an executed adaptive plan silently misses every exchange already
+    * wrapped in a materialized stage.
     */
   def shuffleExchanges(df: DataFrame): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    walk(df) { case _: ShuffleExchangeLike => 1 }
+  }
+
+  /** Number of bucketed file scans in the executed plan — the assertion
+    * primitive for "this side is read pre-partitioned from its layout". */
+  def bucketedScans(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    walk(df) { case s: FileSourceScanExec if s.bucketedScan => 1 }
+  }
+
+  private def walk(df: DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Int]): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def count(p: SparkPlan): Int = p.collect {
       case a: AdaptiveSparkPlanExec => count(a.executedPlan)
-      case _: ShuffleExchangeLike   => 1
+      case q: QueryStageExec        => count(q.plan) + pf.lift(q).getOrElse(0)
+      case n if pf.isDefinedAt(n)   => pf(n)
     }.sum
     count(df.queryExecution.executedPlan)
   }

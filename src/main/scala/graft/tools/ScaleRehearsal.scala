@@ -112,6 +112,23 @@ object ScaleRehearsal {
         graft.operators.FuzzyJoin.fuzzyJoin(
           docs.select(col("doc_id"), col("text")), aux,
           Seq(("text", "ref_text")), candidates = "lsh").count()
+      }),
+      // persisted dedup index (r7): build cost is O(corpus) ONCE; the probe
+      // of a FIXED 500-doc batch must stay ~flat from 1x to 10x — that
+      // flatness is the incremental-ingestion claim (probe cost independent
+      // of corpus size). Keep both names in any REHEARSAL_QUERIES filter:
+      // probe reads the index the build entry just wrote.
+      "dedup_index_build" -> (() => {
+        graft.operators.DedupIndex.write(docs, "text", "doc_id",
+          "graft_rehearsal_idx", s"$outDir/dedup_index", numBuckets = 32)
+        spark.table(graft.operators.DedupIndex.bandsTable(
+          "graft_rehearsal_idx")).count()
+      }),
+      "dedup_index_probe" -> (() => {
+        val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") < 500)
+        graft.operators.DedupIndex.probe(batch, "text", "doc_id",
+          "graft_rehearsal_idx", minJaccard = 0.2).count()
       })
     )
 

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupIndex}
+import graft.sources.Bucketize
+
+/** Persisted dedup index: probe results must agree with the one-shot
+  * minhash pair generator (same signatures, same band keys, same exact
+  * verify), and the probe plan must read the index WITHOUT an Exchange on
+  * the index side — at 100 TB the absent corpus shuffle IS the feature.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("probe agrees with the one-shot minhash pair generator") {
+    val docs = TestSpark.table("documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val bat = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    DedupIndex.write(idx, "text", "doc_id", "graft_didx_agree", dir,
+      numBuckets = 4)
+    val got = DedupIndex.probe(bat, "text", "doc_id", "graft_didx_agree",
+        minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+
+    // independent expectation: band keys and signatures are per-doc
+    // deterministic, so the one-shot generator over the UNION sees exactly
+    // the cross-parity collisions the probe sees; best = max jaccard, ties
+    // to the smallest even id
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = pairs.flatMap { case (a, b, j) =>
+      (a % 2, b % 2) match {
+        case (1L, 0L) => Some((a, b, j))
+        case (0L, 1L) => Some((b, a, j))
+        case _        => None
+      }
+    }
+    val expected = cross.groupBy(_._1).map { case (id, ms) =>
+      val best = ms.minBy(m => (-m._3, m._2))
+      (id, best._2, best._3)
+    }.toArray.sorted
+    assert(got.nonEmpty, "fixture must produce at least one cross-parity match")
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("probe plans zero exchanges on the index side") {
+    val docs = TestSpark.table("documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val bat = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    DedupIndex.write(idx, "text", "doc_id", "graft_didx_plan", dir,
+      numBuckets = 4)
+    // broadcast off so the index joins actually exercise the bucketed SMJ
+    // path (a broadcast index would hide the layout — and stop working at
+    // corpus scale)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = DedupIndex.probe(bat, "text", "doc_id", "graft_didx_plan",
+        minJaccard = 0.2)
+      probe.collect()
+      // both index scans must come back bucketed...
+      assert(Bucketize.bucketedScans(probe) === 2,
+        probe.queryExecution.executedPlan.toString)
+      // ...and dropping the bucket layout (same files read as plain
+      // parquet) must cost MORE exchanges: the difference is exactly the
+      // index-side shuffles the layout pre-paid
+      val bands = spark.read.parquet(s"$dir/bands")
+      val docsIdx = spark.read.parquet(s"$dir/docs")
+      bands.createOrReplaceTempView("graft_didx_plain_bands")
+      docsIdx.createOrReplaceTempView("graft_didx_plain_docs")
+      val plain = DedupIndex.probe(bat, "text", "doc_id", "graft_didx_plain",
+        minJaccard = 0.2)
+      plain.collect()
+      val bucketedEx = Bucketize.shuffleExchanges(probe)
+      val plainEx = Bucketize.shuffleExchanges(plain)
+      assert(bucketedEx < plainEx, s"bucketed=$bucketedEx plain=$plainEx")
+      // same rows either way — the layout changes the plan, not the answer
+      assert(probe.collect().map(_.toSeq).toSet ===
+        plain.collect().map(_.toSeq).toSet)
+    }
+  }
+}
