@@ -57,7 +57,7 @@ object SimilaritySearch {
     * order (cosine desc, corpus_id asc) matches the previous window
     * ordering exactly via the (negated-cosine, corpus_id) sort key.
     */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame =
     // null cosines (null corpus vectors) are dropped, never ranked: the
     // struct sort key would order null fields FIRST, so without the filter a
     // null-vector corpus row would occupy ranks 1..k instead of being

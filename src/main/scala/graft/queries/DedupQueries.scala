@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Kernel
-import graft.operators.{Dedup, DedupIndex, SimilaritySearch}
+import graft.operators.{AnnIndex, Dedup, DedupIndex, SimilaritySearch}
 
 /** Dedup + similarity-search queries over the `documents` / `embeddings`
   * tables, with DuckDB oracles that recompute the same md5-derived hashes —
@@ -21,6 +21,33 @@ object DedupQueries {
     s"""(CASE WHEN len(toks) <= ${n - 1} THEN [array_to_string(toks, ' ')]
        | ELSE list_transform(range(0, len(toks) - ${n - 1}),
        |   i -> array_to_string(list_slice(toks, i + 1, i + $n), ' ')) END)""".stripMargin
+
+  // shared by q_ann_ivf and q_ann_index: the persisted-index probe reuses
+  // ivfTopK's bucket/score/rank expressions exactly, so one oracle covers
+  // both paths
+  private val annIvfSql =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+       |  FROM embeddings),
+       |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+       |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+       |  FROM bt c JOIN bt q ON q.id < 10 AND q.id <> c.id
+       |    AND c.tbl = q.tbl AND c.bkt = q.bkt),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
+       |  FROM cand JOIN v c ON cand.corpus_id = c.id JOIN v q ON cand.query_id = q.id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
@@ -105,6 +132,22 @@ object DedupQueries {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, planesPerTable = 4, nTables = 16)
+    }),
+
+    // persisted ANN index, end to end: lay the corpus postings out once,
+    // probe the same query batch as q_ann_ivf — identical semantics
+    // (shared bucket/score/rank expressions), so the same oracle applies;
+    // what this row proves is the bucketed write+probe path.
+    "q_ann_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_index")
+        .toString
+      // geometry pinned to the oracle's 16x4 (auto sizing is the scale
+      // path, exercised by the rehearsal)
+      AnnIndex.write(emb, "embedding", "vec_id", "graft_ann_index_q", path,
+        planesPerTable = 4, nTables = 16, numBuckets = 8)
+      AnnIndex.probe(emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        "graft_ann_index_q", k = 5)
     }),
 
     // recall@k harness: measured recall of the bucketed ANN against the
@@ -385,29 +428,11 @@ object DedupQueries {
         |  FROM scored)
         |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin,
 
-    "q_ann_ivf" ->
-      s"""WITH v AS (
-         |  SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
-         |  FROM embeddings),
-         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
-         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
-         |cand AS (
-         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
-         |  FROM bt c JOIN bt q ON q.id < 10 AND q.id <> c.id
-         |    AND c.tbl = q.tbl AND c.bkt = q.bkt),
-         |scored AS (
-         |  SELECT query_id, corpus_id,
-         |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
-         |  FROM cand JOIN v c ON cand.corpus_id = c.id JOIN v q ON cand.query_id = q.id),
-         |ranked AS (
-         |  SELECT query_id, corpus_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, corpus_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ann_ivf" -> annIvfSql,
+
+    // the persisted-index probe shares ivfTopK's bucket/score/rank
+    // expressions exactly, so the oracle is the same SQL
+    "q_ann_index" -> annIvfSql,
 
     "q_ann_recall" ->
       s"""WITH v AS (

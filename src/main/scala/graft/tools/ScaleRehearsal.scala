@@ -129,6 +129,20 @@ object ScaleRehearsal {
           .filter(col("doc_id") < 500)
         graft.operators.DedupIndex.probe(batch, "text", "doc_id",
           "graft_rehearsal_idx", minJaccard = 0.2).count()
+      }),
+      // same contract for the ANN postings index: corpus-linear build once,
+      // fixed-batch probe flat across corpus scale
+      "ann_index_build" -> (() => {
+        graft.operators.AnnIndex.write(emb, "embedding", "vec_id",
+          "graft_rehearsal_ann", s"$outDir/ann_index", numBuckets = 32)
+        spark.table(graft.operators.AnnIndex.postingsTable(
+          "graft_rehearsal_ann")).count()
+      }),
+      "ann_index_probe" -> (() => {
+        val batch = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+        graft.operators.AnnIndex.probe(batch, "embedding", "vec_id",
+          "graft_rehearsal_ann", k = 5).count()
       })
     )
 

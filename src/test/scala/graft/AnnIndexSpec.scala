@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, SimilaritySearch}
+import graft.sources.Bucketize
+
+/** Persisted ANN index: probe must be bit-identical to the one-shot
+  * ivfTopK on the same corpus, and the probe plan must read the postings
+  * bucketed — zero Exchange on the corpus side.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("probe is bit-identical to one-shot ivfTopK") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val queries = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_agree", dir,
+      planesPerTable = 4, nTables = 16, numBuckets = 4)
+    val got = AnnIndex.probe(queries, "embedding", "vec_id",
+        "graft_annidx_agree", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    val expected = SimilaritySearch.ivfTopK(emb, queries, "embedding",
+        "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("auto geometry is corpus-sized and persisted with the layout") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_auto", dir,
+      numBuckets = 4)
+    val expectedPlanes = graft.operators.Dedup.planesFor(emb.count())
+    assert(AnnIndex.geometry(spark, "graft_annidx_auto") ===
+      (expectedPlanes, 16))
+    // probe runs with the persisted geometry — no caller-side params
+    val out = AnnIndex.probe(emb.filter(col("vec_id") < 8), "embedding",
+      "vec_id", "graft_annidx_auto", k = 5)
+    assert(out.count() > 0)
+  }
+
+  test("probe plans zero exchanges on the corpus side") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val queries = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_plan", dir,
+      planesPerTable = 4, nTables = 16, numBuckets = 4)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = AnnIndex.probe(queries, "embedding", "vec_id",
+        "graft_annidx_plan", k = 5)
+      probe.collect()
+      assert(Bucketize.bucketedScans(probe) === 1,
+        probe.queryExecution.executedPlan.toString)
+      // same files as plain parquet must plan MORE exchanges — the
+      // difference is the corpus-side shuffle the layout pre-paid
+      spark.read.parquet(s"$dir/postings")
+        .createOrReplaceTempView("graft_annidx_plain_postings")
+      // the temp view has no table properties — geometry passed explicitly
+      val plain = AnnIndex.probe(queries, "embedding", "vec_id",
+        "graft_annidx_plain", k = 5, planesPerTable = 4, nTables = 16)
+      plain.collect()
+      val bucketedEx = Bucketize.shuffleExchanges(probe)
+      val plainEx = Bucketize.shuffleExchanges(plain)
+      assert(bucketedEx < plainEx, s"bucketed=$bucketedEx plain=$plainEx")
+      assert(probe.collect().map(_.toSeq).toSet ===
+        plain.collect().map(_.toSeq).toSet)
+    }
+  }
+}
