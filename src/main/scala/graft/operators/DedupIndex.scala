@@ -50,7 +50,10 @@ object DedupIndex {
   /** Build (or rebuild) the index for `df` under catalog name `name`,
     * storing external parquet below `path`. `numBuckets` sizes both tables'
     * bucket count — pick it for the CORPUS scale (buckets of a few hundred
-    * MB), since probes shuffle only the batch to match it.
+    * MB), since probes shuffle only the batch to match it. The shingle /
+    * band geometry is persisted as table properties and `probe` reads it
+    * from there — the caller cannot desynchronize batch hashing from the
+    * layout.
     */
   def write(df: DataFrame, textCol: String, idCol: String, name: String,
             path: String, n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
@@ -60,21 +63,37 @@ object DedupIndex {
       s"$path/bands", Seq("band"), numBuckets)
     graft.sources.Bucketize.writeBucketed(docs, docsTable(name),
       s"$path/docs", Seq("id"), numBuckets)
+    df.sparkSession.sql(
+      s"ALTER TABLE `${bandsTable(name)}` SET TBLPROPERTIES (" +
+        s"'graft.n' = '$n', 'graft.rowsPerBand' = '$rowsPerBand', " +
+        s"'graft.nBands' = '$nBands')")
+  }
+
+  /** The (n, rowsPerBand, nBands) geometry persisted with the index. */
+  def geometry(spark: SparkSession, name: String): (Int, Int, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${bandsTable(name)}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (props("graft.n").toInt, props("graft.rowsPerBand").toInt,
+      props("graft.nBands").toInt)
   }
 
   /** Best near-duplicate already in the index for each batch doc:
     * (id, match_id, jaccard) — highest exact jaccard >= `minJaccard` among
     * band-collision candidates, ties to the smallest match_id; batch docs
-    * with no match emit no row. `n`/`rowsPerBand`/`nBands` must match the
-    * `write` call. The two index joins read bucketed scans — no Exchange on
-    * the index side; the aggregate is a bounded per-id best, map-side
-    * combined.
+    * with no match emit no row. The shingle / band geometry comes from the
+    * index's own table properties (explicit values only for indexes read
+    * through plain views that carry none). The two index joins read
+    * bucketed scans — no Exchange on the index side; the aggregate is a
+    * bounded per-id best, map-side combined.
     */
   def probe(batch: DataFrame, textCol: String, idCol: String, name: String,
-            minJaccard: Double = 0.4, n: Int = 3, rowsPerBand: Int = 2,
-            nBands: Int = 8): DataFrame = {
+            minJaccard: Double = 0.4, n: Int = 0, rowsPerBand: Int = 0,
+            nBands: Int = 0): DataFrame = {
     val spark = batch.sparkSession
-    val (bBands, bDocs) = parts(batch, textCol, idCol, n, rowsPerBand, nBands)
+    val (gN, gRows, gBands) =
+      if (n > 0 && rowsPerBand > 0 && nBands > 0) (n, rowsPerBand, nBands)
+      else geometry(spark, name)
+    val (bBands, bDocs) = parts(batch, textCol, idCol, gN, gRows, gBands)
     val iBands = spark.table(bandsTable(name))
       .select(col("band"), col("id").as("match_id"))
     val cand = bBands.join(iBands, Seq("band"))
@@ -96,4 +115,21 @@ object DedupIndex {
       .select(col("id"), col("best.m").as("match_id"),
         round(abs(col("best.nj")), 6).as("jaccard"))
   }
+
+  /** Live incremental ingestion: probe each micro-batch of a stream
+    * against the persisted index and hand the per-batch matches to `sink`
+    * (write them, route dups away, alert — the caller's policy). Each
+    * micro-batch is a static frame inside foreachBatch, so the probe is
+    * EXACTLY the batch `probe` — same plan, same zero index-side Exchange,
+    * and state lives in the index layout, not in stream memory.
+    */
+  def probeStream(stream: DataFrame, textCol: String, idCol: String,
+                  name: String, minJaccard: Double = 0.4)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probe(batch, textCol, idCol, name, minJaccard), batchId)
+      }
+      .start()
 }

@@ -58,6 +58,40 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("probeStream matches the batch probe per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = TestSpark.table("documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val bat = docs.filter(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    DedupIndex.write(idx, "text", "doc_id", "graft_didx_stream", dir,
+      numBuckets = 4)
+    val source = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val query = DedupIndex.probeStream(
+      source.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      "graft_didx_stream", minJaccard = 0.2) { (matches, _) =>
+      seen ++= matches.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      val (first, second) = bat.splitAt(bat.length / 2)
+      source.addData(first.toSeq)
+      query.processAllAvailable()
+      source.addData(second.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val direct = DedupIndex.probe(
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+        "graft_didx_stream", minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(seen.nonEmpty)
+    assert(seen.sorted.toSeq === direct.sorted.toSeq)
+  }
+
   test("probe plans zero exchanges on the index side") {
     val docs = TestSpark.table("documents").limit(300)
       .select(col("doc_id"), col("text"))
@@ -83,8 +117,9 @@ class DedupIndexSpec extends AnyFunSuite {
       val docsIdx = spark.read.parquet(s"$dir/docs")
       bands.createOrReplaceTempView("graft_didx_plain_bands")
       docsIdx.createOrReplaceTempView("graft_didx_plain_docs")
+      // the temp views carry no table properties — geometry passed explicitly
       val plain = DedupIndex.probe(bat, "text", "doc_id", "graft_didx_plain",
-        minJaccard = 0.2)
+        minJaccard = 0.2, n = 3, rowsPerBand = 2, nBands = 8)
       plain.collect()
       val bucketedEx = Bucketize.shuffleExchanges(probe)
       val plainEx = Bucketize.shuffleExchanges(plain)
