@@ -95,4 +95,21 @@ object AnnIndex {
       .agg(first(col("cosine")).as("cosine"))
     SimilaritySearch.topK(scored, k)
   }
+
+  /** Live query stream against the persisted postings: probe each
+    * micro-batch and hand its top-k frame to `sink` — the embedding twin
+    * of `DedupIndex.probeStream`. Each micro-batch is a static frame
+    * inside foreachBatch, so the probe is EXACTLY the batch `probe`
+    * (same plan, zero index-side Exchange); all state lives in the index
+    * layout, not in stream memory.
+    */
+  def probeStream(stream: DataFrame, vecCol: String, idCol: String,
+                  name: String, k: Int)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probe(batch, vecCol, idCol, name, k), batchId)
+      }
+      .start()
 }

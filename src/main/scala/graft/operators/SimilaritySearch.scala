@@ -131,4 +131,114 @@ object SimilaritySearch {
       .agg(first(col("cosine")).as("cosine"))
     topK(scored, k)
   }
+
+  // ---------------------------------------------------------------------
+  // Trained-centroid IVF: k-means coarse quantizer (the classic IVF-flat
+  // shape — FAISS-style cell-probe, but trained on the data instead of
+  // data-independent hyperplane signs). Data-adaptive cells track the
+  // corpus' actual density, so recall per candidate scanned beats LSH
+  // when the embedding distribution is clustered (the common case for
+  // real encoder output).
+  // ---------------------------------------------------------------------
+
+  /** The centroid argmin/arg-top-nProbe as ONE codegen'd expression:
+    * an array of (round(dist2, 6), cid) structs — struct ordering is
+    * (distance, then cid), exactly `ORDER BY d2, cid` — sorted, sliced to
+    * `nProbe`, projected to cid. Rounding the distance makes the argmin
+    * reproducible in the DuckDB oracle despite float summation-order
+    * differences. Everything stays inside whole-stage codegen
+    * (ArrayDist2 is a loop-codegen expression, array_sort on a bounded
+    * k-element array is cheap).
+    */
+  private def nearestCids(cents: Seq[(Int, Seq[Double])], v: Column,
+                          nProbe: Int): Column = {
+    val dists = array(cents.map { case (cid, ctr) =>
+      struct(round(graft.functions.VecExprs.arrayDist2(v, typedLit(ctr)), 6)
+        .as("d"), lit(cid).as("cid"))
+    }: _*)
+    transform(slice(array_sort(dists), 1, nProbe), x => x.getField("cid"))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Deterministic k-means over a (corpus_id, cv)-shaped frame of
+    * normalized vectors: init = the `kClusters` vectors ranking first by
+    * md5(id) (a seedless pseudo-random sample any engine reproduces),
+    * then `iters` Lloyd steps. Every centroid coordinate is rounded to 6
+    * decimals after init/averaging and every assignment distance to 6
+    * before the argmin, so the trained quantizer is bit-reproducible in
+    * the DuckDB oracle. Clusters that lose all members are dropped (not
+    * re-seeded). Per iteration: one assignment scan + one (cid, dim)-
+    * keyed avg — map-side combined to kClusters*dim partial rows per
+    * task — and a kClusters*dim driver collect: linear in the corpus,
+    * constant driver state.
+    */
+  def kmeansCentroids(c: DataFrame, kClusters: Int,
+                      iters: Int): Seq[(Int, Seq[Double])] = {
+    var cents: Seq[(Int, Seq[Double])] = c
+      .orderBy(md5(col("corpus_id").cast(StringType)), col("corpus_id"))
+      .limit(kClusters).select(col("cv")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0).map(round6) }
+    for (_ <- 1 to iters) {
+      val assigned = c.withColumn("cid",
+        element_at(nearestCids(cents, col("cv"), 1), 1))
+      val rows = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** IVF-flat ANN with a trained k-means quantizer: the corpus is
+    * assigned to its nearest centroid cell, each query probes its
+    * `nProbe` nearest cells, and candidates are exactly re-ranked — same
+    * output schema and rank semantics as `ivfTopK`/`bruteForceTopK`.
+    * `kClusters <= 0` auto-sizes cells to ~sqrt(corpus) (bounded below at
+    * 16) so per-cell occupancy and the cell table BOTH stay ~sqrt(n) as
+    * the corpus grows — the standard IVF scaling. The candidate join is
+    * an equi-join on cid: small query sides broadcast, large ones
+    * shuffle on cid (same guard as `ivfTopK`); the corpus is never
+    * re-shuffled by the join when it is already cid-clustered.
+    */
+  def kmeansIvfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, k: Int, kClusters: Int = 0,
+                    nProbe: Int = 4, iters: Int = 2,
+                    maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    // training + assignment + probe re-scan the normalized corpus
+    // (iters + 2 passes); localCheckpoint materializes it once. At true
+    // 100 TB scale the persisted layout (AnnIndex) is the right home for
+    // the assigned corpus — this one-shot path mirrors ivfTopK's contract.
+    val c = raw
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("corpus_id"))
+      .select(col("corpus_id"), Dedup.normalized(col("__v")).as("cv"))
+      .localCheckpoint()
+    val kc =
+      if (kClusters > 0) kClusters
+      else math.max(16, math.sqrt(c.count().toDouble).toInt)
+    val cents = kmeansCentroids(c, kc, iters)
+    val cAssigned = c.withColumn("cid",
+      element_at(nearestCids(cents, col("cv"), 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("query_id"), Dedup.normalized(col("__v")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(nearestCids(cents, col("qv"), nProbe)).as("cid"))
+    val nQ = queries.count()
+    val qSide = if (nQ <= maxBroadcastQueries) broadcast(q) else q
+    // each corpus row lives in exactly ONE cell and a query's probed cells
+    // are distinct, so a (query, corpus) pair arises at most once — no
+    // dedup aggregate needed, unlike the multi-table LSH join
+    val scored = cAssigned.join(qSide, Seq("cid"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        round(graft.functions.VecExprs.arrayDot(col("cv"), col("qv")), 6))
+    topK(scored, k)
+  }
 }

@@ -49,6 +49,96 @@ object DedupQueries {
        |  FROM scored)
        |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** CTEs reproducing `SimilaritySearch.kmeansCentroids` +
+    * `kmeansIvfTopK` bit-for-bit: md5-ranked init, `iters` unrolled Lloyd
+    * steps, round-to-6 at exactly the points the Scala side rounds
+    * (centroid coordinates after init/averaging, assignment distances
+    * before the argmin, cosines at scoring). Yields `ca` (corpus cell
+    * assignment) and `qa` (per-query `nProbe` probed cells) CTEs over the
+    * final centroids.
+    */
+  private def kmeansCtes(kClusters: Int, iters: Int, nProbe: Int,
+                         qFilter: String): String = {
+    val d2 = "round(list_sum(list_transform(list_zip(v.nv, c.cv), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    def assign(name: String, cents: String, rnBound: Int, where: String) =
+      s"""$name AS (
+         |  SELECT id, nv, cid FROM (
+         |    SELECT v.id, v.nv, c.cid, row_number() OVER (PARTITION BY v.id
+         |      ORDER BY $d2, c.cid) AS rn
+         |    FROM v CROSS JOIN $cents c$where)
+         |  WHERE rn <= $rnBound)""".stripMargin
+    def recenter(name: String, from: String) =
+      s"""$name AS (
+         |  SELECT cid, list_transform(range(1, len(vs[1]) + 1),
+         |      i -> round(list_sum(list_transform(vs, e -> e[i])) / len(vs), 6)) AS cv
+         |  FROM (SELECT cid, list(nv) AS vs FROM $from GROUP BY cid))""".stripMargin
+    val init =
+      s"""c0 AS (
+         |  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid,
+         |    list_transform(nv, x -> round(x, 6)) AS cv
+         |  FROM (SELECT id, nv, md5(CAST(id AS VARCHAR)) AS h FROM v
+         |        ORDER BY h, id LIMIT $kClusters))""".stripMargin
+    val lloyd = (1 to iters).map { i =>
+      assign(s"a$i", s"c${i - 1}", 1, "") + ",\n" + recenter(s"c$i", s"a$i")
+    }.mkString(",\n")
+    init + ",\n" + lloyd + ",\n" +
+      assign("ca", s"c$iters", 1, "") + ",\n" +
+      assign("qa", s"c$iters", nProbe, s" WHERE $qFilter")
+  }
+
+  private val normVSql =
+    """SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |      sqrt(list_sum(list_transform(embedding,
+      |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+      |  FROM embeddings""".stripMargin
+
+  private val annKmeansSql =
+    s"""WITH v AS (
+       |  $normVSql),
+       |${kmeansCtes(kClusters = 16, iters = 2, nProbe = 8, qFilter = "v.id < 10")},
+       |scored AS (
+       |  SELECT q.id AS query_id, c.id AS corpus_id,
+       |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
+       |  FROM ca c JOIN qa q ON c.cid = q.cid AND q.id <> c.id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+
+  private val annKmeansRecallSql =
+    s"""WITH v AS (
+       |  $normVSql),
+       |es AS (
+       |  SELECT q.id AS query_id, c.id AS corpus_id,
+       |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
+       |  FROM v c JOIN v q ON q.id < 10 AND q.id <> c.id),
+       |er AS (
+       |  SELECT query_id, corpus_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM es),
+       |e5 AS (SELECT query_id, corpus_id FROM er WHERE rank <= 5),
+       |${kmeansCtes(kClusters = 16, iters = 2, nProbe = 8, qFilter = "v.id < 10")},
+       |asq AS (
+       |  SELECT q.id AS query_id, c.id AS corpus_id,
+       |    round(list_sum(list_transform(list_zip(c.nv, q.nv), p -> p[1] * p[2])), 6) AS cosine
+       |  FROM ca c JOIN qa q ON c.cid = q.cid AND q.id <> c.id),
+       |ar AS (
+       |  SELECT query_id, corpus_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM asq),
+       |a5 AS (SELECT query_id, corpus_id FROM ar WHERE rank <= 5)
+       |SELECT e5.query_id AS query_id,
+       |  CAST(count(a5.corpus_id) AS DOUBLE) / count(*) AS recall_at_5
+       |FROM e5 LEFT JOIN a5
+       |  ON e5.query_id = a5.query_id AND e5.corpus_id = a5.corpus_id
+       |GROUP BY e5.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
@@ -148,6 +238,34 @@ object DedupQueries {
         planesPerTable = 4, nTables = 16, numBuckets = 8)
       AnnIndex.probe(emb.filter(col("vec_id") < 10), "embedding", "vec_id",
         "graft_ann_index_q", k = 5)
+    }),
+
+    // trained-centroid IVF (k-means coarse quantizer): data-adaptive
+    // cells instead of data-independent hyperplane signs — the classic
+    // IVF-flat ANN shape. Geometry pinned (16 cells, 2 Lloyd steps,
+    // nProbe=4) so the unrolled-iteration oracle reproduces the trained
+    // quantizer bit-for-bit; recall measured by q_ann_kmeans_recall.
+    "q_ann_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, kClusters = 16, nProbe = 8, iters = 2)
+    }),
+
+    // recall@k of the trained-IVF path against exact brute force — the
+    // quality harness the approximate path carries (mirrors q_ann_recall).
+    "q_ann_kmeans_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, qs, "embedding", "vec_id", k = 5)
+      val approx = SimilaritySearch.kmeansIvfTopK(emb, qs, "embedding", "vec_id",
+        k = 5, kClusters = 16, nProbe = 8, iters = 2)
+      exact.alias("e")
+        .join(approx.alias("a"),
+          col("e.query_id") === col("a.query_id") &&
+            col("e.corpus_id") === col("a.corpus_id"), "left")
+        .groupBy(col("e.query_id").as("query_id"))
+        .agg((count(col("a.corpus_id")).cast(org.apache.spark.sql.types.DoubleType) /
+          count(lit(1))).as("recall_at_5"))
     }),
 
     // recall@k harness: measured recall of the bucketed ANN against the
@@ -429,6 +547,9 @@ object DedupQueries {
         |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_ann_ivf" -> annIvfSql,
+
+    "q_ann_kmeans" -> annKmeansSql,
+    "q_ann_kmeans_recall" -> annKmeansRecallSql,
 
     // the persisted-index probe shares ivfTopK's bucket/score/rank
     // expressions exactly, so the oracle is the same SQL

@@ -54,6 +54,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("probeStream matches the batch probe per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = TestSpark.table("embeddings").limit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_stream", dir,
+      planesPerTable = 4, nTables = 16, numBuckets = 4)
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val source = MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val query = AnnIndex.probeStream(
+      source.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      "graft_annidx_stream", k = 5) { (topk, _) =>
+      seen ++= topk.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }
+    try {
+      val (first, second) = qs.splitAt(qs.length / 2)
+      source.addData(first.toSeq)
+      query.processAllAvailable()
+      source.addData(second.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val direct = AnnIndex.probe(emb.filter(col("vec_id") < 8), "embedding",
+        "vec_id", "graft_annidx_stream", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(seen.nonEmpty)
+    assert(seen.sorted.toSeq === direct.sorted.toSeq)
+  }
+
   test("probe plans zero exchanges on the corpus side") {
     val emb = TestSpark.table("embeddings").limit(400)
     val queries = emb.filter(col("vec_id") < 8)

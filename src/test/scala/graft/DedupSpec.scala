@@ -153,6 +153,54 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture has no near-dup fingerprints in the slice")
   }
 
+  test("RECALL FLOOR: trained k-means IVF mean recall@5 >= 0.75 on the fixture") {
+    val emb = TestSpark.table("embeddings")
+    val qs = emb.filter($"vec_id" < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+    val approx = SimilaritySearch.kmeansIvfTopK(emb, qs, "embedding", "vec_id",
+      5, kClusters = 16, nProbe = 8, iters = 2)
+    val recall = exact.alias("e").join(approx.alias("a"),
+        $"e.query_id" === $"a.query_id" && $"e.corpus_id" === $"a.corpus_id",
+        "left")
+      .agg((count($"a.corpus_id").cast("double") / count(lit(1))))
+      .head().getDouble(0)
+    assert(recall >= 0.75, s"k-means IVF recall@5 degraded to $recall")
+  }
+
+  test("kmeansIvfTopK: shuffle-join path and auto cell count match the pinned geometry path") {
+    val emb = TestSpark.table("embeddings")
+    val qs = emb.filter($"vec_id" < 10)
+    val pinned = SimilaritySearch.kmeansIvfTopK(emb, qs, "embedding", "vec_id",
+      5, kClusters = 16, nProbe = 8, iters = 2)
+    // shuffle path (maxBroadcastQueries=0) must be bit-identical
+    val viaShuffle = SimilaritySearch.kmeansIvfTopK(emb, qs, "embedding",
+      "vec_id", 5, kClusters = 16, nProbe = 8, iters = 2,
+      maxBroadcastQueries = 0L)
+    assert(pinned.count() > 0)
+    assert(pinned.except(viaShuffle).count() === 0)
+    assert(viaShuffle.except(pinned).count() === 0)
+    // auto sizing: kClusters <= 0 picks ~sqrt(corpus), bounded below at 16,
+    // and still returns k rows per query
+    val auto = SimilaritySearch.kmeansIvfTopK(emb, qs, "embedding", "vec_id",
+      5, nProbe = 8, iters = 1)
+    assert(auto.groupBy($"query_id").count().agg(max($"count"))
+      .head().getLong(0) <= 5)
+    assert(auto.count() > 0)
+  }
+
+  test("kmeansCentroids drops emptied clusters and is deterministic") {
+    val emb = TestSpark.table("embeddings").limit(200)
+    val c = emb.select($"vec_id".as("corpus_id"),
+      graft.operators.Dedup.normalized($"embedding").as("cv"))
+    val a = SimilaritySearch.kmeansCentroids(c, 8, 2)
+    val b = SimilaritySearch.kmeansCentroids(c, 8, 2)
+    assert(a === b)
+    assert(a.nonEmpty && a.size <= 8)
+    // every centroid coordinate is round-6 stabilized
+    assert(a.forall(_._2.forall(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == x)))
+  }
+
   test("ivfTopK: shuffle-join path (large query side) matches the broadcast path") {
     // above maxBroadcastQueries the candidate join must not broadcast the
     // query side (a corpus-sized query batch blows the broadcast limit);
