@@ -506,6 +506,82 @@ object VecExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** The `nProbe` nearest centroid ids for a vector — the IVF cell-probe
+    * argmin as ONE loop expression. The compositional form (an array of
+    * per-centroid `(round(dist2, 6), cid)` structs, sorted and sliced)
+    * plans one literal + one ArrayDist2 subtree PER CENTROID: at the
+    * auto-sized ~sqrt(corpus) cell counts a large corpus wants (hundreds
+    * to tens of thousands), that tree falls out of whole-stage codegen
+    * and the centroid table is re-shipped inside every task binary.
+    * Here the centroid matrix rides ONCE as a reference object and the
+    * scan is a tight two-level loop with an O(nProbe) insertion select.
+    *
+    * Semantics are pinned to the compositional form (KmeansExprSpec in
+    * DedupSpec): per centroid d2 = left-associated (x-y)^2 sum rounded
+    * half-up to 6 (BigDecimal.valueOf — exactly Spark's `round` on
+    * DoubleType), order by (d2, cid) ascending.
+    */
+  case class NearestCells(child: Expression, cids: Seq[Int],
+                          cents: Seq[Seq[Double]], nProbe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isDoubleArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected array<double> input, got ${child.dataType}")
+
+    @transient private lazy val matrix: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+    @transient private lazy val ids: Array[Int] = cids.toArray
+
+    override protected def nullSafeEval(v: Any): Any =
+      new GenericArrayData(compute(v.asInstanceOf[ArrayData]))
+
+    def compute(v: ArrayData): Array[Any] = {
+      val x = v.toDoubleArray()
+      val m = math.min(nProbe, matrix.length)
+      val bestD = new Array[Double](m)
+      val bestC = new Array[Int](m)
+      var filled = 0
+      var c = 0
+      while (c < matrix.length) {
+        val ctr = matrix(c)
+        var s = 0.0
+        var i = 0
+        while (i < x.length) { val d = x(i) - ctr(i); s += d * d; i += 1 }
+        val d2 = java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val cid = ids(c)
+        // insertion select on (d2, cid): find slot, shift tail
+        var pos = filled
+        while (pos > 0 && (bestD(pos - 1) > d2 ||
+            (bestD(pos - 1) == d2 && bestC(pos - 1) > cid))) pos -= 1
+        if (pos < m) {
+          val last = math.min(filled, m - 1)
+          var j = last
+          while (j > pos) { bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1 }
+          bestD(pos) = d2
+          bestC(pos) = cid
+          if (filled < m) filled += 1
+        }
+        c += 1
+      }
+      val out = new Array[Any](filled)
+      var k = 0
+      while (k < filled) { out(k) = bestC(k); k += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ncExpr", this, classOf[NearestCells].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new ${classOf[GenericArrayData].getName}($ref.compute($v));")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
@@ -539,4 +615,9 @@ object VecExprs {
   def arrayDist2(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDist2(GraftBridge.expression(a),
       GraftBridge.expression(b)))
+
+  def nearestCells(v: Column, cids: Seq[Int], cents: Seq[Seq[Double]],
+                   nProbe: Int): Column =
+    GraftBridge.column(NearestCells(GraftBridge.expression(v), cids, cents,
+      nProbe))
 }

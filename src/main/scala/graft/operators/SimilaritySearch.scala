@@ -150,13 +150,25 @@ object SimilaritySearch {
     * (ArrayDist2 is a loop-codegen expression, array_sort on a bounded
     * k-element array is cheap).
     */
-  private def nearestCids(cents: Seq[(Int, Seq[Double])], v: Column,
-                          nProbe: Int): Column = {
+  private[graft] def nearestCids(cents: Seq[(Int, Seq[Double])], v: Column,
+                          nProbe: Int): Column =
+    graft.functions.VecExprs.nearestCells(v, cents.map(_._1),
+      cents.map(_._2), nProbe)
+
+  /** The built-in compositional form of `nearestCids` — an array of
+    * per-centroid (round(dist2, 6), cid) structs, sorted and sliced.
+    * Kept ONLY as the semantic pin for the loop expression (DedupSpec
+    * asserts equality on the fixture): it plans one literal subtree per
+    * centroid, which falls out of codegen at auto-sized cell counts.
+    */
+  private[graft] def nearestCidsComposed(cents: Seq[(Int, Seq[Double])],
+                                             v: Column, nProbe: Int): Column = {
     val dists = array(cents.map { case (cid, ctr) =>
       struct(round(graft.functions.VecExprs.arrayDist2(v, typedLit(ctr)), 6)
         .as("d"), lit(cid).as("cid"))
     }: _*)
-    transform(slice(array_sort(dists), 1, nProbe), x => x.getField("cid"))
+    transform(slice(array_sort(dists), 1, nProbe),
+      x => x.getField("cid").cast(IntegerType))
   }
 
   private def round6(x: Double): Double =

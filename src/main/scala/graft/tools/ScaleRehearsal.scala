@@ -86,6 +86,12 @@ object ScaleRehearsal {
       "ann_ivf" -> (() => SimilaritySearch.ivfTopK(emb,
         emb.filter(col("vec_id") % lit(1000000L) < 10), "embedding", "vec_id",
         k = 5).count()),
+      // trained k-means IVF (r7): auto cell count ~sqrt(corpus) keeps BOTH
+      // the cell table and per-cell occupancy sublinear — candidate volume
+      // per query grows ~sqrt(n) where a fixed cell count grows ~n
+      "ann_kmeans" -> (() => SimilaritySearch.kmeansIvfTopK(emb,
+        emb.filter(col("vec_id") % lit(1000000L) < 10), "embedding", "vec_id",
+        k = 5, nProbe = 8).count()),
       "stream_neardup_twin" -> (() =>
         graft.streaming.StreamingNearDup.verdicts(docs, "doc_id", "text")
           .groupBy(col("docId")).agg(max(col("isDup"))).count()),

@@ -188,6 +188,22 @@ class DedupSpec extends AnyFunSuite {
     assert(auto.count() > 0)
   }
 
+  test("NearestCells loop expression == compositional argmin form") {
+    val emb = TestSpark.table("embeddings").limit(300)
+    val c = emb.select($"vec_id".as("corpus_id"),
+      graft.operators.Dedup.normalized($"embedding").as("cv"))
+    val cents = SimilaritySearch.kmeansCentroids(c, 12, 1)
+    for (nProbe <- Seq(1, 4, 12)) {
+      val loop = c.select($"corpus_id",
+          SimilaritySearch.nearestCids(cents, $"cv", nProbe).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val composed = c.select($"corpus_id",
+          SimilaritySearch.nearestCidsComposed(cents, $"cv", nProbe).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(loop === composed, s"nProbe=$nProbe")
+    }
+  }
+
   test("kmeansCentroids drops emptied clusters and is deterministic") {
     val emb = TestSpark.table("embeddings").limit(200)
     val c = emb.select($"vec_id".as("corpus_id"),
