@@ -506,6 +506,46 @@ object VecExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sequential dot product of an int8-quantized vector (array<tinyint>)
+    * against a full-precision one (array<double>) — the asymmetric-
+    * distance kernel of the SQ8 ANN postings: cosine ≈ scale/127 * this.
+    * Left-associated index-order sum, bit-identical to the oracle's
+    * list_sum(list_zip). Keeping the int8 side un-dequantized in storage
+    * is the point — the expression widens per element on the fly.
+    */
+  case class ArrayDotBytes(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expected (array<tinyint>, array<double>), got $l, $r")
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val x = a.toByteArray()
+      val y = b.toDoubleArray()
+      var s = 0.0
+      var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dbExpr", this, classOf[ArrayDotBytes].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** The `nProbe` nearest centroid ids for a vector — the IVF cell-probe
     * argmin as ONE loop expression. The compositional form (an array of
     * per-centroid `(round(dist2, 6), cid)` structs, sorted and sliced)
@@ -620,4 +660,8 @@ object VecExprs {
                    nProbe: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(v), cids, cents,
       nProbe))
+
+  def arrayDotBytes(q: Column, v: Column): Column =
+    GraftBridge.column(ArrayDotBytes(GraftBridge.expression(q),
+      GraftBridge.expression(v)))
 }

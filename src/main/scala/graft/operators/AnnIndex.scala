@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ByteType
 
 /** Persisted IVF/LSH ANN index — the embedding-side twin of
   * `DedupIndex`: the corpus' normalized vectors are laid out ONCE under
@@ -35,26 +36,47 @@ object AnnIndex {
     * table properties, and `probe` reads it from there — the caller
     * cannot desynchronize probe hashing from the layout.
     */
+  /** `quantize = true` stores SQ8 postings: each normalized vector as
+    * int8 codes (`qv` = round(cv * 127 / scale), `qscale` = max|cv_i|)
+    * instead of the float64 array — 8x fewer vector bytes per posting
+    * row, THE lever at 100 TB where the postings (×nTables) dominate
+    * index storage and probe-side scan bytes. Probes score by asymmetric
+    * distance (stored codes × full-precision query, `ArrayDotBytes`), so
+    * quantization error enters once, not twice.
+    */
   def write(corpus: DataFrame, vecCol: String, idCol: String, name: String,
             path: String, planesPerTable: Int = 0, nTables: Int = 16,
-            numBuckets: Int = 32): Unit = {
+            numBuckets: Int = 32, quantize: Boolean = false): Unit = {
     import graft.functions.VecExprs
     val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
     val planes =
       if (planesPerTable > 0) planesPerTable
       else Dedup.planesFor(raw.count())
-    val postings = raw
+    val normed = raw
       .repartition(graft.ops.Partitions.cpuSpread(raw), col("corpus_id"))
       .select(col("corpus_id"), Dedup.normalized(col("__v")).as("cv"))
+    val keyed = normed
       .select(col("corpus_id"), col("cv"),
         posexplode(VecExprs.hyperplaneBuckets(col("cv"), nTables, planes)))
       .select(col("pos").as("tbl"), col("col").as("bkt"),
         col("corpus_id"), col("cv"))
+    val postings =
+      if (!quantize) keyed
+      else {
+        val scale = aggregate(col("cv"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x)))
+        keyed
+          .withColumn("qscale", scale)
+          .select(col("tbl"), col("bkt"), col("corpus_id"), col("qscale"),
+            transform(col("cv"), x =>
+              round(x * lit(127.0) / col("qscale")).cast(ByteType)).as("qv"))
+      }
     val table = postingsTable(name)
     graft.sources.Bucketize.writeBucketed(postings, table,
       s"$path/postings", Seq("tbl", "bkt"), numBuckets)
     corpus.sparkSession.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
-      s"'graft.planesPerTable' = '$planes', 'graft.nTables' = '$nTables')")
+      s"'graft.planesPerTable' = '$planes', 'graft.nTables' = '$nTables', " +
+      s"'graft.quantized' = '$quantize')")
   }
 
   /** The (planesPerTable, nTables) geometry persisted with the index. */
@@ -64,6 +86,15 @@ object AnnIndex {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     (props("graft.planesPerTable").toInt, props("graft.nTables").toInt)
   }
+
+  /** Whether the postings were written SQ8-quantized (absent = false,
+    * for indexes laid out before the flag existed).
+    */
+  def quantized(spark: org.apache.spark.sql.SparkSession,
+                name: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES `${postingsTable(name)}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("graft.quantized").exists(_.toBoolean)
 
   /** Top-k per query against the persisted postings; the bucket geometry
     * comes from the index's own table properties. Output schema and rank
@@ -86,13 +117,88 @@ object AnnIndex {
         col("pos").as("tbl"), col("col").as("bkt"))
     val postings = spark.table(postingsTable(name))
     // score before deduplicating multi-table hits, same rationale as
-    // ivfTopK: once scored, the vectors drop out of the dedup shuffle
-    val scored = postings.join(q, Seq("tbl", "bkt"))
+    // ivfTopK: once scored, the vectors drop out of the dedup shuffle.
+    // SQ8 postings (detected from the layout's own schema, so plain
+    // views work too) score by asymmetric distance: stored int8 codes
+    // against the full-precision query vector, cosine ≈ qscale/127 * dot
+    val cosine =
+      if (postings.columns.contains("qscale"))
+        round(col("qscale") / lit(127.0) *
+          VecExprs.arrayDotBytes(col("qv"), col("qv_q")), 6)
+      else round(VecExprs.arrayDot(col("cv"), col("qv_q")), 6)
+    val scored = postings.join(q.withColumnRenamed("qv", "qv_q"),
+        Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine)
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(first(col("cosine")).as("cosine"))
+    SimilaritySearch.topK(scored, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted trained-centroid IVF: the k-means twin of the LSH postings
+  // layout. `writeKmeans` trains the deterministic k-means quantizer ONCE
+  // (SimilaritySearch.kmeansCentroids), lays the cid-assigned corpus out
+  // bucketed by cell, and stores the centroid table alongside — probes
+  // re-read the trained centroids (bounded: kClusters x dim) instead of
+  // re-training, and join their probed cells against a bucketed scan.
+  // ---------------------------------------------------------------------
+
+  def cellsTable(name: String): String = s"${name}_cells"
+  def centroidsTable(name: String): String = s"${name}_centroids"
+
+  /** Train + lay out the k-means IVF index. `kClusters <= 0` auto-sizes
+    * to ~sqrt(corpus) (the IVF scaling — cell table and occupancy both
+    * ~sqrt(n)). Training geometry is pinned by the stored centroid table
+    * itself; probes cannot desynchronize from the layout.
+    */
+  def writeKmeans(corpus: DataFrame, vecCol: String, idCol: String,
+                  name: String, path: String, kClusters: Int = 0,
+                  iters: Int = 2, numBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val c = raw
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("corpus_id"))
+      .select(col("corpus_id"), Dedup.normalized(col("__v")).as("cv"))
+      .localCheckpoint()
+    val kc =
+      if (kClusters > 0) kClusters
+      else math.max(16, math.sqrt(c.count().toDouble).toInt)
+    val cents = SimilaritySearch.kmeansCentroids(c, kc, iters)
+    val assigned = c.withColumn("cid",
+      element_at(SimilaritySearch.nearestCids(cents, col("cv"), 1), 1))
+      .select(col("cid"), col("corpus_id"), col("cv"))
+    graft.sources.Bucketize.writeBucketed(assigned, cellsTable(name),
+      s"$path/cells", Seq("cid"), numBuckets)
+    import spark.implicits._
+    val centDf = cents.toDF("cid", "cv")
+    graft.sources.Bucketize.writeBucketed(centDf, centroidsTable(name),
+      s"$path/centroids", Seq("cid"), 1)
+  }
+
+  /** Top-k per query against the persisted cells: assign each query to
+    * its `nProbe` nearest STORED centroids (no re-training — the
+    * centroid table is a bounded kClusters x dim collect) and join on
+    * cid against the bucketed cell scan. Output schema and semantics are
+    * exactly `SimilaritySearch.kmeansIvfTopK`'s on the same geometry.
+    */
+  def probeKmeans(queries: DataFrame, vecCol: String, idCol: String,
+                  name: String, k: Int, nProbe: Int = 8): DataFrame = {
+    import graft.functions.VecExprs
+    val spark = queries.sparkSession
+    val cents: Seq[(Int, Seq[Double])] = spark.table(centroidsTable(name))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .toSeq.sortBy(_._1)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("query_id"), Dedup.normalized(col("__v")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(SimilaritySearch.nearestCids(cents, col("qv"), nProbe)).as("cid"))
+    val scored = spark.table(cellsTable(name)).join(q, Seq("cid"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
         round(VecExprs.arrayDot(col("cv"), col("qv")), 6))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(first(col("cosine")).as("cosine"))
     SimilaritySearch.topK(scored, k)
   }
 

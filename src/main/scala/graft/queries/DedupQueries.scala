@@ -49,6 +49,40 @@ object DedupQueries {
        |  FROM scored)
        |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
 
+  // the SQ8-quantized postings probe: same bucket geometry as annIvfSql,
+  // but candidates score by asymmetric distance — stored int8 codes
+  // (round(nv * 127 / max|nv|)) against the full-precision query vector,
+  // cosine = scale/127 * dot, reproduced exactly in SQL
+  private val annIvfSq8Sql =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT id, scale,
+       |    list_transform(nv, x -> CAST(round(x * 127 / scale, 0) AS TINYINT)) AS qv
+       |  FROM (SELECT id, nv,
+       |          list_max(list_transform(nv, x -> abs(x))) AS scale FROM v)),
+       |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+       |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+       |  FROM bt c JOIN bt q ON q.id < 10 AND q.id <> c.id
+       |    AND c.tbl = q.tbl AND c.bkt = q.bkt),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(c.scale / 127 * list_sum(list_transform(list_zip(c.qv, q.nv),
+       |      p -> p[1] * p[2])), 6) AS cosine
+       |  FROM cand JOIN qz c ON cand.corpus_id = c.id JOIN v q ON cand.query_id = q.id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+
   /** CTEs reproducing `SimilaritySearch.kmeansCentroids` +
     * `kmeansIvfTopK` bit-for-bit: md5-ranked init, `iters` unrolled Lloyd
     * steps, round-to-6 at exactly the points the Scala side rounds
@@ -240,6 +274,21 @@ object DedupQueries {
         "graft_ann_index_q", k = 5)
     }),
 
+    // SQ8-quantized persisted ANN index: postings store int8 codes +
+    // per-vector scale (8x fewer vector bytes — the 100 TB storage and
+    // probe-scan lever); probes score by asymmetric distance. Own oracle
+    // (quantization reproduced in SQL), so the approximation is
+    // hash-verified, not just recall-gated.
+    "q_ann_index_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_sq8")
+        .toString
+      AnnIndex.write(emb, "embedding", "vec_id", "graft_ann_sq8_q", path,
+        planesPerTable = 4, nTables = 16, numBuckets = 8, quantize = true)
+      AnnIndex.probe(emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        "graft_ann_sq8_q", k = 5)
+    }),
+
     // trained-centroid IVF (k-means coarse quantizer): data-adaptive
     // cells instead of data-independent hyperplane signs — the classic
     // IVF-flat ANN shape. Geometry pinned (16 cells, 2 Lloyd steps,
@@ -249,6 +298,21 @@ object DedupQueries {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, kClusters = 16, nProbe = 8, iters = 2)
+    }),
+
+    // persisted trained-centroid IVF: train + lay out cells once, probe
+    // the same batch — identical semantics to the one-shot kmeansIvfTopK
+    // on the pinned geometry (deterministic training), so the same
+    // unrolled-Lloyd oracle applies; what this row proves is the
+    // persisted write+probe path (stored centroids, bucketed cells).
+    "q_ann_kmeans_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_km")
+        .toString
+      AnnIndex.writeKmeans(emb, "embedding", "vec_id", "graft_ann_km_q", path,
+        kClusters = 16, iters = 2, numBuckets = 8)
+      AnnIndex.probeKmeans(emb.filter(col("vec_id") < 10), "embedding",
+        "vec_id", "graft_ann_km_q", k = 5, nProbe = 8)
     }),
 
     // recall@k of the trained-IVF path against exact brute force — the
@@ -548,7 +612,12 @@ object DedupQueries {
 
     "q_ann_ivf" -> annIvfSql,
 
+    "q_ann_index_sq8" -> annIvfSq8Sql,
+
     "q_ann_kmeans" -> annKmeansSql,
+    // the persisted trained index reuses kmeansIvfTopK's deterministic
+    // training + scoring on the same pinned geometry — same oracle
+    "q_ann_kmeans_index" -> annKmeansSql,
     "q_ann_kmeans_recall" -> annKmeansRecallSql,
 
     // the persisted-index probe shares ivfTopK's bucket/score/rank

@@ -149,6 +149,31 @@ object ScaleRehearsal {
           .filter(col("vec_id") < 500)
         graft.operators.AnnIndex.probe(batch, "embedding", "vec_id",
           "graft_rehearsal_ann", k = 5).count()
+      }),
+      // SQ8 postings: same contract, 8x fewer vector bytes per posting —
+      // the probe reads int8 codes and scores by asymmetric distance;
+      // reported rows include the postings dir byte size via println
+      "ann_index_sq8_build" -> (() => {
+        graft.operators.AnnIndex.write(emb, "embedding", "vec_id",
+          "graft_rehearsal_ann8", s"$outDir/ann_index_sq8", numBuckets = 32,
+          quantize = true)
+        def bytes(p: String): Long = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+        println(f"[scale]      ann_index_sq8 postings bytes: " +
+          f"sq8=${bytes(s"$outDir/ann_index_sq8")}%d " +
+          f"full=${bytes(s"$outDir/ann_index")}%d")
+        spark.table(graft.operators.AnnIndex.postingsTable(
+          "graft_rehearsal_ann8")).count()
+      }),
+      "ann_index_sq8_probe" -> (() => {
+        val batch = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+        graft.operators.AnnIndex.probe(batch, "embedding", "vec_id",
+          "graft_rehearsal_ann8", k = 5).count()
       })
     )
 

@@ -54,6 +54,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("SQ8 postings: ~8x fewer vector bytes, top-5 overlap >= 0.9 vs full precision") {
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val emb = TestSpark.table("embeddings").limit(400)
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val sq8 = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_full", full,
+      planesPerTable = 4, nTables = 16, numBuckets = 4)
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_sq8", sq8,
+      planesPerTable = 4, nTables = 16, numBuckets = 4, quantize = true)
+    assert(AnnIndex.quantized(spark, "graft_annidx_sq8"))
+    assert(!AnnIndex.quantized(spark, "graft_annidx_full"))
+    val fb = dirBytes(s"$full/postings")
+    val qb = dirBytes(s"$sq8/postings")
+    assert(qb < fb / 2, s"quantized postings $qb B vs full $fb B")
+    // asymmetric-distance ranking stays close to full precision: mean
+    // top-5 overlap per query >= 0.9 on the fixture
+    val fTop = AnnIndex.probe(queries, "embedding", "vec_id",
+        "graft_annidx_full", k = 5)
+      .select(col("query_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qTop = AnnIndex.probe(queries, "embedding", "vec_id",
+        "graft_annidx_sq8", k = 5)
+      .select(col("query_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (fTop & qTop).size.toDouble / fTop.size
+    assert(overlap >= 0.9, s"SQ8 top-5 overlap degraded to $overlap")
+  }
+
   test("probeStream matches the batch probe per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -86,6 +121,33 @@ class AnnIndexSpec extends AnyFunSuite {
         r.getDouble(3)))
     assert(seen.nonEmpty)
     assert(seen.sorted.toSeq === direct.sorted.toSeq)
+  }
+
+  test("kmeans index probe is bit-identical to one-shot kmeansIvfTopK, zero cell-side Exchange") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val queries = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.writeKmeans(emb, "embedding", "vec_id", "graft_annidx_km", dir,
+      kClusters = 12, iters = 2, numBuckets = 4)
+    val got = AnnIndex.probeKmeans(queries, "embedding", "vec_id",
+      "graft_annidx_km", k = 5, nProbe = 6)
+    val expected = SimilaritySearch.kmeansIvfTopK(emb, queries, "embedding",
+        "vec_id", k = 5, kClusters = 12, nProbe = 6, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).sorted
+    assert(gotRows.nonEmpty)
+    assert(gotRows.toSeq === expected.toSeq)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = AnnIndex.probeKmeans(queries, "embedding", "vec_id",
+        "graft_annidx_km", k = 5, nProbe = 6)
+      probe.collect()
+      // the cells scan must come back bucketed — no Exchange on the
+      // stored corpus side (the centroid table read is a bounded collect)
+      assert(Bucketize.bucketedScans(probe) >= 1,
+        probe.queryExecution.executedPlan.toString)
+    }
   }
 
   test("probe plans zero exchanges on the corpus side") {
