@@ -216,29 +216,26 @@ object ColumnAssociations {
     })
     val binned = df.select(plans.labels.map(_._2): _*)
 
-    val view = s"__graft_assoc_${System.identityHashCode(df).toHexString}"
-    binned.createOrReplaceTempView(view)
-    val sets = pairs.map { case (a, b) => s"(`$a`, `$b`)" }.mkString(", ")
-    val gs = df.sparkSession.sql(
-      s"SELECT ${cols.map(c => s"`$c`").mkString(", ")}, count(1) AS __cnt " +
-        s"FROM $view GROUP BY GROUPING SETS ($sets)")
-
-    // Melt each contingency row to its pair in ONE projection: bin labels are
-    // never null, so a grouping-sets row belongs to exactly the pair whose
-    // two columns are non-null — and since pairs are (i < j) in `cols` order,
-    // that pair is simply the (first, second) non-null column. O(cols)
-    // expression size and zero per-pair subplans: at 100 columns this stays
-    // one stage, where a filter-per-pair fan-out would plan 4,950 subplans.
-    val tagged = filter(
-      array(cols.map(c =>
-        when(col(c).isNotNull,
-          struct(lit(c).as("name"), col(c).as("value")))): _*),
-      x => x.isNotNull)
-    val perPair = gs
-      .select(tagged.as("p"), col("__cnt").cast(DoubleType).as("o"))
-      .select(
-        col("p")(0)("name").as("col_a"), col("p")(1)("name").as("col_b"),
-        col("p")(0)("value").as("va"), col("p")(1)("value").as("vb"), col("o"))
+    // ONE hash aggregate by the FULL binned tuple first: bin labels bound
+    // every column to <= max(nBins, maxCats)+1 values, so the distinct
+    // combo count is data-bounded and small (and never exceeds the row
+    // count — the degenerate case merely adds one cheap pre-pass). Only
+    // the aggregated combo frame is then expanded x |pairs| and re-summed
+    // into per-pair cells. The previous GROUPING SETS form expanded EVERY
+    // INPUT ROW x |pairs| before its partial aggregation — 22.5M virtual
+    // rows for 1.5M x 15 pairs at the 10x rehearsal (6.9 s vs DuckDB's
+    // vectorized 0.6 s); the combo pre-aggregation scans the input once
+    // and pays the pair fan-out only on the tiny combo frame.
+    val base = binned.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val pairStructs = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(a).as("va"), col(b).as("vb"))
+    }: _*)
+    val perPair = base
+      .select(explode(pairStructs).as("p"), col("__cnt"))
+      .groupBy(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"))
+      .agg(sum(col("__cnt")).cast(DoubleType).as("o"))
 
     // A pair's whole contingency table is at most (nBins+1) x (maxCats+1)
     // cells — collect it into ONE group and compute marginals, dimensions,

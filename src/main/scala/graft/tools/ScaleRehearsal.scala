@@ -71,7 +71,16 @@ object ScaleRehearsal {
             .otherwise(x)).as("embedding"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings10.parquet")
 
-    def queries(docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = Seq(
+    // 10x orders for the constant-job fit shapes (cleaner / drop_similar /
+    // column_assoc): 9 key-shifted copies — value distributions preserved,
+    // so the fitted plans stay comparable across scales
+    val ord1 = spark.read.parquet(s"$sfDir/orders.parquet")
+    ord1.select(col("*"), copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy") * lit(100000000L))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$outDir/orders10.parquet")
+
+    def queries(docs: DataFrame, emb: DataFrame, ord: DataFrame): Seq[(String, () => Long)] = Seq(
       "dedup_exact" -> (() => Dedup.exact(docs, "text", "doc_id").count()),
       "dedup_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.2, maxShingleDf = 25L).count()),
@@ -174,15 +183,39 @@ object ScaleRehearsal {
           .filter(col("vec_id") < 500)
         graft.operators.AnnIndex.probe(batch, "embedding", "vec_id",
           "graft_rehearsal_ann8", k = 5).count()
-      })
+      }),
+      // constant-job fit shapes (the perf-weak-by-the-2x-letter family):
+      // their job count is independent of row count, so wall time must
+      // grow far slower than 10x while the DuckDB oracle grows ~linearly
+      // — the measured "ratio collapses with data size" claim. Bodies
+      // mirror the registered queries (CleanerQueries/KernelQueries/
+      // EncoderQueries) exactly.
+      "fit_cleaner" -> (() => {
+        val messy = ord.select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od_str"),
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .cast("string").as("price_str"),
+          when(col("o_orderstatus") === "F", "N/A")
+            .otherwise(col("o_orderstatus")).as("status_m"),
+          lit("X").as("const_col"),
+          lit(null).cast("string").as("null_col"))
+        graft.operators.Cleaner.fitTransform(messy).count()
+      }),
+      "fit_drop_similar" -> (() => graft.encoders.DropSimilar.transform(
+        ord.withColumn("status_copy", col("o_orderstatus")),
+        threshold = 1.0).count()),
+      "fit_column_assoc" -> (() =>
+        graft.operators.ColumnAssociations.allPairs(ord).count())
     )
 
     // Optional comma-separated name filter (same contract as Bench's
     // SPARK_GRAFT_QUERIES) for targeted re-timing of one family.
     val only = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def selected(docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] =
-      queries(docs, emb).filter { case (n, _) => only.forall(_.contains(n)) }
+    def selected(docs: DataFrame, emb: DataFrame,
+                 ord: DataFrame): Seq[(String, () => Long)] =
+      queries(docs, emb, ord).filter { case (n, _) => only.forall(_.contains(n)) }
 
     def clear(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -191,12 +224,12 @@ object ScaleRehearsal {
     }
 
     def runSuite(label: String, docs: DataFrame, emb: DataFrame,
-                 warm: Boolean): Unit = {
+                 ord: DataFrame, warm: Boolean): Unit = {
       // untimed warmup (codegen/JIT), same discipline as Bench — skipped at
       // 10x, where every query runs seconds-to-minutes and the one-off JIT
       // constant is noise (the 1x pass has already compiled the kernels)
-      if (warm) selected(docs, emb).foreach { case (_, f) => f(); clear() }
-      selected(docs, emb).foreach { case (name, f) =>
+      if (warm) selected(docs, emb, ord).foreach { case (_, f) => f(); clear() }
+      selected(docs, emb, ord).foreach { case (name, f) =>
         clear()
         val (r0, w0) = (tally.read.get(), tally.write.get())
         val t0 = System.nanoTime()
@@ -210,9 +243,10 @@ object ScaleRehearsal {
 
     val docs10 = spark.read.parquet(s"$outDir/documents10.parquet")
     val emb10 = spark.read.parquet(s"$outDir/embeddings10.parquet")
+    val ord10 = spark.read.parquet(s"$outDir/orders10.parquet")
     runSuite("1x", docs1.select("doc_id", "text"),
-      emb1.select("vec_id", "embedding"), warm = true)
-    runSuite("10x", docs10, emb10, warm = false)
+      emb1.select("vec_id", "embedding"), ord1, warm = true)
+    runSuite("10x", docs10, emb10, ord10, warm = false)
     spark.stop()
   }
 }
