@@ -48,10 +48,22 @@ object ScaleRehearsal {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
 
-    // ---- deterministic 10x corpus ------------------------------------
+    // Optional comma-separated name filter (same contract as Bench's
+    // SPARK_GRAFT_QUERIES) for targeted re-timing of one family.
+    val only = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val needDocsEmb = only.forall(_.exists(n => !n.startsWith("fit_")))
+    val needOrders = only.forall(_.exists(_.startsWith("fit_")))
+
+    // ---- deterministic Nx corpus ------------------------------------
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val copies = explode(sequence(lit(0), lit(9))).as("copy")
+    // SPARK_GRAFT_REHEARSAL_COPIES widens the synthetic corpus (default
+    // 10x) — e.g. 100 for crossover measurements on the cheap fit shapes
+    val nCopies = sys.env.get("SPARK_GRAFT_REHEARSAL_COPIES")
+      .map(_.toInt).getOrElse(10)
+    val copies = explode(sequence(lit(0), lit(nCopies - 1))).as("copy")
+    if (needDocsEmb) {
     docs1.select(col("doc_id"), col("text"), copies)
       .select((col("doc_id") + col("copy") * lit(1000000L)).as("doc_id"),
         // copy 0 keeps the original text; others append a copy token so
@@ -70,12 +82,13 @@ object ScaleRehearsal {
           (x, i) => when(i === 0, x + col("copy").cast("float") / 1000.0f)
             .otherwise(x)).as("embedding"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings10.parquet")
+    }
 
     // 10x orders for the constant-job fit shapes (cleaner / drop_similar /
     // column_assoc): 9 key-shifted copies — value distributions preserved,
     // so the fitted plans stay comparable across scales
     val ord1 = spark.read.parquet(s"$sfDir/orders.parquet")
-    ord1.select(col("*"), copies)
+    if (needOrders) ord1.select(col("*"), copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("copy") * lit(100000000L))
       .drop("copy")
       .write.mode("overwrite").parquet(s"$outDir/orders10.parquet")
@@ -209,10 +222,6 @@ object ScaleRehearsal {
         graft.operators.ColumnAssociations.allPairs(ord).count())
     )
 
-    // Optional comma-separated name filter (same contract as Bench's
-    // SPARK_GRAFT_QUERIES) for targeted re-timing of one family.
-    val only = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(docs: DataFrame, emb: DataFrame,
                  ord: DataFrame): Seq[(String, () => Long)] =
       queries(docs, emb, ord).filter { case (n, _) => only.forall(_.contains(n)) }
@@ -241,12 +250,17 @@ object ScaleRehearsal {
       }
     }
 
-    val docs10 = spark.read.parquet(s"$outDir/documents10.parquet")
-    val emb10 = spark.read.parquet(s"$outDir/embeddings10.parquet")
-    val ord10 = spark.read.parquet(s"$outDir/orders10.parquet")
+    // families whose synthesis was skipped fall back to the 1x frames —
+    // their queries are filtered out anyway
+    val docs10 = if (needDocsEmb)
+      spark.read.parquet(s"$outDir/documents10.parquet") else docs1
+    val emb10 = if (needDocsEmb)
+      spark.read.parquet(s"$outDir/embeddings10.parquet") else emb1
+    val ord10 = if (needOrders)
+      spark.read.parquet(s"$outDir/orders10.parquet") else ord1
     runSuite("1x", docs1.select("doc_id", "text"),
       emb1.select("vec_id", "embedding"), ord1, warm = true)
-    runSuite("10x", docs10, emb10, ord10, warm = false)
+    runSuite(s"${nCopies}x", docs10, emb10, ord10, warm = false)
     spark.stop()
   }
 }
