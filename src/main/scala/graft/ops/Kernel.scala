@@ -134,6 +134,74 @@ object Kernel {
     df.orderBy((key +: keys.map(col)): _*).limit(n)
   }
 
+  /** Lowercase-hex threshold over the first 15 md5 chars for fraction
+    * `f`: equal-length lowercase hex compares lexicographically exactly
+    * as it compares numerically, so `substr(md5(x), 1, 15) < threshold`
+    * keeps a deterministic ~f of rows — no RNG, no partition-layout
+    * sensitivity, and any engine with md5 (the DuckDB oracle included)
+    * reproduces the exact same subset. 15 hex chars = 60 bits: fraction
+    * resolution 2^-60, far below any sampling noise floor.
+    */
+  private[graft] def hexThreshold15(f: Double): String =
+    if (f >= 1.0) "g" // '>' any hex char: keeps every row
+    else if (f <= 0.0) "000000000000000" // nothing strictly below: keeps none
+    else {
+      val t = (BigDecimal(f) * BigDecimal(BigInt(1) << 60))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+      val h = t.toString(16)
+      "0" * (15 - h.length) + h
+    }
+
+  /** Deterministic per-stratum fraction sampling (class-balanced
+    * subsampling for training pipelines — e.g. downsample dominant
+    * languages/labels): keep rows whose md5(keys:seed) prefix falls
+    * under the stratum's threshold. ONE scan, zero shuffles, an
+    * entirely codegen'd filter over the parquet read — the only shape
+    * that holds at 100 TB (a per-stratum loop of jobs or a stratum
+    * repartition would scan or shuffle the corpus |strata| times).
+    * Strata absent from `fractions` are dropped (fraction 0). The
+    * reference's subsampling is a single global `sample(n, seed)`
+    * (skrub/_data_ops/_subsampling.py:63); the stratified form is the
+    * scale-path generalization.
+    */
+  def sampleStratifiedFraction(df: DataFrame, stratumCol: String,
+                               fractions: Map[String, Double], seed: Long,
+                               keys: Seq[String]): DataFrame = {
+    val h = substring(md5(concat_ws(":",
+      (keys.map(col(_).cast(StringType)) :+ lit(seed.toString)): _*)), 1, 15)
+    // small driver-side label map -> chained when(); stays codegen'd and
+    // constant-folded, never a join
+    val thr = fractions.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (s, f)) =>
+        when(col(stratumCol).cast(StringType) === s,
+          lit(hexThreshold15(f))).otherwise(acc)
+    }
+    df.filter(h < thr) // null threshold (unlisted stratum) filters false
+  }
+
+  /** Deterministic exact-k-per-stratum sampling: the k rows with the
+    * smallest md5(keys:seed) in each stratum. Implemented with the
+    * bounded `MinKBy` aggregate, NOT a row_number window: each map-side
+    * partial carries at most k rows per stratum, so the shuffle moves
+    * O(|strata| * k) rows regardless of corpus size or stratum skew —
+    * a window would shuffle and fully sort every row of the dominant
+    * stratum through one task's sort. `keys` must uniquely identify
+    * rows (the md5 tie-break contract sampleExactBy already carries).
+    */
+  def sampleStratifiedExact(df: DataFrame, stratumCol: String, n: Int,
+                            seed: Long, keys: Seq[String]): DataFrame = {
+    val h = md5(concat_ws(":",
+      (keys.map(col(_).cast(StringType)) :+ lit(seed.toString)): _*))
+    val payload = struct(df.columns.map(col): _*)
+    df.select(struct(h.as("h"), payload.as("p")).as("hp"),
+        col(stratumCol).as("__stratum"))
+      .groupBy(col("__stratum"))
+      .agg(graft.functions.AggExprs.minKBy(col("hp"), n).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t").getField("p").as("__p"))
+      .select(col("__p.*"))
+  }
+
   /** Duration (interval / numeric seconds) to float seconds
     * (reference `total_seconds`, _common.py:1466-1478).
     */

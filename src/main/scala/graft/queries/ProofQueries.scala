@@ -34,11 +34,30 @@ object ProofQueries {
     }
   }
 
+  /** One definition feeds BOTH the Spark query and the oracle's CASE
+    * thresholds — the keep-rates cannot drift apart. Two priority
+    * classes are deliberately unlisted (kept at 0).
+    */
+  private val StratifiedFractions: Map[String, Double] =
+    Map("1-URGENT" -> 0.30, "3-MEDIUM" -> 0.10, "5-LOW" -> 0.02)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact-n deterministic sample: md5-keyed ordering, reproducible by the
     // oracle regardless of partition layout
     "q_sample" -> ((s, dir) =>
       Kernel.sampleExactBy(t(s, dir, "orders"), 200, 42, Seq("o_orderkey"))),
+
+    // stratified fraction sampling: one codegen'd hash-threshold filter,
+    // different keep-rates per priority class, two classes unlisted (drop)
+    "q_sample_stratified" -> ((s, dir) =>
+      Kernel.sampleStratifiedFraction(t(s, dir, "orders"), "o_orderpriority",
+        StratifiedFractions, 42, Seq("o_orderkey"))),
+
+    // exact k-per-stratum via the bounded MinKBy aggregate (shuffle is
+    // O(|strata| * k) rows, stratum skew notwithstanding)
+    "q_sample_stratified_exact" -> ((s, dir) =>
+      Kernel.sampleStratifiedExact(t(s, dir, "orders"), "o_orderpriority",
+        50, 42, Seq("o_orderkey"))),
 
     // is_sorted: a monotone column and a non-monotone column under the same
     // explicit ordering, one row out
@@ -237,6 +256,22 @@ object ProofQueries {
       """SELECT * FROM orders
         |ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':' || '42'), o_orderkey
         |LIMIT 200""".stripMargin,
+
+    "q_sample_stratified" -> {
+      val cases = StratifiedFractions.map { case (s, f) =>
+        s"WHEN '$s' THEN '${Kernel.hexThreshold15(f)}'"
+      }.mkString(" ")
+      s"""SELECT * FROM orders
+         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || '42'), 1, 15)
+         |  < CASE o_orderpriority $cases END""".stripMargin
+    },
+
+    "q_sample_stratified_exact" ->
+      """SELECT * EXCLUDE (rn) FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':' || '42')) AS rn
+        |  FROM orders)
+        |WHERE rn <= 50""".stripMargin,
 
     "q_is_sorted" ->
       """SELECT

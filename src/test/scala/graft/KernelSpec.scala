@@ -155,4 +155,43 @@ class KernelSpec extends AnyFunSuite {
     assert(out.count() === 3)
     assert(out.filter($"i".isNull && $"s".isNull).count() === 3)
   }
+
+  test("sampleStratifiedFraction: deterministic, shuffle-free, drops unlisted strata") {
+    val df = (1 to 4000).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "label")
+    val fr = Map("a" -> 0.5, "b" -> 0.05)
+    val s1 = Kernel.sampleStratifiedFraction(df, "label", fr, 7, Seq("id"))
+    // one codegen'd filter over the scan — zero exchanges is the whole
+    // point of the hash-threshold design
+    assert(graft.sources.Bucketize.shuffleExchanges(s1) === 0,
+      s1.queryExecution.executedPlan.toString)
+    val rows1 = s1.collect().map(_.getInt(0)).toSet
+    val rows2 = Kernel.sampleStratifiedFraction(df, "label", fr, 7, Seq("id"))
+      .collect().map(_.getInt(0)).toSet
+    assert(rows1 === rows2) // same seed -> identical subset
+    assert(s1.filter($"label" === "c").count() === 0) // unlisted -> dropped
+    val na = s1.filter($"label" === "a").count().toDouble / (4000 / 3)
+    val nb = s1.filter($"label" === "b").count().toDouble / (4000 / 3)
+    assert(math.abs(na - 0.5) < 0.08, s"a keep-rate $na")
+    assert(math.abs(nb - 0.05) < 0.04, s"b keep-rate $nb")
+    // a different seed picks a different subset
+    val other = Kernel.sampleStratifiedFraction(df, "label", fr, 8, Seq("id"))
+      .collect().map(_.getInt(0)).toSet
+    assert(other !== rows1)
+  }
+
+  test("sampleStratifiedExact: k rows per stratum, skew-proof aggregate shape") {
+    val df = ((1 to 900).map(i => (i, "big")) ++ (901 to 905).map(i => (i, "small")))
+      .toDF("id", "label")
+    val out = Kernel.sampleStratifiedExact(df, "label", 10, 7, Seq("id"))
+    assert(out.columns.toSeq === Seq("id", "label"))
+    val byLabel = out.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel("big") === 10)
+    assert(byLabel("small") === 5) // min(k, stratum size)
+    // deterministic across runs
+    assert(out.collect().map(_.getInt(0)).toSet ===
+      Kernel.sampleStratifiedExact(df, "label", 10, 7, Seq("id"))
+        .collect().map(_.getInt(0)).toSet)
+  }
 }
