@@ -109,7 +109,9 @@ object Bench {
         else s""","fast_n":${folded.length},"fast_sum":${fmt(folded.sum)}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queryJson(entries, fmt)}$foldPart$errPart}"""
     }
-    val MaxLine = 1880
+    // window 2000 − sbt epilogue "[success] Total time: ..." (~75) −
+    // "[info] " line prefix (7) − newlines ≈ 1915 usable
+    val MaxLine = 1905
     var kept = short
     var folded = Vector.empty[Double]
     var out = line(kept, folded)
