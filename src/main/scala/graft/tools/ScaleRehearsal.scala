@@ -219,7 +219,18 @@ object ScaleRehearsal {
         ord.withColumn("status_copy", col("o_orderstatus")),
         threshold = 1.0).count()),
       "fit_column_assoc" -> (() =>
-        graft.operators.ColumnAssociations.allPairs(ord).count())
+        graft.operators.ColumnAssociations.allPairs(ord).count()),
+      // stratified sampling (r7): the fraction path is one codegen'd scan
+      // predicate — time must grow ~linearly with ZERO shuffle at both
+      // scales; the exact path's MinKBy shuffle is O(strata*k) rows, so
+      // its shufW must stay FLAT from 1x to 10x (the skew-proof claim)
+      "fit_sample_stratified" -> (() =>
+        graft.ops.Kernel.sampleStratifiedFraction(ord, "o_orderpriority",
+          Map("1-URGENT" -> 0.30, "3-MEDIUM" -> 0.10, "5-LOW" -> 0.02),
+          42, Seq("o_orderkey")).count()),
+      "fit_sample_stratified_exact" -> (() =>
+        graft.ops.Kernel.sampleStratifiedExact(ord, "o_orderpriority",
+          50, 42, Seq("o_orderkey")).count())
     )
 
     def selected(docs: DataFrame, emb: DataFrame,
