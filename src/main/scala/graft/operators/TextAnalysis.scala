@@ -90,4 +90,38 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp_exact", Text.contentFingerprint(col(textCol)))
       .withColumn("fp_minshingle", Text.minShingleFingerprint(col(textCol)))
+
+  /** PII / link scrubbing patterns, in application order. Deliberately
+    * restricted to the regex subset RE2 and java.util.regex agree on (no
+    * backreferences, no lookaround): the scrub must produce BYTE-IDENTICAL
+    * output on any engine so redaction is auditable — a corpus scrubbed
+    * twice, or scrubbed and verified by a different system, hashes the
+    * same. Order matters: URLs are scrubbed before emails so `user@host`
+    * inside a URL is consumed by the URL rule.
+    */
+  val ScrubRules: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement token)
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
+  )
+
+  /** Redact PII/links from `textCol`: emits `scrubbed` plus one
+    * `n_<rule>` match-count column per rule (the counts are the audit
+    * trail — "how much PII did this shard contain" aggregates without
+    * rereading the text). Pure column expressions: one codegen'd scan,
+    * zero shuffles, linear at any corpus size.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = ScrubRules.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType))
+    }
+    // counts are measured on the ORIGINAL text per rule, but replacement
+    // is sequential so earlier rules' tokens are never re-matched
+    val scrubbed = ScrubRules.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    counted.withColumn("scrubbed", scrubbed)
+  }
 }

@@ -30,8 +30,23 @@ object TextQueries {
 
     "q_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("fp_exact"), col("fp_minshingle")))
+        .select(col("doc_id"), col("fp_exact"), col("fp_minshingle"))),
+
+    // PII/link scrubbing: a third of the docs get a deterministic
+    // PII-bearing suffix (the corpus itself has none), then the scrub's
+    // byte-identical-output contract is hash-verified across engines
+    "q_scrub_pii" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(PiiSuffix)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scrubPii(d, "text")
+        .select(col("doc_id"), col("n_url"), col("n_email"), col("n_phone"),
+          col("scrubbed"))
+    })
   )
+
+  private val PiiSuffix = " contact a.user@mail.example.org or visit " +
+    "https://example.org/path?q=1 or call +1 (555) 123-4567"
 
   private def markerList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -60,6 +75,28 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
+
+    // counts + nested replacements are GENERATED from TextAnalysis.
+    // ScrubRules so the two sides cannot drift; DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all default
+    "q_scrub_pii" -> {
+      val counts = graft.operators.TextAnalysis.ScrubRules.map {
+        case (name, pat, _) =>
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val scrubbed = graft.operators.TextAnalysis.ScrubRules.foldLeft("text") {
+        case (acc, (_, pat, token)) => s"regexp_replace($acc, '$pat', '$token', 'g')"
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || '$PiiSuffix'
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  $scrubbed AS scrubbed
+         |FROM d""".stripMargin
+    },
 
     "q_text_quality" ->
       s"""WITH tk AS (SELECT doc_id, text, $toksSql AS toks FROM documents),

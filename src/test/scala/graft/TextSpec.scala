@@ -138,4 +138,27 @@ class TextSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
   }
+
+  test("scrubPii: sequential replacement, counts on original text") {
+    val df = Seq(
+      (1L, "see https://x.io/a@b.co end mail a@b.co call 555-123-4567"),
+      (2L, "clean text, no pii at all"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.scrubPii(df, "text")
+      .orderBy("doc_id").collect()
+    // URL consumed first, so the email inside it never reaches the email
+    // rule in the SCRUBBED text...
+    assert(out(0).getAs[String]("scrubbed") ===
+      "see <URL> end mail <EMAIL> call <PHONE>")
+    // ...but counts are per-rule matches over the ORIGINAL text: the URL's
+    // embedded a@b.co counts as an email too (the audit number answers
+    // "how many matches of this pattern existed", not "how many survived
+    // other rules")
+    assert(out(0).getAs[Long]("n_url") === 1L)
+    assert(out(0).getAs[Long]("n_email") === 2L)
+    assert(out(0).getAs[Long]("n_phone") === 1L)
+    assert(out(1).getAs[String]("scrubbed") === "clean text, no pii at all")
+    assert(out(1).getAs[Long]("n_url") === 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("scrubbed"))) // null text -> null
+  }
 }
