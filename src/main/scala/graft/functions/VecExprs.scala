@@ -334,6 +334,59 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Word n-gram repetition statistics in ONE pass over the text:
+    * `struct(total, distinct, top)` counts of the normalized token
+    * n-grams (total occurrences, distinct values, highest single-value
+    * occurrence count). Feeds the Gopher-style repetition quality
+    * signals (duplicate-token fraction, duplicate/top n-gram fractions)
+    * used by training-data filters. A per-row open hashmap keeps the
+    * cost O(tokens) — the compositional form (count each distinct
+    * n-gram by re-scanning the n-gram list) is O(tokens^2) per row and
+    * CodegenFallback; at 10k-token web documents that difference is the
+    * whole game. Texts shorter than n tokens yield (0, 0, 0); the
+    * fraction layer divides by greatest(total, 1) so they read as
+    * "no repetition".
+    */
+  case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("distinct", LongType, nullable = false),
+      StructField("top", LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val total = toks.length - (n - 1)
+      if (total <= 0) InternalRow(0L, 0L, 0L)
+      else {
+        val counts = new java.util.HashMap[String, Int](total * 2)
+        var top = 0
+        var i = 0
+        while (i + n <= toks.length) {
+          val g = if (n == 1) toks(i) else toks.slice(i, i + n).mkString(" ")
+          val c = counts.merge(g, 1, (a, b) => a + b)
+          if (c > top) top = c
+          i += 1
+        }
+        InternalRow(total.toLong, counts.size.toLong, top.toLong)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rsExpr", this, classOf[NgramRepStats].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Ordered local pair generation over a sorted posting list (the inverted
     * index's per-shingle doc list): emits a struct (a, b) for every i < j
     * pair that survives the size-ratio prefilter
@@ -645,6 +698,9 @@ object VecExprs {
 
   def minhashSig(shingles: Column, k: Int): Column =
     GraftBridge.column(MinhashSig(GraftBridge.expression(shingles), k))
+
+  def ngramRepStats(c: Column, n: Int): Column =
+    GraftBridge.column(NgramRepStats(GraftBridge.expression(c), n))
 
   def ngramTf(c: Column, nBuckets: Int): Column =
     GraftBridge.column(NgramTf(GraftBridge.expression(c), nBuckets))

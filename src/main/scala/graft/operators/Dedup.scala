@@ -320,6 +320,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * k-means-cluster the normalized embeddings with the deterministic
+    * trained quantizer (`SimilaritySearch.kmeansCentroids` — md5-ranked
+    * init, rounded Lloyd steps, bit-reproducible in the SQL oracle), then
+    * mark a vector as a duplicate iff SOME lower-id vector in the SAME
+    * cluster has cosine >= `minCosine`. Keep-lowest-id is the
+    * deterministic stand-in for the paper's keep-farthest-from-centroid
+    * tie-break; the pruning semantics (intra-cluster pairwise cosine) are
+    * the paper's.
+    *
+    * Why this scales where all-pairs cannot: candidate pairs are confined
+    * to cells, so pair work is sum over cells of |cell|^2 ~ n^2/k — with
+    * the auto-sized k ~ sqrt(n) cells of the IVF path this is n^1.5
+    * bounded, and the join is ONE equi shuffle on cid (plus the
+    * iters+1 linear training scans). Compare `embeddingLshPairs` when a
+    * pair LIST is wanted; this operator's contract is the per-vector
+    * keep/drop verdict every curation pipeline ends with.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    minCosine: Double, kClusters: Int = 16,
+                    iters: Int = 2): DataFrame = {
+    val raw = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val c = raw
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("id"))
+      .select(col("id"), normalized(col("__v")).as("nv"))
+      .localCheckpoint()
+    val kc =
+      if (kClusters > 0) kClusters
+      else math.max(16, math.sqrt(c.count().toDouble).toInt)
+    val cents = SimilaritySearch.kmeansCentroids(
+      c.select(col("id").as("corpus_id"), col("nv").as("cv")), kc, iters)
+    val assigned = c.withColumn("cid",
+      element_at(SimilaritySearch.nearestCids(cents, col("nv"), 1), 1))
+    val x = assigned.select(col("cid"), col("id").as("vec_id"), col("nv").as("xv"))
+    val y = assigned.select(col("cid").as("ycid"), col("id").as("yid"),
+      col("nv").as("yv"))
+    // left join keeps cluster-minimum ids (no smaller partner) with null y
+    x.join(y, col("cid") === col("ycid") && col("yid") < col("vec_id"), "left")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(max(coalesce(
+        round(graft.functions.VecExprs.arrayDot(col("xv"), col("yv")), 6)
+          >= minCosine, lit(false))).as("is_dup"))
+      .select(col("vec_id"),
+        col("cid").cast(org.apache.spark.sql.types.LongType).as("cid"),
+        col("is_dup"))
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation: each node repeatedly takes the smallest label
     * among itself and its neighbors until fixpoint. Converges in

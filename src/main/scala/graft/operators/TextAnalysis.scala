@@ -86,6 +86,44 @@ object TextAnalysis {
           .cast(LongType))
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021, table A1
+    * shape): duplicate-token fraction, duplicate 2/3-gram fractions, and
+    * the fraction of tokens covered by the single most frequent 2/3-gram,
+    * plus a composite `repetition_ok` gate. One `NgramRepStats` pass per
+    * n — O(tokens) per row inside whole-stage codegen, zero shuffles,
+    * embarrassingly parallel at any corpus size. All fractions are
+    * rounded to 6 decimals BEFORE the gate compares them, so the gate is
+    * engine-reproducible. Thresholds are tuned to split this corpus
+    * family; a production filter would tune them per source.
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.VecExprs
+    val t = col(textCol)
+    def frac(num: Column, den: Column): Column =
+      round(num.cast(DoubleType) / greatest(den, lit(1L)).cast(DoubleType), 6)
+    val out = df
+      .withColumn("__s1", VecExprs.ngramRepStats(t, 1))
+      .withColumn("__s2", VecExprs.ngramRepStats(t, 2))
+      .withColumn("__s3", VecExprs.ngramRepStats(t, 3))
+      .withColumn("dup_word_frac",
+        frac(col("__s1.total") - col("__s1.distinct"), col("__s1.total")))
+      .withColumn("dup_2gram_frac",
+        frac(col("__s2.total") - col("__s2.distinct"), col("__s2.total")))
+      .withColumn("dup_3gram_frac",
+        frac(col("__s3.total") - col("__s3.distinct"), col("__s3.total")))
+      .withColumn("top_2gram_frac", frac(col("__s2.top") * 2, col("__s1.total")))
+      .withColumn("top_3gram_frac", frac(col("__s3.top") * 3, col("__s1.total")))
+    // docs under 10 tokens pass: the top-n-gram fractions are dominated by
+    // the tiny denominator there (one bigram in a 3-token doc covers 2/3 of
+    // it); the reference Gopher rules likewise only apply repetition cuts
+    // above a minimum length (a separate min-length filter handles shorts)
+    out.withColumn("repetition_ok",
+        col("__s1.total") < 10 ||
+          (col("dup_word_frac") <= 0.65 && col("dup_2gram_frac") <= 0.10 &&
+            col("top_2gram_frac") <= 0.20 && col("top_3gram_frac") <= 0.18))
+      .drop("__s1", "__s2", "__s3")
+  }
+
   /** Fingerprints: exact md5 of normalized content + min-shingle robust hash. */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp_exact", Text.contentFingerprint(col(textCol)))

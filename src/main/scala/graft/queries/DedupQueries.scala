@@ -212,6 +212,14 @@ object DedupQueries {
       Dedup.embeddingLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
         minCosine = 0.4, planesPerTable = 4, nTables = 16)),
 
+    // SemDeDup-style semantic dedup: deterministic k-means cells (the same
+    // pinned 16-cell/2-iter geometry as q_ann_kmeans so the unrolled-Lloyd
+    // oracle reproduces the quantizer), within-cell cosine >= 0.4 against
+    // any lower id -> duplicate; pair work confined to cells (n^2/k)
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.4, kClusters = 16, iters = 2)),
+
     // deduplicate translation map: distinct values -> jaccard pair graph ->
     // connected components -> most-frequent-member canonical
     "q_dedup_canonical" -> ((s, dir) =>
@@ -548,6 +556,19 @@ object DedupQueries {
          |SELECT lb.v AS value, r.canonical
          |FROM labeled lb JOIN reps r ON lb.label = r.label""".stripMargin
     },
+
+    // semantic dedup: the kmeansCtes quantizer (qa unused — qFilter picks
+    // nothing), then the within-cell lower-id domination rule; coalesce
+    // AFTER max == Spark's per-row coalesce BEFORE max (all-null -> false)
+    "q_dedup_semantic" ->
+      s"""WITH v AS (
+         |  $normVSql),
+         |${kmeansCtes(kClusters = 16, iters = 2, nProbe = 1, qFilter = "v.id < 0")}
+         |SELECT x.id AS vec_id, CAST(x.cid AS BIGINT) AS cid,
+         |  coalesce(max(round(list_sum(list_transform(list_zip(x.nv, y.nv),
+         |    p -> p[1] * p[2])), 6) >= 0.4), false) AS is_dup
+         |FROM ca x LEFT JOIN ca y ON y.cid = x.cid AND y.id < x.id
+         |GROUP BY x.id, x.cid""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH v AS (

@@ -12,6 +12,21 @@ object EncoderQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
 
+  private val squashSql =
+    """WITH q AS (
+      |  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+      |    quantile_cont(c_acctbal, 0.5) AS q2,
+      |    quantile_cont(c_acctbal, 0.75) AS q3
+      |  FROM customer WHERE c_acctbal IS NOT NULL),
+      |z AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    (c_acctbal - q2) / (CASE WHEN q3 - q1 = 0 THEN 1.0 ELSE q3 - q1 END) AS zc
+      |  FROM customer, q)
+      |SELECT c_custkey, c_acctbal,
+      |  CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN NULL
+      |    ELSE round(zc / sqrt(1.0 + (zc / 3.0) * (zc / 3.0)), 6) END AS c_acctbal_scaled
+      |FROM z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DatetimeEncoder with circular (sin/cos) periodic features
     "q_datetime_encoder" -> ((s, dir) => {
@@ -31,6 +46,29 @@ object EncoderQueries {
     "q_squashing_scaler" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       SquashingScaler.fitTransform(c, "c_acctbal", "c_acctbal_scaled")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_acctbal_scaled"))
+    }),
+
+    // spark.ml interop, end to end: the SAME SquashingScaler fit, but
+    // driven through a native ml.Pipeline via SparkMl.stage — fit state
+    // lives in the PipelineModel, transform replays through MLlib's
+    // Transformer contract. Shares q_squashing_scaler's oracle SQL: the
+    // interop wrapper must be a zero-semantics pass-through, and the
+    // hash-match IS that proof.
+    "q_sparkml_pipeline" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val est = new graft.plans.Estimator {
+        def fit(df: DataFrame): graft.plans.Transformer = {
+          val m = SquashingScaler.fit(df, "c_acctbal")
+          new graft.plans.Transformer {
+            def transform(d: DataFrame): DataFrame =
+              d.withColumn("c_acctbal_scaled", round(m.expr(col("c_acctbal")), 6))
+          }
+        }
+      }
+      val model = new org.apache.spark.ml.Pipeline()
+        .setStages(Array(graft.plans.SparkMl.stage(est))).fit(c)
+      model.transform(c)
         .select(col("c_custkey"), col("c_acctbal"), col("c_acctbal_scaled"))
     }),
 
@@ -392,20 +430,9 @@ object EncoderQueries {
     "q_column_assoc_all" -> assocAllOracle,
     "q_datetime_encoder" -> dtOracle,
 
-    "q_squashing_scaler" ->
-      """WITH q AS (
-        |  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
-        |    quantile_cont(c_acctbal, 0.5) AS q2,
-        |    quantile_cont(c_acctbal, 0.75) AS q3
-        |  FROM customer WHERE c_acctbal IS NOT NULL),
-        |z AS (
-        |  SELECT c_custkey, c_acctbal,
-        |    (c_acctbal - q2) / (CASE WHEN q3 - q1 = 0 THEN 1.0 ELSE q3 - q1 END) AS zc
-        |  FROM customer, q)
-        |SELECT c_custkey, c_acctbal,
-        |  CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN NULL
-        |    ELSE round(zc / sqrt(1.0 + (zc / 3.0) * (zc / 3.0)), 6) END AS c_acctbal_scaled
-        |FROM z""".stripMargin,
+    "q_squashing_scaler" -> squashSql,
+    // interop wrapper is semantics-free: identical oracle by construction
+    "q_sparkml_pipeline" -> squashSql,
 
     "q_apply_to_cols" ->
       """WITH qn AS (

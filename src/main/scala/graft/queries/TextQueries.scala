@@ -32,6 +32,28 @@ object TextQueries {
       TextAnalysis.fingerprints(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("fp_exact"), col("fp_minshingle"))),
 
+    // Gopher-style repetition signals: one O(tokens) NgramRepStats pass
+    // per n, zero shuffles; the oracle recomputes the same counts with
+    // O(tokens^2) list functions (fine at sf0.01 — the asymmetry is the
+    // point of the custom expression)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("dup_word_frac"), col("dup_2gram_frac"),
+          col("dup_3gram_frac"), col("top_2gram_frac"), col("top_3gram_frac"),
+          col("repetition_ok"))),
+
+    // benchmark decontamination: docs with doc_id % 17 == 0 play the
+    // held-out eval set; every other doc is flagged iff it shares a word
+    // 4-gram with it (4 chosen to give a non-trivial split on this corpus:
+    // ~8% contaminated at sf0.01)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.flag(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 4)
+    }),
+
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
     // byte-identical-output contract is hash-verified across engines
@@ -73,8 +95,59 @@ object TextQueries {
 
   private val stopSql = markerList(Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
 
+  /** N-grams as space-joined token windows (n >= 2); empty when the doc has
+    * fewer than n tokens.
+    */
+  private def ngramsSql(n: Int): String =
+    s"list_transform(range(0, greatest(len(toks) - ${n - 1}, 0)), " +
+      s"i -> array_to_string(list_slice(toks, i + 1, i + $n), ' '))"
+
+  /** TokenShingles semantics: distinct n-grams, whole text when shorter. */
+  private def shingleSetSql(n: Int): String =
+    s"list_distinct(CASE WHEN len(toks) <= ${n - 1} " +
+      s"THEN [array_to_string(toks, ' ')] ELSE ${ngramsSql(n)} END)"
+
+  private val repetitionSql = {
+    def stats(g: String, pfx: String) =
+      s"""len($g) AS t_$pfx, len(list_distinct($g)) AS d_$pfx,
+         |    coalesce(list_max(list_transform(list_distinct($g),
+         |      u -> len(list_filter($g, x -> x = u)))), 0) AS p_$pfx""".stripMargin
+    def frac(num: String, den: String) =
+      s"round(CAST($num AS DOUBLE) / greatest($den, 1), 6)"
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, toks, ${ngramsSql(2)} AS g2, ${ngramsSql(3)} AS g3 FROM tk),
+       |st AS (SELECT doc_id,
+       |    len(toks) AS t_1, len(list_distinct(toks)) AS d_1,
+       |    ${stats("g2", "2")},
+       |    ${stats("g3", "3")}
+       |  FROM g),
+       |f AS (SELECT doc_id, t_1,
+       |    ${frac("t_1 - d_1", "t_1")} AS dup_word_frac,
+       |    ${frac("t_2 - d_2", "t_2")} AS dup_2gram_frac,
+       |    ${frac("t_3 - d_3", "t_3")} AS dup_3gram_frac,
+       |    ${frac("p_2 * 2", "t_1")} AS top_2gram_frac,
+       |    ${frac("p_3 * 3", "t_1")} AS top_3gram_frac
+       |  FROM st)
+       |SELECT doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       |  top_2gram_frac, top_3gram_frac,
+       |  (t_1 < 10 OR (dup_word_frac <= 0.65 AND dup_2gram_frac <= 0.10
+       |   AND top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18)) AS repetition_ok
+       |FROM f""".stripMargin
+  }
+
+  private val decontaminateSql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shingleSetSql(4)} AS g FROM tk),
+       |bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 17 = 0),
+       |tr AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 17 <> 0)
+       |SELECT tr.doc_id AS doc_id, max(coalesce(b.hit, false)) AS contaminated
+       |FROM tr LEFT JOIN (SELECT gram, true AS hit FROM bench) b USING (gram)
+       |GROUP BY tr.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
+    "q_repetition" -> repetitionSql,
+    "q_decontaminate" -> decontaminateSql,
 
     // counts + nested replacements are GENERATED from TextAnalysis.
     // ScrubRules so the two sides cannot drift; DuckDB regexp_replace

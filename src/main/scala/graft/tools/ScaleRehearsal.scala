@@ -197,6 +197,29 @@ object ScaleRehearsal {
         graft.operators.AnnIndex.probe(batch, "embedding", "vec_id",
           "graft_rehearsal_ann8", k = 5).count()
       }),
+      // repetition signals (r7 second half): pure codegen scan, zero
+      // shuffle at every scale — wall must grow ~linearly, shufW stay 0
+      "repetition" -> (() => graft.operators.TextAnalysis
+        .repetitionFeatures(docs, "text")
+        .filter(col("repetition_ok")).count()),
+      // decontamination (r7 second half): the benchmark side is FIXED (the
+      // 1x corpus' doc_id%17 slice) while the train side grows Nx — the
+      // realistic shape (eval sets don't grow with the crawl). The bench
+      // gram set broadcasts, the train side is one scan + map-side join +
+      // one doc-keyed aggregate: wall ~linear, shufW ~linear in train rows
+      "decontaminate" -> (() => {
+        val bench1 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 17 === 0)
+        graft.operators.Decontaminate.flag(docs, bench1, "text", "doc_id",
+          n = 4).filter(col("contaminated")).count()
+      }),
+      // semantic dedup (r7 second half): auto-sized ~sqrt(n) k-means cells
+      // bound within-cell pair work to ~n^1.5 total — the measured check
+      // is that wall grows ~sqrt(10)x-ish per unit row, NOT 10x (which is
+      // what a fixed cell count or an all-pairs join would show)
+      "dedup_semantic" -> (() => Dedup.semanticDedup(emb, "embedding",
+        "vec_id", minCosine = 0.4, kClusters = 0, iters = 2)
+        .filter(col("is_dup")).count()),
       // constant-job fit shapes (the perf-weak-by-the-2x-letter family):
       // their job count is independent of row count, so wall time must
       // grow far slower than 10x while the DuckDB oracle grows ~linearly

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VecExprs
+import graft.operators.{Decontaminate, Dedup, TextAnalysis}
+
+/** Training-data curation operators added in round 7's second half:
+  * repetition quality signals, benchmark decontamination, semantic
+  * (embedding-cluster) dedup.
+  */
+class TrainingDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("NgramRepStats matches the composed higher-order-function form") {
+    val docs = TestSpark.table("documents").limit(60).select($"text")
+    for (n <- Seq(1, 2, 3)) {
+      // composed form: build the n-gram list with HOFs, then count — the
+      // O(tokens^2) definition the loop expression must reproduce
+      val toks = graft.functions.Text.tokens($"text")
+      val m = size(toks) - (n - 1)
+      val grams = when(m <= 0, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), m - 1),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      val composed = docs.select(
+        when(m <= 0, lit(0L)).otherwise(m.cast("long")).as("total"),
+        when(m <= 0, lit(0L))
+          .otherwise(size(array_distinct(grams)).cast("long")).as("distinct"),
+        when(m <= 0, lit(0L)).otherwise(
+          array_max(transform(array_distinct(grams),
+            g => size(filter(grams, x => x === g)))).cast("long")).as("top"))
+      val viaExpr = docs.select(
+        VecExprs.ngramRepStats($"text", n).as("s")).select($"s.*")
+      assert(viaExpr.except(composed).count() === 0, s"n=$n expr-only rows")
+      assert(composed.except(viaExpr).count() === 0, s"n=$n composed-only rows")
+    }
+  }
+
+  test("repetitionFeatures hand case") {
+    val df = Seq((1L, "a a a a a a a a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionFeatures(df, "text").collect()(0)
+    assert(r.getAs[Double]("dup_word_frac") === 0.8) // 10 tokens, 2 distinct
+    // bigrams: "a a" x8 + "a b" -> total 9 distinct 2 top 8
+    assert(r.getAs[Double]("dup_2gram_frac") === 0.777778)
+    assert(r.getAs[Double]("top_2gram_frac") === 1.6) // 8 * 2 / 10 (overlaps counted)
+    // trigrams: "a a a" x7 + "a a b" -> total 8 distinct 2 top 7
+    assert(r.getAs[Double]("dup_3gram_frac") === 0.75)
+    assert(r.getAs[Double]("top_3gram_frac") === 2.1) // 7 * 3 / 10
+    assert(!r.getAs[Boolean]("repetition_ok"))
+  }
+
+  test("repetitionFeatures: short and empty docs read as no repetition") {
+    val df = Seq((1L, "unique words only"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionFeatures(df, "text")
+      .orderBy($"doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dup_word_frac") === 0.0)
+      assert(r.getAs[Boolean]("repetition_ok"))
+    }
+  }
+
+  test("Decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a doc containing the quick brown fox phrase verbatim"),
+      (2L, "quick brown fox elsewhere"), // only a 3-gram overlap
+      (3L, "completely unrelated content here")
+    ).toDF("doc_id", "text")
+    val flags = Decontaminate.flag(train, bench, "text", "doc_id", n = 4)
+      .orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
+    val cleaned = Decontaminate.clean(train, bench, "text", "doc_id", n = 4)
+    assert(cleaned.select($"doc_id").as[Long].collect().sorted === Seq(2L, 3L))
+  }
+
+  test("Decontaminate: benchmark docs shorter than n contaminate exact copies") {
+    val bench = Seq((100L, "tiny doc")).toDF("doc_id", "text")
+    val train = Seq((1L, "Tiny DOC!"), (2L, "tiny dog")).toDF("doc_id", "text")
+    val flags = Decontaminate.flag(train, bench, "text", "doc_id", n = 8)
+      .orderBy($"doc_id").collect().map(r => r.getBoolean(1))
+    assert(flags === Seq(true, false)) // normalization matches, "tiny dog" not
+  }
+
+  test("semanticDedup flags the higher id of a near-identical pair only") {
+    // two tight groups far apart; within group A ids 1,2 are near-identical
+    def v(base: Array[Double], eps: Double) = base.map(_ + eps)
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = Seq(
+      (1L, v(a, 0.0).toSeq), (2L, v(a, 0.001).toSeq), // cosine ~ 1
+      (3L, b.toSeq), (4L, Array(0.0, 0.0, 1.0, 0.0).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "embedding", "vec_id",
+      minCosine = 0.95, kClusters = 2, iters = 2)
+      .orderBy($"vec_id").collect()
+    val dup = out.map(r => r.getLong(0) -> r.getAs[Boolean]("is_dup")).toMap
+    assert(!dup(1L), "cluster-minimum id is never a duplicate")
+    assert(dup(2L), "near-identical higher id is pruned")
+    assert(!dup(3L) && !dup(4L), "dissimilar vectors survive")
+  }
+
+  test("semanticDedup verdicts are self-consistent with its own clusters") {
+    val emb = TestSpark.table("embeddings").limit(120)
+    val out = Dedup.semanticDedup(emb, "embedding", "vec_id", minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Boolean]("is_dup")))
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      def n(v: Array[Double]) = math.sqrt(v.map(e => e * e).sum)
+      x.zip(y).map { case (p, q) => p * q }.sum / (n(x) * n(y))
+    }
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, cid, isDup) =>
+      val lowerPeers = byCluster(cid).filter(_._1 < id)
+      val expected = lowerPeers.exists { case (pid, _, _) =>
+        // mirror the operator's round-to-6-then-compare contract exactly:
+        // an unrounded check flips verdicts within float noise of the cut
+        BigDecimal(cos(vecs(id), vecs(pid)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+      }
+      assert(isDup === expected, s"vec $id in cell $cid")
+    }
+  }
+}
