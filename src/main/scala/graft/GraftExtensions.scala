@@ -195,5 +195,12 @@ object GraftFunctions {
         litInt("graft_hyperplane_buckets", "n_tables", args(1)),
         litInt("graft_hyperplane_buckets", "planes_per_table", args(2)))
     },
+    fn("graft_ngram_rep_stats",
+      "graft_ngram_rep_stats(text, n) - struct(total, distinct, top) " +
+        "occurrence counts of the normalized word n-grams") { args =>
+      arity("graft_ngram_rep_stats", args, 2)
+      VecExprs.NgramRepStats(args(0),
+        litInt("graft_ngram_rep_stats", "n", args(1)))
+    },
   )
 }

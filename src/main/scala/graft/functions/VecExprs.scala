@@ -387,6 +387,48 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** True iff ANY element of an array<string> might be in the carried
+    * Bloom filter — the scan-side kernel of `Decontaminate.flagBloom`.
+    * The filter bytes ride ONCE as a codegen reference object (the
+    * NearestCells pattern); per row this is a flat loop with early exit,
+    * no join, no shuffle. One-sided error by construction: a contained
+    * element always reports true (no false negatives), so the exact path
+    * is a strict subset of what this flags.
+    */
+  case class AnyInBloom(child: Expression, bloomBits: Array[Byte])
+      extends UnaryExpression {
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBits))
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"expected array<string> input, got $dt")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(arr: ArrayData): Boolean = {
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (bloom.mightContainString(arr.getUTF8String(i).toString)) return true
+        i += 1
+      }
+      false
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("abExpr", this, classOf[AnyInBloom].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Ordered local pair generation over a sorted posting list (the inverted
     * index's per-shingle doc list): emits a struct (a, b) for every i < j
     * pair that survives the size-ratio prefilter
@@ -701,6 +743,9 @@ object VecExprs {
 
   def ngramRepStats(c: Column, n: Int): Column =
     GraftBridge.column(NgramRepStats(GraftBridge.expression(c), n))
+
+  def anyInBloom(c: Column, bloomBits: Array[Byte]): Column =
+    GraftBridge.column(AnyInBloom(GraftBridge.expression(c), bloomBits))
 
   def ngramTf(c: Column, nBuckets: Int): Column =
     GraftBridge.column(NgramTf(GraftBridge.expression(c), nBuckets))

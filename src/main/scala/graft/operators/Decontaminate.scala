@@ -28,24 +28,77 @@ import graft.functions.VecExprs
   */
 object Decontaminate {
 
-  /** `(idCol, contaminated)` for every training row: true iff the doc
-    * shares >= 1 word n-gram with `bench`.
+  /** The benchmark's distinct n-gram set — compute ONCE (and persist, in a
+    * long-lived session or a streaming job) and probe many training
+    * frames/micro-batches against it with `flagAgainst`.
     */
-  def flag(train: DataFrame, bench: DataFrame, textCol: String,
-           idCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = bench
+  def gramSet(bench: DataFrame, textCol: String, n: Int = 8): DataFrame =
+    bench
       .select(explode(VecExprs.tokenShingles(col(textCol), n)).as("gram"))
       .distinct()
-      .withColumn("__hit", lit(true))
+
+  /** `(idCol, contaminated)` for every training row, against a
+    * pre-computed `gramSet` frame. Works identically on a micro-batch
+    * inside `foreachBatch`: the gram set is STATIC there, so the per-batch
+    * cost is one batch scan + the broadcast join — independent of how much
+    * history has streamed by (the incremental-ingestion contract).
+    */
+  def flagAgainst(train: DataFrame, benchGrams: DataFrame, textCol: String,
+                  idCol: String, n: Int = 8): DataFrame =
     // TokenShingles emits >= 1 shingle for every non-null text, so the
     // explode cannot drop docs; null text -> no shingles -> explode_outer
     // keeps the row with a null gram (joins to nothing, contaminated=false)
     train
       .select(col(idCol),
         explode_outer(VecExprs.tokenShingles(col(textCol), n)).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .join(broadcast(benchGrams.withColumn("__hit", lit(true))), Seq("gram"),
+        "left")
       .groupBy(col(idCol))
       .agg(max(coalesce(col("__hit"), lit(false))).as("contaminated"))
+
+  /** `(idCol, contaminated)` for every training row: true iff the doc
+    * shares >= 1 word n-gram with `bench`.
+    */
+  def flag(train: DataFrame, bench: DataFrame, textCol: String,
+           idCol: String, n: Int = 8): DataFrame =
+    flagAgainst(train, gramSet(bench, textCol, n), textCol, idCol, n)
+
+  /** Bloom-filter flagging — the 100 TB shape. The join path broadcasts
+    * the gram set as a hash-join table (~60-80 bytes/gram with strings and
+    * join plumbing); a full benchmark *suite* can reach 10^8 distinct
+    * grams, pushing that broadcast toward Spark's 8 GB hard cap. A Bloom
+    * filter at the default fpp=1e-6 is ~3.6 bytes/gram — ~20x smaller —
+    * and turns the corpus side into a PURE SCAN: per row one `AnyInBloom`
+    * loop with early exit, no explode, no join, no shuffle AT ALL (the
+    * join path still shuffles the doc-keyed aggregate).
+    *
+    * Error contract is one-sided: no false negatives (every truly
+    * contaminated doc is flagged), false positives COMPOUND per probed
+    * gram — a clean doc with g grams flips with probability ~ g*fpp, so
+    * fpp must be sized against document gram counts, not row counts
+    * (fpp=0.01 would wrongly flag ~1/3 of 40-gram docs; 1e-6 keeps even
+    * 10k-gram documents at ~1% doc-level FP). Over-dropping a few clean
+    * docs is the cheap direction for decontamination; run the exact
+    * `flag` on the bloom-flagged subset to reclaim them when they matter.
+    */
+  def flagBloom(train: DataFrame, bench: DataFrame, textCol: String,
+                idCol: String, n: Int = 8, fpp: Double = 1e-6): DataFrame = {
+    // persist across the two benchmark-side passes (size job + bloom
+    // aggregate) so the bench scan + distinct shuffle runs once, then
+    // release — the filter bytes are the only state that outlives the fit
+    val grams = gramSet(bench, textCol, n).persist()
+    val bytes =
+      try {
+        val expected = math.max(grams.count(), 1L)
+        val bloom = grams.stat.bloomFilter("gram", expected, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      } finally grams.unpersist()
+    train.select(col(idCol),
+      coalesce(VecExprs.anyInBloom(
+        VecExprs.tokenShingles(col(textCol), n), bytes), lit(false))
+        .as("contaminated"))
   }
 
   /** Training rows with every contaminated doc removed. */

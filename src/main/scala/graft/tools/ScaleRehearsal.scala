@@ -213,6 +213,15 @@ object ScaleRehearsal {
         graft.operators.Decontaminate.flag(docs, bench1, "text", "doc_id",
           n = 4).filter(col("contaminated")).count()
       }),
+      // bloom variant: the gram set rides as a ~3.6 B/gram filter probed
+      // by a per-row loop — corpus side is a PURE SCAN; shufW must be ~0
+      // at both scales (only the bloom build's tiny treeAggregate moves)
+      "decontaminate_bloom" -> (() => {
+        val bench1 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 17 === 0)
+        graft.operators.Decontaminate.flagBloom(docs, bench1, "text",
+          "doc_id", n = 4).filter(col("contaminated")).count()
+      }),
       // semantic dedup (r7 second half): auto-sized ~sqrt(n) k-means cells
       // bound within-cell pair work to ~n^1.5 total — the measured check
       // is that wall grows ~sqrt(10)x-ish per unit row, NOT 10x (which is

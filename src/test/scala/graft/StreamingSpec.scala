@@ -149,6 +149,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("decontamination probes streamed micro-batches against a static gram set") {
+    // the incremental-ingestion shape: the benchmark gram set is computed
+    // ONCE (static, persisted); each arriving micro-batch pays one scan +
+    // the broadcast join, independent of stream history
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val grams = graft.operators.Decontaminate.gramSet(bench, "text", n = 4)
+      .persist()
+    try {
+      val source = MemoryStream[(Long, String)]
+      val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+      val query = source.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.Decontaminate
+            .flagAgainst(batch, grams, "text", "doc_id", n = 4)
+            .collect().foreach(r =>
+              verdicts.synchronized { verdicts(r.getLong(0)) = r.getBoolean(1) })
+        }
+        .outputMode("append").start()
+      try {
+        source.addData((1L, "here the quick brown fox appears"), (2L, "clean doc one"))
+        query.processAllAvailable()
+        source.addData((3L, "quick brown fox jumps again"), (4L, "another clean doc"))
+        query.processAllAvailable()
+        assert(verdicts.toMap ===
+          Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+      } finally query.stop()
+    } finally grams.unpersist()
+  }
+
   test("GapEncoder online hDict is LRU-capped: state stays flat past the cap") {
     // an unbounded stream must not grow driver state without bound — the
     // activation cache evicts least-recently-SEEN values at maxHDict, and an

@@ -84,6 +84,44 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(flags === Seq(true, false)) // normalization matches, "tiny dog" not
   }
 
+  test("flagBloom never misses exact contamination; false positives bounded") {
+    val docs = TestSpark.table("documents").limit(300)
+    val bench = docs.filter($"doc_id" % 17 === 0)
+    val train = docs.filter($"doc_id" % 17 =!= 0)
+    val exact = Decontaminate.flag(train, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bloomed = Decontaminate.flagBloom(train, bench, "text", "doc_id",
+      n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(bloomed.keySet === exact.keySet)
+    // one-sided error: every exact hit is bloom-flagged
+    exact.foreach { case (id, hit) =>
+      if (hit) assert(bloomed(id), s"doc $id: bloom missed an exact hit")
+    }
+    // doc-level FP ~ grams-per-doc * fpp: at the 1e-6 default and ~40
+    // grams/doc the expected count over a few hundred clean docs is ~0.01
+    val clean = exact.collect { case (id, false) => id }
+    val fp = clean.count(bloomed(_))
+    assert(fp <= 2, s"$fp false positives of ${clean.size}")
+  }
+
+  test("flagBloom at a careless fpp shows the compounding the default avoids") {
+    // regression-documenting case: fpp is PER PROBED GRAM — 1e-2 on
+    // ~40-gram docs flips a large fraction of clean docs, which is why
+    // the default is 1e-6 (sized against gram counts, not row counts)
+    val docs = TestSpark.table("documents").limit(300)
+    val bench = docs.filter($"doc_id" % 17 === 0)
+    val train = docs.filter($"doc_id" % 17 =!= 0)
+    val exact = Decontaminate.flag(train, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val loose = Decontaminate.flagBloom(train, bench, "text", "doc_id",
+      n = 4, fpp = 1e-2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val clean = exact.collect { case (id, false) => id }
+    val fp = clean.count(loose(_))
+    assert(fp > clean.size / 20, s"expected visible compounding, saw $fp")
+  }
+
   test("semanticDedup flags the higher id of a near-identical pair only") {
     // two tight groups far apart; within group A ids 1,2 are near-identical
     def v(base: Array[Double], eps: Double) = base.map(_ + eps)
