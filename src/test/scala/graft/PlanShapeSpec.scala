@@ -83,6 +83,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair scoring should be a broadcast nested loop:\n$plan")
   }
 
+  test("repetitionFeatures plans as a pure scan: zero exchanges") {
+    val docs = graft.ops.Kernel.table(spark, sf, "documents")
+    val plan = planString(graft.operators.TextAnalysis
+      .repetitionFeatures(docs, "text")
+      .select("doc_id", "repetition_ok"))
+    assert(!plan.contains("Exchange"),
+      s"repetition signals must not shuffle:\n$plan")
+  }
+
+  test("bloom decontamination's corpus side plans as a pure scan") {
+    val docs = graft.ops.Kernel.table(spark, sf, "documents")
+    val out = graft.operators.Decontaminate.flagBloom(
+      docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
+      "text", "doc_id", n = 4)
+    val plan = planString(out)
+    assert(!plan.contains("Exchange"),
+      s"bloom flag must be shuffle-free on the corpus side:\n$plan")
+    assert(!plan.contains("Join"), s"bloom flag must not join:\n$plan")
+  }
+
+  test("join-path decontamination broadcasts the gram set, one doc-keyed exchange") {
+    val docs = graft.ops.Kernel.table(spark, sf, "documents")
+    val out = graft.operators.Decontaminate.flag(
+      docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
+      "text", "doc_id", n = 4)
+    val plan = planString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gram set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram probe fell back to a corpus shuffle join:\n$plan")
+    // corpus-keyed exchanges: exactly ONE, the doc aggregate; the only
+    // other hash exchange allowed is the BENCHMARK side's gram distinct
+    // (bounded by the eval set, feeds the broadcast)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length === 1,
+      s"corpus must shuffle once (the doc aggregate):\n$plan")
+    assert("Exchange hashpartitioning\\((?!doc_id|gram)".r.findAllIn(plan).isEmpty,
+      s"unexpected exchange key:\n$plan")
+  }
+
   /** Every all-pairs comparison in the registry must ride a BROADCAST of a
     * bounded side (ANN query sets, fuzzy-join aux tables, exact-verification
     * slices) — a shuffle CartesianProduct anywhere means an operator
