@@ -54,6 +54,20 @@ object TextQueries {
         "text", "doc_id", n = 4)
     }),
 
+    // the end-to-end curation sweep: quality gate -> repetition gate ->
+    // exact dedup (min-id keeper among gate survivors) -> decontamination,
+    // composed as ONE plan with per-stage verdict columns; each stage is
+    // separately hash-verified elsewhere, this row proves the composition
+    "q_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.sweep(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", decontaminateN = 4)
+        .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+          col("exact_unique"), col("contaminated"), col("kept"))
+    }),
+
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
     // byte-identical-output contract is hash-verified across engines
@@ -107,33 +121,43 @@ object TextQueries {
     s"list_distinct(CASE WHEN len(toks) <= ${n - 1} " +
       s"THEN [array_to_string(toks, ' ')] ELSE ${ngramsSql(n)} END)"
 
-  private val repetitionSql = {
-    def stats(g: String, pfx: String) =
-      s"""len($g) AS t_$pfx, len(list_distinct($g)) AS d_$pfx,
-         |    coalesce(list_max(list_transform(list_distinct($g),
-         |      u -> len(list_filter($g, x -> x = u)))), 0) AS p_$pfx""".stripMargin
-    def frac(num: String, den: String) =
-      s"round(CAST($num AS DOUBLE) / greatest($den, 1), 6)"
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |g AS (SELECT doc_id, toks, ${ngramsSql(2)} AS g2, ${ngramsSql(3)} AS g3 FROM tk),
+  private def statsSql(g: String, pfx: String) =
+    s"""len($g) AS t_$pfx, len(list_distinct($g)) AS d_$pfx,
+       |    coalesce(list_max(list_transform(list_distinct($g),
+       |      u -> len(list_filter($g, x -> x = u)))), 0) AS p_$pfx""".stripMargin
+
+  private def fracSql(num: String, den: String) =
+    s"round(CAST($num AS DOUBLE) / greatest($den, 1), 6)"
+
+  /** The repetition-fraction CTE chain over a (doc_id, toks) relation named
+    * `tk`; ends with CTE `repf` carrying doc_id, t_1, the five fractions.
+    */
+  private val repetitionCtes =
+    s"""g AS (SELECT doc_id, toks, ${ngramsSql(2)} AS g2, ${ngramsSql(3)} AS g3 FROM tk),
        |st AS (SELECT doc_id,
        |    len(toks) AS t_1, len(list_distinct(toks)) AS d_1,
-       |    ${stats("g2", "2")},
-       |    ${stats("g3", "3")}
+       |    ${statsSql("g2", "2")},
+       |    ${statsSql("g3", "3")}
        |  FROM g),
-       |f AS (SELECT doc_id, t_1,
-       |    ${frac("t_1 - d_1", "t_1")} AS dup_word_frac,
-       |    ${frac("t_2 - d_2", "t_2")} AS dup_2gram_frac,
-       |    ${frac("t_3 - d_3", "t_3")} AS dup_3gram_frac,
-       |    ${frac("p_2 * 2", "t_1")} AS top_2gram_frac,
-       |    ${frac("p_3 * 3", "t_1")} AS top_3gram_frac
-       |  FROM st)
+       |repf AS (SELECT doc_id, t_1,
+       |    ${fracSql("t_1 - d_1", "t_1")} AS dup_word_frac,
+       |    ${fracSql("t_2 - d_2", "t_2")} AS dup_2gram_frac,
+       |    ${fracSql("t_3 - d_3", "t_3")} AS dup_3gram_frac,
+       |    ${fracSql("p_2 * 2", "t_1")} AS top_2gram_frac,
+       |    ${fracSql("p_3 * 3", "t_1")} AS top_3gram_frac
+       |  FROM st)""".stripMargin
+
+  private val repetitionOkSql =
+    """(t_1 < 10 OR (dup_word_frac <= 0.65 AND dup_2gram_frac <= 0.10
+      | AND top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18))""".stripMargin
+
+  private val repetitionSql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |$repetitionCtes
        |SELECT doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
        |  top_2gram_frac, top_3gram_frac,
-       |  (t_1 < 10 OR (dup_word_frac <= 0.65 AND dup_2gram_frac <= 0.10
-       |   AND top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18)) AS repetition_ok
-       |FROM f""".stripMargin
-  }
+       |  $repetitionOkSql AS repetition_ok
+       |FROM repf""".stripMargin
 
   private val decontaminateSql =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -144,10 +168,45 @@ object TextQueries {
        |FROM tr LEFT JOIN (SELECT gram, true AS hit FROM bench) b USING (gram)
        |GROUP BY tr.doc_id""".stripMargin
 
+  private val curationSql =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
+       |$repetitionCtes,
+       |qual AS (SELECT doc_id,
+       |    (CAST(len(toks) AS BIGINT) >= 5 AND CAST(len(toks) AS BIGINT) <= 100000
+       |     AND round(CAST(list_sum(list_append(list_transform(toks, w -> len(w)), 0)) AS DOUBLE)
+       |       / greatest(len(toks), 1), 6) BETWEEN 2.0 AND 15.0) AS quality_ok
+       |  FROM tk),
+       |rep AS (SELECT doc_id, $repetitionOkSql AS repetition_ok FROM repf),
+       |fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM tk),
+       |keep AS (
+       |  SELECT fp.fp, min(fp.doc_id) AS keeper
+       |  FROM fp JOIN qual USING (doc_id) JOIN rep USING (doc_id)
+       |  WHERE quality_ok AND repetition_ok GROUP BY fp.fp),
+       |sh AS (SELECT doc_id, ${shingleSetSql(4)} AS g FROM tk),
+       |btk AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 17 = 0),
+       |bsh AS (SELECT doc_id, ${shingleSetSql(4)} AS g FROM btk),
+       |bench AS (SELECT DISTINCT unnest(g) AS gram FROM bsh),
+       |trg AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       |cont AS (
+       |  SELECT trg.doc_id AS doc_id, max(coalesce(b.hit, false)) AS contaminated
+       |  FROM trg LEFT JOIN (SELECT gram, true AS hit FROM bench) b USING (gram)
+       |  GROUP BY trg.doc_id)
+       |SELECT qual.doc_id AS doc_id, qual.quality_ok, rep.repetition_ok,
+       |  coalesce(fp.doc_id = k.keeper, false) AS exact_unique,
+       |  cont.contaminated,
+       |  (qual.quality_ok AND rep.repetition_ok
+       |   AND coalesce(fp.doc_id = k.keeper, false)
+       |   AND NOT cont.contaminated) AS kept
+       |FROM qual JOIN rep USING (doc_id) JOIN fp USING (doc_id)
+       |  JOIN cont USING (doc_id)
+       |  LEFT JOIN keep k ON fp.fp = k.fp""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_curation" -> curationSql,
 
     // counts + nested replacements are GENERATED from TextAnalysis.
     // ScrubRules so the two sides cannot drift; DuckDB regexp_replace
