@@ -68,6 +68,19 @@ object TextQueries {
           col("exact_unique"), col("contaminated"), col("kept"))
     }),
 
+    // sequence packing: boundary-aligned streaming packing of each source
+    // shard into 256-token training packs (window partitioned by source —
+    // parallel across shards, nothing globally ordered)
+    "q_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_toks",
+        size(graft.functions.Text.tokens(col("text")))
+          .cast(org.apache.spark.sql.types.LongType))
+      graft.operators.Pack.sequences(docs, "n_toks", budget = 256L,
+        groupCol = "source", idCol = "doc_id")
+        .select(col("doc_id"), col("source"), col("pack_id"),
+          col("pack_tokens"))
+    }),
+
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
     // byte-identical-output contract is hash-verified across engines
@@ -207,6 +220,20 @@ object TextQueries {
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_curation" -> curationSql,
+
+    "q_pack" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, least(n_toks, 256) AS pack_tokens,
+         |    sum(least(n_toks, 256)) OVER (
+         |      PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM tk)
+         |SELECT doc_id, source,
+         |  CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
+         |  pack_tokens
+         |FROM c""".stripMargin,
 
     // counts + nested replacements are GENERATED from TextAnalysis.
     // ScrubRules so the two sides cannot drift; DuckDB regexp_replace

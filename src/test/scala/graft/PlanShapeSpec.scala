@@ -122,6 +122,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected exchange key:\n$plan")
   }
 
+  test("Pack.sequences windows per shard, never a single global partition") {
+    val docs = graft.ops.Kernel.table(spark, sf, "documents")
+      .withColumn("n_toks", lit(10L))
+    val plan = planString(graft.operators.Pack.sequences(
+      docs, "n_toks", 256L, "source", "doc_id"))
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("Exchange hashpartitioning(source"),
+      s"pack window must partition by the shard key:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing must not serialize onto one partition:\n$plan")
+  }
+
   /** Every all-pairs comparison in the registry must ride a BROADCAST of a
     * bounded side (ANN query sets, fuzzy-join aux tables, exact-verification
     * slices) — a shuffle CartesianProduct anywhere means an operator

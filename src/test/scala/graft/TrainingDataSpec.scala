@@ -122,6 +122,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(fp > clean.size / 20, s"expected visible compounding, saw $fp")
   }
 
+  test("Pack.sequences: boundary-aligned packing per shard, oversized docs clamp") {
+    val docs = Seq(
+      // shard a, budget 10: tokens 6,6,6 -> starts 0,6,12 -> packs 0,0,1
+      ("a", 1L, 6L), ("a", 2L, 6L), ("a", 3L, 6L),
+      // shard b: an oversized doc (25 -> clamped 10) consumes one pack
+      // exactly and realigns: starts 0,10,14 -> packs 0,1,1
+      ("b", 1L, 25L), ("b", 2L, 4L), ("b", 3L, 5L)
+    ).toDF("src", "doc_id", "toks")
+    val out = graft.operators.Pack.sequences(docs, "toks", budget = 10L,
+        groupCol = "src", idCol = "doc_id")
+      .select($"src", $"doc_id", $"pack_id", $"pack_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", 1L)) === (0L, 6L))
+    assert(out(("a", 2L)) === (0L, 6L)) // starts at 6, inside pack 0 (overflow form)
+    assert(out(("a", 3L)) === (1L, 6L))
+    assert(out(("b", 1L)) === (0L, 10L)) // clamped to the budget
+    assert(out(("b", 2L)) === (1L, 4L))
+    assert(out(("b", 3L)) === (1L, 5L))
+    val stats = graft.operators.Pack.packStats(
+      graft.operators.Pack.sequences(docs, "toks", 10L, "src", "doc_id"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(stats(("a", 0L)) === (2L, 12L)) // straddle overflow, < 2*budget
+    assert(stats(("b", 0L)) === (1L, 10L))
+  }
+
   test("semanticDedup flags the higher id of a near-identical pair only") {
     // two tight groups far apart; within group A ids 1,2 are near-identical
     def v(base: Array[Double], eps: Double) = base.map(_ + eps)
