@@ -353,9 +353,11 @@ object VecExprs {
       StructField("distinct", LongType, nullable = false),
       StructField("top", LongType, nullable = false)))
     override def checkInputDataTypes(): TypeCheckResult =
-      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
+      if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
         s"expected string input, got ${child.dataType}")
+      else if (n < 1) TypeCheckResult.TypeCheckFailure(
+        s"n must be >= 1, got $n") // n=0 would fabricate counts from "" grams
+      else TypeCheckResult.TypeCheckSuccess
 
     override protected def nullSafeEval(input: Any): Any =
       compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -414,7 +416,10 @@ object VecExprs {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        if (bloom.mightContainString(arr.getUTF8String(i).toString)) return true
+        // null elements (containsNull=true arrays) are skipped: a null gram
+        // is in no benchmark, and getUTF8String would NPE on it
+        if (!arr.isNullAt(i) &&
+            bloom.mightContainString(arr.getUTF8String(i).toString)) return true
         i += 1
       }
       false

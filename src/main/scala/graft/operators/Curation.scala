@@ -15,36 +15,43 @@ import graft.functions.Text
   * Each stage is individually hash-verified by its own registered query;
   * this operator proves they COMPOSE — the stages share one scan of the
   * corpus (both gates and the fingerprint are column expressions on the
-  * same pass), then the plan pays one fingerprint-keyed aggregate + join
-  * for dedup and one broadcast probe + doc-keyed aggregate for
-  * decontamination. Nothing quadratic, nothing driver-side; Catalyst
-  * pipelines the gates into the dedup shuffle's map side, so at 100 TB
-  * the filters run where the data is read, and everything the gates drop
-  * never reaches a shuffle.
+  * same pass), the dedup verdict is ONE fingerprint-partitioned window
+  * over that pass (keeper = min id among gate survivors in the
+  * fingerprint group — a conditional min, so no second scan and no
+  * survivor-aggregate-plus-join-back), and decontamination adds its one
+  * gram probe + doc-keyed aggregate. Nothing quadratic, nothing
+  * driver-side: the corpus is scanned once for the gates/fingerprint
+  * branch and once for the gram probe, with one shuffle each.
   *
   * Output: one row per INPUT doc with the per-stage verdicts and the
   * final `kept` flag — the auditable form (a pipeline that only returns
   * survivors cannot answer "why did doc X disappear?"). Filter on `kept`
   * for the survivor frame.
+  *
+  * `decontaminateN` follows `Decontaminate.flag`'s default (8, the
+  * published GPT-3/PaLM-style window) — one knob, one default; the
+  * registered query passes 4 explicitly for this short-doc corpus.
   */
 object Curation {
 
   def sweep(docs: DataFrame, bench: DataFrame, textCol: String,
-            idCol: String, decontaminateN: Int = 4): DataFrame = {
+            idCol: String, decontaminateN: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val gated = TextAnalysis.repetitionFeatures(
         TextAnalysis.qualityFeatures(docs, textCol), textCol)
       .withColumn("__fp", Text.contentFingerprint(col(textCol)))
       .select(col(idCol), col("quality_ok"), col("repetition_ok"), col("__fp"))
     // exact dedup among docs that survive both gates: min id per
     // fingerprint wins; gated-out docs are not dedup candidates (they are
-    // already gone) and must not claim a fingerprint from a kept doc
-    val keepers = gated.filter(col("quality_ok") && col("repetition_ok"))
-      .groupBy(col("__fp")).agg(min(col(idCol)).as("__keeper"))
+    // already gone) and must not claim a fingerprint from a kept doc.
+    // Conditional min over the fingerprint window: groups whose every doc
+    // failed a gate get a null keeper -> exact_unique false via coalesce
+    val keeper = min(when(col("quality_ok") && col("repetition_ok"),
+      col(idCol))).over(Window.partitionBy(col("__fp")))
     val deduped = gated
-      .join(keepers, Seq("__fp"), "left")
-      .withColumn("exact_unique", col(idCol) === col("__keeper"))
+      .withColumn("exact_unique", coalesce(col(idCol) === keeper, lit(false)))
       .select(col(idCol), col("quality_ok"), col("repetition_ok"),
-        coalesce(col("exact_unique"), lit(false)).as("exact_unique"))
+        col("exact_unique"))
     val contaminated = Decontaminate.flag(docs, bench, textCol, idCol,
       n = decontaminateN)
     deduped.join(contaminated, Seq(idCol))

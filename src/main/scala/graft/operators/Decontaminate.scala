@@ -47,12 +47,17 @@ object Decontaminate {
                   idCol: String, n: Int = 8): DataFrame =
     // TokenShingles emits >= 1 shingle for every non-null text, so the
     // explode cannot drop docs; null text -> no shingles -> explode_outer
-    // keeps the row with a null gram (joins to nothing, contaminated=false)
+    // keeps the row with a null gram (joins to nothing, contaminated=false).
+    // NO broadcast() hint on the gram side: a forced hint would override
+    // the size threshold and DIE on a benchmark suite beyond the 8 GB
+    // broadcast cap — letting the planner (and AQE's runtime join
+    // re-selection) decide is what makes the documented degradation to a
+    // shuffled equi-join actually reachable. Small gram sets still
+    // broadcast (asserted in PlanShapeSpec on the executed plan).
     train
       .select(col(idCol),
         explode_outer(VecExprs.tokenShingles(col(textCol), n)).as("gram"))
-      .join(broadcast(benchGrams.withColumn("__hit", lit(true))), Seq("gram"),
-        "left")
+      .join(benchGrams.withColumn("__hit", lit(true)), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(max(coalesce(col("__hit"), lit(false))).as("contaminated"))
 

@@ -352,8 +352,13 @@ object Dedup {
       else math.max(16, math.sqrt(c.count().toDouble).toInt)
     val cents = SimilaritySearch.kmeansCentroids(
       c.select(col("id").as("corpus_id"), col("nv").as("cv")), kc, iters)
+    // materialize the assignment ONCE: both sides of the cid self-join
+    // read it, and without the checkpoint the NearestCells argmin —
+    // O(n * k * d), the dominant non-join compute with auto k ~ sqrt(n) —
+    // would re-evaluate per side
     val assigned = c.withColumn("cid",
-      element_at(SimilaritySearch.nearestCids(cents, col("nv"), 1), 1))
+        element_at(SimilaritySearch.nearestCids(cents, col("nv"), 1), 1))
+      .localCheckpoint()
     val x = assigned.select(col("cid"), col("id").as("vec_id"), col("nv").as("xv"))
     val y = assigned.select(col("cid").as("ycid"), col("id").as("yid"),
       col("nv").as("yv"))

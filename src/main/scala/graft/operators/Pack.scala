@@ -37,7 +37,13 @@ object Pack {
                 groupCol: String, idCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    val clamped = least(col(tokenCol).cast(LongType), lit(budget))
+    // null counts read as 0, explicitly: Spark's least() SKIPS nulls, so
+    // without the coalesce a null-token doc would silently clamp to the
+    // full budget and consume a whole pack, shifting every later boundary
+    // in its shard (and DuckDB's least(NULL, b) returns NULL — an engine
+    // divergence on top of the wrong answer)
+    val clamped = least(coalesce(col(tokenCol).cast(LongType), lit(0L)),
+      lit(budget))
     docs
       .withColumn("__cum", sum(clamped).over(w))
       .withColumn("pack_tokens", clamped)

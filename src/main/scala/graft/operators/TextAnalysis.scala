@@ -88,8 +88,14 @@ object TextAnalysis {
 
   /** Gopher-style repetition quality signals (Rae et al. 2021, table A1
     * shape): duplicate-token fraction, duplicate 2/3-gram fractions, and
-    * the fraction of tokens covered by the single most frequent 2/3-gram,
-    * plus a composite `repetition_ok` gate. One `NgramRepStats` pass per
+    * OVERLAP-WEIGHTED top-n-gram token fractions (top count * n / tokens —
+    * occurrences of the most frequent n-gram counted with their overlaps,
+    * so the value EXCEEDS 1.0 on heavily repeated text; Gopher's published
+    * character-coverage metric is bounded by 1, so these columns and the
+    * 0.20/0.18 gates are NOT numerically comparable to the paper's
+    * thresholds — the overlap-weighted form is one array pass and
+    * oracle-reproducible, coverage dedup is not), plus a composite
+    * `repetition_ok` gate. One `NgramRepStats` pass per
     * n — O(tokens) per row inside whole-stage codegen, zero shuffles,
     * embarrassingly parallel at any corpus size. All fractions are
     * rounded to 6 decimals BEFORE the gate compares them, so the gate is

@@ -108,7 +108,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val out = graft.operators.Decontaminate.flag(
       docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
       "text", "doc_id", n = 4)
-    val plan = planString(out)
+    // EXECUTED plan: the gram side carries no broadcast() hint (a forced
+    // hint would die beyond the 8 GB cap instead of degrading to a shuffle
+    // join), so the broadcast here is the planner/AQE choosing it for a
+    // small side — which is exactly the claim worth pinning
+    val plan = finalPlan(out)
     assert(plan.contains("BroadcastHashJoin"),
       s"gram set not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
