@@ -234,6 +234,28 @@ object DedupQueries {
       Dedup.deduplicate(t(s, dir, "documents"), "text", minJaccard = 0.4,
         candidates = "minhash")),
 
+    // recall harness for semantic dedup: cluster confinement IS the
+    // approximation (a cosine-dup pair split across k-means cells is
+    // invisible to the within-cell rule), so measure the fraction of
+    // ALL-PAIRS-dominated vectors (exists ANY lower id with cosine >= tau,
+    // bounded slice + broadcast twin) that the cluster-confined operator
+    // also flags — mirroring q_dedup_embedding_recall for the LSH path.
+    "q_dedup_semantic_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val dominated = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+          minCosine = 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+      val flagged = Dedup.semanticDedup(emb, "embedding", "vec_id",
+        minCosine = 0.4, kClusters = 16, iters = 2).filter(col("is_dup"))
+      dominated.alias("d").join(flagged.alias("f"),
+          col("d.vec_id") === col("f.vec_id"), "left")
+        .agg(count(lit(1)).as("n_dominated"),
+          count(col("f.vec_id")).as("n_flagged"),
+          round(count(col("f.vec_id"))
+            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)), 6)
+            .as("dup_recall"))
+    }),
+
     // recall harness for the LSH near-dup path: fraction of EXACT cosine
     // pairs (on a bounded deterministic id-slice) that the bucketed LSH
     // variant recovers — the quality regression of the approximation is
@@ -587,6 +609,28 @@ object DedupQueries {
          |    p -> p[1] * p[2])), 6) AS cosine
          |FROM cand JOIN v a ON cand.id_a = a.id JOIN v b2 ON cand.id_b = b2.id
          |WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4""".stripMargin,
+
+    "q_dedup_semantic_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings WHERE vec_id < 500),
+         |ex AS (
+         |  SELECT DISTINCT b2.id AS vec_id
+         |  FROM v a JOIN v b2 ON a.id < b2.id
+         |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4),
+         |${kmeansCtes(kClusters = 16, iters = 2, nProbe = 1, qFilter = "v.id < 0")},
+         |sem AS (
+         |  SELECT DISTINCT x.id AS vec_id
+         |  FROM ca x JOIN ca y ON y.cid = x.cid AND y.id < x.id
+         |  WHERE round(list_sum(list_transform(list_zip(x.nv, y.nv),
+         |    p -> p[1] * p[2])), 6) >= 0.4)
+         |SELECT CAST(count(*) AS BIGINT) AS n_dominated,
+         |  CAST(count(sem.vec_id) AS BIGINT) AS n_flagged,
+         |  round(CAST(count(sem.vec_id) AS DOUBLE) / count(*), 6) AS dup_recall
+         |FROM ex LEFT JOIN sem ON ex.vec_id = sem.vec_id""".stripMargin,
 
     "q_dedup_embedding_recall" ->
       s"""WITH v AS (
