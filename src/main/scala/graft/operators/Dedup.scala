@@ -373,6 +373,44 @@ object Dedup {
         col("is_dup"))
   }
 
+  /** Multi-probe semantic dedup: each vector joins its `nProbe` nearest
+    * cells instead of one, so a cosine-dup pair split across adjacent
+    * cells is still seen whenever ANY probed cell is shared — the banding
+    * trick applied to the clustering quantizer (single-assignment recall
+    * measured 0.40 at tau=0.4 on the fixture by
+    * `q_dedup_semantic_recall`; the multi-probe row measures the lift).
+    * Cost: pair work multiplies by <= nProbe^2 per cell pair — the same
+    * recall/cost dial every LSH family here exposes. Output is
+    * `(vec_id, is_dup)`; the cell id is no longer unique per vector.
+    */
+  def semanticDedupMultiProbe(df: DataFrame, vecCol: String, idCol: String,
+                              minCosine: Double, kClusters: Int = 16,
+                              iters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val raw = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val c = raw
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("id"))
+      .select(col("id"), normalized(col("__v")).as("nv"))
+      .localCheckpoint()
+    val kc =
+      if (kClusters > 0) kClusters
+      else math.max(16, math.sqrt(c.count().toDouble).toInt)
+    val cents = SimilaritySearch.kmeansCentroids(
+      c.select(col("id").as("corpus_id"), col("nv").as("cv")), kc, iters)
+    val assigned = c.select(col("id"), col("nv"),
+        explode(SimilaritySearch.nearestCids(cents, col("nv"), nProbe))
+          .as("cid"))
+      .localCheckpoint()
+    val x = assigned.select(col("cid"), col("id").as("vec_id"), col("nv").as("xv"))
+    val y = assigned.select(col("cid").as("ycid"), col("id").as("yid"),
+      col("nv").as("yv"))
+    x.join(y, col("cid") === col("ycid") && col("yid") < col("vec_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(max(coalesce(
+        round(graft.functions.VecExprs.arrayDot(col("xv"), col("yv")), 6)
+          >= minCosine, lit(false))).as("is_dup"))
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation: each node repeatedly takes the smallest label
     * among itself and its neighbors until fixpoint. Converges in

@@ -256,6 +256,26 @@ object DedupQueries {
             .as("dup_recall"))
     }),
 
+    // the multi-probe variant's recall on the same slice: each vector
+    // joins its 2 nearest cells, so cross-cell dup pairs sharing a probe
+    // are recovered — the measured lift over single-assignment's 0.40
+    "q_dedup_semantic_probe2_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val dominated = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+          minCosine = 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+      val flagged = Dedup.semanticDedupMultiProbe(emb, "embedding", "vec_id",
+        minCosine = 0.4, kClusters = 16, iters = 2, nProbe = 2)
+        .filter(col("is_dup"))
+      dominated.alias("d").join(flagged.alias("f"),
+          col("d.vec_id") === col("f.vec_id"), "left")
+        .agg(count(lit(1)).as("n_dominated"),
+          count(col("f.vec_id")).as("n_flagged"),
+          round(count(col("f.vec_id"))
+            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)), 6)
+            .as("dup_recall"))
+    }),
+
     // recall harness for the LSH near-dup path: fraction of EXACT cosine
     // pairs (on a bounded deterministic id-slice) that the bucketed LSH
     // variant recovers — the quality regression of the approximation is
@@ -625,6 +645,30 @@ object DedupQueries {
          |sem AS (
          |  SELECT DISTINCT x.id AS vec_id
          |  FROM ca x JOIN ca y ON y.cid = x.cid AND y.id < x.id
+         |  WHERE round(list_sum(list_transform(list_zip(x.nv, y.nv),
+         |    p -> p[1] * p[2])), 6) >= 0.4)
+         |SELECT CAST(count(*) AS BIGINT) AS n_dominated,
+         |  CAST(count(sem.vec_id) AS BIGINT) AS n_flagged,
+         |  round(CAST(count(sem.vec_id) AS DOUBLE) / count(*), 6) AS dup_recall
+         |FROM ex LEFT JOIN sem ON ex.vec_id = sem.vec_id""".stripMargin,
+
+    // multi-probe: the kmeansCtes `qa` CTE (rnBound = nProbe) over ALL
+    // vectors is exactly the multi-cell assignment
+    "q_dedup_semantic_probe2_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings WHERE vec_id < 500),
+         |ex AS (
+         |  SELECT DISTINCT b2.id AS vec_id
+         |  FROM v a JOIN v b2 ON a.id < b2.id
+         |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4),
+         |${kmeansCtes(kClusters = 16, iters = 2, nProbe = 2, qFilter = "v.id >= 0")},
+         |sem AS (
+         |  SELECT DISTINCT x.id AS vec_id
+         |  FROM qa x JOIN qa y ON y.cid = x.cid AND y.id < x.id
          |  WHERE round(list_sum(list_transform(list_zip(x.nv, y.nv),
          |    p -> p[1] * p[2])), 6) >= 0.4)
          |SELECT CAST(count(*) AS BIGINT) AS n_dominated,

@@ -167,6 +167,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!dup(3L) && !dup(4L), "dissimilar vectors survive")
   }
 
+  test("multi-probe semantic dedup flags a superset of single-assignment") {
+    val emb = TestSpark.table("embeddings").limit(150)
+    def flagged(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"is_dup").select($"vec_id").as[Long].collect().toSet
+    val single = flagged(Dedup.semanticDedup(emb, "embedding", "vec_id",
+      minCosine = 0.3, kClusters = 8, iters = 2))
+    val multi = flagged(Dedup.semanticDedupMultiProbe(emb, "embedding",
+      "vec_id", minCosine = 0.3, kClusters = 8, iters = 2, nProbe = 2))
+    // probe set includes the nearest cell, so every single-assignment pair
+    // is still co-probed: multi-probe can only ADD flags
+    assert(single.subsetOf(multi),
+      s"lost flags: ${(single -- multi).take(5)}")
+  }
+
   test("semanticDedup verdicts are self-consistent with its own clusters") {
     val emb = TestSpark.table("embeddings").limit(120)
     val out = Dedup.semanticDedup(emb, "embedding", "vec_id", minCosine = 0.4)
