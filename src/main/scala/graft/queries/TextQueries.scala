@@ -81,6 +81,18 @@ object TextQueries {
           col("pack_tokens"))
     }),
 
+    // pack-level utilization: docs per pack + token fill — the metric a
+    // training pipeline watches (fill/budget = accelerator utilization)
+    "q_pack_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_toks",
+        size(graft.functions.Text.tokens(col("text")))
+          .cast(org.apache.spark.sql.types.LongType))
+      graft.operators.Pack.packStats(
+        graft.operators.Pack.sequences(docs, "n_toks", budget = 256L,
+          groupCol = "source", idCol = "doc_id"), "source")
+        .select(col("source"), col("pack_id"), col("n_docs"), col("tokens"))
+    }),
+
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
     // byte-identical-output contract is hash-verified across engines
@@ -234,6 +246,25 @@ object TextQueries {
          |  CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
          |  pack_tokens
          |FROM c""".stripMargin,
+
+    "q_pack_stats" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, least(n_toks, 256) AS pack_tokens,
+         |    sum(least(n_toks, 256)) OVER (
+         |      PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM tk),
+         |p AS (
+         |  SELECT source,
+         |    CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
+         |    pack_tokens
+         |  FROM c)
+         |SELECT source, pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(pack_tokens) AS BIGINT) AS tokens
+         |FROM p GROUP BY source, pack_id""".stripMargin,
 
     // counts + nested replacements are GENERATED from TextAnalysis.
     // ScrubRules so the two sides cannot drift; DuckDB regexp_replace

@@ -229,6 +229,12 @@ object ScaleRehearsal {
       "dedup_semantic" -> (() => Dedup.semanticDedup(emb, "embedding",
         "vec_id", minCosine = 0.4, kClusters = 0, iters = 2)
         .filter(col("is_dup")).count()),
+      // the recall/cost dial: nProbe=2 multiplies pair work <= 4x for the
+      // measured 0.40 -> 0.83 recall lift (BASELINE) — rehearse that the
+      // multiplier holds at 10x and stays inside the n^1.5 envelope
+      "dedup_semantic_probe2" -> (() => Dedup.semanticDedupMultiProbe(emb,
+        "embedding", "vec_id", minCosine = 0.4, kClusters = 0, iters = 2,
+        nProbe = 2).filter(col("is_dup")).count()),
       // constant-job fit shapes (the perf-weak-by-the-2x-letter family):
       // their job count is independent of row count, so wall time must
       // grow far slower than 10x while the DuckDB oracle grows ~linearly
