@@ -20,8 +20,11 @@ import graft.functions.Text
   * fingerprint group — a conditional min, so no second scan and no
   * survivor-aggregate-plus-join-back), and decontamination adds its one
   * gram probe + doc-keyed aggregate. Nothing quadratic, nothing
-  * driver-side: the corpus is scanned once for the gates/fingerprint
-  * branch and once for the gram probe, with one shuffle each.
+  * driver-side: two corpus scans (gates/fingerprint branch, gram probe)
+  * and three corpus-keyed shuffles — the fingerprint window, the
+  * decontamination doc aggregate, and the id equi-join that aligns the
+  * two branches (AQE broadcasts it on small verdict frames; at full
+  * scale it is an honest sort-merge join on the id).
   *
   * Output: one row per INPUT doc with the per-stage verdicts and the
   * final `kept` flag — the auditable form (a pipeline that only returns

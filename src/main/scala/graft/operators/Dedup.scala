@@ -340,7 +340,43 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     minCosine: Double, kClusters: Int = 16,
-                    iters: Int = 2): DataFrame = {
+                    iters: Int = 2): DataFrame =
+    semanticVerdicts(df, vecCol, idCol, minCosine, kClusters, iters,
+      nProbe = 1, keepCid = true)
+
+  /** Multi-probe semantic dedup: each vector joins its `nProbe` nearest
+    * cells instead of one, so a cosine-dup pair split across adjacent
+    * cells is still seen whenever ANY probed cell is shared — the banding
+    * trick applied to the clustering quantizer (single-assignment recall
+    * measured 0.40 at tau=0.4 on the fixture by
+    * `q_dedup_semantic_recall`; the multi-probe row measures the 0.83
+    * lift). Cost: pair work multiplies by <= nProbe^2 per cell pair — the
+    * same recall/cost dial every LSH family here exposes. Output is
+    * `(vec_id, is_dup)`; the cell id is no longer unique per vector.
+    */
+  def semanticDedupMultiProbe(df: DataFrame, vecCol: String, idCol: String,
+                              minCosine: Double, kClusters: Int = 16,
+                              iters: Int = 2, nProbe: Int = 2): DataFrame =
+    semanticVerdicts(df, vecCol, idCol, minCosine, kClusters, iters,
+      nProbe, keepCid = false)
+
+  /** Shared core of the two semantic-dedup forms — one definition of the
+    * quantizer fit, assignment, within-cell domination join and verdict
+    * aggregate, so a change to any of them cannot make the operators
+    * silently diverge. `keepCid` (nProbe == 1 only) adds the cell id to
+    * the output. Storage discipline follows `deduplicate`: the verdict
+    * frame (one narrow row per vector) is materialized EAGERLY and the
+    * normalized/assignment checkpoints this call owns are freed before
+    * returning — a long-lived session sweeping many corpora accumulates
+    * only the (small) result blocks, released with the result frame.
+    */
+  private def semanticVerdicts(df: DataFrame, vecCol: String, idCol: String,
+                               minCosine: Double, kClusters: Int,
+                               iters: Int, nProbe: Int,
+                               keepCid: Boolean): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    require(!keepCid || nProbe == 1,
+      "cid output is only unique under single assignment")
     val raw = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull)
     val c = raw
@@ -355,48 +391,8 @@ object Dedup {
     // materialize the assignment ONCE: both sides of the cid self-join
     // read it, and without the checkpoint the NearestCells argmin —
     // O(n * k * d), the dominant non-join compute with auto k ~ sqrt(n) —
-    // would re-evaluate per side
-    val assigned = c.withColumn("cid",
-        element_at(SimilaritySearch.nearestCids(cents, col("nv"), 1), 1))
-      .localCheckpoint()
-    val x = assigned.select(col("cid"), col("id").as("vec_id"), col("nv").as("xv"))
-    val y = assigned.select(col("cid").as("ycid"), col("id").as("yid"),
-      col("nv").as("yv"))
-    // left join keeps cluster-minimum ids (no smaller partner) with null y
-    x.join(y, col("cid") === col("ycid") && col("yid") < col("vec_id"), "left")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(max(coalesce(
-        round(graft.functions.VecExprs.arrayDot(col("xv"), col("yv")), 6)
-          >= minCosine, lit(false))).as("is_dup"))
-      .select(col("vec_id"),
-        col("cid").cast(org.apache.spark.sql.types.LongType).as("cid"),
-        col("is_dup"))
-  }
-
-  /** Multi-probe semantic dedup: each vector joins its `nProbe` nearest
-    * cells instead of one, so a cosine-dup pair split across adjacent
-    * cells is still seen whenever ANY probed cell is shared — the banding
-    * trick applied to the clustering quantizer (single-assignment recall
-    * measured 0.40 at tau=0.4 on the fixture by
-    * `q_dedup_semantic_recall`; the multi-probe row measures the lift).
-    * Cost: pair work multiplies by <= nProbe^2 per cell pair — the same
-    * recall/cost dial every LSH family here exposes. Output is
-    * `(vec_id, is_dup)`; the cell id is no longer unique per vector.
-    */
-  def semanticDedupMultiProbe(df: DataFrame, vecCol: String, idCol: String,
-                              minCosine: Double, kClusters: Int = 16,
-                              iters: Int = 2, nProbe: Int = 2): DataFrame = {
-    val raw = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .filter(col("__v").isNotNull)
-    val c = raw
-      .repartition(graft.ops.Partitions.cpuSpread(raw), col("id"))
-      .select(col("id"), normalized(col("__v")).as("nv"))
-      .localCheckpoint()
-    val kc =
-      if (kClusters > 0) kClusters
-      else math.max(16, math.sqrt(c.count().toDouble).toInt)
-    val cents = SimilaritySearch.kmeansCentroids(
-      c.select(col("id").as("corpus_id"), col("nv").as("cv")), kc, iters)
+    // would re-evaluate per side. explode of the 1-element probe array IS
+    // single assignment, so one expression serves every nProbe.
     val assigned = c.select(col("id"), col("nv"),
         explode(SimilaritySearch.nearestCids(cents, col("nv"), nProbe))
           .as("cid"))
@@ -404,11 +400,24 @@ object Dedup {
     val x = assigned.select(col("cid"), col("id").as("vec_id"), col("nv").as("xv"))
     val y = assigned.select(col("cid").as("ycid"), col("id").as("yid"),
       col("nv").as("yv"))
-    x.join(y, col("cid") === col("ycid") && col("yid") < col("vec_id"), "left")
-      .groupBy(col("vec_id"))
-      .agg(max(coalesce(
-        round(graft.functions.VecExprs.arrayDot(col("xv"), col("yv")), 6)
-          >= minCosine, lit(false))).as("is_dup"))
+    // left join keeps cluster-minimum ids (no smaller partner) with null y
+    val joined = x.join(y,
+      col("cid") === col("ycid") && col("yid") < col("vec_id"), "left")
+    val grouped =
+      if (keepCid) joined.groupBy(col("vec_id"), col("cid"))
+      else joined.groupBy(col("vec_id"))
+    val verdict = grouped.agg(max(coalesce(
+      round(graft.functions.VecExprs.arrayDot(col("xv"), col("yv")), 6)
+        >= minCosine, lit(false))).as("is_dup"))
+    val out =
+      if (keepCid) verdict.select(col("vec_id"),
+        col("cid").cast(org.apache.spark.sql.types.LongType).as("cid"),
+        col("is_dup"))
+      else verdict.select(col("vec_id"), col("is_dup"))
+    val mat = out.localCheckpoint() // eager: verdicts materialized here
+    assigned.rdd.unpersist(false)
+    c.rdd.unpersist(false)
+    mat
   }
 
   /** Connected components over an undirected pair list via iterative

@@ -36,13 +36,19 @@ object Pack {
   def sequences(docs: DataFrame, tokenCol: String, budget: Long,
                 groupCol: String, idCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val reserved = Seq("__cum", "pack_tokens", "pack_id")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty, // silent withColumn overwrite = mixed-provenance output
+      s"input already has ${clash.mkString(", ")} — rename before packing")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    // null counts read as 0, explicitly: Spark's least() SKIPS nulls, so
-    // without the coalesce a null-token doc would silently clamp to the
-    // full budget and consume a whole pack, shifting every later boundary
-    // in its shard (and DuckDB's least(NULL, b) returns NULL — an engine
-    // divergence on top of the wrong answer)
-    val clamped = least(coalesce(col(tokenCol).cast(LongType), lit(0L)),
+    // degenerate counts read as 0, explicitly: Spark's least() SKIPS nulls
+    // (a null-token doc would silently clamp to the FULL budget, consume a
+    // whole pack, and shift every later boundary in its shard — and
+    // DuckDB's least(NULL, b) is NULL, an engine divergence on top), and
+    // legacy non-ANSI size(null_array) is -1, which would DECREASE the
+    // running total and corrupt every later pack id
+    val clamped = least(
+      greatest(coalesce(col(tokenCol).cast(LongType), lit(0L)), lit(0L)),
       lit(budget))
     docs
       .withColumn("__cum", sum(clamped).over(w))

@@ -121,6 +121,34 @@ object DedupQueries {
       assign("qa", s"c$iters", nProbe, s" WHERE $qFilter")
   }
 
+  /** Recall oracle shared by the semantic-dedup variants: one definition
+    * of the dominated set, the within-cell rule, and the recall select —
+    * the variants differ only in the assignment CTEs (`ca` vs multi-cell
+    * `qa`), mirroring the Spark side's `semanticRecallQuery`.
+    */
+  private def semanticRecallSql(assignCtes: String,
+                                assignRel: String): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+       |  FROM embeddings WHERE vec_id < 500),
+       |ex AS (
+       |  SELECT DISTINCT b2.id AS vec_id
+       |  FROM v a JOIN v b2 ON a.id < b2.id
+       |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4),
+       |$assignCtes,
+       |sem AS (
+       |  SELECT DISTINCT x.id AS vec_id
+       |  FROM $assignRel x JOIN $assignRel y ON y.cid = x.cid AND y.id < x.id
+       |  WHERE round(list_sum(list_transform(list_zip(x.nv, y.nv),
+       |    p -> p[1] * p[2])), 6) >= 0.4)
+       |SELECT CAST(count(*) AS BIGINT) AS n_dominated,
+       |  CAST(count(sem.vec_id) AS BIGINT) AS n_flagged,
+       |  round(CAST(count(sem.vec_id) AS DOUBLE) / count(*), 6) AS dup_recall
+       |FROM ex LEFT JOIN sem ON ex.vec_id = sem.vec_id""".stripMargin
+
   private val normVSql =
     """SELECT vec_id AS id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
@@ -172,6 +200,28 @@ object DedupQueries {
        |FROM e5 LEFT JOIN a5
        |  ON e5.query_id = a5.query_id AND e5.corpus_id = a5.corpus_id
        |GROUP BY e5.query_id""".stripMargin
+
+  /** Recall harness shared by the semantic-dedup variants: dominated set =
+    * vectors with ANY lower-id cosine>=0.4 partner under the all-pairs rule
+    * (bounded slice, broadcast twin); recall = the fraction the
+    * cluster-confined `flagOp` also flags. One definition — the variants
+    * differ ONLY in the operator under test.
+    */
+  private def semanticRecallQuery(flagOp: DataFrame => DataFrame)
+      : (SparkSession, String) => DataFrame = { (s, dir) =>
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+    val dominated = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+        minCosine = 0.4)
+      .select(col("id_b").as("vec_id")).distinct()
+    val flagged = flagOp(emb).filter(col("is_dup"))
+    dominated.alias("d").join(flagged.alias("f"),
+        col("d.vec_id") === col("f.vec_id"), "left")
+      .agg(count(lit(1)).as("n_dominated"),
+        count(col("f.vec_id")).as("n_flagged"),
+        round(count(col("f.vec_id"))
+          .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)), 6)
+          .as("dup_recall"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
@@ -240,41 +290,16 @@ object DedupQueries {
     // ALL-PAIRS-dominated vectors (exists ANY lower id with cosine >= tau,
     // bounded slice + broadcast twin) that the cluster-confined operator
     // also flags — mirroring q_dedup_embedding_recall for the LSH path.
-    "q_dedup_semantic_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
-      val dominated = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
-          minCosine = 0.4)
-        .select(col("id_b").as("vec_id")).distinct()
-      val flagged = Dedup.semanticDedup(emb, "embedding", "vec_id",
-        minCosine = 0.4, kClusters = 16, iters = 2).filter(col("is_dup"))
-      dominated.alias("d").join(flagged.alias("f"),
-          col("d.vec_id") === col("f.vec_id"), "left")
-        .agg(count(lit(1)).as("n_dominated"),
-          count(col("f.vec_id")).as("n_flagged"),
-          round(count(col("f.vec_id"))
-            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)), 6)
-            .as("dup_recall"))
-    }),
+    "q_dedup_semantic_recall" -> semanticRecallQuery(emb =>
+      Dedup.semanticDedup(emb, "embedding", "vec_id",
+        minCosine = 0.4, kClusters = 16, iters = 2)),
 
     // the multi-probe variant's recall on the same slice: each vector
     // joins its 2 nearest cells, so cross-cell dup pairs sharing a probe
     // are recovered — the measured lift over single-assignment's 0.40
-    "q_dedup_semantic_probe2_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
-      val dominated = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
-          minCosine = 0.4)
-        .select(col("id_b").as("vec_id")).distinct()
-      val flagged = Dedup.semanticDedupMultiProbe(emb, "embedding", "vec_id",
-        minCosine = 0.4, kClusters = 16, iters = 2, nProbe = 2)
-        .filter(col("is_dup"))
-      dominated.alias("d").join(flagged.alias("f"),
-          col("d.vec_id") === col("f.vec_id"), "left")
-        .agg(count(lit(1)).as("n_dominated"),
-          count(col("f.vec_id")).as("n_flagged"),
-          round(count(col("f.vec_id"))
-            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)), 6)
-            .as("dup_recall"))
-    }),
+    "q_dedup_semantic_probe2_recall" -> semanticRecallQuery(emb =>
+      Dedup.semanticDedupMultiProbe(emb, "embedding", "vec_id",
+        minCosine = 0.4, kClusters = 16, iters = 2, nProbe = 2)),
 
     // recall harness for the LSH near-dup path: fraction of EXACT cosine
     // pairs (on a bounded deterministic id-slice) that the bucketed LSH
@@ -631,50 +656,14 @@ object DedupQueries {
          |WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4""".stripMargin,
 
     "q_dedup_semantic_recall" ->
-      s"""WITH v AS (
-         |  SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
-         |  FROM embeddings WHERE vec_id < 500),
-         |ex AS (
-         |  SELECT DISTINCT b2.id AS vec_id
-         |  FROM v a JOIN v b2 ON a.id < b2.id
-         |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4),
-         |${kmeansCtes(kClusters = 16, iters = 2, nProbe = 1, qFilter = "v.id < 0")},
-         |sem AS (
-         |  SELECT DISTINCT x.id AS vec_id
-         |  FROM ca x JOIN ca y ON y.cid = x.cid AND y.id < x.id
-         |  WHERE round(list_sum(list_transform(list_zip(x.nv, y.nv),
-         |    p -> p[1] * p[2])), 6) >= 0.4)
-         |SELECT CAST(count(*) AS BIGINT) AS n_dominated,
-         |  CAST(count(sem.vec_id) AS BIGINT) AS n_flagged,
-         |  round(CAST(count(sem.vec_id) AS DOUBLE) / count(*), 6) AS dup_recall
-         |FROM ex LEFT JOIN sem ON ex.vec_id = sem.vec_id""".stripMargin,
+      semanticRecallSql(kmeansCtes(kClusters = 16, iters = 2, nProbe = 1,
+        qFilter = "v.id < 0"), assignRel = "ca"),
 
     // multi-probe: the kmeansCtes `qa` CTE (rnBound = nProbe) over ALL
     // vectors is exactly the multi-cell assignment
     "q_dedup_semantic_probe2_recall" ->
-      s"""WITH v AS (
-         |  SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
-         |  FROM embeddings WHERE vec_id < 500),
-         |ex AS (
-         |  SELECT DISTINCT b2.id AS vec_id
-         |  FROM v a JOIN v b2 ON a.id < b2.id
-         |  WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4),
-         |${kmeansCtes(kClusters = 16, iters = 2, nProbe = 2, qFilter = "v.id >= 0")},
-         |sem AS (
-         |  SELECT DISTINCT x.id AS vec_id
-         |  FROM qa x JOIN qa y ON y.cid = x.cid AND y.id < x.id
-         |  WHERE round(list_sum(list_transform(list_zip(x.nv, y.nv),
-         |    p -> p[1] * p[2])), 6) >= 0.4)
-         |SELECT CAST(count(*) AS BIGINT) AS n_dominated,
-         |  CAST(count(sem.vec_id) AS BIGINT) AS n_flagged,
-         |  round(CAST(count(sem.vec_id) AS DOUBLE) / count(*), 6) AS dup_recall
-         |FROM ex LEFT JOIN sem ON ex.vec_id = sem.vec_id""".stripMargin,
+      semanticRecallSql(kmeansCtes(kClusters = 16, iters = 2, nProbe = 2,
+        qFilter = "v.id >= 0"), assignRel = "qa"),
 
     "q_dedup_embedding_recall" ->
       s"""WITH v AS (

@@ -10,6 +10,17 @@ object TextQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
 
+  /** One definition of the registered packing configuration (ws-token
+    * counts, 256-token budget, source shards) shared by q_pack and
+    * q_pack_stats — the pair cannot drift.
+    */
+  private def packedDocs(s: SparkSession, dir: String) =
+    graft.operators.Pack.sequences(
+      t(s, dir, "documents").withColumn("n_toks",
+        size(graft.functions.Text.tokens(col("text")))
+          .cast(org.apache.spark.sql.types.LongType)),
+      "n_toks", budget = 256L, groupCol = "source", idCol = "doc_id")
+
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
 
@@ -71,27 +82,16 @@ object TextQueries {
     // sequence packing: boundary-aligned streaming packing of each source
     // shard into 256-token training packs (window partitioned by source —
     // parallel across shards, nothing globally ordered)
-    "q_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("n_toks",
-        size(graft.functions.Text.tokens(col("text")))
-          .cast(org.apache.spark.sql.types.LongType))
-      graft.operators.Pack.sequences(docs, "n_toks", budget = 256L,
-        groupCol = "source", idCol = "doc_id")
+    "q_pack" -> ((s, dir) =>
+      packedDocs(s, dir)
         .select(col("doc_id"), col("source"), col("pack_id"),
-          col("pack_tokens"))
-    }),
+          col("pack_tokens"))),
 
     // pack-level utilization: docs per pack + token fill — the metric a
     // training pipeline watches (fill/budget = accelerator utilization)
-    "q_pack_stats" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("n_toks",
-        size(graft.functions.Text.tokens(col("text")))
-          .cast(org.apache.spark.sql.types.LongType))
-      graft.operators.Pack.packStats(
-        graft.operators.Pack.sequences(docs, "n_toks", budget = 256L,
-          groupCol = "source", idCol = "doc_id"), "source")
-        .select(col("source"), col("pack_id"), col("n_docs"), col("tokens"))
-    }),
+    "q_pack_stats" -> ((s, dir) =>
+      graft.operators.Pack.packStats(packedDocs(s, dir), "source")
+        .select(col("source"), col("pack_id"), col("n_docs"), col("tokens"))),
 
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
@@ -227,6 +227,25 @@ object TextQueries {
        |  JOIN cont USING (doc_id)
        |  LEFT JOIN keep k ON fp.fp = k.fp""".stripMargin
 
+  /** Shared packing CTEs (q_pack / q_pack_stats): tokenize, clamp to the
+    * 256 budget, shard-windowed cumsum, pack assignment — ending in
+    * relation `p(doc_id, source, pack_id, pack_tokens)`.
+    */
+  private val packCtes =
+    s"""tk AS (
+       |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, least(n_toks, 256) AS pack_tokens,
+       |    sum(least(n_toks, 256)) OVER (
+       |      PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM tk),
+       |p AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
+       |    pack_tokens
+       |  FROM c)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
     "q_repetition" -> repetitionSql,
@@ -234,33 +253,12 @@ object TextQueries {
     "q_curation" -> curationSql,
 
     "q_pack" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, source, least(n_toks, 256) AS pack_tokens,
-         |    sum(least(n_toks, 256)) OVER (
-         |      PARTITION BY source ORDER BY doc_id) AS cum
-         |  FROM tk)
-         |SELECT doc_id, source,
-         |  CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
-         |  pack_tokens
-         |FROM c""".stripMargin,
+      s"""WITH $packCtes
+         |SELECT doc_id, source, pack_id, pack_tokens
+         |FROM p""".stripMargin,
 
     "q_pack_stats" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, source, least(n_toks, 256) AS pack_tokens,
-         |    sum(least(n_toks, 256)) OVER (
-         |      PARTITION BY source ORDER BY doc_id) AS cum
-         |  FROM tk),
-         |p AS (
-         |  SELECT source,
-         |    CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
-         |    pack_tokens
-         |  FROM c)
+      s"""WITH $packCtes
          |SELECT source, pack_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(pack_tokens) AS BIGINT) AS tokens

@@ -20,9 +20,13 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planString(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  /** Final adaptive plan after executing the frame. */
+  /** Final adaptive plan after executing the frame. Executes THIS frame's
+    * QueryExecution (collect) — a count() would build and run a SEPARATE
+    * aggregate QueryExecution, leaving df's own AdaptiveSparkPlanExec
+    * un-finalized and the returned "final" plan just the static estimate.
+    */
   private def finalPlan(df: DataFrame): String = {
-    df.count()
+    df.collect()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan.toString
       case p                        => p.toString
