@@ -235,6 +235,32 @@ object ScaleRehearsal {
       "dedup_semantic_probe2" -> (() => Dedup.semanticDedupMultiProbe(emb,
         "embedding", "vec_id", minCosine = 0.4, kClusters = 0, iters = 2,
         nProbe = 2).filter(col("is_dup")).count()),
+      // the composed curation sweep (gates ride one scan, fp-window dedup,
+      // decontamination probe): wall must stay ~linear in the corpus with
+      // the three corpus-keyed shuffles the docstring claims — no
+      // composition-induced re-scans
+      "curation" -> (() => {
+        val bench1 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 17 === 0)
+        graft.operators.Curation.sweep(docs, bench1, "text", "doc_id",
+          decontaminateN = 4).filter(col("kept")).count()
+      }),
+      // sequence packing: one shard-partitioned window — wall ~linear,
+      // shuffle = one corpus exchange on the shard key (the rehearsal
+      // corpus has no source column; a 64-way synthetic shard key gives
+      // the window real per-shard work at every scale)
+      // counted via packStats, which READS pack_id: a bare count() lets
+      // the optimizer prune the (cardinality-preserving) window entirely
+      // and times an empty plan
+      "pack" -> (() => graft.operators.Pack.packStats(
+        graft.operators.Pack.sequences(
+          docs.withColumn("n_toks",
+              org.apache.spark.sql.functions.size(
+                graft.functions.Text.tokens(col("text")))
+                .cast(org.apache.spark.sql.types.LongType))
+            .withColumn("shard", col("doc_id") % 64),
+          "n_toks", budget = 256L, groupCol = "shard", idCol = "doc_id"),
+        "shard").count()),
       // constant-job fit shapes (the perf-weak-by-the-2x-letter family):
       // their job count is independent of row count, so wall time must
       // grow far slower than 10x while the DuckDB oracle grows ~linearly
