@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temperature-based source mixing — rebalance a multi-source corpus toward
+  * a target mixture before training (the T5/Gopher "temperature sampling"
+  * rule: source weight proportional to count^(1/T), T > 1 flattens the
+  * mixture toward uniform, T = 1 keeps natural proportions). The reference
+  * library has no mixing surface; this is a required station in any
+  * 100 TB training-data pipeline.
+  *
+  * Per-source sampling rate:
+  *   rate_s = min(1, (srt_s / S) * (total * targetFrac) / n_s)
+  * with srt_s = round(n_s^(1/T), 6) and S = sum of srt_s — the rounded
+  * weights are summed as DECIMAL(28,6), so S is an order-independent exact
+  * sum and the rates are bit-identical across engines and partitionings.
+  *
+  * Row selection is the library's deterministic md5-fraction contract
+  * (Kernel.hexThreshold15 semantics, computed here as a column expression
+  * so the whole operator stays one declarative plan): keep a row iff the
+  * first 15 hex chars of md5(id:seed) fall below the rate's 60-bit hex
+  * threshold. floor(rate * 2^60) is a power-of-two multiply — exact in
+  * IEEE double — so the column form equals the driver-side BigDecimal form.
+  *
+  * Scale shape: ONE tiny per-source aggregate (|sources| rows — mixtures
+  * are defined over a bounded source set by construction), broadcast back,
+  * then a pure codegen'd filter scan. Zero corpus-sized shuffles.
+  */
+object Mix {
+
+  /** Per-source rates: (sourceCol, n_docs, weight, rate). */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+                       temperature: Double = 2.0,
+                       targetFrac: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy() // the frame is |sources| rows — tiny
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    // T = 2 (the common flattening choice) routes through sqrt, which IEEE
+    // correctly-rounds in every engine; pow's libm implementations may
+    // differ in the last ulp, so general T is deterministic within Spark
+    // but only sqrt carries the cross-engine hash guarantee
+    val invT = 1.0 / temperature
+    val nD = col("n_docs").cast(DoubleType)
+    val srt = round(if (invT == 0.5) sqrt(nD) else pow(nD, lit(invT)), 6)
+      .cast(DecimalType(28, 6))
+    val frac = col("__srt").cast(DoubleType) / col("__ssum").cast(DoubleType)
+    counts.withColumn("__srt", srt)
+      .withColumn("__ssum", sum(col("__srt")).over(w))
+      .withColumn("__total", sum(col("n_docs")).over(w))
+      .withColumn("weight", round(frac, 6))
+      .withColumn("rate", round(least(lit(1.0),
+        frac * (col("__total").cast(DoubleType) * lit(targetFrac)) /
+          col("n_docs").cast(DoubleType)), 6))
+      .select(col(sourceCol), col("n_docs"), col("weight"), col("rate"))
+  }
+
+  /** Audit form: every input row + its source's `rate` and the
+    * deterministic `sampled` verdict. `idCols` must uniquely identify rows.
+    */
+  def temperatureFlag(df: DataFrame, sourceCol: String, idCols: Seq[String],
+                      temperature: Double = 2.0, targetFrac: Double = 1.0,
+                      seed: Long = 42L): DataFrame = {
+    val rates = broadcast(
+      temperatureRates(df, sourceCol, temperature, targetFrac)
+        .select(col(sourceCol), col("rate")))
+    val h = substring(md5(concat_ws(":",
+      idCols.map(col(_).cast(StringType)) :+ lit(seed.toString): _*)), 1, 15)
+    // 60-bit hex threshold as a column (mirrors Kernel.hexThreshold15;
+    // rate * 2^60 is exact — power-of-two multiply — so floor agrees with
+    // the BigDecimal driver-side form); hex() is uppercase -> lower()
+    val thr = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(col("rate") * lit(1.152921504606846976e18))
+        .cast(LongType))), 15, "0"))
+    df.join(rates, Seq(sourceCol))
+      .withColumn("sampled", h < thr)
+  }
+
+  /** Survivors only — the frame a training run reads. */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCols: Seq[String],
+                        temperature: Double = 2.0, targetFrac: Double = 1.0,
+                        seed: Long = 42L): DataFrame =
+    temperatureFlag(df, sourceCol, idCols, temperature, targetFrac, seed)
+      .filter(col("sampled")).drop("rate", "sampled")
+}

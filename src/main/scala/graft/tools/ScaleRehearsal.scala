@@ -294,7 +294,24 @@ object ScaleRehearsal {
           42, Seq("o_orderkey")).count()),
       "fit_sample_stratified_exact" -> (() =>
         graft.ops.Kernel.sampleStratifiedExact(ord, "o_orderpriority",
-          50, 42, Seq("o_orderkey")).count())
+          50, 42, Seq("o_orderkey")).count()),
+      // LM perplexity scoring (r7 fifth pass): fit = two corpus scans into
+      // BOUNDED count tables (top-V vocab, top-M bigrams), score = one scan
+      // + broadcast model joins + one doc-keyed shuffle whose partial
+      // aggregation reduces token rows to doc rows map-side — wall ~linear,
+      // shufW ~linear in DOCS (not tokens). The filter consumes avg_nll so
+      // the scoring join cannot be pruned from the timed plan.
+      "lm_score" -> (() => graft.operators.NgramLm.fitScore(docs, "text",
+        Seq("doc_id"), vocabSize = 1000, minCount = 2L, maxBigrams = 100000)
+        .filter(col("avg_nll") > 5.0).count()),
+      // temperature mixing: one tiny per-source aggregate (the map-side
+      // partial collapses to |sources| rows per partition), broadcast
+      // rates, then a pure codegen'd filter scan — shufW must stay ~0 at
+      // both scales (the rehearsal corpus gets a synthetic 8-way source)
+      "mix_sources" -> (() => graft.operators.Mix.temperatureFlag(
+        docs.withColumn("src", concat(lit("s"), col("doc_id") % 8)),
+        "src", Seq("doc_id"), temperature = 2.0, targetFrac = 0.5)
+        .filter(col("sampled")).count())
     )
 
     def selected(docs: DataFrame, emb: DataFrame,

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Mix, NgramLm}
+
+/** NgramLm perplexity scoring + temperature source mixing. */
+class LmMixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("NgramLm hand case: stupid-backoff log-probs") {
+    // uni: a:4 b:2, N=6, V=2; bigrams: (a,b):2 (b,a):1 (a,a):1
+    val corpus = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val m = NgramLm.fit(corpus, "text", vocabSize = 10, minCount = 1L)
+    assert(m.totalTokens === 6L && m.vocabCount === 2)
+    val r = NgramLm.score(m, corpus, "text", Seq("doc_id"))
+      .orderBy($"doc_id").collect()
+    // doc1 "a b a b": ln(5/9) + ln(2/4) + ln(1/2) + ln(2/4), each round6
+    // = -(0.587787 + 3*0.693147)/4 = -2.667228/4 -> avg_nll 0.666807
+    assert(r(0).getAs[Long]("n_tokens") === 4L)
+    assert(r(0).getAs[Double]("oov_frac") === 0.0)
+    assert(r(0).getAs[Double]("avg_nll") === 0.666807)
+    // doc2 "a a": ln(5/9) + ln(c2(a,a)/c(a)) = ln(5/9) + ln(1/4)
+    // = -(0.587787 + 1.386294)/2 = -1.974081/2 -> 0.987041 (round .5 up)
+    assert(r(1).getAs[Long]("n_tokens") === 2L)
+    assert(r(1).getAs[Double]("avg_nll") === 0.987041)
+  }
+
+  test("NgramLm: OOV backoff and empty docs") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val m = NgramLm.fit(corpus, "text", vocabSize = 10, minCount = 1L)
+    val target = Seq((10L, "a zzz"), (11L, "")).toDF("doc_id", "text")
+    val r = NgramLm.score(m, target, "text", Seq("doc_id"))
+      .orderBy($"doc_id").collect()
+    // "a zzz": ln(5/9) then backoff ln(0.4 * 1/9); zzz is OOV
+    assert(r(0).getAs[Double]("oov_frac") === 0.5)
+    val lp2 = BigDecimal(math.log(0.4 * (1.0 / 9.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp1 = BigDecimal(math.log(5.0 / 9.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = math.rint(-(lp1 + lp2) * 1000000 / 2) / 1000000.0
+    assert(r(0).getAs[Double]("avg_nll") === expect)
+    // empty doc: no tokens -> 0 + null metrics
+    assert(r(1).getAs[Long]("n_tokens") === 0L)
+    assert(r(1).isNullAt(r(1).fieldIndex("avg_nll")))
+  }
+
+  test("NgramLm: vocabSize and maxBigrams bounds bind") {
+    val corpus = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val m = NgramLm.fit(corpus, "text", vocabSize = 2, minCount = 1L, maxBigrams = 1)
+    // top-2 vocab by (count desc, token asc): a(3), b(2); c is OOV
+    assert(m.vocab.orderBy($"w").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 3L), ("b", 2L)))
+    // in-vocab pairs: (a,a):2 (a,b):1 (b,b):1 — top-1 by (c desc, prev, w)
+    assert(m.bigrams.as[(String, String, Long)].collect().toSeq ===
+      Seq(("a", "a", 2L)))
+  }
+
+  test("Mix.temperatureRates: T=2 hand case") {
+    // A:4 B:1 -> srt 2,1; S=3; total=5; frac=1:
+    // rate_A = min(1, (2/3)*5/4) = 0.833333; rate_B = min(1, (1/3)*5) = 1
+    val df = (Seq.fill(4)("A") ++ Seq("B")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "source")
+    val r = Mix.temperatureRates(df, "source", temperature = 2.0, targetFrac = 1.0)
+      .orderBy($"source").collect()
+    assert(r(0).getAs[Double]("rate") === 0.833333)
+    assert(r(1).getAs[Double]("rate") === 1.0)
+    assert(r(0).getAs[Double]("weight") === 0.666667)
+  }
+
+  test("Mix: rate-1 strata keep everything; sample = flag survivors; deterministic") {
+    val df = (0L until 200L).map(i => (i, if (i % 5 == 0) "rare" else "common"))
+      .toDF("id", "source")
+    val flags = Mix.temperatureFlag(df, "source", Seq("id"),
+      temperature = 2.0, targetFrac = 0.6, seed = 7L)
+    // the rare stratum is upweighted past 1 -> every rare row survives
+    val rare = flags.filter($"source" === "rare")
+    assert(rare.filter($"sampled").count() === rare.count())
+    val sampled = Mix.temperatureSample(df, "source", Seq("id"),
+      temperature = 2.0, targetFrac = 0.6, seed = 7L)
+    assert(sampled.count() ===
+      flags.filter($"sampled").count())
+    // deterministic: same seed -> identical survivor set
+    val again = Mix.temperatureSample(df, "source", Seq("id"),
+      temperature = 2.0, targetFrac = 0.6, seed = 7L)
+    assert(sampled.select("id").except(again.select("id")).count() === 0)
+    assert(again.select("id").except(sampled.select("id")).count() === 0)
+  }
+
+  test("Mix: T=1 keeps natural proportions (every rate = targetFrac)") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "source")
+    val r = Mix.temperatureRates(df, "source", temperature = 1.0, targetFrac = 0.4)
+    // srt_s = n_s, S = total, so rate_s = (n_s/total)*(total*0.4)/n_s = 0.4
+    assert(r.select("rate").as[Double].collect().toSeq === Seq.fill(3)(0.4))
+  }
+}

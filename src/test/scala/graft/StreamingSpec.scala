@@ -206,6 +206,37 @@ class StreamingSpec extends AnyFunSuite {
     assert((1 to 2).forall(i => !out.filter(col("city") === "a1").head().isNullAt(i)))
   }
 
+  test("NgramLm scores streamed micro-batches against a statically fit model") {
+    // same incremental-ingestion shape as the decontamination probe: the
+    // LM is fit ONCE (bounded count tables, localCheckpointed by fit);
+    // each arriving micro-batch pays one scan + the broadcast model joins
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val model = graft.operators.NgramLm.fit(corpus, "text",
+      vocabSize = 10, minCount = 1L)
+    val source = MemoryStream[(Long, String)]
+    val scores = scala.collection.mutable.Map[Long, Double]()
+    val query = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.NgramLm.score(model, batch, "text", Seq("doc_id"))
+          .select("doc_id", "avg_nll").collect().foreach(r =>
+            scores.synchronized { scores(r.getLong(0)) = r.getDouble(1) })
+      }
+      .outputMode("append").start()
+    try {
+      source.addData((10L, "a b a b"))
+      query.processAllAvailable()
+      source.addData((11L, "a b a b"), (12L, "a zzz"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // identical text scores identically across batches, and matches the
+    // batch path's hand value (LmMixSpec): avg_nll("a b a b") = 0.666807
+    assert(scores(10L) === 0.666807)
+    assert(scores(11L) === 0.666807)
+    assert(scores(12L) > scores(10L)) // OOV backoff is more surprising
+  }
+
   test("dedupStream batch twin keeps the earliest event per key") {
     import spark.implicits._
     val df = Seq(
