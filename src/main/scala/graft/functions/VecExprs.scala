@@ -174,6 +174,51 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** (w, prev) adjacent-token pairs of the normalized token stream — prev
+    * is null for the first token. One tokenize pass inside whole-stage
+    * codegen; the composed form (transform(sequence(1, size), i ->
+    * struct(element_at ..., element_at ...))) is CodegenFallback and
+    * re-walks the token array per element (NgramLm's scoring scan measured
+    * 21 s -> ~1 s at sf0.1 switching to this expression). Empty/whitespace
+    * text yields an empty array, so explode drops the doc (NgramLm
+    * left-joins scores back).
+    */
+  case class TokenPairs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("prev", StringType, nullable = true))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val out = new Array[Any](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)),
+            if (i == 0) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(toks(i - 1))))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tpExpr", this, classOf[TokenPairs].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** 32-bit SimHash of the normalized token stream — single pass over the
     * tokens with one md5 per token. Bit-identical to the composed built-in
     * form (32 separate `aggregate(transform(tokens, md5))` terms), which
@@ -733,6 +778,9 @@ object VecExprs {
 
   def tokenShingles(c: Column, n: Int): Column =
     GraftBridge.column(TokenShingles(GraftBridge.expression(c), n))
+
+  def tokenPairs(c: Column): Column =
+    GraftBridge.column(TokenPairs(GraftBridge.expression(c)))
 
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))

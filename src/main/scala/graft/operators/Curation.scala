@@ -62,4 +62,59 @@ object Curation {
         col("quality_ok") && col("repetition_ok") && col("exact_unique") &&
           !col("contaminated"))
   }
+
+  /** The FULL sweep: `sweep`'s four stages plus the two model-driven ones —
+    * an LM-perplexity gate (`NgramLm` fit on the input corpus itself;
+    * `lm_ok` = avg_nll <= `lmMaxNll`, the CCNet-style "drop the most
+    * surprising tail" cut) and temperature source mixing over the curated
+    * survivors (`Mix`; rates are computed from SURVIVOR counts per source —
+    * mixing an uncurated census would misweight sources whose docs die in
+    * the gates). Stage order is deliberate: the exact-dedup keeper is still
+    * chosen among quality+repetition survivors (as in `sweep` — the LM
+    * verdict is an independent per-doc gate like decontamination, so it
+    * cannot reassign keepers), and mixing is last because its rates depend
+    * on every earlier verdict.
+    *
+    * Cost over `sweep`: the LM fit's two bounded-output scans + one scoring
+    * scan with a doc-keyed aggregate, the id joins aligning the verdict
+    * branches, and mixing's per-source aggregate (tiny). The combined
+    * verdict frame feeds mixing twice (rate fit + flag join), so it is
+    * localCheckpointed — one narrow row per doc, the same discipline as the
+    * semantic-dedup assignment — instead of re-running the whole sweep per
+    * consumer.
+    *
+    * Output: one row per input doc — idCol, sourceCol, the six stage
+    * verdicts, the audit payloads (avg_nll, mix rate) and final `kept`.
+    */
+  def sweepFull(docs: DataFrame, bench: DataFrame, textCol: String,
+                idCol: String, sourceCol: String, decontaminateN: Int = 8,
+                lmVocabSize: Int = 20000, lmMinCount: Long = 2L,
+                lmMaxBigrams: Int = 1000000, lmMaxNll: Double = 7.0,
+                mixTemperature: Double = 2.0, mixTargetFrac: Double = 0.5,
+                seed: Long = 42L): DataFrame = {
+    val base = sweep(docs, bench, textCol, idCol, decontaminateN)
+      .withColumnRenamed("kept", "__base_kept")
+    val lm = NgramLm.fitScore(docs, textCol, Seq(idCol),
+        vocabSize = lmVocabSize, minCount = lmMinCount,
+        maxBigrams = lmMaxBigrams)
+      .select(col(idCol), col("avg_nll"))
+    val curated = base
+      .join(lm, Seq(idCol))
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .withColumn("lm_ok", coalesce(col("avg_nll") <= lmMaxNll, lit(false)))
+      .withColumn("curated", col("__base_kept") && col("lm_ok"))
+      .drop("__base_kept")
+      .localCheckpoint(true)
+    val mixed = Mix.temperatureFlag(
+        curated.filter(col("curated")).select(col(idCol), col(sourceCol)),
+        sourceCol, Seq(idCol), mixTemperature, mixTargetFrac, seed)
+      .select(col(idCol), col("rate"), col("sampled"))
+    curated.join(mixed, Seq(idCol), "left")
+      .withColumn("mix_sampled", coalesce(col("sampled"), lit(false)))
+      .withColumn("kept", col("curated") && col("mix_sampled"))
+      .select(col(idCol), col(sourceCol), col("quality_ok"),
+        col("repetition_ok"), col("lm_ok"), col("exact_unique"),
+        col("contaminated"), col("avg_nll"), col("rate"),
+        col("mix_sampled"), col("kept"))
+  }
 }

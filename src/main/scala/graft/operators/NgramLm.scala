@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Text
@@ -51,50 +51,45 @@ object NgramLm {
                          totalTokens: Long,  // N: all reference tokens (incl. OOV)
                          vocabCount: Int)    // V: |vocab| actually kept
 
-  /** Per-token (pos, w, prev) pair structs of `textCol`; prev is null for
-    * the first token. Empty/absent texts produce no rows (explode of an
-    * empty array) — callers left-join scores back to the full frame.
+  /** Exploded (idCols..., w, prev) frame — one loop-codegen `TokenPairs`
+    * pass per row (the HOF struct-building form is CodegenFallback and
+    * re-walks the token array per element). Empty/absent texts produce no
+    * rows — callers left-join scores back to the full frame.
     */
-  private def pairStructs(t: Column): Column = {
-    val toks = Text.tokens(t)
-    // sequence(1, 0) would step BACKWARD ([1, 0]); guard the empty case
-    when(size(toks) <= 0, array().cast(ArrayType(StructType(Seq(
-        StructField("pos", IntegerType), StructField("w", StringType),
-        StructField("prev", StringType))))))
-      .otherwise(transform(sequence(lit(1), size(toks)), i =>
-        struct(i.as("pos"), element_at(toks, i).as("w"),
-          when(i === 1, lit(null).cast(StringType))
-            .otherwise(element_at(toks, i - 1)).as("prev"))))
-  }
-
-  /** Exploded (idCols..., pos, w, prev) frame. */
   private def pairFrame(df: DataFrame, textCol: String,
                         idCols: Seq[String]): DataFrame =
-    df.select(idCols.map(col) :+ explode(pairStructs(col(textCol))).as("__p"): _*)
-      .select(idCols.map(col) :+ col("__p.pos").as("pos") :+
+    df.select(idCols.map(col) :+
+        explode(graft.functions.VecExprs.tokenPairs(col(textCol))).as("__p"): _*)
+      .select(idCols.map(col) :+
         col("__p.w").as("w") :+ col("__p.prev").as("prev"): _*)
 
   def fit(ref: DataFrame, textCol: String, vocabSize: Int = 20000,
           minCount: Long = 2L, maxBigrams: Int = 1000000): Model = {
+    // the unigram frame feeds three consumers (N, vocab top-V, and the
+    // callers' broadcast joins) — persist the AGGREGATED frame (distinct
+    // tokens, far smaller than the corpus) so the tokenize scan runs once
     val uni = ref.select(explode(Text.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    // N rides one tiny aggregate over the already-aggregated unigram frame
-    val n = Option(uni.agg(sum(col("c"))).collect()(0).get(0))
-      .fold(0L)(_.asInstanceOf[Long])
-    // top-V: TakeOrderedAndProject (bounded per-partition top-V + driver
-    // merge of V rows), deterministic tie-break on the token itself
-    val vocab = uni.orderBy(col("c").desc, col("w")).limit(vocabSize)
-      .localCheckpoint(true)
-    val v = vocab.count().toInt
-    val bigrams = pairFrame(ref, textCol, Nil)
-      .filter(col("prev").isNotNull)
-      .join(broadcast(vocab.select(col("w"))), Seq("w"), "leftsemi")
-      .join(broadcast(vocab.select(col("w").as("prev"))), Seq("prev"), "leftsemi")
-      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
-      .orderBy(col("c2").desc, col("prev"), col("w")).limit(maxBigrams)
-      .localCheckpoint(true)
-    Model(vocab, bigrams, n, v)
+      .persist()
+    try {
+      // N rides one tiny aggregate over the already-aggregated unigram frame
+      val n = Option(uni.agg(sum(col("c"))).collect()(0).get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      // top-V: TakeOrderedAndProject (bounded per-partition top-V + driver
+      // merge of V rows), deterministic tie-break on the token itself
+      val vocab = uni.orderBy(col("c").desc, col("w")).limit(vocabSize)
+        .localCheckpoint(true)
+      val v = vocab.count().toInt
+      val bigrams = pairFrame(ref, textCol, Nil)
+        .filter(col("prev").isNotNull)
+        .join(broadcast(vocab.select(col("w"))), Seq("w"), "leftsemi")
+        .join(broadcast(vocab.select(col("w").as("prev"))), Seq("prev"), "leftsemi")
+        .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= minCount)
+        .orderBy(col("c2").desc, col("prev"), col("w")).limit(maxBigrams)
+        .localCheckpoint(true)
+      Model(vocab, bigrams, n, v)
+    } finally uni.unpersist()
   }
 
   /** Score `df` against the model: appends n_tokens, oov_frac, avg_nll

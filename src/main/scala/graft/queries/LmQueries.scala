@@ -3,13 +3,14 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Kernel
-import graft.operators.{Mix, NgramLm}
+import graft.operators.{Curation, Mix, NgramLm}
 
-/** LM-perplexity quality scoring + temperature source mixing, each mirrored
-  * exactly in DuckDB. The knobs of the registered queries are chosen so the
-  * bounds BIND on the fixture (vocabSize 20 < the corpus's 31 distinct
-  * tokens -> real OOV traffic; maxBigrams 300 < the ~400 in-vocab pairs ->
-  * the top-M cut is exercised, not decorative).
+/** LM-perplexity quality scoring, temperature source mixing, and the FULL
+  * curation sweep (gates + dedup + decontamination + LM gate + mixing),
+  * each mirrored exactly in DuckDB. The knobs of the registered queries are
+  * chosen so the bounds BIND on the fixture (vocabSize 20 < the corpus's 31
+  * distinct tokens -> real OOV traffic; maxBigrams 300 < the ~400 in-vocab
+  * pairs -> the top-M cut is exercised, not decorative).
   */
 object LmQueries {
 
@@ -18,6 +19,7 @@ object LmQueries {
   private val VocabSize = 20
   private val MinCount = 2L
   private val MaxBigrams = 300
+  private val LmMaxNll = 7.0
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // self-scored LM perplexity: fit bounded unigram/bigram tables on the
@@ -34,15 +36,35 @@ object LmQueries {
     "q_mix_sources" -> ((s, dir) =>
       Mix.temperatureFlag(t(s, dir, "documents"), "source", Seq("doc_id"),
           temperature = 2.0, targetFrac = 0.5, seed = 42L)
-        .select(col("doc_id"), col("source"), col("rate"), col("sampled")))
+        .select(col("doc_id"), col("source"), col("rate"), col("sampled"))),
+
+    // the FULL sweep: q_curation's four stages + LM-perplexity gate +
+    // temperature mixing over survivors, composed as ONE plan with
+    // per-stage verdicts — every stage is separately hash-verified
+    // elsewhere, this row proves the six-stage composition
+    "q_curation_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.sweepFull(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", "source", decontaminateN = 4,
+        lmVocabSize = VocabSize, lmMinCount = MinCount,
+        lmMaxBigrams = MaxBigrams, lmMaxNll = LmMaxNll,
+        mixTemperature = 2.0, mixTargetFrac = 0.5, seed = 42L)
+    })
   )
 
-  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-  private val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+  private val toksSql = TextQueries.toksSql
 
-  private val lmScoreSql =
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |u AS (SELECT unnest(toks) AS w FROM tk),
+  /** The LM fit+score CTE chain: requires a CTE `tk(doc_id, toks)` (the fit
+    * AND scored corpus); ends with `lmm(doc_id, n_tokens, avgm, oovm)` —
+    * docs with no tokens are absent (callers LEFT JOIN). Mirrors
+    * NgramLm.fit/score exactly: top-V vocab (count desc, token asc), top-M
+    * bigrams (count desc, prev, w) with minCount, stupid backoff, round6
+    * log-probs summed as DECIMAL(28,6), micro-space final rounding.
+    */
+  private def lmCtes: String =
+    s"""u AS (SELECT unnest(toks) AS w FROM tk),
        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM uc),
        |voc AS (SELECT w, c FROM uc ORDER BY c DESC, w LIMIT $VocabSize),
@@ -75,39 +97,82 @@ object LmQueries {
        |    sum(CAST(lp AS DECIMAL(28,6))) AS slp,
        |    CAST(sum(oov) AS BIGINT) AS noov
        |  FROM sc GROUP BY doc_id),
-       |m AS (SELECT doc_id, n_tokens,
+       |lmm AS (SELECT doc_id, n_tokens,
        |    round(CAST(-(slp) * 1000000 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS avgm,
        |    round(CAST(noov * 1000000 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS oovm
-       |  FROM ag)
+       |  FROM ag)""".stripMargin
+
+  /** Temperature-mixing rate CTEs: requires `mixc(source, n_docs)`; ends
+    * with `mixth(source, rate, thr)`. Mirrors Mix.temperatureRates at T=2
+    * (sqrt path) + the column-expression hexThreshold15.
+    */
+  private def mixRateCtes(targetFrac: String): String =
+    s"""mixt AS (SELECT source, n_docs,
+       |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(28,6)) AS srt
+       |  FROM mixc),
+       |mixs AS (SELECT *, sum(srt) OVER () AS ssum,
+       |    CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM mixt),
+       |mixr AS (SELECT source,
+       |    round(least(1.0, (CAST(srt AS DOUBLE) / CAST(ssum AS DOUBLE))
+       |      * (CAST(total AS DOUBLE) * $targetFrac) / CAST(n_docs AS DOUBLE)), 6) AS rate
+       |  FROM mixs),
+       |mixth AS (SELECT source, rate,
+       |    CASE WHEN rate >= 1.0 THEN 'g'
+       |      ELSE lpad(lower(to_hex(CAST(floor(rate * 1152921504606846976.0) AS BIGINT))), 15, '0')
+       |    END AS thr
+       |  FROM mixr)""".stripMargin
+
+  private val lmScoreSql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |$lmCtes
        |SELECT d.doc_id, coalesce(m.n_tokens, 0) AS n_tokens,
        |  m.oovm / 1000000.0 AS oov_frac,
        |  m.avgm / 1000000.0 AS avg_nll,
        |  round(exp(m.avgm / 1000000.0), 6) AS ppl
-       |FROM (SELECT doc_id FROM documents) d LEFT JOIN m USING (doc_id)""".stripMargin
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN lmm m USING (doc_id)""".stripMargin
 
   private val mixSourcesSql =
-    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    s"""WITH mixc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
        |  FROM documents GROUP BY source),
-       |t AS (SELECT source, n_docs,
-       |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(28,6)) AS srt
-       |  FROM c),
-       |s AS (SELECT *, sum(srt) OVER () AS ssum,
-       |    CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM t),
-       |r AS (SELECT source,
-       |    round(least(1.0, (CAST(srt AS DOUBLE) / CAST(ssum AS DOUBLE))
-       |      * (CAST(total AS DOUBLE) * 0.5) / CAST(n_docs AS DOUBLE)), 6) AS rate
-       |  FROM s),
-       |th AS (SELECT source, rate,
-       |    CASE WHEN rate >= 1.0 THEN 'g'
-       |      ELSE lpad(lower(to_hex(CAST(floor(rate * 1152921504606846976.0) AS BIGINT))), 15, '0')
-       |    END AS thr
-       |  FROM r)
+       |${mixRateCtes("0.5")}
        |SELECT d.doc_id, d.source, th.rate,
        |  substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 15) < th.thr AS sampled
-       |FROM documents d JOIN th USING (source)""".stripMargin
+       |FROM documents d JOIN mixth th USING (source)""".stripMargin
+
+  private val curationFullSql =
+    s"""WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
+       |${TextQueries.curationVerdictCtes},
+       |$lmCtes,
+       |basev AS (SELECT qual.doc_id AS doc_id, qual.quality_ok, rep.repetition_ok,
+       |    coalesce(lmm.avgm / 1000000.0 <= $LmMaxNll, false) AS lm_ok,
+       |    lmm.avgm / 1000000.0 AS avg_nll,
+       |    coalesce(fp.doc_id = k.keeper, false) AS exact_unique,
+       |    cont.contaminated,
+       |    (qual.quality_ok AND rep.repetition_ok
+       |     AND coalesce(fp.doc_id = k.keeper, false)
+       |     AND NOT cont.contaminated
+       |     AND coalesce(lmm.avgm / 1000000.0 <= $LmMaxNll, false)) AS curated
+       |  FROM qual JOIN rep USING (doc_id) JOIN fp USING (doc_id)
+       |    JOIN cont USING (doc_id)
+       |    LEFT JOIN keep k ON fp.fp = k.fp
+       |    LEFT JOIN lmm USING (doc_id)),
+       |mixc AS (SELECT tr.source AS source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM basev JOIN tr USING (doc_id) WHERE basev.curated GROUP BY tr.source),
+       |${mixRateCtes("0.5")},
+       |mix AS (SELECT basev.doc_id AS doc_id, mixth.rate,
+       |    substr(md5(CAST(basev.doc_id AS VARCHAR) || ':' || '42'), 1, 15) < mixth.thr AS sampled
+       |  FROM basev JOIN tr USING (doc_id) JOIN mixth ON tr.source = mixth.source
+       |  WHERE basev.curated)
+       |SELECT basev.doc_id, tr.source, basev.quality_ok, basev.repetition_ok,
+       |  basev.lm_ok, basev.exact_unique, basev.contaminated, basev.avg_nll,
+       |  mix.rate, coalesce(mix.sampled, false) AS mix_sampled,
+       |  (basev.curated AND coalesce(mix.sampled, false)) AS kept
+       |FROM basev JOIN tr USING (doc_id) LEFT JOIN mix USING (doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_lm_score" -> lmScoreSql,
-    "q_mix_sources" -> mixSourcesSql
+    "q_mix_sources" -> mixSourcesSql,
+    "q_curation_full" -> curationFullSql
   )
 }

@@ -22,7 +22,7 @@ object TextQueries {
       "n_toks", budget = 256L, groupCol = "source", idCol = "doc_id")
 
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-  private val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+  private[queries] val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_langid" -> ((s, dir) =>
@@ -142,7 +142,7 @@ object TextQueries {
       s"i -> array_to_string(list_slice(toks, i + 1, i + $n), ' '))"
 
   /** TokenShingles semantics: distinct n-grams, whole text when shorter. */
-  private def shingleSetSql(n: Int): String =
+  private[queries] def shingleSetSql(n: Int): String =
     s"list_distinct(CASE WHEN len(toks) <= ${n - 1} " +
       s"THEN [array_to_string(toks, ' ')] ELSE ${ngramsSql(n)} END)"
 
@@ -157,7 +157,7 @@ object TextQueries {
   /** The repetition-fraction CTE chain over a (doc_id, toks) relation named
     * `tk`; ends with CTE `repf` carrying doc_id, t_1, the five fractions.
     */
-  private val repetitionCtes =
+  private[queries] val repetitionCtes =
     s"""g AS (SELECT doc_id, toks, ${ngramsSql(2)} AS g2, ${ngramsSql(3)} AS g3 FROM tk),
        |st AS (SELECT doc_id,
        |    len(toks) AS t_1, len(list_distinct(toks)) AS d_1,
@@ -172,7 +172,7 @@ object TextQueries {
        |    ${fracSql("p_3 * 3", "t_1")} AS top_3gram_frac
        |  FROM st)""".stripMargin
 
-  private val repetitionOkSql =
+  private[queries] val repetitionOkSql =
     """(t_1 < 10 OR (dup_word_frac <= 0.65 AND dup_2gram_frac <= 0.10
       | AND top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18))""".stripMargin
 
@@ -193,10 +193,12 @@ object TextQueries {
        |FROM tr LEFT JOIN (SELECT gram, true AS hit FROM bench) b USING (gram)
        |GROUP BY tr.doc_id""".stripMargin
 
-  private val curationSql =
-    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
-       |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
-       |$repetitionCtes,
+  /** The four-stage verdict CTE chain shared by q_curation and
+    * q_curation_full (LmQueries): requires CTEs `tr(doc_id, text, ...)` and
+    * `tk(doc_id, toks)`; ends with `qual`, `rep`, `fp`, `keep`, `cont`.
+    */
+  private[queries] val curationVerdictCtes =
+    s"""$repetitionCtes,
        |qual AS (SELECT doc_id,
        |    (CAST(len(toks) AS BIGINT) >= 5 AND CAST(len(toks) AS BIGINT) <= 100000
        |     AND round(CAST(list_sum(list_append(list_transform(toks, w -> len(w)), 0)) AS DOUBLE)
@@ -216,7 +218,12 @@ object TextQueries {
        |cont AS (
        |  SELECT trg.doc_id AS doc_id, max(coalesce(b.hit, false)) AS contaminated
        |  FROM trg LEFT JOIN (SELECT gram, true AS hit FROM bench) b USING (gram)
-       |  GROUP BY trg.doc_id)
+       |  GROUP BY trg.doc_id)""".stripMargin
+
+  private val curationSql =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
+       |$curationVerdictCtes
        |SELECT qual.doc_id AS doc_id, qual.quality_ok, rep.repetition_ok,
        |  coalesce(fp.doc_id = k.keeper, false) AS exact_unique,
        |  cont.contaminated,

@@ -303,7 +303,7 @@ object ScaleRehearsal {
       // the scoring join cannot be pruned from the timed plan.
       "lm_score" -> (() => graft.operators.NgramLm.fitScore(docs, "text",
         Seq("doc_id"), vocabSize = 1000, minCount = 2L, maxBigrams = 100000)
-        .filter(col("avg_nll") > 5.0).count()),
+        .filter(col("avg_nll") > 0.0).count()),
       // temperature mixing: one tiny per-source aggregate (the map-side
       // partial collapses to |sources| rows per partition), broadcast
       // rates, then a pure codegen'd filter scan — shufW must stay ~0 at

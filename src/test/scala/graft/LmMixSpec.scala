@@ -57,6 +57,24 @@ class LmMixSpec extends AnyFunSuite {
       Seq(("a", "a", 2L)))
   }
 
+  test("TokenPairs matches the composed higher-order-function form") {
+    // composed form: the O(tokens^2) CodegenFallback definition the loop
+    // expression replaces (same discipline as the NgramRepStats pin)
+    val docs = TestSpark.table("documents").limit(60)
+      .select($"text").union(Seq("", "  ", "one").toDF("text"))
+    val toks = graft.functions.Text.tokens($"text")
+    val composed = docs.select(
+      when(size(toks) <= 0, array().cast("array<struct<w:string,prev:string>>"))
+        .otherwise(transform(sequence(lit(1), size(toks)), i =>
+          struct(element_at(toks, i).as("w"),
+            when(i === lit(1), lit(null).cast("string"))
+              .otherwise(element_at(toks, i - 1)).as("prev")))).as("p"))
+    val viaExpr = docs.select(
+      graft.functions.VecExprs.tokenPairs($"text").as("p"))
+    assert(viaExpr.except(composed).count() === 0)
+    assert(composed.except(viaExpr).count() === 0)
+  }
+
   test("Mix.temperatureRates: T=2 hand case") {
     // A:4 B:1 -> srt 2,1; S=3; total=5; frac=1:
     // rate_A = min(1, (2/3)*5/4) = 0.833333; rate_B = min(1, (1/3)*5) = 1
