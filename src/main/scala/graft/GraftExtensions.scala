@@ -151,6 +151,12 @@ object GraftFunctions {
       VecExprs.TokenShingles(args(0),
         litInt("graft_token_shingles", "n", args(1)))
     },
+    fn("graft_token_pairs",
+      "graft_token_pairs(text) - (w, prev) adjacent-token pairs of " +
+        "normalized text; prev is null for the first token") { args =>
+      arity("graft_token_pairs", args, 1)
+      VecExprs.TokenPairs(args(0))
+    },
     fn("graft_minhash_sig",
       "graft_minhash_sig(shingles, k) - k md5-derived minhashes of an " +
         "array<string> shingle set") { args =>

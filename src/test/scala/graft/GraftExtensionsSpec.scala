@@ -41,7 +41,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_minhash_sig(graft_token_shingles(text, 3), 8) AS sig,
         |  graft_ngram_tf(text, 16) AS tf,
         |  graft_hyperplane_buckets(vec, 4, 2) AS bkt,
-        |  graft_ngram_rep_stats(text, 2) AS reps
+        |  graft_ngram_rep_stats(text, 2) AS reps,
+        |  graft_token_pairs(text) AS tp
         |FROM ext_fixture""".stripMargin)
 
     val api = df.select(
@@ -55,7 +56,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.functions.VecExprs.tokenShingles(col("text"), 3), 8).as("sig"),
       graft.functions.VecExprs.ngramTf(col("text"), 16).as("tf"),
       graft.functions.VecExprs.hyperplaneBuckets(col("vec"), 4, 2).as("bkt"),
-      graft.functions.VecExprs.ngramRepStats(col("text"), 2).as("reps"))
+      graft.functions.VecExprs.ngramRepStats(col("text"), 2).as("reps"),
+      graft.functions.VecExprs.tokenPairs(col("text")).as("tp"))
 
     assert(sql.collect().toSeq == api.collect().toSeq)
   }
