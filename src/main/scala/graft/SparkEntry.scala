@@ -38,7 +38,8 @@ object SparkEntry {
     Relational.queries ++ SessionQueries.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ EncoderQueries.queries ++
       FuzzyJoinQueries.queries ++ CleanerQueries.queries ++ KernelQueries.queries ++
-      StreamingQueries.queries ++ ProofQueries.queries ++ LmQueries.queries
+      StreamingQueries.queries ++ ProofQueries.queries ++ LmQueries.queries ++
+      TokenizerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check.
@@ -47,5 +48,6 @@ object SparkEntry {
     Relational.oracle ++ SessionQueries.oracle ++ DedupQueries.oracle ++
       TextQueries.oracle ++ EncoderQueries.oracle ++
       FuzzyJoinQueries.oracle ++ CleanerQueries.oracle ++ KernelQueries.oracle ++
-      StreamingQueries.oracle ++ ProofQueries.oracle ++ LmQueries.oracle
+      StreamingQueries.oracle ++ ProofQueries.oracle ++ LmQueries.oracle ++
+      TokenizerQueries.oracle
 }

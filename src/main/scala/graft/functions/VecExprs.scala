@@ -219,6 +219,113 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** BPE encoding of normalized text under an ordered merge list (see
+    * graft.operators.Bpe): tokenize, split each word to characters, apply
+    * the merges rank-by-rank with the shared greedy fold. The merge list
+    * is model state carried as one reference object — bounded broadcast,
+    * zero shuffles, one pass per row inside whole-stage codegen. Returns
+    * the flattened subword array in document order; empty text -> empty
+    * array.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
+      var i = 0
+      while (i < toks.length) {
+        val syms = BpeMerge.encodeWord(toks(i), merges)
+        var j = 0
+        while (j < syms.length) {
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(syms(j))
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeExpr", this, classOf[BpeEncode].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Fixed-size token windows with overlap over the normalized token
+    * stream — training-example construction (chunk long docs into
+    * model-context-sized windows). Chunk i covers tokens
+    * [i*stride, i*stride + size); the tail window may be shorter; a doc
+    * shorter than `size` yields exactly one chunk; empty text yields an
+    * empty array (explode drops the doc). One tokenize pass inside
+    * whole-stage codegen. Chunk text is the SPACE-JOINED NORMALIZED
+    * tokens (chunk boundaries are token positions, so the chunk body is
+    * definitionally token-stream text, not raw-text offsets).
+    */
+  case class TokenChunks(child: Expression, size: Int, stride: Int)
+      extends UnaryExpression {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chunk_id", IntegerType, nullable = false),
+      StructField("chunk_text", StringType, nullable = false),
+      StructField("n_chunk_tokens", LongType, nullable = false))),
+      containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val n = toks.length
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      // 1 + ceil(max(n - size, 0) / stride): every start < n, tail kept
+      val count = 1 + math.max(0, (n - size + stride - 1) / stride)
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val from = i * stride
+        val until = math.min(from + size, n)
+        val sb = new java.lang.StringBuilder
+        var j = from
+        while (j < until) {
+          if (j > from) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i,
+            org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+            (until - from).toLong))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tcExpr", this, classOf[TokenChunks].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** 32-bit SimHash of the normalized token stream — single pass over the
     * tokens with one md5 per token. Bit-identical to the composed built-in
     * form (32 separate `aggregate(transform(tokens, md5))` terms), which
@@ -781,6 +888,12 @@ object VecExprs {
 
   def tokenPairs(c: Column): Column =
     GraftBridge.column(TokenPairs(GraftBridge.expression(c)))
+
+  def tokenChunks(c: Column, size: Int, stride: Int): Column =
+    GraftBridge.column(TokenChunks(GraftBridge.expression(c), size, stride))
+
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeEncode(GraftBridge.expression(c), merges))
 
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))

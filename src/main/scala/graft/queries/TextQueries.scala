@@ -93,6 +93,13 @@ object TextQueries {
       graft.operators.Pack.packStats(packedDocs(s, dir), "source")
         .select(col("source"), col("pack_id"), col("n_docs"), col("tokens"))),
 
+    // document chunking: fixed 32-token windows with 8-token overlap
+    // (stride 24) — sized so the fixture's ~54-token docs yield 2-3
+    // chunks and the tail-window shorter-chunk path is exercised
+    "q_chunk" -> ((s, dir) =>
+      graft.operators.Chunk.split(t(s, dir, "documents"), "text",
+        Seq("doc_id"), size = 32, overlap = 8)),
+
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
     // byte-identical-output contract is hash-verified across engines
@@ -255,6 +262,19 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
+
+    // chunk i covers tokens [i*stride, i*stride+size); tail kept; docs
+    // with no tokens produce no chunks
+    "q_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ch AS (SELECT doc_id, len(toks) AS n, toks,
+         |    unnest(range(0, CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) END)) AS cid
+         |  FROM tk)
+         |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+         |  array_to_string(list_slice(toks, cid * 24 + 1, least(cid * 24 + 32, n)), ' ') AS chunk_text,
+         |  CAST(least(cid * 24 + 32, n) - cid * 24 AS BIGINT) AS n_chunk_tokens
+         |FROM ch""".stripMargin,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_curation" -> curationSql,

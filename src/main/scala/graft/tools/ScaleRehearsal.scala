@@ -304,6 +304,21 @@ object ScaleRehearsal {
       "lm_score" -> (() => graft.operators.NgramLm.fitScore(docs, "text",
         Seq("doc_id"), vocabSize = 1000, minCount = 2L, maxBigrams = 100000)
         .filter(col("avg_nll") > 0.0).count()),
+      // document chunking: one loop-codegen TokenChunks pass + explode —
+      // zero shuffles, wall must grow ~linearly (count() cannot prune an
+      // explode: the generator changes cardinality)
+      "chunk" -> (() => graft.operators.Chunk.split(docs, "text",
+        Seq("doc_id"), size = 128, overlap = 16).count()),
+      // BPE: fit = ONE corpus scan into the capped word table + a driver
+      // merge loop whose cost is corpus-independent; encode = one codegen
+      // scan. The sum CONSUMES bpe_tokens (a bare count would prune the
+      // whole expression out of the timed plan — the q_pack lesson)
+      "bpe" -> (() => {
+        val m = graft.operators.Bpe.fit(docs, "text", numMerges = 16,
+          maxWords = 50000)
+        graft.operators.Bpe.tokenize(docs, "text", Seq("doc_id"), m)
+          .agg(sum(size(col("bpe_tokens")))).head().getLong(0)
+      }),
       // temperature mixing: one tiny per-source aggregate (the map-side
       // partial collapses to |sources| rows per partition), broadcast
       // rates, then a pure codegen'd filter scan — shufW must stay ~0 at

@@ -75,6 +75,61 @@ class LmMixSpec extends AnyFunSuite {
     assert(composed.except(viaExpr).count() === 0)
   }
 
+  test("Chunk.split: windows, overlap continuity, boundary and empty docs") {
+    import graft.operators.Chunk
+    // 10 tokens, size 4, overlap 2 (stride 2) -> starts 0,2,4,6,8:
+    // count = 1 + ceil((10-4)/2) = 4 ... tail start 6 covers [6,10); BUT
+    // formula: 1 + ceil(6/2) = 4 chunks, last = [6..10)
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c d"), (3L, "x"), (4L, "")).toDF("doc_id", "text")
+    val out = Chunk.split(df, "text", Seq("doc_id"), size = 4, overlap = 2)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    // overlap continuity: each chunk's first 2 tokens = previous last 2
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[String]("chunk_text").split(" ").take(2).toSeq ===
+        a.getAs[String]("chunk_text").split(" ").takeRight(2).toSeq)
+    }
+    // n == size -> exactly one chunk; shorter -> one chunk; empty -> none
+    assert(out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq ===
+      Seq("a b c d"))
+    assert(out.filter(_.getLong(0) == 3L).map(_.getAs[Long]("n_chunk_tokens")).toSeq ===
+      Seq(1L))
+    assert(!out.exists(_.getLong(0) == 4L))
+  }
+
+  test("Bpe.fit hand case: weighted pair counts, chained merges, tie-break") {
+    import graft.operators.Bpe
+    // words: aa x2, ab x1 -> pairs (a,a):2 (a,b):1 -> merge1 (a,a);
+    // then aa=[aa] has no pairs, ab=[a,b] -> merge2 (a,b)
+    val df = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val m = Bpe.fit(df, "text", numMerges = 2)
+    assert(m.merges === Seq(("a", "a", 2L), ("a", "b", 1L)))
+    // lexicographic tie-break on equal counts: (a,b) before (c,d)
+    val tie = Bpe.fit(Seq((1L, "ab cd")).toDF("doc_id", "text"), "text", 1)
+    assert(tie.merges.head === ("a", "b", 1L))
+    // greedy overlap: "aaa" with (a,a) merges left-to-right -> [aa, a]
+    assert(graft.functions.BpeMerge.applyMerge(
+      Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+    // chained encode: (a,a) then (a,b) on "aaab" -> [aa, ab]
+    assert(graft.functions.BpeMerge.encodeWord("aaab",
+      Seq(("a", "a"), ("a", "b"))).toSeq === Seq("aa", "ab"))
+  }
+
+  test("Bpe: maxWords cap binds the fit but capped-out words still encode") {
+    import graft.operators.Bpe
+    // "zz" is rarest -> excluded from the 2-word fit table, so (z,z) is
+    // never a merge candidate; encoding still decomposes it (to chars)
+    val df = Seq((1L, "aa aa ab ab zz")).toDF("doc_id", "text")
+    val m = Bpe.fit(df, "text", numMerges = 3, maxWords = 2)
+    assert(!m.merges.exists(x => x._1 == "z"))
+    val enc = Bpe.tokenize(df, "text", Seq("doc_id"), m)
+      .select($"bpe_tokens").head().getSeq[String](0)
+    assert(enc.containsSlice(Seq("z", "z")))
+  }
+
   test("Mix.temperatureRates: T=2 hand case") {
     // A:4 B:1 -> srt 2,1; S=3; total=5; frac=1:
     // rate_A = min(1, (2/3)*5/4) = 0.833333; rate_B = min(1, (1/3)*5) = 1
