@@ -144,4 +144,39 @@ object NgramLm {
                vocabSize: Int = 20000, minCount: Long = 2L,
                maxBigrams: Int = 1000000): DataFrame =
     score(fit(df, textCol, vocabSize, minCount, maxBigrams), df, textCol, idCols)
+
+  // ---------------------------------------------------------------------
+  // Persistence — the DedupIndex/AnnIndex discipline: a reference LM is
+  // fit ONCE on a trusted corpus and then scores every future ingest
+  // batch; re-fitting per batch would both rescan the reference corpus
+  // and silently drift the quality scale. The two bounded count tables
+  // land as external parquet, the corpus scalars as table properties, so
+  // `read` cannot desynchronize scoring from the fit.
+  // ---------------------------------------------------------------------
+
+  def vocabTable(name: String): String = s"${name}_vocab"
+  def bigramsTable(name: String): String = s"${name}_bigrams"
+
+  def write(model: Model, name: String, path: String): Unit = {
+    val spark = model.vocab.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${vocabTable(name)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${bigramsTable(name)}`")
+    model.vocab.write.mode("overwrite").option("path", s"$path/vocab")
+      .saveAsTable(vocabTable(name))
+    model.bigrams.write.mode("overwrite").option("path", s"$path/bigrams")
+      .saveAsTable(bigramsTable(name))
+    // key must avoid the substring "token": SHOW TBLPROPERTIES redacts
+    // values whose key matches spark.sql.redaction.string.regex
+    // ("(?i)secret|password|token|access[.]key")
+    spark.sql(s"ALTER TABLE `${vocabTable(name)}` SET TBLPROPERTIES (" +
+      s"'graft.lmTotal' = '${model.totalTokens}', " +
+      s"'graft.lmVocab' = '${model.vocabCount}')")
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, name: String): Model = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${vocabTable(name)}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Model(spark.table(vocabTable(name)), spark.table(bigramsTable(name)),
+      props("graft.lmTotal").toLong, props("graft.lmVocab").toInt)
+  }
 }

@@ -38,6 +38,20 @@ object LmQueries {
           temperature = 2.0, targetFrac = 0.5, seed = 42L)
         .select(col("doc_id"), col("source"), col("rate"), col("sampled"))),
 
+    // the persisted-model path: fit once -> write external parquet + table
+    // properties -> read back -> score. MUST hash-match q_lm_score exactly
+    // (shared oracle), proving the round-trip loses nothing
+    "q_lm_score_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_lm_index")
+        .toString
+      NgramLm.write(NgramLm.fit(docs, "text", vocabSize = VocabSize,
+        minCount = MinCount, maxBigrams = MaxBigrams), "graft_lm_q", path)
+      NgramLm.score(NgramLm.read(s, "graft_lm_q"), docs, "text", Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("oov_frac"),
+          col("avg_nll"), col("ppl"))
+    }),
+
     // the FULL sweep: q_curation's four stages + LM-perplexity gate +
     // temperature mixing over survivors, composed as ONE plan with
     // per-stage verdicts — every stage is separately hash-verified
@@ -172,6 +186,7 @@ object LmQueries {
 
   val oracle: Map[String, String] = Map(
     "q_lm_score" -> lmScoreSql,
+    "q_lm_score_index" -> lmScoreSql,
     "q_mix_sources" -> mixSourcesSql,
     "q_curation_full" -> curationFullSql
   )

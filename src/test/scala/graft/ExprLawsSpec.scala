@@ -117,4 +117,40 @@ class ExprLawsSpec extends AnyFunSuite {
       assert(fast.toSeq === slow.toSeq, s"minJaccard=$minJ")
     }
   }
+
+  test("BpeMerge laws: lossless concatenation, idempotence past fixpoint") {
+    import graft.functions.BpeMerge
+    val merges = Seq(("a", "b"), ("ab", "c"), ("d", "d"), ("x", "ab"))
+    val words = samples(Gen.listOfN(10,
+      Gen.oneOf("a", "b", "c", "d", "x")).map(_.mkString), 200, 77L)
+      .filter(_.nonEmpty)
+    words.foreach { w =>
+      val enc = BpeMerge.encodeWord(w, merges)
+      // concatenating the subwords always reconstructs the word exactly
+      assert(enc.mkString("") === w, s"lossy encode of $w")
+      // re-applying the same merges to the encoded symbols changes nothing
+      // (greedy merge is a fixpoint per rank)
+      val again = merges.foldLeft(enc) { case (s, (l, r)) =>
+        BpeMerge.applyMerge(s, l, r)
+      }
+      assert(again.toSeq === enc.toSeq, s"not a fixpoint for $w")
+    }
+  }
+
+  test("TokenChunks law: stride==size chunks partition the token stream") {
+    val texts = samples(text, 120, 91L)
+    val df = texts.toDF("text")
+    val toksAndChunks = df.select(Text.tokens(col("text")).as("toks"),
+      VecExprs.tokenChunks(col("text"), 5, 5).as("ch")).collect()
+    toksAndChunks.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val chunks = r.getSeq[org.apache.spark.sql.Row](1)
+      // non-overlapping chunks concatenate back to the full token stream
+      assert(chunks.flatMap(_.getString(1).split(" ").filter(_.nonEmpty))
+        === toks)
+      // every chunk except the last is exactly `size` tokens
+      chunks.dropRight(1).foreach(c => assert(c.getLong(2) === 5L))
+      assert(chunks.map(_.getLong(2)).sum === toks.length)
+    }
+  }
 }
