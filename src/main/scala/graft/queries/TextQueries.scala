@@ -100,6 +100,23 @@ object TextQueries {
       graft.operators.Chunk.split(t(s, dir, "documents"), "text",
         Seq("doc_id"), size = 32, overlap = 8)),
 
+    // line-level boilerplate removal: the corpus is single-line, so the
+    // query manufactures line structure (8-token windows joined by \n)
+    // and injects a per-source header line into EVERY doc — the operator
+    // must strip exactly the injected template chrome (>= 5 docs of the
+    // same source share it) while keeping the prose windows
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lines8 = transform(
+        graft.functions.VecExprs.tokenChunks(col("text"), 8, 8),
+        c => c.getField("chunk_text"))
+      val multi = docs.select(col("doc_id"), col("source"),
+        concat(lit("subscribe to "), col("source"), lit(" today"),
+          lit("\n"), array_join(lines8, "\n")).as("text2"))
+      graft.operators.Boilerplate.removeFrequentLines(
+        multi, "text2", "doc_id", "source", minDocs = 5)
+    }),
+
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
     // byte-identical-output contract is hash-verified across engines
@@ -262,6 +279,41 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
+
+    // same multiline construction (8-token windows, injected per-source
+    // header), then the frequent-line rule: drop lines in >= 5 distinct
+    // docs of the source, rebuild text in order
+    "q_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |la AS (SELECT doc_id, source,
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(0, 1 + CAST(ceil(greatest(len(toks) - 8, 0) / 8.0) AS INT)),
+         |        i -> array_to_string(list_slice(toks, i * 8 + 1, least(i * 8 + 8, len(toks))), ' '))
+         |    END AS ls
+         |  FROM tk),
+         |t2 AS (SELECT doc_id, source,
+         |    'subscribe to ' || source || ' today' || chr(10) || array_to_string(ls, chr(10)) AS text2
+         |  FROM la),
+         |ln AS (SELECT doc_id, source, pr.pos AS pos, pr.line AS line FROM (
+         |    SELECT doc_id, source, unnest(list_transform(range(1, len(ls2) + 1),
+         |      i -> struct_pack(pos := i, line := ls2[i]))) AS pr
+         |    FROM (SELECT doc_id, source, string_split(text2, chr(10)) AS ls2 FROM t2))
+         |  WHERE len(trim(line)) > 0),
+         |pd AS (SELECT source, line, doc_id FROM ln GROUP BY source, line, doc_id),
+         |bo AS (SELECT source, line FROM pd GROUP BY source, line HAVING count(*) >= 5),
+         |fl AS (SELECT ln.doc_id, ln.pos, ln.line,
+         |    (bo.line IS NOT NULL) AS dropd
+         |  FROM ln LEFT JOIN bo ON ln.source = bo.source AND ln.line = bo.line),
+         |rb AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed,
+         |    CAST(sum(CASE WHEN dropd THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+         |    string_agg(CASE WHEN NOT dropd THEN line END, chr(10) ORDER BY pos) AS clean_text
+         |  FROM fl GROUP BY doc_id)
+         |SELECT d.doc_id, d.source,
+         |  coalesce(rb.clean_text, '') AS clean_text,
+         |  coalesce(rb.n_lines_kept, 0) AS n_lines_kept,
+         |  coalesce(rb.n_lines_removed, 0) AS n_lines_removed
+         |FROM documents d LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     // chunk i covers tokens [i*stride, i*stride+size); tail kept; docs
     // with no tokens produce no chunks

@@ -319,6 +319,22 @@ object ScaleRehearsal {
         graft.operators.Bpe.tokenize(docs, "text", Seq("doc_id"), m)
           .agg(sum(size(col("bpe_tokens")))).head().getLong(0)
       }),
+      // line-level boilerplate removal: 3 corpus-keyed shuffles with
+      // map-side combine (line multiset, distinct-doc count, doc rebuild)
+      // — wall and shufW must both grow ~linearly; the synthetic line
+      // structure (8-token windows + per-shard header) mirrors q_boilerplate
+      "boilerplate" -> (() => {
+        val lines8 = transform(
+          graft.functions.VecExprs.tokenChunks(col("text"), 8, 8),
+          c => c.getField("chunk_text"))
+        val multi = docs.select(col("doc_id"),
+          concat(lit("s"), col("doc_id") % 8).as("src"),
+          concat(lit("header of "), col("doc_id") % 8, lit("\n"),
+            array_join(lines8, "\n")).as("text2"))
+        graft.operators.Boilerplate.removeFrequentLines(multi, "text2",
+          "doc_id", "src", minDocs = 5)
+          .agg(sum(col("n_lines_removed"))).head().getLong(0)
+      }),
       // temperature mixing: one tiny per-source aggregate (the map-side
       // partial collapses to |sources| rows per partition), broadcast
       // rates, then a pure codegen'd filter scan — shufW must stay ~0 at

@@ -100,6 +100,26 @@ class LmMixSpec extends AnyFunSuite {
     assert(!out.exists(_.getLong(0) == 4L))
   }
 
+  test("Boilerplate: per-source frequent lines stripped, cross-source kept") {
+    import graft.operators.Boilerplate
+    val df = Seq(
+      (1L, "A", "hello world\nunique one"),
+      (2L, "A", "hello world\nunique two"),
+      (3L, "A", "hello world"),            // all-boilerplate doc
+      (4L, "B", "hello world\nother text") // same line, different source
+    ).toDF("doc_id", "source", "text")
+    val out = Boilerplate.removeFrequentLines(df, "text", "doc_id", "source",
+      minDocs = 3).orderBy($"doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") === "unique one")
+    assert(out(0).getAs[Long]("n_lines_removed") === 1L)
+    // every line boilerplate -> empty census row, not a dropped doc
+    assert(out(2).getAs[String]("clean_text") === "")
+    assert(out(2).getAs[Long]("n_lines_kept") === 0L)
+    // source B's single occurrence is below minDocs -> untouched
+    assert(out(3).getAs[String]("clean_text") === "hello world\nother text")
+    assert(out(3).getAs[Long]("n_lines_removed") === 0L)
+  }
+
   test("Bpe.fit hand case: weighted pair counts, chained merges, tie-break") {
     import graft.operators.Bpe
     // words: aa x2, ab x1 -> pairs (a,a):2 (a,b):1 -> merge1 (a,a);

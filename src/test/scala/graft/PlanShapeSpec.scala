@@ -149,6 +149,44 @@ class PlanShapeSpec extends AnyFunSuite {
     * sweep plans every registered query against the tiny fixture, so a
     * scale-killer introduced in ANY operator fails here by name.
     */
+  test("Chunk.split plans as a pure scan: zero exchanges") {
+    val docs = TestSpark.table("documents")
+    val plan = planString(graft.operators.Chunk.split(docs, "text",
+      Seq("doc_id"), size = 16, overlap = 4))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+  }
+
+  test("Mix.temperatureFlag: rates broadcast, corpus side never shuffles") {
+    val docs = TestSpark.table("documents").limit(200)
+    val df = graft.operators.Mix.temperatureFlag(docs, "source",
+      Seq("doc_id"), temperature = 2.0, targetFrac = 0.5)
+    val plan = finalPlan(df)
+    // the only exchanges feed the |sources|-row rate fit (groupBy source
+    // + its window); the corpus joins the rates by BROADCAST, so no
+    // corpus-sized key appears in any hashpartitioning
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"rates must broadcast:\n$plan")
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).hasNext,
+      s"corpus must not shuffle by row key:\n$plan")
+  }
+
+  test("Boilerplate keeps its three corpus-keyed shuffle classes, no more") {
+    val docs = TestSpark.table("documents").limit(200)
+      .select(col("doc_id"), col("source"),
+        regexp_replace(col("text"), " (?=(\\w+ ){3})", "\n").as("text"))
+    val df = graft.operators.Boilerplate.removeFrequentLines(docs, "text",
+      "doc_id", "source", minDocs = 3)
+    val plan = finalPlan(df)
+    // shuffle keys must be exactly the documented ones: (source, line[, id])
+    // for the frequency side and doc_id for rebuild/align — anything else
+    // (e.g. a whole-row or position key) is a regression
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(keys.subsetOf(Set("source", "doc_id", "__line")),
+      s"unexpected shuffle keys $keys:\n$plan")
+  }
+
   test("registry sweep: no shuffle cartesian product in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
