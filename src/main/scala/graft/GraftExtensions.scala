@@ -151,6 +151,21 @@ object GraftFunctions {
       VecExprs.TokenShingles(args(0),
         litInt("graft_token_shingles", "n", args(1)))
     },
+    fn("graft_token_chunks",
+      "graft_token_chunks(text, size, stride) - fixed-size token windows " +
+        "with overlap as (chunk_id, chunk_text, n_chunk_tokens) structs") { args =>
+      arity("graft_token_chunks", args, 3)
+      VecExprs.TokenChunks(args(0),
+        litInt("graft_token_chunks", "size", args(1)),
+        litInt("graft_token_chunks", "stride", args(2)))
+    },
+    fn("graft_token_window_hashes",
+      "graft_token_window_hashes(text, n) - md5 of every n-token window " +
+        "in position order") { args =>
+      arity("graft_token_window_hashes", args, 2)
+      VecExprs.TokenWindowHashes(args(0),
+        litInt("graft_token_window_hashes", "n", args(1)))
+    },
     fn("graft_token_pairs",
       "graft_token_pairs(text) - (w, prev) adjacent-token pairs of " +
         "normalized text; prev is null for the first token") { args =>

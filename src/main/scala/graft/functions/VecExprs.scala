@@ -219,6 +219,53 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** md5 fingerprints of ALL n-token windows of the normalized token
+    * stream, in position order (NOT distinct — unlike TokenShingles, the
+    * consumer needs every window's position for span-coverage math).
+    * Docs shorter than n yield an empty array. One tokenize pass, one md5
+    * per window, inside whole-stage codegen.
+    */
+  case class TokenWindowHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0, s"need n > 0, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val count = math.max(0, toks.length - n + 1)
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+          NgramVec.md5Hex(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("twhExpr", this, classOf[TokenWindowHashes].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** BPE encoding of normalized text under an ordered merge list (see
     * graft.operators.Bpe): tokenize, split each word to characters, apply
     * the merges rank-by-rank with the shared greedy fold. The merge list
@@ -894,6 +941,9 @@ object VecExprs {
 
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeEncode(GraftBridge.expression(c), merges))
+
+  def tokenWindowHashes(c: Column, n: Int): Column =
+    GraftBridge.column(TokenWindowHashes(GraftBridge.expression(c), n))
 
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-document duplicated-span measurement — the exact-substring dedup
+  * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  * Models Better"): a token is span-duplicated if it sits inside an
+  * n-token window whose exact content also occurs in ANOTHER document.
+  * The per-doc `dup_span_frac` is the signal the paper's pipeline cuts
+  * on; docs below the window length are this operator's blind spot by
+  * construction (whole-doc duplication at that length is exact-dedup
+  * territory, `Dedup.exact`).
+  *
+  * Suffix arrays are the single-machine tool for this; the Spark-shaped
+  * equivalent is window fingerprints: every n-token window hashes to one
+  * md5 row (loop-codegen `TokenWindowHashes`, position-ordered), a
+  * hash-keyed aggregate finds windows in >= 2 DISTINCT docs, and coverage
+  * expands only the DUPLICATED windows back to token positions (cost
+  * proportional to the duplication actually present, not the corpus) and
+  * counts distinct covered positions per doc.
+  *
+  * Scale shape: the corpus is fingerprint-scanned twice (once feeding the
+  * dup-hash aggregate, once as the semi-join probe side — the window
+  * frame is corpus x positions, too wide to be worth materializing) plus
+  * one narrow token-count scan; (hash, id) pre-collapse then hash
+  * aggregate (map-side combined — the shuffle carries one row per
+  * DISTINCT window per partition); a semi-join back on the hash; the
+  * coverage explode (x n on duplicated windows only) with a
+  * (id, position) distinct and a doc-keyed count. Hot-window skew is
+  * bounded by the pre-collapse: a window repeated a million times in one
+  * doc still ships one row per partition.
+  */
+object DupSpans {
+
+  def stats(df: DataFrame, textCol: String, idCol: String,
+            n: Int = 32): DataFrame = {
+    val windows = df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.VecExprs.tokenWindowHashes(col(textCol), n))
+          .as(Seq("__pos", "__h")))
+    // windows duplicated across >= 2 distinct docs: collapse in-doc
+    // repeats first so the doc-count aggregate is skew-proof
+    val dupHashes = windows.select(col("__h"), col("__id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2).select(col("__h"))
+    val dupWindows = windows.join(dupHashes, Seq("__h"), "leftsemi")
+    // covered token positions = union of [pos, pos+n) over dup windows
+    val covered = dupWindows
+      .select(col("__id"), explode(sequence(col("__pos"),
+        col("__pos") + lit(n - 1))).as("__tok"))
+      .distinct()
+      .groupBy(col("__id")).agg(count(lit(1)).as("covered_tokens"))
+    val dupCounts = dupWindows.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val base = df.select(col(idCol),
+      size(graft.functions.Text.tokens(col(textCol))).cast(LongType)
+        .as("n_tokens"))
+    base
+      .join(dupCounts.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1L)).cast(DoubleType), 6)
+          .as("dup_span_frac"))
+  }
+}

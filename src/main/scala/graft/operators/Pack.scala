@@ -33,14 +33,29 @@ import org.apache.spark.sql.types.LongType
   */
 object Pack {
 
+  /** `shuffleSeed`: when set, documents stream through each shard in
+    * md5(id:seed) order instead of id order — the deterministic pre-pack
+    * shuffle every training pipeline runs so a pack never reproduces
+    * crawl/ingest adjacency. Same ONE window (the shuffle rides the sort
+    * the pack window already pays — no extra pass), same md5 contract as
+    * the library's other seeded orderings, so the packing stays
+    * hash-reproducible in SQL. idCol tie-breaks for a total order.
+    */
   def sequences(docs: DataFrame, tokenCol: String, budget: Long,
-                groupCol: String, idCol: String): DataFrame = {
+                groupCol: String, idCol: String,
+                shuffleSeed: Option[Long] = None): DataFrame = {
     require(budget > 0, "budget must be positive")
     val reserved = Seq("__cum", "pack_tokens", "pack_id")
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty, // silent withColumn overwrite = mixed-provenance output
       s"input already has ${clash.mkString(", ")} — rename before packing")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val order = shuffleSeed match {
+      case Some(seed) => Seq(
+        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))),
+        col(idCol))
+      case None => Seq(col(idCol))
+    }
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     // degenerate counts read as 0, explicitly: Spark's least() SKIPS nulls
     // (a null-token doc would silently clamp to the FULL budget, consume a
     // whole pack, and shift every later boundary in its shard — and

@@ -87,6 +87,18 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("pack_id"),
           col("pack_tokens"))),
 
+    // the shuffled-pack variant: same window, md5(id:seed)-ordered stream
+    // per shard — packs must not reproduce ingest adjacency
+    "q_pack_shuffled" -> ((s, dir) =>
+      graft.operators.Pack.sequences(
+        t(s, dir, "documents").withColumn("n_toks",
+          size(graft.functions.Text.tokens(col("text")))
+            .cast(org.apache.spark.sql.types.LongType)),
+        "n_toks", budget = 256L, groupCol = "source", idCol = "doc_id",
+        shuffleSeed = Some(42L))
+        .select(col("doc_id"), col("source"), col("pack_id"),
+          col("pack_tokens"))),
+
     // pack-level utilization: docs per pack + token fill — the metric a
     // training pipeline watches (fill/budget = accelerator utilization)
     "q_pack_stats" -> ((s, dir) =>
@@ -99,6 +111,14 @@ object TextQueries {
     "q_chunk" -> ((s, dir) =>
       graft.operators.Chunk.split(t(s, dir, "documents"), "text",
         Seq("doc_id"), size = 32, overlap = 8)),
+
+    // cross-doc duplicated-span signal (Lee et al. 2022 shape): 16-token
+    // windows shared by >= 2 distinct docs, per-doc coverage fraction —
+    // 835 dup windows across 45 docs on this fixture, so the join/
+    // coverage paths carry real traffic
+    "q_dup_spans" -> ((s, dir) =>
+      graft.operators.DupSpans.stats(t(s, dir, "documents"), "text",
+        "doc_id", n = 16)),
 
     // line-level boilerplate removal: the corpus is single-line, so the
     // query manufactures line structure (8-token windows joined by \n)
@@ -280,6 +300,30 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
 
+    // window fingerprints -> >=2-distinct-doc hashes -> coverage = union
+    // of [pos, pos+16) over duplicated windows
+    "q_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |wd AS (SELECT doc_id, pr.pos AS pos, pr.h AS h FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 15, 0)),
+         |    i -> struct_pack(pos := i,
+         |      h := md5(array_to_string(list_slice(toks, i + 1, i + 16), ' '))))) AS pr
+         |  FROM tk)),
+         |dh AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wd)
+         |  GROUP BY h HAVING count(*) >= 2),
+         |dw AS (SELECT wd.doc_id AS doc_id, wd.pos AS pos FROM wd JOIN dh USING (h)),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM (
+         |    SELECT DISTINCT doc_id, unnest(range(pos, pos + 16)) AS tokpos FROM dw)
+         |  GROUP BY doc_id),
+         |ndw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+         |  FROM dw GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(ndw.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(cov.covered, 0) AS covered_tokens,
+         |  round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+         |    / CAST(greatest(len(tk.toks), 1) AS DOUBLE), 6) AS dup_span_frac
+         |FROM tk LEFT JOIN ndw USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+
     // same multiline construction (8-token windows, injected per-source
     // header), then the frequent-line rule: drop lines in >= 5 distinct
     // docs of the source, rebuild text in order
@@ -342,6 +386,22 @@ object TextQueries {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(pack_tokens) AS BIGINT) AS tokens
          |FROM p GROUP BY source, pack_id""".stripMargin,
+
+    // same packing math, md5(id:42)-ordered stream per shard
+    "q_pack_shuffled" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, least(n_toks, 256) AS pack_tokens,
+         |    sum(least(n_toks, 256)) OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || '42'), doc_id) AS cum
+         |  FROM tk)
+         |SELECT doc_id, source,
+         |  CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
+         |  pack_tokens
+         |FROM c""".stripMargin,
 
     // counts + nested replacements are GENERATED from TextAnalysis.
     // ScrubRules so the two sides cannot drift; DuckDB regexp_replace

@@ -319,6 +319,13 @@ object ScaleRehearsal {
         graft.operators.Bpe.tokenize(docs, "text", Seq("doc_id"), m)
           .agg(sum(size(col("bpe_tokens")))).head().getLong(0)
       }),
+      // duplicated-span signal: fingerprint scan + hash-keyed aggregate
+      // (pre-collapsed per doc) + coverage explode on DUP windows only —
+      // the 10x corpus has 10x more cross-copy duplication, so this one
+      // legitimately grows superlinearly in FLAGGED rows while the
+      // fingerprint/aggregate side stays linear; watch shufW vs rows
+      "dup_spans" -> (() => graft.operators.DupSpans.stats(docs, "text",
+        "doc_id", n = 16).filter(col("n_dup_windows") > 0).count()),
       // line-level boilerplate removal: 3 corpus-keyed shuffles with
       // map-side combine (line multiset, distinct-doc count, doc rebuild)
       // — wall and shufW must both grow ~linearly; the synthetic line

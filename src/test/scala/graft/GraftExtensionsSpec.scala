@@ -42,7 +42,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_ngram_tf(text, 16) AS tf,
         |  graft_hyperplane_buckets(vec, 4, 2) AS bkt,
         |  graft_ngram_rep_stats(text, 2) AS reps,
-        |  graft_token_pairs(text) AS tp
+        |  graft_token_pairs(text) AS tp,
+        |  graft_token_chunks(text, 4, 3) AS tc,
+        |  graft_token_window_hashes(text, 3) AS twh
         |FROM ext_fixture""".stripMargin)
 
     val api = df.select(
@@ -57,7 +59,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.VecExprs.ngramTf(col("text"), 16).as("tf"),
       graft.functions.VecExprs.hyperplaneBuckets(col("vec"), 4, 2).as("bkt"),
       graft.functions.VecExprs.ngramRepStats(col("text"), 2).as("reps"),
-      graft.functions.VecExprs.tokenPairs(col("text")).as("tp"))
+      graft.functions.VecExprs.tokenPairs(col("text")).as("tp"),
+      graft.functions.VecExprs.tokenChunks(col("text"), 4, 3).as("tc"),
+      graft.functions.VecExprs.tokenWindowHashes(col("text"), 3).as("twh"))
 
     assert(sql.collect().toSeq == api.collect().toSeq)
   }

@@ -120,6 +120,32 @@ class LmMixSpec extends AnyFunSuite {
     assert(out(3).getAs[Long]("n_lines_removed") === 0L)
   }
 
+  test("DupSpans hand case: shared windows, overlapping-coverage union") {
+    import graft.operators.DupSpans
+    val df = Seq(
+      (1L, "a b c d e f"),      // windows [abc][bcd][cde][def]
+      (2L, "x y a b c d z"),    // shares [abc] (pos 2) and [bcd] (pos 3)
+      (3L, "q r s")             // no shared span
+    ).toDF("doc_id", "text")
+    val r = DupSpans.stats(df, "text", "doc_id", n = 3)
+      .orderBy($"doc_id").collect()
+    // doc1: dup windows at pos 0,1 -> coverage [0,3)u[1,4) = 4 tokens of 6
+    assert(r(0).getAs[Long]("n_dup_windows") === 2L)
+    assert(r(0).getAs[Long]("covered_tokens") === 4L)
+    assert(r(0).getAs[Double]("dup_span_frac") === 0.666667)
+    // doc2: pos 2,3 -> [2,5)u[3,6) = 4 of 7
+    assert(r(1).getAs[Long]("covered_tokens") === 4L)
+    assert(r(1).getAs[Double]("dup_span_frac") === 0.571429)
+    // doc3: untouched census row
+    assert(r(2).getAs[Long]("n_dup_windows") === 0L)
+    assert(r(2).getAs[Double]("dup_span_frac") === 0.0)
+    // a window repeated WITHIN one doc only is not cross-doc duplication
+    val self = DupSpans.stats(
+      Seq((1L, "p q p q p q")).toDF("doc_id", "text"), "text", "doc_id", n = 2)
+      .collect()(0)
+    assert(self.getAs[Long]("n_dup_windows") === 0L)
+  }
+
   test("Bpe.fit hand case: weighted pair counts, chained merges, tie-break") {
     import graft.operators.Bpe
     // words: aa x2, ab x1 -> pairs (a,a):2 (a,b):1 -> merge1 (a,a);
