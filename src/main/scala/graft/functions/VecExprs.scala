@@ -266,6 +266,57 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Centered projection: out_j = sum_i (x_i - mean_i) * basis_j_i — the
+    * per-row PCA transform (graft.operators.Embed), carrying the fitted
+    * mean and k x d basis as reference objects (the NearestCells
+    * discipline: model state rides the expression, the corpus scan stays
+    * whole-stage codegen with zero shuffles). Input must be
+    * array<double> of length d; null input -> null.
+    */
+  case class CenterProject(child: Expression, mean: Array[Double],
+                           basis: Array[Array[Double]])
+      extends UnaryExpression {
+    require(basis.forall(_.length == mean.length),
+      "basis rows must match mean dimension")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected array<double> input, got $other")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(a: ArrayData): ArrayData = {
+      val d = mean.length
+      if (a.numElements() != d) throw new IllegalArgumentException(
+        s"CenterProject: expected vector of length $d, got ${a.numElements()}")
+      val out = new Array[Any](basis.length)
+      var j = 0
+      while (j < basis.length) {
+        val row = basis(j)
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          s += (a.getDouble(i) - mean(i)) * row(i)
+          i += 1
+        }
+        out(j) = s
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cpExpr", this, classOf[CenterProject].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** BPE encoding of normalized text under an ordered merge list (see
     * graft.operators.Bpe): tokenize, split each word to characters, apply
     * the merges rank-by-rank with the shared greedy fold. The merge list
@@ -944,6 +995,10 @@ object VecExprs {
 
   def tokenWindowHashes(c: Column, n: Int): Column =
     GraftBridge.column(TokenWindowHashes(GraftBridge.expression(c), n))
+
+  def centerProject(c: Column, mean: Array[Double],
+                    basis: Array[Array[Double]]): Column =
+    GraftBridge.column(CenterProject(GraftBridge.expression(c), mean, basis))
 
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))

@@ -28,6 +28,25 @@ object EncoderQueries {
       |FROM z""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // embedding PCA at FULL RANK: the projection is an orthonormal change
+    // of basis, so the oracle checks centered norms / centered ref-dots
+    // computed in the ORIGINAL space (the q_string_encoder trick);
+    // truncation is spec-covered (EmbedSpec: variance ordering, shrinkage)
+    "q_embed_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val out = graft.operators.Embed.pca(emb, "embedding", Seq("vec_id"),
+        k = 64).persist()
+      val refId = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val refVec = out.filter(col("vec_id") === refId)
+        .select(col("pca")).limit(1).collect()(0).getSeq[Double](0)
+      val refLit = typedLit(refVec)
+      import graft.functions.VecExprs
+      out.select(col("vec_id"),
+        (round(sqrt(VecExprs.arrayDot(col("pca"), col("pca"))), 6) + lit(0.0))
+          .as("pca_norm"),
+        (round(VecExprs.arrayDot(col("pca"), refLit), 6) + lit(0.0))
+          .as("pca_ref_dot"))
+    }),
     // DatetimeEncoder with circular (sin/cos) periodic features
     "q_datetime_encoder" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -422,6 +441,20 @@ object EncoderQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_embed_pca" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |u AS (SELECT vec_id, pr.p AS p, pr.x AS x FROM (
+        |  SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> struct_pack(p := i, x := CAST(embedding[i] AS DOUBLE)))) AS pr
+        |  FROM e)),
+        |mu AS (SELECT p, avg(x) AS m FROM u GROUP BY p),
+        |cv AS (SELECT vec_id, p, x - m AS c FROM u JOIN mu USING (p)),
+        |rf AS (SELECT p, c AS rc FROM cv
+        |  WHERE vec_id = (SELECT min(vec_id) FROM e))
+        |SELECT cv.vec_id,
+        |  round(sqrt(sum(c * c)), 6) + 0.0 AS pca_norm,
+        |  round(sum(c * rf.rc), 6) + 0.0 AS pca_ref_dot
+        |FROM cv JOIN rf USING (p) GROUP BY cv.vec_id""".stripMargin,
     "q_string_encoder" -> stringEncOracle,
     "q_gap_encoder" -> gapOracle,
     "q_minhash_encoder" -> minhashOracle,

@@ -319,6 +319,16 @@ object ScaleRehearsal {
         graft.operators.Bpe.tokenize(docs, "text", Seq("doc_id"), m)
           .agg(sum(size(col("bpe_tokens")))).head().getLong(0)
       }),
+      // embedding PCA: fit = one melted mean aggregate + one Gram pass
+      // (driver state = d x d, corpus-independent); transform = pure
+      // CenterProject scan — wall ~linear, shufW ~flat (only the tiny
+      // mean aggregate moves). The dot-sum consumes the projection.
+      "embed_pca" -> (() => {
+        val out = graft.operators.Embed.pca(emb, "embedding",
+          Seq("vec_id"), k = 16)
+        out.agg(sum(graft.functions.VecExprs.arrayDot(col("pca"), col("pca"))))
+          .head().getDouble(0).toLong
+      }),
       // duplicated-span signal: fingerprint scan + hash-keyed aggregate
       // (pre-collapsed per doc) + coverage explode on DUP windows only —
       // the 10x corpus has 10x more cross-copy duplication, so this one

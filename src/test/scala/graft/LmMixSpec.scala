@@ -120,6 +120,29 @@ class LmMixSpec extends AnyFunSuite {
     assert(out(3).getAs[Long]("n_lines_removed") === 0L)
   }
 
+  test("Embed.pca: variance ordering, truncation shrinkage, centered output") {
+    import graft.operators.Embed
+    val emb = TestSpark.table("embeddings")
+    val m = Embed.fitPca(emb, "embedding", k = 8)
+    // eigenvalues (= component variances * n) come back descending
+    assert(m.eigenvalues.sliding(2).forall { case Array(a, b) => a >= b },
+      m.eigenvalues.toSeq.toString)
+    val full = Embed.transformPca(emb, "embedding", Seq("vec_id"),
+      Embed.fitPca(emb, "embedding", k = 64))
+    val trunc = Embed.transformPca(emb, "embedding", Seq("vec_id"), m)
+    def norms(df: org.apache.spark.sql.DataFrame) = df.select($"vec_id",
+        sqrt(graft.functions.VecExprs.arrayDot($"pca", $"pca")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (nf, nt) = (norms(full), norms(trunc))
+    // truncation can only shrink the centered norm (projection property)
+    nf.keys.foreach(id => assert(nt(id) <= nf(id) + 1e-9, s"vec $id grew"))
+    // the projected corpus is centered: per-component means ~ 0
+    val compMeans = trunc
+      .select(posexplode($"pca").as(Seq("p", "x")))
+      .groupBy($"p").agg(avg($"x").as("m")).collect()
+    compMeans.foreach(r => assert(math.abs(r.getDouble(1)) < 1e-9))
+  }
+
   test("DupSpans hand case: shared windows, overlapping-coverage union") {
     import graft.operators.DupSpans
     val df = Seq(
