@@ -77,4 +77,20 @@ object Embed {
   def pca(df: DataFrame, vecCol: String, idCols: Seq[String],
           k: Int): DataFrame =
     transformPca(df, vecCol, idCols, fitPca(df, vecCol, k))
+
+  /** Whitened variant: basis rows scaled by 1/sqrt(eigenvalue/(n-1)) so
+    * every projected component has unit sample variance — the PCA-W
+    * pretransform (distance computations then weight all directions
+    * equally; SQ8's per-vector scale also quantizes better on equalized
+    * axes). Components with (near-)zero variance are left unscaled
+    * rather than amplifying noise by 1/0.
+    */
+  def whitened(model: PcaModel, n: Long): PcaModel = {
+    require(n > 1, s"need n > 1 rows to whiten, got $n")
+    val basis = model.basis.zip(model.eigenvalues).map { case (row, ev) =>
+      val variance = ev / (n - 1).toDouble
+      if (variance <= 1e-12) row else row.map(_ / math.sqrt(variance))
+    }
+    model.copy(basis = basis)
+  }
 }

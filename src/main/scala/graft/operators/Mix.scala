@@ -64,7 +64,7 @@ object Mix {
                       seed: Long = 42L): DataFrame = {
     val rates = broadcast(
       temperatureRates(df, sourceCol, temperature, targetFrac)
-        .select(col(sourceCol), col("rate")))
+        .select(col(sourceCol).as("__mix_src"), col("rate")))
     val h = substring(md5(concat_ws(":",
       idCols.map(col(_).cast(StringType)) :+ lit(seed.toString): _*)), 1, 15)
     // 60-bit hex threshold as a column (mirrors Kernel.hexThreshold15;
@@ -73,7 +73,11 @@ object Mix {
     val thr = when(col("rate") >= 1.0, lit("g"))
       .otherwise(lpad(lower(hex(floor(col("rate") * lit(1.152921504606846976e18))
         .cast(LongType))), 15, "0"))
-    df.join(rates, Seq(sourceCol))
+    // null-SAFE join: a null source is its own stratum (groupBy already
+    // counts it as one) — a plain equi-join would silently DROP its rows
+    // from the census
+    df.join(rates, df(sourceCol) <=> rates("__mix_src"))
+      .drop("__mix_src")
       .withColumn("sampled", h < thr)
   }
 

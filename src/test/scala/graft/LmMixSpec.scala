@@ -143,6 +143,30 @@ class LmMixSpec extends AnyFunSuite {
     compMeans.foreach(r => assert(math.abs(r.getDouble(1)) < 1e-9))
   }
 
+  test("Embed.whitened: unit component variances; zero-variance axes untouched") {
+    import graft.operators.Embed
+    val emb = TestSpark.table("embeddings")
+    val n = emb.count()
+    val m = Embed.whitened(Embed.fitPca(emb, "embedding", k = 4), n)
+    val comps = Embed.transformPca(emb, "embedding", Seq("vec_id"), m)
+      .select(posexplode($"pca").as(Seq("p", "x")))
+      .groupBy($"p").agg(var_samp($"x").as("v")).collect()
+    comps.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-6,
+      s"component ${r.getInt(0)} variance ${r.getDouble(1)}"))
+  }
+
+  test("Mix.temperatureFlag: null source is a stratum, not a dropped row") {
+    val df = (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) null else s"s${i % 2}"))
+      .toDF("id", "source")
+    val flags = Mix.temperatureFlag(df, "source", Seq("id"),
+      temperature = 2.0, targetFrac = 1.0, seed = 3L)
+    // census: every input row present, including the null-source stratum
+    assert(flags.count() === 40L)
+    assert(flags.filter($"source".isNull).count() === 10L)
+    assert(flags.filter($"source".isNull && $"rate".isNotNull).count() === 10L)
+  }
+
   test("DupSpans hand case: shared windows, overlapping-coverage union") {
     import graft.operators.DupSpans
     val df = Seq(
