@@ -266,6 +266,38 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the
+    * encoding-repair stage of corpus cleaning: combining sequences
+    * compose to their precomposed forms so byte-level dedup/fingerprints
+    * see one representation per canonically-equal string. Both the JDK
+    * (java.text.Normalizer) and the oracle's utf8proc implement the same
+    * Unicode standard, so output is byte-identical cross-engine.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(s.toString,
+          java.text.Normalizer.Form.NFC))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nfcExpr", this, classOf[NfcNormalize].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Centered projection: out_j = sum_i (x_i - mean_i) * basis_j_i — the
     * per-row PCA transform (graft.operators.Embed), carrying the fitted
     * mean and k x d basis as reference objects (the NearestCells
@@ -999,6 +1031,9 @@ object VecExprs {
   def centerProject(c: Column, mean: Array[Double],
                     basis: Array[Array[Double]]): Column =
     GraftBridge.column(CenterProject(GraftBridge.expression(c), mean, basis))
+
+  def nfcNormalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))

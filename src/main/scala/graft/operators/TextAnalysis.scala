@@ -150,6 +150,19 @@ object TextAnalysis {
     ("phone", "\\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
   )
 
+  /** Unicode NFC normalization with an audit flag — the encoding-repair
+    * stage of corpus cleaning (decomposed combining sequences compose to
+    * their canonical forms, so fingerprints/dedup see ONE byte
+    * representation per canonically-equal string). Pure codegen'd scan
+    * (loop expression `NfcNormalize`), zero shuffles; `nfc_changed`
+    * aggregates into "how much mojibake did this shard carry" without
+    * re-reading the text.
+    */
+  def normalizeUnicode(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("nfc_text",
+        graft.functions.VecExprs.nfcNormalize(col(textCol)))
+      .withColumn("nfc_changed", col(textCol) =!= col("nfc_text"))
+
   /** Redact PII/links from `textCol`: emits `scrubbed` plus one
     * `n_<rule>` match-count column per rule (the counts are the audit
     * trail — "how much PII did this shard contain" aggregates without

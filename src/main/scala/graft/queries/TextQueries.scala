@@ -112,6 +112,19 @@ object TextQueries {
       graft.operators.Chunk.split(t(s, dir, "documents"), "text",
         Seq("doc_id"), size = 32, overlap = 8)),
 
+    // unicode NFC repair: a fifth of the docs get a decomposed
+    // combining-sequence suffix (e + U+0301); the normalizer must
+    // compose exactly those and flag them — byte-identical across the
+    // JDK's Normalizer and the oracle's utf8proc
+    "q_nfc" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" cafe\u0301 visite\u0301")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.normalizeUnicode(d, "text")
+        .select(col("doc_id"), col("nfc_changed"), col("nfc_text"))
+    }),
+
     // cross-doc duplicated-span signal (Lee et al. 2022 shape): 16-token
     // windows shared by >= 2 distinct docs, per-doc coverage fraction —
     // 835 dup windows across 45 docs on this fixture, so the join/
@@ -299,6 +312,19 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_langid" -> langidSql,
+
+    // same decomposed suffix built with chr(769) = U+0301
+    "q_nfc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' cafe' || chr(769) || ' visite' || chr(769)
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  text <> nfc_normalize(text) AS nfc_changed,
+        |  nfc_normalize(text) AS nfc_text
+        |FROM d""".stripMargin,
 
     // window fingerprints -> >=2-distinct-doc hashes -> coverage = union
     // of [pos, pos+16) over duplicated windows

@@ -143,6 +143,26 @@ class LmMixSpec extends AnyFunSuite {
     compMeans.foreach(r => assert(math.abs(r.getDouble(1)) < 1e-9))
   }
 
+  test("normalizeUnicode: composes combining sequences, flags only changes") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "cafe\u0301"),     // decomposed e + U+0301
+      (2L, "café"),      // already precomposed
+      (3L, "plain ascii")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeUnicode(df, "text")
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Boolean]("nfc_changed"))
+    assert(r(0).getAs[String]("nfc_text") === "café")
+    assert(!r(1).getAs[Boolean]("nfc_changed"))
+    assert(!r(2).getAs[Boolean]("nfc_changed"))
+    // idempotent: normalizing the normalized output changes nothing
+    val again = TextAnalysis.normalizeUnicode(
+      r.map(x => (x.getLong(0), x.getAs[String]("nfc_text"))).toSeq
+        .toDF("doc_id", "text"), "text")
+    assert(again.filter($"nfc_changed").count() === 0)
+  }
+
   test("Embed.whitened: unit component variances; zero-variance axes untouched") {
     import graft.operators.Embed
     val emb = TestSpark.table("embeddings")
