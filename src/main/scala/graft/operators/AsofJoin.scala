@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — enrich each left row with the LATEST right row whose
+  * timestamp is <= the left row's, within the same keys (the time-series
+  * join behind feature backfills, point-in-time-correct training joins,
+  * and "state at event time" lookups; kdb/pandas `merge_asof` and
+  * DuckDB's native ASOF JOIN are the single-machine forms — Spark has no
+  * built-in).
+  *
+  * Spark-shaped as the ONE-PASS union-window form, not a range join: tag
+  * both sides, union by name, and within each key partition sort by
+  * (ts, side, tie) — right rows sort BEFORE left rows at equal
+  * timestamps, making the match inclusive — then every left row reads its
+  * payload with `last(_, ignoreNulls) OVER (unbounded preceding .. current
+  * row)`. ONE shuffle on the join keys (the window), no per-row range
+  * probing, no time-bucketing parameter to mistune; skew bound = the
+  * largest single key, the same bound every per-key window op carries.
+  *
+  * Determinism: ties among right rows at identical (keys, ts) are broken
+  * by `rightTie` (pass the right side's unique id) — without it the
+  * picked payload is sort-order-dependent, exactly the ambiguity a
+  * hash-verified operator cannot carry.
+  *
+  * Output: every left row (left join semantics) + one column per
+  * `payload` entry (rightCol -> outputName), null where no right row
+  * precedes.
+  */
+object AsofJoin {
+
+  def asof(left: DataFrame, right: DataFrame, on: Seq[String], tsCol: String,
+           payload: Seq[(String, String)],
+           rightTie: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asof: need at least one payload column")
+    val leftCols = left.columns.toSeq
+    payload.foreach { case (_, out) =>
+      require(!leftCols.contains(out),
+        s"asof: left already has output column $out")
+    }
+    val l2 = left.withColumn("__side", lit(1))
+    // the whole payload rides ONE struct, non-null on every right row:
+    // last(ignoreNulls) must pick the latest right ROW — per-column
+    // last(ignoreNulls) would skip a null payload VALUE and silently
+    // reach back to an older row
+    val r2 = right.select(
+      on.map(col) ++ Seq(col(tsCol)) ++
+        rightTie.zipWithIndex.map { case (c, i) => col(c).as(s"__tie_$i") } :+
+        struct(payload.map { case (c, out) => col(c).as(out) }: _*).as("__p"): _*)
+      .withColumn("__side", lit(0))
+    // left-only columns null on right rows, payload/tie null on left rows
+    val all = l2.unionByName(r2, allowMissingColumns = true)
+    val order: Seq[Column] = col(tsCol).asc +: col("__side").asc +:
+      rightTie.indices.map(i => col(s"__tie_$i").asc)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all.withColumn("__latest", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map { case (_, out) => col(s"__latest.$out").as(out) }: _*)
+  }
+}

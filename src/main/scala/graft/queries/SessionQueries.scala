@@ -23,6 +23,23 @@ object SessionQueries {
       SessionEncoder.globalSessionId(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
         .select(col("event_id"), col("user_id"), col("session_id"))),
 
+    // as-of join: each click enriched with the latest error AT-OR-BEFORE
+    // its timestamp for the same user — the point-in-time-correct
+    // training join; one union-window pass, verified against DuckDB's
+    // NATIVE ASOF LEFT JOIN
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsofJoin.asof(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error"),
+        on = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id" -> "ref_event_id", "value" -> "ref_value"),
+        rightTie = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ref_event_id"),
+          col("ref_value"))
+    }),
+
     // session-level rollup: events per session, duration, value sum
     "q_session_stats" -> ((s, dir) => {
       val sess = SessionEncoder.transform(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
@@ -44,6 +61,17 @@ object SessionQueries {
        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN is the reference semantics
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id,
+        |  r.event_id AS ref_event_id, r.value AS ref_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
     "q_sessionize" ->
       s"""WITH b AS ($boundarySql)
          |SELECT event_id, user_id,

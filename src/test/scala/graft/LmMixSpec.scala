@@ -143,6 +143,44 @@ class LmMixSpec extends AnyFunSuite {
     compMeans.foreach(r => assert(math.abs(r.getDouble(1)) < 1e-9))
   }
 
+  test("AsofJoin: inclusive match, null-payload rows not skipped, ties, census") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, ts("2021-01-01 00:10:00")),
+      (2L, 1L, ts("2021-01-01 00:20:00")),
+      (3L, 2L, ts("2021-01-01 00:05:00")) // user 2 has no prior right row
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 1L, ts("2021-01-01 00:10:00"), Some(5.0)),  // equal ts: matches
+      (101L, 1L, ts("2021-01-01 00:15:00"), None),       // null VALUE, latest ROW
+      (102L, 2L, ts("2021-01-01 00:30:00"), Some(9.0))   // after left -> no match
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts",
+        Seq("event_id" -> "ref_id", "value" -> "ref_value"),
+        rightTie = Seq("event_id"))
+      .orderBy($"event_id").collect()
+    // equal timestamps match inclusively (l.ts >= r.ts)
+    assert(out(0).getAs[Long]("ref_id") === 100L)
+    assert(out(0).getAs[Double]("ref_value") === 5.0)
+    // the LATEST right ROW wins even when its payload value is null
+    assert(out(1).getAs[Long]("ref_id") === 101L)
+    assert(out(1).isNullAt(out(1).fieldIndex("ref_value")))
+    // left join census: no predecessor -> row kept with null payload
+    assert(out(2).isNullAt(out(2).fieldIndex("ref_id")))
+    // deterministic tie-break: two right rows at the same (key, ts) ->
+    // the greater tie id wins (last in (ts, side, tie) order)
+    val tied = AsofJoin.asof(
+      Seq((1L, 1L, ts("2021-01-01 01:00:00"))).toDF("event_id", "user_id", "ts"),
+      Seq((200L, 1L, ts("2021-01-01 00:30:00"), 1.0),
+          (201L, 1L, ts("2021-01-01 00:30:00"), 2.0))
+        .toDF("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), "ts", Seq("event_id" -> "ref_id"),
+      rightTie = Seq("event_id")).collect()(0)
+    assert(tied.getAs[Long]("ref_id") === 201L)
+  }
+
   test("normalizeUnicode: composes combining sequences, flags only changes") {
     import graft.operators.TextAnalysis
     val df = Seq(

@@ -237,6 +237,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(scores(12L) > scores(10L)) // OOV backoff is more surprising
   }
 
+  test("incremental curation: micro-batches gated against static LM/grams/rates") {
+    // the streaming form of the full sweep's model-driven stages: the LM,
+    // the benchmark gram set, and the mixing thresholds are all fit ONCE
+    // on reference data, then every arriving micro-batch pays one scan +
+    // broadcast probes — per-batch cost independent of stream history
+    // (exact dedup across batches is dedupStream/DedupIndex territory)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "a b a b c d"), (2L, "a a b b"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val lm = graft.operators.NgramLm.fit(ref, "text", vocabSize = 10,
+      minCount = 1L)
+    val grams = graft.operators.Decontaminate
+      .gramSet(Seq((9L, "p q r s t")).toDF("doc_id", "text"), "text", n = 4)
+      .persist()
+    // fixed per-source thresholds from the reference mixture (rate 1.0
+    // keeps all — the point here is the wiring, pinned deterministic)
+    val sampled = graft.ops.Kernel.sampleStratifiedFraction(_: org.apache.spark.sql.DataFrame,
+      "source", Map("s0" -> 1.0, "s1" -> 0.5), 42L, Seq("doc_id"))
+    try {
+      val source = MemoryStream[(Long, String, String)]
+      val kept = scala.collection.mutable.Map[Long, Boolean]()
+      val query = source.toDF().toDF("doc_id", "source", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val scored = graft.operators.NgramLm.score(lm, batch, "text",
+            Seq("doc_id"))
+          val flagged = graft.operators.Decontaminate.flagAgainst(
+            scored, grams, "text", "doc_id", n = 4)
+          val verdicts = scored.join(flagged, Seq("doc_id"))
+            .withColumn("ok",
+              coalesce(col("avg_nll") <= 3.0, lit(false)) && !col("contaminated"))
+          verdicts.select("doc_id", "ok").collect().foreach(r =>
+            kept.synchronized { kept(r.getLong(0)) = r.getBoolean(1) })
+        }
+        .outputMode("append").start()
+      try {
+        source.addData((10L, "s0", "a b a b"),      // in-distribution -> kept
+          (11L, "s0", "p q r s t here"))             // contaminated
+        query.processAllAvailable()
+        source.addData((12L, "s1", "zz qq mm nn"))   // OOV-heavy -> high nll
+        query.processAllAvailable()
+      } finally query.stop()
+      assert(kept(10L) === true)
+      assert(kept(11L) === false)
+      assert(kept(12L) === false)
+      // the stateless fraction gate composes on a batch the same way
+      val gated = sampled(Seq((10L, "s0"), (12L, "s1")).toDF("doc_id", "source"))
+      assert(gated.filter($"source" === "s0").count() === 1)
+    } finally grams.unpersist()
+  }
+
   test("dedupStream batch twin keeps the earliest event per key") {
     import spark.implicits._
     val df = Seq(
