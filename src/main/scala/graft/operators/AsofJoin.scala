@@ -33,8 +33,12 @@ object AsofJoin {
 
   def asof(left: DataFrame, right: DataFrame, on: Seq[String], tsCol: String,
            payload: Seq[(String, String)],
-           rightTie: Seq[String] = Nil): DataFrame = {
+           rightTie: Seq[String] = Nil,
+           direction: String = "backward",
+           toleranceUs: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "asof: need at least one payload column")
+    require(direction == "backward" || direction == "forward",
+      s"asof: direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     payload.foreach { case (_, out) =>
       require(!leftCols.contains(out),
@@ -45,20 +49,34 @@ object AsofJoin {
     // last(ignoreNulls) must pick the latest right ROW — per-column
     // last(ignoreNulls) would skip a null payload VALUE and silently
     // reach back to an older row
+    // the struct also carries the matched right timestamp for the
+    // tolerance check
     val r2 = right.select(
       on.map(col) ++ Seq(col(tsCol)) ++
         rightTie.zipWithIndex.map { case (c, i) => col(c).as(s"__tie_$i") } :+
-        struct(payload.map { case (c, out) => col(c).as(out) }: _*).as("__p"): _*)
+        struct(col(tsCol).as("__r_ts") +:
+          payload.map { case (c, out) => col(c).as(out) }: _*).as("__p"): _*)
       .withColumn("__side", lit(0))
     // left-only columns null on right rows, payload/tie null on left rows
     val all = l2.unionByName(r2, allowMissingColumns = true)
-    val order: Seq[Column] = col(tsCol).asc +: col("__side").asc +:
+    // backward walks ascending timestamps; forward walks DESCENDING ones,
+    // so "last right row seen" is the nearest at-or-after. Right sorts
+    // before left at equal timestamps either way (side asc) — inclusive.
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
+    val order: Seq[Column] = tsOrder +: col("__side").asc +:
       rightTie.indices.map(i => col(s"__tie_$i").asc)
     val w = Window.partitionBy(on.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap =
+      if (direction == "backward")
+        unix_micros(col(tsCol)) - unix_micros(col("__latest.__r_ts"))
+      else unix_micros(col("__latest.__r_ts")) - unix_micros(col(tsCol))
+    val valid = toleranceUs.fold(lit(true))(t => gap <= t)
     all.withColumn("__latest", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map { case (_, out) => col(s"__latest.$out").as(out) }: _*)
+        payload.map { case (_, out) =>
+          when(valid, col(s"__latest.$out")).as(out)
+        }: _*)
   }
 }

@@ -40,6 +40,37 @@ object SessionQueries {
           col("ref_value"))
     }),
 
+    // forward direction: each click joined to the EARLIEST error
+    // at-or-after (pandas merge_asof direction='forward'); DuckDB's
+    // ASOF JOIN with the inequality flipped is the reference
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsofJoin.asof(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error"),
+        on = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id" -> "ref_event_id"),
+        rightTie = Seq("event_id"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ref_event_id"))
+    }),
+
+    // tolerance: matches staler than 24h read as NO match (merge_asof
+    // tolerance semantics) — 24h is binding on this fixture (median
+    // match gap ~36h, so a large share of matches must null out)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsofJoin.asof(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error"),
+        on = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id" -> "ref_event_id", "value" -> "ref_value"),
+        rightTie = Seq("event_id"), toleranceUs = Some(86400000000L))
+        .select(col("event_id"), col("user_id"), col("ref_event_id"),
+          col("ref_value"))
+    }),
+
     // session-level rollup: events per session, duration, value sum
     "q_session_stats" -> ((s, dir) => {
       val sess = SessionEncoder.transform(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
@@ -71,6 +102,32 @@ object SessionQueries {
         |  r.event_id AS ref_event_id, r.value AS ref_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id, r.event_id AS ref_event_id
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'error'),
+        |j AS (
+        |  SELECT l.event_id, l.user_id, l.ts AS lts, r.ts AS rts,
+        |    r.event_id AS ref_event_id, r.value AS ref_value
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN epoch_us(CAST(lts AS TIMESTAMP)) - epoch_us(CAST(rts AS TIMESTAMP))
+        |         <= 86400000000 THEN ref_event_id END AS ref_event_id,
+        |  CASE WHEN epoch_us(CAST(lts AS TIMESTAMP)) - epoch_us(CAST(rts AS TIMESTAMP))
+        |         <= 86400000000 THEN ref_value END AS ref_value
+        |FROM j""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH b AS ($boundarySql)

@@ -181,6 +181,33 @@ class LmMixSpec extends AnyFunSuite {
     assert(tied.getAs[Long]("ref_id") === 201L)
   }
 
+  test("AsofJoin: forward direction and tolerance") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 1L, ts("2021-01-01 00:10:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 1L, ts("2021-01-01 00:05:00"), 1.0),  // before left
+      (101L, 1L, ts("2021-01-01 00:12:00"), 2.0),  // nearest after
+      (102L, 1L, ts("2021-01-01 00:30:00"), 3.0)   // farther after
+    ).toDF("event_id", "user_id", "ts", "value")
+    // forward: earliest right at-or-after -> 101, never 100 or 102
+    val fwd = AsofJoin.asof(left, right, Seq("user_id"), "ts",
+      Seq("event_id" -> "ref_id"), rightTie = Seq("event_id"),
+      direction = "forward").collect()(0)
+    assert(fwd.getAs[Long]("ref_id") === 101L)
+    // backward tolerance 2 min: the 5-min-old match nulls out
+    val tol = AsofJoin.asof(left, right, Seq("user_id"), "ts",
+      Seq("event_id" -> "ref_id"), rightTie = Seq("event_id"),
+      toleranceUs = Some(120000000L)).collect()(0)
+    assert(tol.isNullAt(tol.fieldIndex("ref_id")))
+    // tolerance 10 min admits it
+    val ok = AsofJoin.asof(left, right, Seq("user_id"), "ts",
+      Seq("event_id" -> "ref_id"), rightTie = Seq("event_id"),
+      toleranceUs = Some(600000000L)).collect()(0)
+    assert(ok.getAs[Long]("ref_id") === 100L)
+  }
+
   test("normalizeUnicode: composes combining sequences, flags only changes") {
     import graft.operators.TextAnalysis
     val df = Seq(
