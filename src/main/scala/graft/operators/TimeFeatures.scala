@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Time-series feature engineering over event streams — the two stations
+  * every temporal feature pipeline runs besides sessionization and as-of
+  * enrichment:
+  *
+  *  - `rolling`: per-row trailing-window aggregates ("events / value sum
+  *    over the last hour for this user, as of this event") via a
+  *    RANGE-framed window on the microsecond timeline — declarative, ONE
+  *    key-partitioned shuffle, and point-in-time correct by construction
+  *    (the frame ends at the current row, so no future leakage — the
+  *    property training-feature joins must prove);
+  *  - `resample`: fixed-bucket downsampling (counts/aggregates per key per
+  *    aligned time bucket) via integer bucket arithmetic on unix_micros —
+  *    one groupBy, map-side combined, no window at all.
+  *
+  * Both are pure Spark built-ins on purpose: the declarative forms are
+  * exactly what Catalyst optimizes well, and both reproduce in SQL for
+  * the hash oracle (DuckDB RANGE BETWEEN INTERVAL / integer bucketing).
+  */
+object TimeFeatures {
+
+  /** For each input row: aggregates over rows of the same keys whose
+    * timestamp lies in [ts - windowUs, ts] (inclusive trailing window).
+    * `aggs` maps output name -> a raw AGGREGATE column (count/sum/min/...)
+    * — the frame is applied here; wrap casts/arithmetic around the output
+    * column afterwards (a cast around the aggregate would displace the
+    * window application and analyze as a group-by-less aggregate).
+    */
+  def rolling(df: DataFrame, on: Seq[String], tsCol: String, windowUs: Long,
+              aggs: Seq[(String, Column)]): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowUs, 0)
+    aggs.foldLeft(df) { case (d, (name, agg)) =>
+      d.withColumn(name, agg.over(w))
+    }
+  }
+
+  /** Aligned fixed-width buckets: one row per (keys, bucket) with count
+    * and value aggregates; `bucket_start` is the bucket's inclusive lower
+    * timestamp. Epoch-aligned integer arithmetic (floor-division of
+    * unix_micros) — identical in any engine, no calendar semantics.
+    */
+  def resample(df: DataFrame, on: Seq[String], tsCol: String,
+               bucketUs: Long, valueCol: String): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val bucket = floor(unix_micros(col(tsCol)) / bucketUs).cast(LongType)
+    df.withColumn("__b", bucket)
+      .groupBy((on.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType), 2).as("value_sum"),
+        min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .withColumn("bucket_start", timestamp_micros(col("__b") * bucketUs))
+      .drop("__b")
+  }
+}

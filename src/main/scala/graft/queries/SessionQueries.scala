@@ -71,6 +71,32 @@ object SessionQueries {
           col("ref_value"))
     }),
 
+    // trailing-window rolling features: count + decimal-routed value sum
+    // over the last 6h per user AS OF each event (RANGE frame ends at the
+    // current row — point-in-time correct, no future leakage)
+    "q_rolling" -> ((s, dir) =>
+      graft.operators.TimeFeatures.rolling(
+        t(s, dir, "events"), Seq("user_id"), "ts", windowUs = 21600000000L,
+        aggs = Seq(
+          "roll_n" -> count(lit(1)),
+          "roll_sum" -> sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2)))))
+        .select(col("event_id"), col("user_id"), col("roll_n"),
+          col("roll_sum")
+            .cast(org.apache.spark.sql.types.DoubleType).as("roll_sum"))),
+
+    // fixed 24h-bucket resampling per user (timestamps surfaced as epoch
+    // micros — cross-engine timestamp transport stays integer)
+    "q_resample" -> ((s, dir) =>
+      graft.operators.TimeFeatures.resample(
+        t(s, dir, "events"), Seq("user_id"), "ts",
+        bucketUs = 86400000000L, valueCol = "value")
+        .select(col("user_id"),
+          unix_micros(col("bucket_start")).as("bucket_us"),
+          col("n_events"), col("value_sum"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"))),
+
     // session-level rollup: events per session, duration, value sum
     "q_session_stats" -> ((s, dir) => {
       val sess = SessionEncoder.transform(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
@@ -102,6 +128,26 @@ object SessionQueries {
         |  r.event_id AS ref_event_id, r.value AS ref_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_resample" ->
+      """WITH b AS (SELECT user_id, ts, value,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS bk
+        |  FROM events)
+        |SELECT user_id, bk * 86400000000 AS bucket_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS value_sum,
+        |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |FROM b GROUP BY user_id, bk""".stripMargin,
 
     "q_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -181,6 +181,36 @@ class LmMixSpec extends AnyFunSuite {
     assert(tied.getAs[Long]("ref_id") === 201L)
   }
 
+  test("TimeFeatures: rolling is point-in-time correct; resample buckets align") {
+    import graft.operators.TimeFeatures
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2021-01-01 00:00:00"), 1.0),
+      (2L, 1L, ts("2021-01-01 00:30:00"), 2.0),
+      (3L, 1L, ts("2021-01-01 01:30:00"), 4.0), // 1h window: drops event 1
+      (4L, 2L, ts("2021-01-01 00:10:00"), 8.0)  // other key
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = TimeFeatures.rolling(ev, Seq("user_id"), "ts",
+        windowUs = 3600000000L,
+        aggs = Seq("roll_n" -> count(lit(1)), "roll_sum" -> sum($"value")))
+      .orderBy($"event_id").collect()
+    // event 2 sees {1, 2}; event 3 sees {2, 3} (event 1 aged out; event 3
+    // itself included — frame ends at current row, nothing from the future)
+    assert(r(0).getAs[Long]("roll_n") === 1L)
+    assert(r(1).getAs[Long]("roll_n") === 2L && r(1).getAs[Double]("roll_sum") === 3.0)
+    assert(r(2).getAs[Long]("roll_n") === 2L && r(2).getAs[Double]("roll_sum") === 6.0)
+    assert(r(3).getAs[Long]("roll_n") === 1L) // keys never mix
+    // hourly resample: events 1,2 share a bucket; 3 its own; key 2 separate
+    val b = TimeFeatures.resample(ev, Seq("user_id"), "ts",
+        bucketUs = 3600000000L, valueCol = "value")
+      .orderBy($"user_id", $"bucket_start").collect()
+    assert(b.length === 3)
+    assert(b(0).getAs[Long]("n_events") === 2L)
+    assert(b(0).getAs[Double]("value_sum") === 3.0)
+    assert(b(0).getAs[Timestamp]("bucket_start") === ts("2021-01-01 00:00:00"))
+  }
+
   test("AsofJoin: forward direction and tolerance") {
     import graft.operators.AsofJoin
     import java.sql.Timestamp
