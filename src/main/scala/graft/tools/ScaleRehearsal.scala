@@ -52,8 +52,10 @@ object ScaleRehearsal {
     // SPARK_GRAFT_QUERIES) for targeted re-timing of one family.
     val only = sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val needDocsEmb = only.forall(_.exists(n => !n.startsWith("fit_")))
+    val needDocsEmb = only.forall(_.exists(n =>
+      !n.startsWith("fit_") && !n.startsWith("time_")))
     val needOrders = only.forall(_.exists(_.startsWith("fit_")))
+    val needEvents = only.forall(_.exists(_.startsWith("time_")))
 
     // ---- deterministic Nx corpus ------------------------------------
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -84,6 +86,17 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$outDir/embeddings10.parquet")
     }
 
+    // Nx events for the time-series family: key-shifted copies (user and
+    // event id spaces shifted per copy, timestamps unchanged) — per-key
+    // stream length stays constant while keys multiply, exactly how event
+    // corpora grow, so per-key window work must stay flat
+    val ev1raw = spark.read.parquet(s"$sfDir/events.parquet")
+    if (needEvents) ev1raw.select(col("*"), copies)
+      .withColumn("event_id", col("event_id") + col("copy") * lit(100000000L))
+      .withColumn("user_id", col("user_id") + col("copy") * lit(1000000L))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$outDir/events10.parquet")
+
     // 10x orders for the constant-job fit shapes (cleaner / drop_similar /
     // column_assoc): 9 key-shifted copies — value distributions preserved,
     // so the fitted plans stay comparable across scales
@@ -93,7 +106,8 @@ object ScaleRehearsal {
       .drop("copy")
       .write.mode("overwrite").parquet(s"$outDir/orders10.parquet")
 
-    def queries(docs: DataFrame, emb: DataFrame, ord: DataFrame): Seq[(String, () => Long)] = Seq(
+    def queries(docs: DataFrame, emb: DataFrame, ord: DataFrame,
+                ev: DataFrame): Seq[(String, () => Long)] = Seq(
       "dedup_exact" -> (() => Dedup.exact(docs, "text", "doc_id").count()),
       "dedup_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.2, maxShingleDf = 25L).count()),
@@ -319,6 +333,25 @@ object ScaleRehearsal {
         graft.operators.Bpe.tokenize(docs, "text", Seq("doc_id"), m)
           .agg(sum(size(col("bpe_tokens")))).head().getLong(0)
       }),
+      // time-series family: keys multiply with corpus size while per-key
+      // stream length stays constant (the events synthesis contract), so
+      // each op's ONE key-partitioned shuffle must grow linearly in ROWS
+      // with flat per-key window work — no global ordering anywhere
+      "time_asof" -> (() => graft.operators.AsofJoin.asof(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error"),
+        on = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id" -> "ref_event_id"),
+        rightTie = Seq("event_id"))
+        .filter(col("ref_event_id").isNotNull).count()),
+      "time_rolling" -> (() => graft.operators.TimeFeatures.rolling(
+        ev, Seq("user_id"), "ts", windowUs = 21600000000L,
+        aggs = Seq("roll_n" -> count(lit(1))))
+        .filter(col("roll_n") > 1).count()),
+      "time_resample" -> (() => graft.operators.TimeFeatures.resample(
+        ev, Seq("user_id"), "ts", bucketUs = 86400000000L,
+        valueCol = "value").count()),
       // embedding PCA: fit = one melted mean aggregate + one Gram pass
       // (driver state = d x d, corpus-independent); transform = pure
       // CenterProject scan — wall ~linear, shufW ~flat (only the tiny
@@ -362,9 +395,9 @@ object ScaleRehearsal {
         .filter(col("sampled")).count())
     )
 
-    def selected(docs: DataFrame, emb: DataFrame,
-                 ord: DataFrame): Seq[(String, () => Long)] =
-      queries(docs, emb, ord).filter { case (n, _) => only.forall(_.contains(n)) }
+    def selected(docs: DataFrame, emb: DataFrame, ord: DataFrame,
+                 ev: DataFrame): Seq[(String, () => Long)] =
+      queries(docs, emb, ord, ev).filter { case (n, _) => only.forall(_.contains(n)) }
 
     def clear(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -373,12 +406,12 @@ object ScaleRehearsal {
     }
 
     def runSuite(label: String, docs: DataFrame, emb: DataFrame,
-                 ord: DataFrame, warm: Boolean): Unit = {
+                 ord: DataFrame, ev: DataFrame, warm: Boolean): Unit = {
       // untimed warmup (codegen/JIT), same discipline as Bench — skipped at
       // 10x, where every query runs seconds-to-minutes and the one-off JIT
       // constant is noise (the 1x pass has already compiled the kernels)
-      if (warm) selected(docs, emb, ord).foreach { case (_, f) => f(); clear() }
-      selected(docs, emb, ord).foreach { case (name, f) =>
+      if (warm) selected(docs, emb, ord, ev).foreach { case (_, f) => f(); clear() }
+      selected(docs, emb, ord, ev).foreach { case (name, f) =>
         clear()
         val (r0, w0) = (tally.read.get(), tally.write.get())
         val t0 = System.nanoTime()
@@ -398,9 +431,12 @@ object ScaleRehearsal {
       spark.read.parquet(s"$outDir/embeddings10.parquet") else emb1
     val ord10 = if (needOrders)
       spark.read.parquet(s"$outDir/orders10.parquet") else ord1
+    val ev1 = graft.ops.Kernel.table(spark, sfDir, "events")
+    val ev10 = if (needEvents)
+      graft.ops.Kernel.table(spark, outDir, "events10") else ev1
     runSuite("1x", docs1.select("doc_id", "text"),
-      emb1.select("vec_id", "embedding"), ord1, warm = true)
-    runSuite(s"${nCopies}x", docs10, emb10, ord10, warm = false)
+      emb1.select("vec_id", "embedding"), ord1, ev1, warm = true)
+    runSuite(s"${nCopies}x", docs10, emb10, ord10, ev10, warm = false)
     spark.stop()
   }
 }
