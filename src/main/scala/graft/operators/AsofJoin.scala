@@ -44,6 +44,10 @@ object AsofJoin {
       require(!leftCols.contains(out),
         s"asof: left already has output column $out")
     }
+    val reserved = leftCols.filter(c =>
+      c == "__side" || c == "__p" || c == "__latest" || c.startsWith("__tie_"))
+    require(reserved.isEmpty, // a silent overwrite would corrupt the match
+      s"asof: left uses reserved column name(s) ${reserved.mkString(", ")}")
     val l2 = left.withColumn("__side", lit(1))
     // the whole payload rides ONE struct, non-null on every right row:
     // last(ignoreNulls) must pick the latest right ROW — per-column

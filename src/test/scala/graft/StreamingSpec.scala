@@ -288,6 +288,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally grams.unpersist()
   }
 
+  test("asof enrichment of streamed micro-batches against a static reference") {
+    // stream-static as-of: each arriving batch is the LEFT side, the
+    // reference table the static right — per-batch cost is one
+    // union-window over (batch + reference), independent of stream history
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ref = Seq(
+      (100L, 1L, ts("2021-01-01 00:00:00"), 1.0),
+      (101L, 1L, ts("2021-01-01 01:00:00"), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value").persist()
+    try {
+      val source = MemoryStream[(Long, Long, Timestamp)]
+      val got = scala.collection.mutable.Map[Long, Option[Double]]()
+      val query = source.toDF().toDF("event_id", "user_id", "ts").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.AsofJoin.asof(batch, ref, Seq("user_id"), "ts",
+            Seq("value" -> "ref_value"), rightTie = Seq("event_id"))
+            .select("event_id", "ref_value").collect().foreach(r =>
+              got.synchronized {
+                got(r.getLong(0)) =
+                  if (r.isNullAt(1)) None else Some(r.getDouble(1))
+              })
+        }
+        .outputMode("append").start()
+      try {
+        source.addData((1L, 1L, ts("2021-01-01 00:30:00"))) // after ref 100
+        query.processAllAvailable()
+        source.addData((2L, 1L, ts("2021-01-01 02:00:00")), // after ref 101
+          (3L, 2L, ts("2021-01-01 02:00:00")))              // unknown key
+        query.processAllAvailable()
+      } finally query.stop()
+      assert(got(1L) === Some(1.0))
+      assert(got(2L) === Some(2.0))
+      assert(got(3L) === None)
+    } finally ref.unpersist()
+  }
+
   test("dedupStream batch twin keeps the earliest event per key") {
     import spark.implicits._
     val df = Seq(
