@@ -38,6 +38,18 @@ object LmQueries {
           temperature = 2.0, targetFrac = 0.5, seed = 42L)
         .select(col("doc_id"), col("source"), col("rate"), col("sampled"))),
 
+    // the TRUE CCNet contract: fit the reference LM on a trusted slice
+    // (doc_id % 3 == 0 plays "wikipedia"), score the WHOLE corpus against
+    // it — self-scoring is the degenerate case of this
+    "q_lm_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = NgramLm.fit(docs.filter(col("doc_id") % 3 === 0), "text",
+        vocabSize = VocabSize, minCount = MinCount, maxBigrams = MaxBigrams)
+      NgramLm.score(m, docs, "text", Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("oov_frac"),
+          col("avg_nll"), col("ppl"))
+    }),
+
     // the persisted-model path: fit once -> write external parquet + table
     // properties -> read back -> score. MUST hash-match q_lm_score exactly
     // (shared oracle), proving the round-trip loses nothing
@@ -70,29 +82,36 @@ object LmQueries {
 
   private val toksSql = TextQueries.toksSql
 
-  /** The LM fit+score CTE chain: requires a CTE `tk(doc_id, toks)` (the fit
-    * AND scored corpus); ends with `lmm(doc_id, n_tokens, avgm, oovm)` —
-    * docs with no tokens are absent (callers LEFT JOIN). Mirrors
-    * NgramLm.fit/score exactly: top-V vocab (count desc, token asc), top-M
-    * bigrams (count desc, prev, w) with minCount, stupid backoff, round6
-    * log-probs summed as DECIMAL(28,6), micro-space final rounding.
+  /** The LM fit+score CTE chain: requires CTEs `fitTk(doc_id, toks)` (the
+    * model's reference corpus) and `scoreTk(doc_id, toks)` (the corpus
+    * being scored — the same relation for self-scoring); ends with
+    * `lmm(doc_id, n_tokens, avgm, oovm)` — docs with no tokens are absent
+    * (callers LEFT JOIN). Mirrors NgramLm.fit/score exactly: top-V vocab
+    * (count desc, token asc), top-M bigrams (count desc, prev, w) with
+    * minCount over the FIT corpus, stupid backoff over the scored one,
+    * round6 log-probs summed as DECIMAL(28,6), micro-space final rounding.
     */
-  private def lmCtes: String =
-    s"""u AS (SELECT unnest(toks) AS w FROM tk),
+  private def lmCtes(fitTk: String, scoreTk: String): String =
+    s"""u AS (SELECT unnest(toks) AS w FROM $fitTk),
        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM uc),
        |voc AS (SELECT w, c FROM uc ORDER BY c DESC, w LIMIT $VocabSize),
        |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
-       |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |prf AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
        |    i -> struct_pack(pos := i, w := toks[i],
        |      prev := CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END))) AS p
-       |  FROM tk),
-       |pe AS (SELECT doc_id, p.pos AS pos, p.w AS w, p.prev AS prev FROM pr),
-       |bg AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2 FROM pe
+       |  FROM $fitTk),
+       |pef AS (SELECT doc_id, p.pos AS pos, p.w AS w, p.prev AS prev FROM prf),
+       |bg AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2 FROM pef
        |  WHERE prev IS NOT NULL
        |    AND prev IN (SELECT w FROM voc) AND w IN (SELECT w FROM voc)
        |  GROUP BY prev, w HAVING count(*) >= $MinCount
        |  ORDER BY c2 DESC, prev, w LIMIT $MaxBigrams),
+       |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> struct_pack(pos := i, w := toks[i],
+       |      prev := CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END))) AS p
+       |  FROM $scoreTk),
+       |pe AS (SELECT doc_id, p.pos AS pos, p.w AS w, p.prev AS prev FROM pr),
        |sc AS (SELECT pe.doc_id,
        |    CASE WHEN pe.prev IS NOT NULL AND b.c2 IS NOT NULL
        |           THEN round(ln(CAST(b.c2 AS DOUBLE) / CAST(pv.c AS DOUBLE)), 6)
@@ -138,7 +157,7 @@ object LmQueries {
 
   private val lmScoreSql =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |$lmCtes
+       |${lmCtes("tk", "tk")}
        |SELECT d.doc_id, coalesce(m.n_tokens, 0) AS n_tokens,
        |  m.oovm / 1000000.0 AS oov_frac,
        |  m.avgm / 1000000.0 AS avg_nll,
@@ -157,7 +176,7 @@ object LmQueries {
     s"""WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
        |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
        |${TextQueries.curationVerdictCtes},
-       |$lmCtes,
+       |${lmCtes("tk", "tk")},
        |basev AS (SELECT qual.doc_id AS doc_id, qual.quality_ok, rep.repetition_ok,
        |    coalesce(lmm.avgm / 1000000.0 <= $LmMaxNll, false) AS lm_ok,
        |    lmm.avgm / 1000000.0 AS avg_nll,
@@ -184,9 +203,20 @@ object LmQueries {
        |  (basev.curated AND coalesce(mix.sampled, false)) AS kept
        |FROM basev JOIN tr USING (doc_id) LEFT JOIN mix USING (doc_id)""".stripMargin
 
+  private val lmCrossSql =
+    s"""WITH tka AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tkf AS (SELECT doc_id, toks FROM tka WHERE doc_id % 3 = 0),
+       |${lmCtes("tkf", "tka")}
+       |SELECT d.doc_id, coalesce(m.n_tokens, 0) AS n_tokens,
+       |  m.oovm / 1000000.0 AS oov_frac,
+       |  m.avgm / 1000000.0 AS avg_nll,
+       |  round(exp(m.avgm / 1000000.0), 6) AS ppl
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN lmm m USING (doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_lm_score" -> lmScoreSql,
     "q_lm_score_index" -> lmScoreSql,
+    "q_lm_cross" -> lmCrossSql,
     "q_mix_sources" -> mixSourcesSql,
     "q_curation_full" -> curationFullSql
   )
