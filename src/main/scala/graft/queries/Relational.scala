@@ -59,6 +59,18 @@ object Relational {
           col("c_acctbal"), col("c_mktsegment"))
     }),
 
+    // salted skew join: deterministic md5 salt on the probe side, build
+    // side replicated x8, join on (key, salt) — the result set must be
+    // IDENTICAL to the plain left join, so it passes q_join_left's oracle
+    "q_join_salted" -> ((s, dir) =>
+      graft.ops.Skew.saltedJoin(
+        t(s, dir, "orders"),
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        on = Seq("o_custkey"), buckets = 8,
+        probeSaltKeys = Seq("o_orderkey"), joinType = "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))),
+
     // --- AggJoiner: aggregate lineitem per order, join onto orders ---------
     "q_agg_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -184,6 +196,11 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
 
     "q_join_left" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // salting must not change the result set: the plain join IS the oracle
+    "q_join_salted" ->
       """SELECT o_orderkey, o_custkey, c_name, c_acctbal, c_mktsegment
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
 

@@ -181,6 +181,27 @@ class LmMixSpec extends AnyFunSuite {
     assert(tied.getAs[Long]("ref_id") === 201L)
   }
 
+  test("Skew.saltedJoin: identical result set, salt spreads a hot key") {
+    import graft.ops.Skew
+    // one hot key (90% of probe rows) + a cold one + an unmatched one
+    val probe = ((0L until 90L).map(i => (i, "hot")) ++
+      (90L until 100L).map(i => (i, "cold")) :+ (100L, "orphan"))
+      .toDF("row_id", "k")
+    val build = Seq(("hot", 1.0), ("cold", 2.0)).toDF("k", "v")
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), buckets = 8,
+      probeSaltKeys = Seq("row_id"), joinType = "left")
+    val plain = probe.join(build, Seq("k"), "left")
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+    assert(salted.count() === 101L) // left census, no fan-out duplicates
+    // the salt really spreads the hot key across buckets
+    val salts = probe.filter($"k" === "hot")
+      .select(pmod(conv(substring(md5($"row_id".cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(salts > 4, s"hot key only hit $salts of 8 salt buckets")
+  }
+
   test("TimeFeatures: rolling is point-in-time correct; resample buckets align") {
     import graft.operators.TimeFeatures
     import java.sql.Timestamp
