@@ -310,7 +310,8 @@ object TableReport {
     val sample = renderTable(sampleSlices(df, orderBy), 10)
     val assoc = renderTable(
       topAssociations(df, topAssoc)
-        .orderBy(col("cramer_v").desc, col("col_a"), col("col_b")),
+        .orderBy(col("cramer_v").desc, col("left_column_name"),
+          col("right_column_name")),
       topAssoc)
     // per-column distributions (reference value_counts / histogram plots):
     // bounded rows — topK per string column, nBins per numeric column.

@@ -19,6 +19,47 @@ object Jobs {
     * step). The group is cleared in a finally so a reused pool thread never
     * carries a stale (cancellable) group id onto unrelated work.
     */
+  /** Run every thunk concurrently (each from its own driver thread, so the
+    * scheduler overlaps their jobs) and return results in input order. The
+    * first failure cancels the shared job group and rethrows. Use for fit
+    * paths with 3+ independent bounded jobs (stats + distinct probes +
+    * per-column top-k); for the plain two-job case `overlap` reuses the
+    * calling thread.
+    */
+  def overlapAll[A](sc: SparkContext)(thunks: Seq[() => A]): Seq[A] = {
+    if (thunks.isEmpty) return Nil
+    if (thunks.length == 1) return Seq(thunks.head())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val group = s"graft-overlap-${java.util.UUID.randomUUID()}"
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val futures = thunks.tail.map { t =>
+      Future {
+        if (cancelled.get())
+          throw new java.util.concurrent.CancellationException("cancelled")
+        sc.setJobGroup(group, "graft overlapped fit job", interruptOnCancel = true)
+        if (cancelled.get())
+          throw new java.util.concurrent.CancellationException("cancelled")
+        try t() finally sc.clearJobGroup()
+      }
+    }
+    val first =
+      try thunks.head()
+      catch {
+        case e: Throwable =>
+          cancelled.set(true); sc.cancelJobGroup(group); throw e
+      }
+    val rest = futures.map { f =>
+      try Await.result(f, Duration.Inf)
+      catch {
+        case e: Throwable =>
+          cancelled.set(true); sc.cancelJobGroup(group); throw e
+      }
+    }
+    first +: rest
+  }
+
   def overlap[A, B](sc: SparkContext)(bg: => A)(fg: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration

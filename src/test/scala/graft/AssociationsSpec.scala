@@ -47,6 +47,48 @@ class AssociationsSpec extends AnyFunSuite {
     assert(labels.size === 10) // 9 kept + __other
   }
 
+  test("allPairs packed and direct contingency paths agree") {
+    // 7 binned numeric columns make the joint code space 10^7 > PackedSpaceCap
+    // (direct flat-buffer path); the first-6 projection stays packed. Shared
+    // pairs must score identically.
+    val df = TestSpark.spark.range(0, 2000).selectExpr(
+      "cast(id as double) as c1", "cast(id * 3 % 997 as double) as c2",
+      "cast(id * 7 % 997 as double) as c3", "cast(id * 11 % 997 as double) as c4",
+      "cast(id * 13 % 997 as double) as c5", "cast(id * 17 % 997 as double) as c6",
+      "cast(id * 19 % 997 as double) as c7")
+    val narrow = ColumnAssociations.allPairs(df.select("c1", "c2", "c3", "c4", "c5", "c6"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wide = ColumnAssociations.allPairs(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(narrow.size === 15 && wide.size === 21)
+    narrow.foreach { case (pair, v) => assert(wide(pair) === v, s"pair $pair") }
+  }
+
+  test("cramersV fails loudly on an unbinned high-cardinality pair") {
+    val df = TestSpark.spark.range(0, 5000)
+      .selectExpr("cast(id as string) as a", "cast(id * 31 as string) as b")
+    val e = intercept[Exception] {
+      ColumnAssociations.cramersV(df, "a", "b", maxCells = 100).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fitBins")),
+      s"expected a bin-your-inputs error, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("distinctAtMost saturates exactly at the cap") {
+    val df = TestSpark.spark.range(0, 1000).selectExpr(
+      "cast(id % 7 as string) as low", "cast(id as string) as high",
+      "cast(null as string) as none")
+    val r = df.agg(
+      graft.functions.Contingency.distinctAtMost(col("low"), 30).as("l"),
+      graft.functions.Contingency.distinctAtMost(col("high"), 30).as("h"),
+      graft.functions.Contingency.distinctAtMost(col("none"), 30).as("n")).head()
+    assert(r.getLong(0) === 7L)
+    assert(r.getLong(1) === 31L) // cap + 1 == "more than cap"
+    assert(r.getLong(2) === 0L)
+  }
+
   test("DropSimilar drops the later of a duplicated column pair") {
     val df = Seq.tabulate(300)(i => ("s" + i % 3, i.toDouble, "s" + i % 3))
       .toDF("first", "x", "copy")
