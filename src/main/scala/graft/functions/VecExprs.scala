@@ -324,6 +324,18 @@ object VecExprs {
       val d = mean.length
       if (a.numElements() != d) throw new IllegalArgumentException(
         s"CenterProject: expected vector of length $d, got ${a.numElements()}")
+      // parquet array schemas usually say containsNull=true even for dense
+      // vectors, so nullability is checked per element at runtime: a silent
+      // null-as-0.0 read would disagree with the fit path (Embed.fitPca),
+      // which fails on the same data — fit and transform must see the same
+      // vectors or neither should.
+      var n = 0
+      while (n < d) {
+        if (a.isNullAt(n)) throw new IllegalArgumentException(
+          s"CenterProject: null at component $n — filter or fill null " +
+            "vector components before projecting")
+        n += 1
+      }
       val out = new Array[Any](basis.length)
       var j = 0
       while (j < basis.length) {

@@ -34,8 +34,13 @@ object EncoderQueries {
     // truncation is spec-covered (EmbedSpec: variance ordering, shrinkage)
     "q_embed_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // no persist needed: Embed.pca fits eagerly (model state rides the
+      // CenterProject expression), so the ref-vector collect is one
+      // pushed-down single-row scan and the final select re-projects from
+      // parquet — nothing is computed twice, and no cached blocks leak
+      // across the query sweep
       val out = graft.operators.Embed.pca(emb, "embedding", Seq("vec_id"),
-        k = 64).persist()
+        k = 64)
       val refId = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
       val refVec = out.filter(col("vec_id") === refId)
         .select(col("pca")).limit(1).collect()(0).getSeq[Double](0)

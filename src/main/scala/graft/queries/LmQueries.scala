@@ -55,8 +55,19 @@ object LmQueries {
     // (shared oracle), proving the round-trip loses nothing
     "q_lm_score_index" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("graft_lm_index")
-        .toString
+      // ONE fixed layout dir, cleared before each build: repeated bench /
+      // warmup invocations overwrite instead of accumulating orphaned temp
+      // dirs (the model tables are lazily read at score time, so the dir
+      // must outlive this builder — a per-call temp dir can never be
+      // reclaimed from here)
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_lm_index_q").toString
+      val root = new java.io.File(path)
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      if (root.exists()) wipe(root)
       NgramLm.write(NgramLm.fit(docs, "text", vocabSize = VocabSize,
         minCount = MinCount, maxBigrams = MaxBigrams), "graft_lm_q", path)
       NgramLm.score(NgramLm.read(s, "graft_lm_q"), docs, "text", Seq("doc_id"))
@@ -170,7 +181,7 @@ object LmQueries {
        |${mixRateCtes("0.5")}
        |SELECT d.doc_id, d.source, th.rate,
        |  substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 15) < th.thr AS sampled
-       |FROM documents d JOIN mixth th USING (source)""".stripMargin
+       |FROM documents d JOIN mixth th ON d.source IS NOT DISTINCT FROM th.source""".stripMargin
 
   private val curationFullSql =
     s"""WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
@@ -195,7 +206,7 @@ object LmQueries {
        |${mixRateCtes("0.5")},
        |mix AS (SELECT basev.doc_id AS doc_id, mixth.rate,
        |    substr(md5(CAST(basev.doc_id AS VARCHAR) || ':' || '42'), 1, 15) < mixth.thr AS sampled
-       |  FROM basev JOIN tr USING (doc_id) JOIN mixth ON tr.source = mixth.source
+       |  FROM basev JOIN tr USING (doc_id) JOIN mixth ON tr.source IS NOT DISTINCT FROM mixth.source
        |  WHERE basev.curated)
        |SELECT basev.doc_id, tr.source, basev.quality_ok, basev.repetition_ok,
        |  basev.lm_ok, basev.exact_unique, basev.contaminated, basev.avg_nll,

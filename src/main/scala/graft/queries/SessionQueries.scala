@@ -118,12 +118,19 @@ object SessionQueries {
        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // DuckDB's native ASOF LEFT JOIN is the reference semantics
+    // DuckDB's native ASOF LEFT JOIN is the reference semantics. ASOF
+    // leaves ties on (user_id, ts) among right rows UNDEFINED, while the
+    // Spark operator deterministically keeps the max rightTie (event_id) —
+    // so the right CTEs pre-dedupe to the max event_id per (user_id, ts),
+    // which is a no-op when the fixture has no tied error timestamps and
+    // pins the tie semantics when it does (ADVICE r7).
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
-        |r AS (SELECT event_id, user_id, ts, value FROM events
-        |  WHERE event_type = 'error')
+        |r AS (SELECT event_id, user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'error') WHERE rn = 1)
         |SELECT l.event_id, l.user_id,
         |  r.event_id AS ref_event_id, r.value AS ref_value
         |FROM l ASOF LEFT JOIN r
@@ -152,8 +159,10 @@ object SessionQueries {
     "q_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
-        |r AS (SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'error')
+        |r AS (SELECT event_id, user_id, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'error') WHERE rn = 1)
         |SELECT l.event_id, l.user_id, r.event_id AS ref_event_id
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
@@ -161,8 +170,10 @@ object SessionQueries {
     "q_asof_tolerance" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
-        |r AS (SELECT event_id, user_id, ts, value FROM events
-        |  WHERE event_type = 'error'),
+        |r AS (SELECT event_id, user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'error') WHERE rn = 1),
         |j AS (
         |  SELECT l.event_id, l.user_id, l.ts AS lts, r.ts AS rts,
         |    r.event_id AS ref_event_id, r.value AS ref_value
