@@ -266,8 +266,12 @@ object GapEncoder {
     val vals = df.filter(col(m.c).isNotNull).select(col(m.c)).distinct()
       .limit(maxBatchDistinct + 1).collect().map(_.getString(0)).sorted
     require(vals.length <= maxBatchDistinct,
-      s"partialFit batch has more than $maxBatchDistinct distinct values; " +
-        "reduce the batch size")
+      s"partialFit batch has more than $maxBatchDistinct distinct values. " +
+        "Split the distinct stream into bounded batches and fold them in " +
+        "sequentially — e.g. partition the distinct values by a hash of " +
+        "the value (df.filter(hash(col) % nBatches === b)) and call " +
+        "partialFit once per slice; driver state stays bounded by " +
+        "maxBatchDistinct per step and maxHDict overall")
     if (vals.isEmpty) return m
     val k = m.nComponents
     val nbk = m.nBuckets
@@ -403,7 +407,10 @@ object GapEncoder {
       else {
         log.warn(s"GapEncoder: column '$c' has more than $maxDistinct distinct " +
           s"values; NMF fitted on the $maxDistinct most frequent — the rest " +
-          "transform via a distributed H-step against the fitted topics")
+          "transform via a distributed H-step against the fitted topics. " +
+          "To fit on EVERY distinct value with bounded driver state, use " +
+          "initOnline + partialFit over hash-partitioned slices of the " +
+          "distinct stream (see GapEncoderSpec's beyond-cap test)")
         val wB = spark.sparkContext.broadcast(w)
         val topSet = spark.sparkContext.broadcast(top.toSet)
         val overflowRows = df.filter(col(c).isNotNull).select(col(c)).distinct()

@@ -77,6 +77,36 @@ class GapEncoderSpec extends AnyFunSuite {
     assert(m2b.w.flatten.toSeq === m2.w.flatten.toSeq)
   }
 
+  test("beyond-cap corpora fit via hash-partitioned partialFit with bounded state") {
+    // The documented recourse for a messy column with more distinct values
+    // than encode's maxDistinct cap: slice the distinct stream by a hash of
+    // the value and fold each slice in with partialFit. Here the "cap" is
+    // 40 and the corpus has 120 distinct values; per-batch driver state
+    // must stay within maxBatchDistinct and the LRU dictionary cap.
+    val many = (0 until 120).map(i => s"city street $i block ${i % 7}")
+    val df = many.toDF("city")
+    val cap = 40
+    val nBatches = 4
+    var m = GapEncoder.initOnline("city", nComponents = 3, nBuckets = 64)
+    for (b <- 0 until nBatches) {
+      val slice = df.filter(org.apache.spark.sql.functions
+        .abs(org.apache.spark.sql.functions.hash(col("city"))) % nBatches === b)
+      m = GapEncoder.partialFit(m, slice, maxBatchDistinct = cap, maxHDict = 100)
+      assert(m.hDict.size <= 100, s"hDict grew past the cap: ${m.hDict.size}")
+    }
+    // every distinct value was genuinely folded into the fit (modulo LRU)
+    assert(m.hDict.size === math.min(120, 100))
+    // and the model transforms the full corpus (seen replay + H-step)
+    val out = m.transform(df)
+    assert(out.count() === 120)
+    // a single over-cap batch still fails loudly, pointing at this recourse
+    val e = intercept[IllegalArgumentException] {
+      GapEncoder.partialFit(GapEncoder.initOnline("city", 3, 64), df,
+        maxBatchDistinct = cap)
+    }
+    assert(e.getMessage.contains("partialFit once per slice"))
+  }
+
   test("online model save/load round-trips bit-identically and keeps fitting") {
     val m = GapEncoder.partialFit(
       GapEncoder.initOnline("city", nComponents = 3, nBuckets = 64),
