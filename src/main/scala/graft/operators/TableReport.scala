@@ -303,8 +303,20 @@ object TableReport {
     * The three sections run the bounded jobs above; rendering is
     * driver-side string assembly over their (small) results.
     */
-  def toHtml(df: DataFrame, orderBy: Seq[String], title: String = "TableReport",
-             topAssoc: Int = 20, topK: Int = 10, nBins: Int = 10): String = {
+  def toHtml(df0: DataFrame, orderBy: Seq[String], title: String = "TableReport",
+             topAssoc: Int = 20, topK: Int = 10, nBins: Int = 10,
+             filterCols: Seq[String] = Nil): String = {
+    // `filterCols` is the reference report's column-filter dropdown
+    // (_html.py): render only the named columns (order keys are kept for
+    // the sample slices even when filtered out). Empty = all columns.
+    val df =
+      if (filterCols.isEmpty) df0
+      else {
+        val missing = filterCols.filterNot(df0.columns.contains)
+        require(missing.isEmpty, s"filterCols not in frame: ${missing.mkString(", ")}")
+        df0.select((filterCols ++ orderBy.filterNot(filterCols.contains))
+          .map(col): _*)
+      }
     val nCols = df.columns.length
     val stats = renderTable(summarize(df).orderBy(col("column_name")), nCols)
     val sample = renderTable(sampleSlices(df, orderBy), 10)

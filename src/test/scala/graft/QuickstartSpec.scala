@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Executable README quickstart (VERDICT r7 task 8): this suite IS the
+  * "Quickstart: curating a training corpus" code block, call for call, on
+  * the sf0.001 fixtures — if the advertised surface drifts from the code,
+  * this fails. Only the data-size knobs (merge count, chunk size, pack
+  * budget) are scaled down to fixture size; every call shape, argument
+  * name, and output column is the README's.
+  */
+class QuickstartSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("README quickstart runs end-to-end on the fixtures") {
+    import graft.operators._
+
+    val docs = TestSpark.table("documents")  // doc_id, source, text
+    val bench = TestSpark.table("documents").filter($"doc_id" % 17 === 0)
+
+    // one auditable sweep: quality gate -> repetition gate -> exact dedup ->
+    // benchmark decontamination; per-stage verdicts + final `kept` per doc
+    val verdicts = Curation.sweep(docs, bench, "text", "doc_id")
+    val curated = docs.join(verdicts.filter($"kept").select("doc_id"), "doc_id")
+    val nCurated = curated.count()
+    assert(nCurated > 0, "curation kept nothing on the fixture corpus")
+    assert(Seq("quality_ok", "repetition_ok", "exact_unique", "contaminated",
+      "kept").forall(verdicts.columns.contains))
+
+    // the FULL sweep: + LM-perplexity gate and temperature source mixing
+    val full = Curation.sweepFull(docs, bench, "text", "doc_id", "source",
+      lmMaxNll = 7.0, mixTemperature = 2.0, mixTargetFrac = 0.5)
+    assert(full.columns.contains("kept"))
+    assert(full.count() > 0)
+
+    // near-dup pruning on embeddings (SemDeDup shape)
+    val emb = TestSpark.table("embeddings")  // vec_id, embedding
+    val dups = Dedup.semanticDedup(emb, "embedding", "vec_id", minCosine = 0.95)
+    assert(dups.columns.contains("is_dup"))
+    assert(dups.count() > 0)
+
+    // BPE fit + chunk + pack, exactly the README pipeline (small knobs)
+    val bpe = Bpe.fit(curated, "text", numMerges = 32)
+    val chunks = Chunk.split(curated, "text", Seq("doc_id", "source"),
+        size = 64, overlap = 8)
+      .withColumn("cid", concat($"doc_id", lit(":"), $"chunk_id"))
+    val packed = Pack.sequences(
+      Bpe.tokenize(chunks, "chunk_text", Seq("cid", "source"), bpe)
+        .withColumn("n_toks", size($"bpe_tokens").cast("long")),
+      "n_toks", budget = 64L, groupCol = "source", idCol = "cid")
+    assert(packed.count() > 0)
+    assert(Seq("pack_id", "n_toks").forall(packed.columns.contains),
+      s"pack surface changed: ${packed.columns.mkString(", ")}")
+  }
+
+  test("README SQL registry block runs against a registered session") {
+    GraftFunctions.register(spark)
+    TestSpark.table("documents").createOrReplaceTempView("qs_documents")
+    val out = spark.sql(
+      """SELECT doc_id,
+        |       graft_minhash_sig(graft_token_shingles(text, 3), 16) AS sig,
+        |       graft_simhash64(text)                                AS fp
+        |FROM qs_documents""".stripMargin)
+    assert(out.count() > 0)
+    assert(out.schema("sig").dataType.typeName === "array")
+  }
+}

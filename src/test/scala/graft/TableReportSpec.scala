@@ -68,6 +68,18 @@ class TableReportSpec extends AnyFunSuite {
     assert(const.toSeq === Seq((0, 4L)))
   }
 
+  test("toHtml filterCols renders only the named columns") {
+    val html = TableReport.toHtml(frame, Seq("k"), filterCols = Seq("cat"))
+    assert(html.contains("<td>cat</td>"))
+    // the order key stays (sample slices need it) but other columns are gone
+    assert(html.contains("<td>k</td>"))
+    assert(!html.contains("<td>x</td>"), "filtered column still rendered")
+    val e = intercept[IllegalArgumentException] {
+      TableReport.toHtml(frame, Seq("k"), filterCols = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("toHtml renders a self-contained report with all sections") {
     val html = TableReport.toHtml(frame, Seq("k"), title = "t<est>")
     assert(html.startsWith("<!DOCTYPE html>"))
