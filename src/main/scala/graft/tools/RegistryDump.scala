@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scala-façade reference dump for the PySpark binding proof
+  * (tools/pyspark_registry_check.py): writes the façade outputs of the
+  * SQL-registered expression family over the documents fixture, so a
+  * separate pyspark process can recompute the same columns THROUGH SQL
+  * (spark.sql.extensions=graft.GraftExtensions) and assert equality —
+  * the cross-language analogue of the reference's multi-backend dispatch
+  * (skrub/_dispatch.py:188-249).
+  *
+  * Usage: runMain graft.tools.RegistryDump <sfDir> <outPath>
+  */
+object RegistryDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, out) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import graft.functions.VecExprs
+    docs.select(col("doc_id"),
+        VecExprs.simhash64(col("text")).as("fp"),
+        VecExprs.minhashSig(VecExprs.tokenShingles(col("text"), 3), 16).as("sig"),
+        VecExprs.ngramRepStats(col("text"), 2).as("reps"),
+        VecExprs.ngramTf(col("text"), 16).as("tf"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    spark.stop()
+  }
+}
