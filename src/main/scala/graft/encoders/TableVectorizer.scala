@@ -94,19 +94,16 @@ object TableVectorizer {
   }
 
   /** Routing: numeric/datetime by dtype; strings by distinct count against
-    * `cardinalityThreshold` (reference default 40). Routing only needs
-    * "distinct < 40", so the first pass is `approx_count_distinct` (rsd 2%,
-    * constant memory at 100 TB); boolean -> numeric 0/1. HLL++ estimates are
-    * not guaranteed exact even at small magnitudes, so columns whose estimate
-    * lands within the rsd band around the threshold get an exact
-    * `countDistinct` in a second (tiny — boundary columns only) job, and the
-    * routing decision uses the exact count. Far-from-threshold columns keep
-    * the cheap estimate: a 2% error cannot flip their routing.
+    * `cardinalityThreshold` (reference default 40); boolean -> numeric 0/1.
+    * Routing only needs "distinct < 40", so the first pass is the EXACT
+    * saturating `DistinctAtMost` (<= threshold+1 elements of state per
+    * column, one branch per row once saturated — constant memory at 100 TB
+    * and never a wrong routing, where the previous HLL pass needed a second
+    * exact job for threshold-band columns).
     *
-    * Fit-time jobs regardless of column count: one approximate routing
-    * aggregate, at most one exact boundary aggregate, then one aggregate with
-    * every one-hot vocabulary (`collect_set` is safe: low-card columns have
-    * < threshold values by construction).
+    * Fit-time jobs regardless of column count: one routing aggregate, then
+    * one aggregate with every one-hot vocabulary (`collect_set` is safe:
+    * low-card columns have < threshold values by construction).
     */
   def fit(df: DataFrame,
           cardinalityThreshold: Int = graft.ops.Config.get.cardinalityThreshold,
@@ -114,23 +111,23 @@ object TableVectorizer {
           nHashFeatures: Int = 8,
           highCardEncoder: String = "minhash",
           nComponents: Int = 30): Model = {
-    val rsd = 0.02
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    // Routing only needs "distinct < threshold", so the exact saturating
+    // DistinctAtMost answers it in ONE job with <= threshold+1 elements of
+    // state per column (a high-card column saturates within its first
+    // partition rows and costs one branch per row from then on). This
+    // replaced an approx_count_distinct pass + an exact boundary pass: the
+    // HLL was both a second-job liability at the threshold band AND an
+    // imperative aggregate, which knocks every aggregate sharing its scan
+    // out of whole-stage codegen (measured 12x on the same scan shape,
+    // BASELINE.md r8).
     val cards: Map[String, Long] =
       if (stringCols.isEmpty) Map.empty
       else {
-        val exprs = stringCols.map(c => approx_count_distinct(col(c), rsd).as(c))
+        val exprs = stringCols.map(c =>
+          graft.functions.Contingency.distinctAtMost(col(c), cardinalityThreshold).as(c))
         val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-        val approx = stringCols.map(c => c -> row.getAs[Long](c)).toMap
-        val lo = cardinalityThreshold * (1.0 - 3 * rsd)
-        val hi = cardinalityThreshold * (1.0 + 3 * rsd)
-        val boundary = stringCols.filter(c => approx(c) >= lo && approx(c) <= hi)
-        if (boundary.isEmpty) approx
-        else {
-          val ex = boundary.map(c => countDistinct(col(c)).as(c))
-          val r2 = df.agg(ex.head, ex.tail: _*).collect()(0)
-          approx ++ boundary.map(c => c -> r2.getAs[Long](c)).toMap
-        }
+        stringCols.map(c => c -> row.getAs[Long](c)).toMap
       }
     val kinds: Seq[(String, Kind)] = df.schema.fields.toSeq.map { f =>
       f.name -> (f.dataType match {

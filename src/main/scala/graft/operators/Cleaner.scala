@@ -115,25 +115,33 @@ object Cleaner {
           dropNullFraction: Double = 1.0,
           dropIfConstant: Boolean = true,
           nullMarkers: Seq[String] = Kernel.DefaultNullMarkers): Model = {
-    // one stats job: null fraction + distinct estimate for every column.
-    // The stats scan and the sample scan below are INDEPENDENT jobs —
-    // Jobs.overlap submits the stats scan from a background thread so the
-    // limit-bounded sample job fills scheduler slots the wide stats scan
-    // leaves idle, instead of serializing two round-trips.
+    // three INDEPENDENT overlapped fit jobs (Jobs.overlapAll submits each
+    // from its own driver thread so they fill scheduler slots together):
+    //  1. null fractions — declarative counts, stays whole-stage codegen
+    //  2. is-constant probes — the decision only needs "distinct <= 1", so
+    //     the exact saturating DistinctAtMost(c, 1) answers it with a
+    //     2-element state that saturates within the first rows; kept OUT of
+    //     job 1 because an imperative aggregate would knock the null counts
+    //     out of codegen (the 12x de-codegen finding, BASELINE.md r8 —
+    //     this previously ran approx_count_distinct in the same scan)
+    //  3. the limit-bounded format-guess sample scan
     val names = df.schema.fields.map(_.name).toSeq
-    val exprs = names.flatMap { c =>
-      Seq(count(when(Kernel.isNullLike(df, c), 1)).as(s"${c}__nulls"),
-        approx_count_distinct(col(c), 0.02).as(s"${c}__dist"))
+    val nullExprs = names.map { c =>
+      count(when(Kernel.isNullLike(df, c), 1)).as(s"${c}__nulls")
     } :+ count(lit(1)).as("__n")
-    val (row, samples) = graft.ops.Jobs.overlap(df.sparkSession.sparkContext) {
-      df.agg(exprs.head, exprs.tail: _*).collect()(0)
-    } {
-      drawSamples(df, nullMarkers)
-    }
+    val distExprs = names.map(c =>
+      graft.functions.Contingency.distinctAtMost(col(c), 1).as(s"${c}__dist"))
+    val jobs = graft.ops.Jobs.overlapAll(df.sparkSession.sparkContext)(Seq[() => Any](
+      () => df.agg(nullExprs.head, nullExprs.tail: _*).collect()(0),
+      () => df.agg(distExprs.head, distExprs.tail: _*).collect()(0),
+      () => drawSamples(df, nullMarkers)))
+    val row = jobs(0).asInstanceOf[org.apache.spark.sql.Row]
+    val distRow = jobs(1).asInstanceOf[org.apache.spark.sql.Row]
+    val samples = jobs(2).asInstanceOf[Map[String, Seq[String]]]
     val n = row.getAs[Long]("__n").toDouble
     val plans = df.schema.fields.toSeq.map { f =>
       val nulls = row.getAs[Long](s"${f.name}__nulls")
-      val dist = row.getAs[Long](s"${f.name}__dist")
+      val dist = distRow.getAs[Long](s"${f.name}__dist")
       val nullFrac = if (n == 0) 1.0 else nulls / n
       if (nullFrac >= dropNullFraction) f.name -> Dropped
       else if (dropIfConstant && dist <= 1 && nulls == 0) f.name -> Dropped
