@@ -163,6 +163,51 @@ object TextAnalysis {
         graft.functions.VecExprs.nfcNormalize(col(textCol)))
       .withColumn("nfc_changed", col(textCol) =!= col("nfc_text"))
 
+  /** C4-style heuristic page/line cleaning (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning" §2.2 — the published C4 rules, made
+    * parametric). Line rules — a non-empty line is KEPT iff it (a) ends in
+    * a terminal punctuation mark ('.', '!', '?', '"'), (b) has at least
+    * `minWordsPerLine` whitespace-separated words, and (c) contains none of
+    * `dropLineTokens` (case-insensitive — C4 drops "javascript" lines).
+    * Page rule — `page_ok` iff at least `minLines` lines survive AND the
+    * raw text contains none of `dropPageSubstrings` (case-insensitive —
+    * C4 drops "lorem ipsum" and curly-brace pages).
+    *
+    * Output: idCols, `clean_text` (kept lines joined by newline),
+    * `n_lines_total`, `n_lines_kept`, `page_ok`. Pure column expressions:
+    * one codegen'd scan, zero shuffles, linear at any corpus size.
+    */
+  def c4Filter(df: DataFrame, textCol: String, idCols: Seq[String],
+               minWordsPerLine: Int = 5, minLines: Int = 3,
+               dropLineTokens: Seq[String] = Seq("javascript"),
+               dropPageSubstrings: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    def lineOk(l: Column): Column = {
+      val t = trim(l)
+      val endOk = substring(t, -1, 1).isin(".", "!", "?", "\"")
+      val wordsOk = size(split(t, "\\s+")) >= minWordsPerLine
+      val tokenBad = dropLineTokens.map(tok => lower(l).contains(tok.toLowerCase))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      endOk && wordsOk && !tokenBad
+    }
+    val pageBad = dropPageSubstrings
+      .map(sub => lower(col(textCol)).contains(sub.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // staged selects so the kept-lines array is computed once per row (the
+    // filter lambdas are not cheap enough for CollapseProject to inline)
+    df.select(idCols.map(col) ++ Seq(
+        filter(split(col(textCol), "\n"),
+          l => length(trim(l)) > 0).as("__lines"),
+        pageBad.as("__page_bad")): _*)
+      .select(idCols.map(col) ++ Seq(
+        col("__lines"), col("__page_bad"),
+        filter(col("__lines"), l => lineOk(l)).as("__kept")): _*)
+      .select(idCols.map(col) ++ Seq(
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__lines")).cast(LongType).as("n_lines_total"),
+        size(col("__kept")).cast(LongType).as("n_lines_kept"),
+        (size(col("__kept")) >= minLines && !col("__page_bad")).as("page_ok")): _*)
+  }
+
   /** Redact PII/links from `textCol`: emits `scrubbed` plus one
     * `n_<rule>` match-count column per rule (the counts are the audit
     * trail — "how much PII did this shard contain" aggregates without

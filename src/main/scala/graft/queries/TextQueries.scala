@@ -150,6 +150,29 @@ object TextQueries {
         multi, "text2", "doc_id", "source", minDocs = 5)
     }),
 
+    // C4-style heuristic cleaning (Raffel et al. 2020 rules): the corpus
+    // has no line structure, so the fixture synthesizes it — 8-token lines
+    // with deterministically varied terminal punctuation, a "javascript"
+    // token on every 7th line, and a "lorem ipsum" page marker on every
+    // 13th doc — and the full line/page verdict set is hash-verified
+    "q_c4_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = graft.functions.VecExprs.tokenChunks(col("text"), 8, 8)
+      val lines = transform(chunks, c => {
+        val k = col("doc_id") + c.getField("chunk_id")
+        concat(
+          when(k % 7 === 0, lit("javascript ")).otherwise(lit("")),
+          c.getField("chunk_text"),
+          when(k % 3 === 0, lit(".")).when(k % 3 === 1, lit("!"))
+            .otherwise(lit("")))
+      })
+      val fixture = docs.select(col("doc_id"),
+        concat(array_join(lines, "\n"),
+          when(col("doc_id") % 13 === 0, lit("\nnotice: lorem ipsum text."))
+            .otherwise(lit(""))).as("text2"))
+      TextAnalysis.c4Filter(fixture, "text2", Seq("doc_id"))
+    }),
+
     // PII/link scrubbing: a third of the docs get a deterministic
     // PII-bearing suffix (the corpus itself has none), then the scrub's
     // byte-identical-output contract is hash-verified across engines
@@ -398,6 +421,39 @@ object TextQueries {
          |  CAST(least(cid * 24 + 32, n) - cid * 24 AS BIGINT) AS n_chunk_tokens
          |FROM ch""".stripMargin,
     "q_repetition" -> repetitionSql,
+
+    "q_c4_filter" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |la AS (SELECT doc_id,
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(0, 1 + CAST(ceil(greatest(len(toks) - 8, 0) / 8.0) AS INT)),
+         |        i -> array_to_string(list_slice(toks, i * 8 + 1, least(i * 8 + 8, len(toks))), ' '))
+         |    END AS ls
+         |  FROM tk),
+         |lx AS (SELECT doc_id, list_transform(range(0, len(ls)), i ->
+         |      (CASE WHEN (doc_id + i) % 7 = 0 THEN 'javascript ' ELSE '' END)
+         |      || ls[i + 1]
+         |      || (CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+         |          WHEN (doc_id + i) % 3 = 1 THEN '!' ELSE '' END)) AS lines
+         |  FROM la),
+         |t2 AS (SELECT doc_id, array_to_string(lines, chr(10))
+         |      || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'notice: lorem ipsum text.'
+         |          ELSE '' END) AS text2
+         |  FROM lx),
+         |sp AS (SELECT doc_id, text2,
+         |    list_filter(string_split(text2, chr(10)), l -> len(trim(l)) > 0) AS ls
+         |  FROM t2),
+         |kp AS (SELECT doc_id, text2, ls, list_filter(ls, l ->
+         |      right(trim(l), 1) IN ('.', '!', '?', '"')
+         |      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM sp)
+         |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  CAST(len(ls) AS BIGINT) AS n_lines_total,
+         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |  (len(kept) >= 3 AND NOT contains(lower(text2), 'lorem ipsum')
+         |    AND NOT contains(text2, '{')) AS page_ok
+         |FROM kp""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     "q_curation" -> curationSql,
 

@@ -24,6 +24,36 @@ class TextSpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("c4Filter applies the published line and page rules") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A good long line with enough words here.\nshort one.\n" +
+        "no terminal punctuation at all here\n" +
+        "this javascript line would otherwise be kept fine!\n" +
+        "Another perfectly reasonable sentence right here!\n" +
+        "A third keeper sentence to clear the page gate?"),
+      (2L, "Only one decent sentence lives on this page."),
+      (3L, "First keeper line with plenty of words here.\n" +
+        "Second keeper line with plenty of words too.\n" +
+        "Third keeper { line with a brace in it." )
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .c4Filter(df, "text", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 6 lines, keeps the 3 full sentences (short / unpunctuated /
+    // javascript lines dropped), page passes
+    assert(out(1L).getAs[Long]("n_lines_total") === 6L)
+    assert(out(1L).getAs[Long]("n_lines_kept") === 3L)
+    assert(out(1L).getAs[Boolean]("page_ok"))
+    assert(!out(1L).getAs[String]("clean_text").contains("javascript"))
+    // doc 2: line kept but page fails the min-lines gate
+    assert(out(2L).getAs[Long]("n_lines_kept") === 1L)
+    assert(!out(2L).getAs[Boolean]("page_ok"))
+    // doc 3: enough kept lines but the brace kills the page
+    assert(out(3L).getAs[Long]("n_lines_kept") === 3L)
+    assert(!out(3L).getAs[Boolean]("page_ok"))
+  }
+
   test("minhash signature is permutation-independent") {
     val cases = samples(tokens, 10).map { toks =>
       (toks, scala.util.Random.shuffle(toks))
