@@ -382,6 +382,25 @@ object ScaleRehearsal {
         threshold = 1.0).count()),
       "fit_column_assoc" -> (() =>
         graft.operators.ColumnAssociations.allPairs(ord).count()),
+      // wide-frame variant (r8): 14 discretizable columns push the joint
+      // code space past PackedSpaceCap, forcing the DIRECT flat-buffer
+      // ContingencyAll path (91 pairs, one scan, zero row amplification) —
+      // the packed-path rehearsal above must not be the only measured shape
+      "fit_column_assoc_wide" -> (() => {
+        val wide = ord
+          .withColumn("ok2", col("o_orderkey") % 7919)
+          .withColumn("ck2", col("o_custkey") % 6007)
+          .withColumn("tp2", col("o_totalprice") * 1.7)
+          .withColumn("tp3", col("o_totalprice") % 997.0)
+          .withColumn("od2", date_add(col("o_orderdate"), 7))
+          .withColumn("op2", concat(col("o_orderpriority"), lit("#"),
+            col("o_orderkey") % 3))
+          .withColumn("st2", concat(col("o_orderstatus"),
+            col("o_orderkey") % 2))
+          .withColumn("ok3", col("o_orderkey") % 104729)
+          .drop("o_comment", "o_clerk", "o_shippriority")
+        graft.operators.ColumnAssociations.allPairs(wide).count()
+      }),
       // stratified sampling (r7): the fraction path is one codegen'd scan
       // predicate — time must grow ~linearly with ZERO shuffle at both
       // scales; the exact path's MinKBy shuffle is O(strata*k) rows, so
