@@ -63,6 +63,44 @@ object Multimodal {
   def nFrames(nBytes: Column, frameBytes: Int): Column =
     floor(nBytes.cast(DoubleType) / frameBytes).cast(LongType) + 1
 
+  /** Aspect-preserving resize plan: output dims fitting inside
+    * (targetW, targetH) with the aspect ratio kept and a 1-pixel floor —
+    * the scheduling half of an image resize (the pixel work itself is the
+    * decode stub's job; a production deployment swaps a real resampler
+    * into `decodeBatched`). Pure arithmetic on the metadata columns.
+    */
+  def resizeFit(w: Column, h: Column, targetW: Int, targetH: Int): (Column, Column) = {
+    val scale = least(lit(targetW).cast(DoubleType) / w.cast(DoubleType),
+      lit(targetH).cast(DoubleType) / h.cast(DoubleType))
+    (greatest(floor(w.cast(DoubleType) * scale), lit(1.0)).cast(IntegerType),
+      greatest(floor(h.cast(DoubleType) * scale), lit(1.0)).cast(IntegerType))
+  }
+
+  /** Frame sampling: materialize every `everyK`-th `frameBytes`-sized slice
+    * of the payload (video-keyframe shape: the plan from `nFrames`, the
+    * bytes from binary `substr` — real byte slicing, not a stub). Output
+    * grain is one row per sampled frame: (id, frame_id, frame_len,
+    * frame_md5). A generator + scan: zero shuffles, cardinality = payload
+    * bytes / (frameBytes * everyK), linear at any corpus size. The final
+    * (shorter or empty) tail frame is kept, matching `nFrames`' plan.
+    */
+  def sampleFrames(df: DataFrame, idCols: Seq[String], dataCol: Column,
+                   frameBytes: Int, everyK: Int = 1): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be > 0")
+    val ids = idCols.map(col)
+    df.select(ids ++ Seq(dataCol.as("__data"),
+        (nFrames(length(dataCol), frameBytes) - 1).as("__last")): _*)
+      .select(ids ++ Seq(col("__data"),
+        explode(sequence(lit(0L), col("__last"), lit(everyK.toLong)))
+          .as("frame_id")): _*)
+      .select(ids ++ Seq(col("frame_id"),
+        col("__data").substr((col("frame_id") * frameBytes + 1).cast(IntegerType),
+          lit(frameBytes)).as("__frame")): _*)
+      .select(ids ++ Seq(col("frame_id"),
+        length(col("__frame")).cast(LongType).as("frame_len"),
+        md5(col("__frame")).as("frame_md5")): _*)
+  }
+
   /** Batched per-partition decode: the mapInPandas-shaped path. Processes an
     * iterator of rows (id, bytes) one at a time — constant memory per
     * partition — computing a 16-bin byte histogram (the stand-in for a real

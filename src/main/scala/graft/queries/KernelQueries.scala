@@ -133,6 +133,25 @@ object KernelQueries {
         w.as("width"), h.as("height"), ch.as("channels"),
         Multimodal.nFrames(col("media.meta.n_bytes"), 1024).as("n_frames")) ++
         Multimodal.fakeEmbedding(data, 8): _*)
+    }),
+
+    // frame sampling + resize plan (r8): every 2nd 256-byte slice of the
+    // packed payload materialized via binary substr (real byte slicing)
+    // with per-frame md5, plus the aspect-preserving resize plan from the
+    // stub dims. The oracle mirrors the byte slices with varchar substr —
+    // valid because the fixture corpus is pure ASCII (byte offsets ==
+    // char offsets); the OPERATOR itself works on binary.
+    "q_multimodal_frames" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val packed = d.select(col("doc_id"),
+        Multimodal.pack(encode(col("text"), "UTF-8"), "text/plain").as("media"))
+      val data = col("media.data")
+      val (w, h, _) = Multimodal.decodeStubDims(data)
+      val (ow, oh) = Multimodal.resizeFit(w, h, 64, 64)
+      val withPlan = packed.select(col("doc_id"), data.as("data"),
+        ow.as("out_w"), oh.as("out_h"))
+      Multimodal.sampleFrames(withPlan, Seq("doc_id", "out_w", "out_h"),
+        col("data"), frameBytes = 256, everyK = 2)
     })
   )
 
@@ -314,6 +333,24 @@ object KernelQueries {
          |  CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) + 1 AS n_frames,
          |  ${embs.mkString(",\n  ")}
          |FROM documents""".stripMargin
-    }
+    },
+
+    "q_multimodal_frames" ->
+      """WITH p AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS nb,
+        |    64 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 192 AS w,
+        |    64 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 192 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, text, nb, w, h,
+        |    least(64.0 / w, 64.0 / h) AS sc FROM p),
+        |f AS (SELECT doc_id, text,
+        |    CAST(greatest(floor(w * sc), 1.0) AS INTEGER) AS out_w,
+        |    CAST(greatest(floor(h * sc), 1.0) AS INTEGER) AS out_h,
+        |    unnest(range(0, CAST(floor(nb / 256.0) AS BIGINT) + 1, 2)) AS fid
+        |  FROM r)
+        |SELECT doc_id, out_w, out_h, CAST(fid AS BIGINT) AS frame_id,
+        |  CAST(length(substr(text, CAST(fid * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_len,
+        |  md5(substr(text, CAST(fid * 256 + 1 AS BIGINT), 256)) AS frame_md5
+        |FROM f""".stripMargin
   )
 }
