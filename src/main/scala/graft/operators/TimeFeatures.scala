@@ -43,6 +43,27 @@ object TimeFeatures {
     }
   }
 
+  /** Per-key exponentially weighted moving average of `valueCol` in event
+    * order (pandas `ewm(alpha, adjust=False)` semantics: y_0 = x_0,
+    * y_i = (1-alpha)*y_{i-1} + alpha*x_i, nulls carry the previous value).
+    * `tieCols` complete the (tsCol, tieCols) total order — required: the
+    * recurrence is order-dependent, so ties must be broken
+    * deterministically, and the ROWS running frame feeds the fold one row
+    * at a time in exactly that order. One shuffle on `on` + one per-key
+    * sort, O(rows) fold per key — no quadratic re-folds at any stream
+    * length (see functions.Ewma).
+    */
+  def ewma(df: DataFrame, on: Seq[String], tsCol: String, tieCols: Seq[String],
+           valueCol: String, alpha: Double,
+           outCol: String = "ewma"): DataFrame = {
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol,
+      graft.functions.Ewma.ewma(col(valueCol).cast(
+        org.apache.spark.sql.types.DoubleType), alpha).over(w))
+  }
+
   /** Aligned fixed-width buckets: one row per (keys, bucket) with count
     * and value aggregates; `bucket_start` is the bucket's inclusive lower
     * timestamp. Epoch-aligned integer arithmetic (floor-division of

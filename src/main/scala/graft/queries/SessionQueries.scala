@@ -97,6 +97,20 @@ object SessionQueries {
           unix_micros(col("first_ts")).as("first_us"),
           unix_micros(col("last_ts")).as("last_us"))),
 
+    // per-key EWMA (r8): the order-dependent fold as a running-frame
+    // window aggregate (functions.Ewma); (ts, event_id) total order, null
+    // values excluded up front so both engines fold the same sequence —
+    // the oracle replays the IDENTICAL recurrence with list_reduce over
+    // per-row prefix lists, so the doubles are bit-identical pre-round
+    "q_ewma" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.TimeFeatures.ewma(ev, Seq("user_id"), "ts",
+          Seq("event_id"), "value", alpha = 0.3)
+        .select(col("event_id"), col("user_id"),
+          round(col("ewma"), 6).as("ewma"))
+    }),
+
     // session-level rollup: events per session, duration, value sum
     "q_session_stats" -> ((s, dir) => {
       val sess = SessionEncoder.transform(t(s, dir, "events"), Seq("user_id"), "ts", GapSeconds)
@@ -135,6 +149,16 @@ object SessionQueries {
         |  r.event_id AS ref_event_id, r.value AS ref_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, user_id,
+        |  round(list_reduce(pre, (acc, x) -> acc * (1.0 - 0.3) + x * 0.3), 6) AS ewma
+        |FROM (SELECT event_id, user_id,
+        |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM e)""".stripMargin,
 
     "q_rolling" ->
       """SELECT event_id, user_id,

@@ -455,6 +455,12 @@ object ScaleRehearsal {
       "time_resample" -> (() => graft.operators.TimeFeatures.resample(
         ev, Seq("user_id"), "ts", bucketUs = 86400000000L,
         valueCol = "value").count()),
+      // EWMA (r8): same key-multiplying contract — ONE key shuffle + per-
+      // key sort, O(rows) running-frame fold; the filter consumes the fold
+      "time_ewma" -> (() => graft.operators.TimeFeatures.ewma(
+        ev.filter(col("value").isNotNull), Seq("user_id"), "ts",
+        Seq("event_id"), "value", alpha = 0.3)
+        .filter(col("ewma") > 0.0).count()),
       // embedding PCA: fit = one melted mean aggregate + one Gram pass
       // (driver state = d x d, corpus-independent); transform = pure
       // CenterProject scan — wall ~linear, shufW ~flat (only the tiny

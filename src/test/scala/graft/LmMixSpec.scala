@@ -359,6 +359,37 @@ class LmMixSpec extends AnyFunSuite {
     assert(enc.containsSlice(Seq("z", "z")))
   }
 
+  test("TimeFeatures.ewma: exact recurrence, null carry, merge refuses") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, Double.NaN), (1L, 4L, 40.0),
+      (2L, 1L, 5.0)
+    ).toDF("user_id", "seq", "v")
+      .withColumn("v", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.isnan(org.apache.spark.sql.functions.col("v")),
+        org.apache.spark.sql.functions.lit(null)).otherwise(
+        org.apache.spark.sql.functions.col("v")))
+    val out = graft.operators.TimeFeatures.ewma(df, Seq("user_id"), "seq",
+        Nil, "v", alpha = 0.5)
+      .orderBy("user_id", "seq")
+      .select("user_id", "seq", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out((1L, 1L)) === Some(10.0))                 // y0 = x0
+    assert(out((1L, 2L)) === Some(15.0))                 // 0.5*10 + 0.5*20
+    assert(out((1L, 3L)) === Some(15.0))                 // null carries y
+    assert(out((1L, 4L)) === Some(27.5))                 // 0.5*15 + 0.5*40
+    assert(out((2L, 1L)) === Some(5.0))                  // fresh key resets
+    // non-window (mergeable) use must fail loudly, not silently mis-fold
+    val e = intercept[Exception] {
+      df.agg(graft.functions.Ewma.ewma(
+        org.apache.spark.sql.functions.col("v"), 0.5)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("window function")), msgs(e).mkString("|"))
+  }
+
   test("Mix.temperatureRates: T=2 hand case") {
     // A:4 B:1 -> srt 2,1; S=3; total=5; frac=1:
     // rate_A = min(1, (2/3)*5/4) = 0.833333; rate_B = min(1, (1/3)*5) = 1
