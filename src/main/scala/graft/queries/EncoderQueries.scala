@@ -161,6 +161,24 @@ object EncoderQueries {
       t(s, dir, "lineitem").agg(
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))),
 
+    // m-estimate target encoding (beyond reference, r8): per-category
+    // smoothed target means, DECIMAL-routed sums for order independence
+    "q_target_encoder" -> ((s, dir) =>
+      graft.encoders.TargetEncoder.encode(
+        t(s, dir, "customer"), "c_mktsegment", "c_acctbal", m = 10.0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_mktsegment_target_enc"), 6).as("target_enc"))),
+
+    // leakage-safe out-of-fold variant: each row's encoding uses ONLY the
+    // complement folds' statistics (md5-keyed deterministic folds)
+    "q_target_encoder_oof" -> ((s, dir) =>
+      graft.encoders.TargetEncoder.encodeOutOfFold(
+        t(s, dir, "customer"), "c_mktsegment", "c_acctbal", "c_custkey",
+        k = 5, m = 10.0, seed = 42L)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("__fold").as("fold"),
+          round(col("c_mktsegment_target_enc"), 6).as("target_enc"))),
+
     // Bias-corrected Cramér's V associations
     "q_column_assoc" -> ((s, dir) =>
       ColumnAssociations.forPairs(t(s, dir, "orders"),
@@ -460,6 +478,37 @@ object EncoderQueries {
         |  round(sqrt(sum(c * c)), 6) + 0.0 AS pca_norm,
         |  round(sum(c * rf.rc), 6) + 0.0 AS pca_ref_dot
         |FROM cv JOIN rf USING (p) GROUP BY cv.vec_id""".stripMargin,
+    "q_target_encoder" ->
+      """WITH st AS (SELECT c_mktsegment AS cat, count(c_acctbal) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS s
+        |  FROM customer GROUP BY 1),
+        |g AS (SELECT sum(s) AS bigs, sum(n) AS bign FROM st)
+        |SELECT c.c_custkey, c.c_mktsegment,
+        |  round((st.s + 10.0 * (g.bigs / g.bign)) / (st.n + 10.0), 6)
+        |    AS target_enc
+        |FROM customer c, g
+        |JOIN st ON c.c_mktsegment IS NOT DISTINCT FROM st.cat""".stripMargin,
+
+    "q_target_encoder_oof" ->
+      """WITH wf AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':' || '42'),
+        |      1, 15))::BIGINT % 5 AS fold
+        |  FROM customer),
+        |cf AS (SELECT c_mktsegment AS cat, fold, count(c_acctbal) AS ncf,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS scf
+        |  FROM wf GROUP BY 1, 2),
+        |ct AS (SELECT cat, sum(ncf) AS nc, sum(scf) AS sc FROM cf GROUP BY 1),
+        |ft AS (SELECT fold, sum(ncf) AS nf, sum(scf) AS sf FROM cf GROUP BY 1),
+        |g AS (SELECT sum(sf) AS bigs, sum(nf) AS bign FROM ft)
+        |SELECT wf.c_custkey, wf.c_mktsegment, wf.fold,
+        |  round((ct.sc - cf.scf + 10.0 * ((g.bigs - ft.sf) / (g.bign - ft.nf)))
+        |    / (ct.nc - cf.ncf + 10.0), 6) AS target_enc
+        |FROM wf, g
+        |JOIN cf ON wf.c_mktsegment IS NOT DISTINCT FROM cf.cat
+        |  AND wf.fold = cf.fold
+        |JOIN ct ON cf.cat IS NOT DISTINCT FROM ct.cat
+        |JOIN ft ON wf.fold = ft.fold""".stripMargin,
+
     "q_string_encoder" -> stringEncOracle,
     "q_gap_encoder" -> gapOracle,
     "q_minhash_encoder" -> minhashOracle,

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.encoders.TargetEncoder
+
+/** m-estimate target encoding: smoothing math, null groups, and the
+  * out-of-fold leakage guarantee.
+  */
+class TargetEncoderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("encode: m-estimate hand case, null category is its own group") {
+    // cats: a -> {10, 20}, b -> {40}, null -> {30}; mu = 25
+    val df = Seq((1L, Some("a"), 10.0), (2L, Some("a"), 20.0),
+      (3L, Some("b"), 40.0), (4L, None, 30.0))
+      .toDF("id", "cat", "y")
+    val out = TargetEncoder.encode(df, "cat", "y", m = 2.0)
+      .select(col("id"), col("cat_target_enc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - (30.0 + 2 * 25.0) / 4.0) < 1e-12) // (10+20+50)/4
+    assert(math.abs(out(3L) - (40.0 + 2 * 25.0) / 3.0) < 1e-12)
+    assert(math.abs(out(4L) - (30.0 + 2 * 25.0) / 3.0) < 1e-12) // null group
+  }
+
+  test("encodeOutOfFold: a row's own target never leaks into its feature") {
+    // two frames identical EXCEPT row id=100's target: if the encoding of
+    // id=100 used its own fold's stats, the two encodings would differ;
+    // out-of-fold they must be IDENTICAL (and other folds' rows of the
+    // same category must differ, proving the target is used at all)
+    val base = (1L to 60L).map(i => (i, "c" + (i % 3), i.toDouble))
+    val a = base.toDF("id", "cat", "y")
+    val b = base.map { case (i, c, y) =>
+      (i, c, if (i == 100L) y + 1000 else y) }.toDF("id", "cat", "y")
+    // pick an id actually present; find 100 isn't in 1..60 — use 7
+    val a7 = TargetEncoder.encodeOutOfFold(a, "cat", "y", "id", k = 3, m = 1.0)
+    val fold7 = a7.filter(col("id") === 7L).select("__fold").head().getLong(0)
+    val bumped = base.map { case (i, c, y) =>
+      (i, c, if (i == 7L) y + 1000 else y) }.toDF("id", "cat", "y")
+    val b7 = TargetEncoder.encodeOutOfFold(bumped, "cat", "y", "id", k = 3, m = 1.0)
+    def encOf(df: org.apache.spark.sql.DataFrame, id: Long): Double =
+      df.filter(col("id") === id).select("cat_target_enc").head().getDouble(0)
+    assert(encOf(a7, 7L) === encOf(b7, 7L),
+      "own-target bump changed the row's own encoding (leakage)")
+    // a same-category row in a DIFFERENT fold must see the bump
+    val other = a7.filter(col("cat") === "c1" && col("__fold") =!= fold7 &&
+      col("id") =!= 7L).select("id").head().getLong(0)
+    assert(encOf(a7, other) !== encOf(b7, other),
+      "bump invisible to complement folds — target unused?")
+  }
+
+  test("category seen only in its own fold falls back to the complement mean") {
+    val df = ((1L to 30L).map(i => (i, "common", 10.0)) :+ (99L, "rare", 500.0))
+      .toDF("id", "cat", "y")
+    val out = TargetEncoder.encodeOutOfFold(df, "cat", "y", "id", k = 3, m = 2.0)
+    val rareRow = out.filter(col("cat") === "rare")
+      .select("cat_target_enc", "__fold").head()
+    val rareEnc = rareRow.getDouble(0)
+    // complement excludes the rare row itself -> mean of the 10.0s = 10.0
+    assert(math.abs(rareEnc - 10.0) < 1e-9, s"got $rareEnc")
+  }
+}
