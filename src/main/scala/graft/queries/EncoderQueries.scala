@@ -161,6 +161,15 @@ object EncoderQueries {
       t(s, dir, "lineitem").agg(
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))),
 
+    // quantile binning (beyond reference, r8): k-1 interpolated-quantile
+    // edges fit in one exact percentile job, codegen'd comparison-chain
+    // transform; nulls/NaN stay null
+    "q_kbins" -> ((s, dir) =>
+      graft.encoders.KBins.fitTransform(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        "c_acctbal", k = 4)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_acctbal_bin"))),
+
     // m-estimate target encoding (beyond reference, r8): per-category
     // smoothed target means, DECIMAL-routed sums for order independence
     "q_target_encoder" -> ((s, dir) =>
@@ -478,6 +487,19 @@ object EncoderQueries {
         |  round(sqrt(sum(c * c)), 6) + 0.0 AS pca_norm,
         |  round(sum(c * rf.rc), 6) + 0.0 AS pca_ref_dot
         |FROM cv JOIN rf USING (p) GROUP BY cv.vec_id""".stripMargin,
+    "q_kbins" ->
+      """WITH q AS (SELECT quantile_cont(c_acctbal, 0.25) AS e1,
+        |    quantile_cont(c_acctbal, 0.5) AS e2,
+        |    quantile_cont(c_acctbal, 0.75) AS e3
+        |  FROM customer)
+        |SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN NULL
+        |    ELSE (CASE WHEN c_acctbal >= q.e1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN c_acctbal >= q.e2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN c_acctbal >= q.e3 THEN 1 ELSE 0 END)
+        |  END AS c_acctbal_bin
+        |FROM customer, q""".stripMargin,
+
     "q_target_encoder" ->
       """WITH st AS (SELECT c_mktsegment AS cat, count(c_acctbal) AS n,
         |    CAST(sum(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS s

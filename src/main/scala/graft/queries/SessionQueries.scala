@@ -97,6 +97,14 @@ object SessionQueries {
           unix_micros(col("first_ts")).as("first_us"),
           unix_micros(col("last_ts")).as("last_us"))),
 
+    // per-group z-score (r8): group moments via one DECIMAL-routed
+    // aggregate joined back (no window sort); zero-variance groups emit 0
+    "q_group_zscore" -> ((s, dir) =>
+      graft.operators.GroupNormalize.zscore(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("value")), Seq("user_id"), "value")
+        .select(col("event_id"), col("user_id"), round(col("z"), 6).as("z"))),
+
     // per-key EWMA (r8): the order-dependent fold as a running-frame
     // window aggregate (functions.Ewma); (ts, event_id) total order, null
     // values excluded up front so both engines fold the same sequence —
@@ -149,6 +157,22 @@ object SessionQueries {
         |  r.event_id AS ref_event_id, r.value AS ref_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_group_zscore" ->
+      """WITH st AS (SELECT user_id AS k, count(value) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        |  round(CASE WHEN e.value IS NULL THEN NULL
+        |    WHEN st.n <= 1
+        |      OR sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), 0.0)) <= 0.0
+        |      THEN 0.0
+        |    ELSE (e.value - sx / n)
+        |      / sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), 0.0))
+        |  END, 6) AS z
+        |FROM events e JOIN st ON e.user_id IS NOT DISTINCT FROM st.k""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v

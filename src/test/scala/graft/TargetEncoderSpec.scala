@@ -61,3 +61,45 @@ class TargetEncoderSpec extends AnyFunSuite {
     assert(math.abs(rareEnc - 10.0) < 1e-9, s"got $rareEnc")
   }
 }
+
+/** KBins quantile discretization + GroupNormalize z-score unit checks. */
+class KBinsGroupNormSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("KBins: equal-population bins, edge ties go up, nulls stay null") {
+    val df = ((1 to 100).map(_.toDouble).map(Option(_)) :+ None)
+      .toDF("x").withColumn("id", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+    val out = graft.encoders.KBins.fitTransform(df, "x", k = 4)
+    val counts = out.filter(col("x").isNotNull).groupBy("x_bin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set(0, 1, 2, 3))
+    counts.values.foreach(c => assert(c >= 24 && c <= 26, counts.toString))
+    assert(out.filter(col("x").isNull && col("x_bin").isNotNull).count() === 0)
+    // monotone: larger x never gets a smaller bin
+    val rows = out.filter(col("x").isNotNull).orderBy("x")
+      .select("x_bin").collect().map(_.getInt(0))
+    assert(rows.zip(rows.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("KBins: mass concentration collapses duplicate edges") {
+    val df = (Seq.fill(97)(5.0) ++ Seq(1.0, 9.0, 10.0)).toDF("x")
+    val m = graft.encoders.KBins.fit(df, "x", k = 4)
+    assert(m.edges.distinct.length === m.edges.length)
+    assert(m.edges.length < 3, s"edges not collapsed: ${m.edges}")
+  }
+
+  test("GroupNormalize: per-group mean 0 / std 1, degenerate groups -> 0") {
+    val df = Seq((1L, 10.0), (1L, 20.0), (1L, 30.0),
+      (2L, 7.0), (2L, 7.0), (3L, 99.0)).toDF("k", "v")
+    val out = graft.operators.GroupNormalize.zscore(df, Seq("k"), "v")
+    val g1 = out.filter(col("k") === 1L).select("z").collect().map(_.getDouble(0))
+    assert(math.abs(g1.sum) < 1e-9)
+    assert(math.abs(g1.map(z => z * z).sum / (g1.length - 1) - 1.0) < 1e-9)
+    // zero-variance and single-row groups emit 0.0, not NaN/error
+    assert(out.filter(col("k") === 2L).select("z").collect()
+      .forall(_.getDouble(0) === 0.0))
+    assert(out.filter(col("k") === 3L).select("z").head().getDouble(0) === 0.0)
+  }
+}
