@@ -127,6 +127,38 @@ object GraftFunctions {
     * global namespace honest).
     */
   val all: Seq[FunctionDescription] = Seq(
+    // ---- aggregate / window functions (the analyzer wraps raw
+    // AggregateFunctions in AggregateExpression automatically) ----------
+    fn("graft_ewma",
+      "graft_ewma(v, alpha) - exponentially weighted moving average; use " +
+        "ONLY as a window function over (partition by keys order by a " +
+        "total order rows unbounded preceding) — see TimeFeatures.ewma") {
+      args =>
+        arity("graft_ewma", args, 2)
+        graft.functions.Ewma.EwmaAgg(args(0),
+          litDouble("graft_ewma", "alpha", args(1)))
+    },
+    fn("graft_distinct_at_most",
+      "graft_distinct_at_most(v, cap) - exact distinct count saturating " +
+        "at cap (cap+1 means more-than-cap); bounded state, one branch " +
+        "per row once saturated") { args =>
+      arity("graft_distinct_at_most", args, 2)
+      graft.functions.Contingency.DistinctAtMost(args(0),
+        litInt("graft_distinct_at_most", "cap", args(1)))
+    },
+    fn("graft_min_k_by",
+      "graft_min_k_by(v, k) - the k smallest values per group, ascending " +
+        "(bounded k-element partial state)") { args =>
+      arity("graft_min_k_by", args, 2)
+      graft.functions.AggExprs.MinKBy(args(0),
+        litInt("graft_min_k_by", "k", args(1)))
+    },
+    fn("graft_mode",
+      "graft_mode(v) - statistical mode, smallest value on ties, nulls " +
+        "ignored (single-aggregate count-map)") { args =>
+      arity("graft_mode", args, 1)
+      graft.functions.AggExprs.ModeAgg(args(0))
+    },
     fn("graft_array_dot",
       "graft_array_dot(a, b) - dot product of two array<double>") { args =>
       arity("graft_array_dot", args, 2)

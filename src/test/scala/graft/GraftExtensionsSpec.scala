@@ -66,6 +66,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql.collect().toSeq == api.collect().toSeq)
   }
 
+  test("aggregate functions: ewma window, distinct_at_most, min_k_by, mode") {
+    import spark.implicits._
+    Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 1L, 5.0))
+      .toDF("k", "seq", "v").createOrReplaceTempView("agg_fixture")
+    val ew = spark.sql(
+      """SELECT k, seq, graft_ewma(v, 0.5) OVER (PARTITION BY k ORDER BY seq
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |FROM agg_fixture""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ew((1L, 1L)) === 10.0 && ew((1L, 2L)) === 15.0 && ew((2L, 1L)) === 5.0)
+    val r = spark.sql(
+      """SELECT graft_distinct_at_most(v, 1) AS d,
+        |  graft_min_k_by(v, 2) AS mk, graft_mode(k) AS mo
+        |FROM agg_fixture""".stripMargin).head()
+    assert(r.getLong(0) === 2L) // saturated: more than 1 distinct
+    assert(r.getSeq[Double](1) === Seq(5.0, 10.0))
+    assert(r.getLong(2) === 1L)
+  }
+
   test("posting_pairs and ngram_tfidf take literal tuning arguments") {
     val pairs = spark.sql(
       """SELECT graft_posting_pairs(
