@@ -120,6 +120,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("c4Filter + quality gates stream unchanged: batch and stream agree") {
+    // the C4/quality cleaning gates are stateless codegen scans, so the
+    // SAME operators the batch oracles verify (q_c4_filter, q_text_quality)
+    // must produce identical verdicts per micro-batch on a stream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "A good long line with enough words here.\nshort one."),
+      (2L, "this javascript line would otherwise be kept fine!"),
+      (3L, "First keeper line with plenty of words here.\n" +
+        "Second keeper line with plenty of words too.\n" +
+        "Third keeper sentence with plenty of words also."))
+    val source = MemoryStream[(Long, String)]
+    val streamed = graft.operators.TextAnalysis.c4Filter(
+      source.toDF().toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val query = streamed.writeStream
+      .format("memory").queryName("t_c4").outputMode("append").start()
+    try {
+      source.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      source.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val stream = spark.table("t_c4").collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_lines_kept"),
+          r.getAs[Boolean]("page_ok"))).toMap
+      val batch = graft.operators.TextAnalysis.c4Filter(
+        docs.toDF("doc_id", "text"), "text", Seq("doc_id")).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_lines_kept"),
+          r.getAs[Boolean]("page_ok"))).toMap
+      assert(stream === batch)
+      assert(stream(3L) === ((3L, true)))
+    } finally query.stop()
+  }
+
   test("GapEncoder partial_fit learns online from a stream via foreachBatch") {
     // the reference's only online-learning artifact (GapEncoder.partial_fit,
     // _gap_encoder.py:620-713) driven by Structured Streaming: each
