@@ -380,17 +380,37 @@ object VecExprs {
     override protected def nullSafeEval(input: Any): Any =
       compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
+    // Word encodings memoize per thread: word frequencies are Zipfian, so
+    // the greedy per-word merge fold — the hot loop — re-derives the same
+    // subwords constantly. ThreadLocal keeps the cache safe under ANY
+    // expression-instance sharing (task deserialization or codegen
+    // reference reuse); access-ordered LRU bounds it at 64k words/thread.
+    // Values are the FINAL UTF8String tokens so a hit skips re-encoding.
+    @transient private lazy val memo =
+      new ThreadLocal[java.util.LinkedHashMap[String, Array[org.apache.spark.unsafe.types.UTF8String]]] {
+        override def initialValue() =
+          new java.util.LinkedHashMap[String, Array[org.apache.spark.unsafe.types.UTF8String]](
+            1024, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Array[org.apache.spark.unsafe.types.UTF8String]]): Boolean =
+              size() > 65536
+          }
+      }
+
     def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val cache = memo.get()
       val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
       var i = 0
       while (i < toks.length) {
-        val syms = BpeMerge.encodeWord(toks(i), merges)
-        var j = 0
-        while (j < syms.length) {
-          out += org.apache.spark.unsafe.types.UTF8String.fromString(syms(j))
-          j += 1
+        var syms = cache.get(toks(i))
+        if (syms == null) {
+          syms = BpeMerge.encodeWord(toks(i), merges)
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          cache.put(toks(i), syms)
         }
+        var j = 0
+        while (j < syms.length) { out += syms(j); j += 1 }
         i += 1
       }
       new GenericArrayData(out.toArray)
