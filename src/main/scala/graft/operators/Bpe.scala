@@ -76,6 +76,39 @@ object Bpe {
   }
 
   /** (idCols..., bpe_tokens array<string>) — one codegen'd scan. */
+  /** Persist a trained tokenizer (ordered merge list + selection counts)
+    * as a small JSON file — the NgramLm.write discipline for model state a
+    * training run must reuse across sessions: byte-stable, engine-free,
+    * and `load` round-trips bit-identically (spec-pinned), so packs
+    * tokenized tomorrow match packs tokenized today.
+    */
+  def save(model: Model, path: String): Unit = {
+    import graft.plans.Json
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, Json.obj(Seq(
+      "type" -> Json.str("graft.Bpe.Model"),
+      "merges" -> Json.arr(model.merges.map { case (a, b, n) =>
+        Json.arr(Seq(Json.str(a), Json.str(b), Json.num(n)))
+      }))))
+  }
+
+  def load(path: String): Model = {
+    import graft.plans.Json
+    val o = Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path))).asInstanceOf[Map[String, Any]]
+    require(o.get("type").contains("graft.Bpe.Model"), "not a Bpe.Model file")
+    Model(o("merges").asInstanceOf[Seq[Any]].map { m =>
+      val f = m.asInstanceOf[Seq[Any]]
+      (f(0).asInstanceOf[String], f(1).asInstanceOf[String],
+        f(2).asInstanceOf[Any] match {
+          case l: Long => l
+          case d: Double => d.toLong
+          case other => other.toString.toDouble.toLong
+        })
+    })
+  }
+
   def tokenize(df: DataFrame, textCol: String, idCols: Seq[String],
                model: Model): DataFrame =
     df.select(idCols.map(col) :+

@@ -347,6 +347,23 @@ class LmMixSpec extends AnyFunSuite {
       Seq(("a", "a"), ("a", "b"))).toSeq === Seq("aa", "ab"))
   }
 
+  test("Bpe model save/load round-trips bit-identically and re-tokenizes the same") {
+    import spark.implicits._
+    val docs = Seq("low lower lowest", "newer newest new", "low low lower")
+      .toDF("text")
+    val m = graft.operators.Bpe.fit(docs, "text", numMerges = 8)
+    val path = java.nio.file.Files.createTempDirectory("bpe_spec")
+      .resolve("model.json").toString
+    graft.operators.Bpe.save(m, path)
+    val loaded = graft.operators.Bpe.load(path)
+    assert(loaded === m)
+    val a = graft.operators.Bpe.tokenize(docs, "text", Nil, m)
+      .collect().map(_.getSeq[String](0)).toSeq
+    val b = graft.operators.Bpe.tokenize(docs, "text", Nil, loaded)
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(a === b)
+  }
+
   test("Bpe: maxWords cap binds the fit but capped-out words still encode") {
     import graft.operators.Bpe
     // "zz" is rarest -> excluded from the 2-word fit table, so (z,z) is
