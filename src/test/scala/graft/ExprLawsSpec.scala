@@ -30,6 +30,56 @@ class ExprLawsSpec extends AnyFunSuite {
     sep <- Gen.oneOf(" ", "  ", ", ", "\t", " - ")
   } yield ws.mkString(sep)
 
+  test("ContingencyAll == groupBy contingency on generated code frames") {
+    val frame: Gen[Seq[(Int, Int, Int)]] = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.choose(0, 3); b <- Gen.choose(0, 4); c <- Gen.choose(0, 2)
+      } yield (a, b, c))
+    } yield rows
+    val vocabs = Seq(4, 5, 3)
+    val pairA = Seq(0, 0, 1)
+    val pairB = Seq(1, 2, 2)
+    samples(frame, 8, 4242L).foreach { rows =>
+      val df = if (rows.isEmpty)
+        spark.range(0).selectExpr("0 AS a", "0 AS b", "0 AS c")
+      else rows.toDF("a", "b", "c")
+      val flat = df
+        .select(array(col("a"), col("b"), col("c")).as("codes"))
+        .agg(graft.functions.Contingency.contingencyAll(
+          col("codes"), vocabs, pairA, pairB).as("cells"))
+        .head().getSeq[Long](0)
+      val offs = graft.functions.Contingency.ContingencyAll
+        .offsets(vocabs, pairA, pairB)
+      // expected from plain scala counting
+      val exp = new Array[Long](offs.last)
+      rows.foreach { case (a, b, c) =>
+        val codes = Array(a, b, c)
+        for (p <- pairA.indices) {
+          val vb = vocabs(pairB(p))
+          exp(offs(p) + codes(pairA(p)) * vb + codes(pairB(p))) += 1L
+        }
+      }
+      assert(flat === exp.toSeq, s"rows=${rows.take(5)}...")
+    }
+  }
+
+  test("distinctAtMost == least(countDistinct, cap + 1) on generated columns") {
+    val vals: Gen[Seq[Option[Int]]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.option(Gen.choose(0, 12)))
+    } yield rows
+    samples(vals, 10, 777L).foreach { rows =>
+      val df = rows.toDF("v")
+      val cap = 5
+      val r = df.agg(
+        graft.functions.Contingency.distinctAtMost(col("v"), cap).as("d"),
+        countDistinct(col("v")).as("e")).head()
+      val expected = math.min(r.getLong(1), cap + 1L)
+      assert(r.getLong(0) === expected, s"rows=$rows")
+    }
+  }
+
   test("Simhash32 == composed parity-vote form on generated texts") {
     def composed(c: org.apache.spark.sql.Column) = {
       val hexes = transform(Text.tokens(c), t => md5(t))
