@@ -37,6 +37,11 @@ object KBins {
 
   def fit(df: DataFrame, c: String, k: Int = 10): Model = {
     require(k >= 2, s"need k >= 2 bins, got $k")
+    // the transform is a k-1-branch literal comparison chain; hundreds of
+    // branches would silently overflow codegen into interpreted eval (the
+    // known wide-expression pitfall), so the discretization contract caps k
+    require(k <= 256, s"k = $k bins would generate a $k-branch expression " +
+      "chain past codegen limits; use fewer bins")
     val qs = (1 until k).map(i => i.toDouble / k)
     val row = df.agg(expr(
       s"percentile(`$c`, array(${qs.mkString("D, ")}D))").as("q")).head()
@@ -49,4 +54,17 @@ object KBins {
   def fitTransform(df: DataFrame, c: String, k: Int = 10,
                    outCol: String = ""): DataFrame =
     fit(df, c, k).transform(df, outCol)
+
+  /** Pipeline-citizen form: composes into graft Plans and (via
+    * `SparkMl.stage`) native `ml.Pipeline`s like every other encoder.
+    */
+  def estimator(c: String, k: Int = 10): graft.plans.Estimator =
+    new graft.plans.Estimator {
+      def fit(df: DataFrame): graft.plans.Transformer = {
+        val m = KBins.fit(df, c, k)
+        new graft.plans.Transformer {
+          def transform(d: DataFrame): DataFrame = m.transform(d)
+        }
+      }
+    }
 }

@@ -86,4 +86,43 @@ object TargetEncoder {
         "left")
       .drop("__cat", "__f")
   }
+
+
+  /** Pipeline-citizen form of the in-sample encoding: fit captures the
+    * category stats AS LITERAL STATE (collected from the vocabulary-sized
+    * stats frame — the fit-on-bounded-distinct discipline; fails loudly
+    * past `maxCategories` rather than silently ballooning driver memory),
+    * so transform replays on ANY frame, including one without the target.
+    */
+  def estimator(catCol: String, targetCol: String, m: Double = 10.0,
+                maxCategories: Int = 100000): graft.plans.Estimator =
+    new graft.plans.Estimator {
+      def fit(df: DataFrame): graft.plans.Transformer = {
+        val y = col(targetCol)
+        val stats = df.groupBy(col(catCol).as("__cat")).agg(
+          count(y).as("__n"), decSum(y).as("__s"))
+        val rows = stats.limit(maxCategories + 1).collect()
+        require(rows.length <= maxCategories,
+          s"TargetEncoder.estimator: more than $maxCategories categories; " +
+            "raise maxCategories or use encode() (stats stay distributed)")
+        def sOf(r: org.apache.spark.sql.Row): Double =
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2) // all-null-target group
+        val bigN = rows.map(_.getLong(1)).sum
+        val bigS = rows.map(sOf).sum
+        require(bigN > 0, "TargetEncoder.estimator: no non-null targets to fit on")
+        val mu = bigS / bigN
+        val encMap: Map[String, Double] = rows.map { r =>
+          val key = if (r.isNullAt(0)) "\u0000null" else String.valueOf(r.get(0))
+          key -> (sOf(r) + m * mu) / (r.getLong(1) + m)
+        }.toMap
+        new graft.plans.Transformer {
+          def transform(d: DataFrame): DataFrame = {
+            val key = when(col(catCol).isNull, "\u0000null")
+              .otherwise(col(catCol).cast(org.apache.spark.sql.types.StringType))
+            d.withColumn(s"${catCol}_target_enc",
+              coalesce(element_at(typedLit(encMap), key), lit(mu)))
+          }
+        }
+      }
+    }
 }

@@ -24,6 +24,29 @@ class TargetEncoderSpec extends AnyFunSuite {
     assert(math.abs(out(4L) - (30.0 + 2 * 25.0) / 3.0) < 1e-12) // null group
   }
 
+  test("estimator form: fitted state replays on target-free frames, unseen -> mu") {
+    val train = Seq((1L, Some("a"), 10.0), (2L, Some("a"), 20.0),
+      (3L, Some("b"), 40.0), (4L, None, 30.0)).toDF("id", "cat", "y")
+    val t = TargetEncoder.estimator("cat", "y", m = 2.0).fit(train)
+    val fresh = Seq((9L, Some("a")), (10L, Some("zz")), (11L, None))
+      .toDF("id", "cat") // NO target column — transform must not need it
+    val out = t.transform(fresh).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cat_target_enc")).toMap
+    assert(math.abs(out(9L) - (30.0 + 2 * 25.0) / 4.0) < 1e-12)
+    assert(math.abs(out(10L) - 25.0) < 1e-12) // unseen category -> mu
+    assert(math.abs(out(11L) - (30.0 + 2 * 25.0) / 3.0) < 1e-12) // null group
+    // and it composes into a native ml.Pipeline
+    val model = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(graft.plans.SparkMl.stage(
+        TargetEncoder.estimator("cat", "y", m = 2.0)))).fit(train)
+    assert(model.transform(fresh).columns.contains("cat_target_enc"))
+    // KBins is a pipeline citizen too
+    val kb = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(graft.plans.SparkMl.stage(
+        graft.encoders.KBins.estimator("y", k = 2)))).fit(train)
+    assert(kb.transform(train).columns.contains("y_bin"))
+  }
+
   test("encodeOutOfFold: a row's own target never leaks into its feature") {
     // two frames identical EXCEPT row id=100's target: if the encoding of
     // id=100 used its own fold's stats, the two encodings would differ;
