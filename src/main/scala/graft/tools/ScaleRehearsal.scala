@@ -55,10 +55,12 @@ object ScaleRehearsal {
     val needDocsEmb = only.forall(_.exists(n =>
       !n.startsWith("fit_") && !n.startsWith("time_")))
     val needOrders = only.forall(_.exists(n => n.startsWith("fit_") &&
-      !n.startsWith("fit_fuzzy") && n != "fit_interpolation"))
+      !n.startsWith("fit_fuzzy") && n != "fit_interpolation" &&
+      n != "fit_target_encoder"))
     val needEvents = only.forall(_.exists(_.startsWith("time_")))
     val needCustomer = only.forall(_.exists(n =>
-      n.startsWith("fit_fuzzy") || n == "fit_interpolation"))
+      n.startsWith("fit_fuzzy") || n == "fit_interpolation" ||
+        n == "fit_target_encoder"))
 
     // ---- deterministic Nx corpus ------------------------------------
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -177,6 +179,13 @@ object ScaleRehearsal {
             refStrategy = Some(graft.operators.FuzzyJoin.RefDist.SelfJoinNeighbor(1)))
           .filter(col(graft.operators.FuzzyJoin.MatchInfoAccepted)).count()
       }),
+      // out-of-fold target encoding (r8): one (cat, fold) aggregate + one
+      // vocab-sized join back — wall must track the scan, shuffle the
+      // (tiny) stats frames; the sum consumes the encoding
+      "fit_target_encoder" -> (() =>
+        graft.encoders.TargetEncoder.encodeOutOfFold(cust, "c_mktsegment",
+          "c_acctbal", "c_custkey", k = 5, m = 10.0)
+          .agg(sum(col("c_mktsegment_target_enc"))).head().getDouble(0).toLong),
       // interpolation join (r8: the one join family with no rehearsal row —
       // VERDICT r7 task 7): GBT fit cost is bounded by the FIXED aux
       // (supplier) while predict is a scan over the growing main side; the
