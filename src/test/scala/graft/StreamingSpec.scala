@@ -120,6 +120,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming packing continues shard totals across micro-batches == batch packing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (shard, docId, tokens): shard a fills packs across the batch split
+    val docs = Seq(("a", 1L, 60L), ("a", 2L, 50L), ("b", 3L, 30L),
+      ("a", 4L, 70L), ("a", 5L, 120L), ("b", 6L, 90L))
+    val source = MemoryStream[(String, Long, Long)]
+    val streamed = graft.streaming.StreamingPack.packStream(
+      source.toDF().toDF("shard", "doc_id", "n_toks"),
+      "n_toks", "shard", "doc_id", budget = 100L)
+    val query = streamed.writeStream
+      .format("memory").queryName("t_pack").outputMode("append").start()
+    try {
+      source.addData(docs.take(3): _*)
+      query.processAllAvailable()
+      source.addData(docs.drop(3): _*)
+      query.processAllAvailable()
+      val stream = spark.table("t_pack").collect()
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.Pack.sequences(
+        docs.toDF("shard", "doc_id", "n_toks"),
+        "n_toks", budget = 100L, groupCol = "shard", idCol = "doc_id")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("pack_tokens"), r.getAs[Long]("pack_id"))).toMap
+      assert(stream === batch)
+      // the split point straddled shard a's first pack: doc 4 must land in
+      // pack 1 because state carried 110 tokens from the previous batch
+      assert(stream(4L)._2 === 1L)
+    } finally query.stop()
+  }
+
   test("c4Filter + quality gates stream unchanged: batch and stream agree") {
     // the C4/quality cleaning gates are stateless codegen scans, so the
     // SAME operators the batch oracles verify (q_c4_filter, q_text_quality)
