@@ -37,15 +37,16 @@ object AsofJoin {
            direction: String = "backward",
            toleranceUs: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "asof: need at least one payload column")
-    require(direction == "backward" || direction == "forward",
-      s"asof: direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asof: direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
     payload.foreach { case (_, out) =>
       require(!leftCols.contains(out),
         s"asof: left already has output column $out")
     }
     val reserved = leftCols.filter(c =>
-      c == "__side" || c == "__p" || c == "__latest" || c.startsWith("__tie_"))
+      c == "__side" || c == "__p" || c == "__latest" || c == "__b" ||
+        c == "__f" || c.startsWith("__tie_"))
     require(reserved.isEmpty, // a silent overwrite would corrupt the match
       s"asof: left uses reserved column name(s) ${reserved.mkString(", ")}")
     val l2 = left.withColumn("__side", lit(1))
@@ -63,6 +64,39 @@ object AsofJoin {
       .withColumn("__side", lit(0))
     // left-only columns null on right rows, payload/tie null on left rows
     val all = l2.unionByName(r2, allowMissingColumns = true)
+
+    // nearest (pandas merge_asof direction="nearest"): SAME one-shuffle
+    // union sort read by TWO window frames — the latest at-or-before via
+    // last(ignoreNulls) over the preceding frame, the earliest strictly-
+    // after via first(ignoreNulls) over the following frame — then the
+    // closer side wins, ties toward backward. An equal-timestamp right
+    // row lives only in the backward frame (it sorts before the left
+    // row), which is exactly right: its gap is 0 and backward wins ties,
+    // so both reads agree with the two-sided oracle composition. Among
+    // tied right rows the backward read keeps the MAX rightTie and the
+    // forward read the MIN — each frame's deterministic end.
+    if (direction == "nearest") {
+      val order: Seq[Column] = col(tsCol).asc +: col("__side").asc +:
+        rightTie.indices.map(i => col(s"__tie_$i").asc)
+      val part = Window.partitionBy(on.map(col): _*).orderBy(order: _*)
+      val wB = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val gapB = unix_micros(col(tsCol)) - unix_micros(col("__b.__r_ts"))
+      val gapF = unix_micros(col("__f.__r_ts")) - unix_micros(col(tsCol))
+      val inTol = (g: Column) => toleranceUs.fold(lit(true))(t => g <= t)
+      val validB = col("__b").isNotNull && inTol(gapB)
+      val validF = col("__f").isNotNull && inTol(gapF)
+      return all
+        .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wB))
+        .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wF))
+        .filter(col("__side") === 1)
+        .select(leftCols.map(col) ++ payload.map { case (_, out) =>
+          when(validB && (!coalesce(validF, lit(false)) || gapB <= gapF),
+            col(s"__b.$out"))
+            .when(validF, col(s"__f.$out")).as(out)
+        }: _*)
+    }
+
     // backward walks ascending timestamps; forward walks DESCENDING ones,
     // so "last right row seen" is the nearest at-or-after. Right sorts
     // before left at equal timestamps either way (side asc) — inclusive.

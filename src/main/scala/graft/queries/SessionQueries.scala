@@ -97,6 +97,20 @@ object SessionQueries {
           unix_micros(col("first_ts")).as("first_us"),
           unix_micros(col("last_ts")).as("last_us"))),
 
+    // nearest-direction as-of (r8): closest error event either side of
+    // each click, ties toward backward (pandas merge_asof nearest)
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsofJoin.asof(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error"),
+        on = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id" -> "ref_event_id"),
+        rightTie = Seq("event_id"), direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("ref_event_id"))
+    }),
+
     // per-group z-score (r8): group moments via one DECIMAL-routed
     // aggregate joined back (no window sort); zero-variance groups emit 0
     "q_group_zscore" -> ((s, dir) =>
@@ -157,6 +171,35 @@ object SessionQueries {
         |  r.event_id AS ref_event_id, r.value AS ref_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // nearest = closer of the two deduped one-sided ASOF matches, ties
+    // toward backward; backward dedupes tied rights to MAX event_id and
+    // forward to MIN (each frame's deterministic end in the operator)
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |rb AS (SELECT event_id, user_id, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'error') WHERE rn = 1),
+        |rf AS (SELECT event_id, user_id, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id ASC) AS rn
+        |    FROM events WHERE event_type = 'error') WHERE rn = 1),
+        |b AS (SELECT l.event_id, l.user_id, l.ts AS lts,
+        |    r.ts AS bts, r.event_id AS bid
+        |  FROM l ASOF LEFT JOIN rb r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.event_id AS fid
+        |  FROM l ASOF LEFT JOIN rf r
+        |    ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |      OR epoch_us(CAST(lts AS TIMESTAMP)) - epoch_us(CAST(bts AS TIMESTAMP))
+        |        <= epoch_us(CAST(fts AS TIMESTAMP)) - epoch_us(CAST(lts AS TIMESTAMP)))
+        |    THEN bid
+        |    WHEN fts IS NOT NULL THEN fid END AS ref_event_id
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     "q_group_zscore" ->
       """WITH st AS (SELECT user_id AS k, count(value) AS n,

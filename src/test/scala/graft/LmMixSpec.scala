@@ -232,6 +232,32 @@ class LmMixSpec extends AnyFunSuite {
     assert(b(0).getAs[Timestamp]("bucket_start") === ts("2021-01-01 00:00:00"))
   }
 
+  test("AsofJoin: nearest picks the closer side, ties toward backward") {
+    import graft.operators.AsofJoin
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // left at t=10: back at 7 (gap 3), fwd at 12 (gap 2) -> forward
+    // left at t=20: back at 18 (gap 2), fwd at 22 (gap 2) -> tie -> backward
+    // left at t=30: only backward matches remain, latest is 22; t=1: only fwd at 7
+    val left = Seq((1L, ts(10)), (2L, ts(20)), (3L, ts(30)), (4L, ts(1)))
+      .toDF("lid", "ts").withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
+    val right = Seq((107L, ts(7)), (112L, ts(12)), (118L, ts(18)), (122L, ts(22)))
+      .toDF("rid", "ts").withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts",
+        payload = Seq("rid" -> "ref"), rightTie = Seq("rid"),
+        direction = "nearest")
+      .collect().map(r => r.getAs[Long]("lid") -> r.getAs[Long]("ref")).toMap
+    assert(out === Map(1L -> 112L, 2L -> 118L, 3L -> 122L, 4L -> 107L))
+    // tolerance applies to BOTH sides: at 2s only the gap-2 matches survive
+    val tol = AsofJoin.asof(left, right, Seq("user_id"), "ts",
+        payload = Seq("rid" -> "ref"), rightTie = Seq("rid"),
+        direction = "nearest", toleranceUs = Some(2000000L))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[Any]("ref"))).toMap
+    assert(tol(1L) === Some(112L) && tol(2L) === Some(118L))
+    assert(tol(3L) === None && tol(4L) === None)
+  }
+
   test("AsofJoin: forward direction and tolerance") {
     import graft.operators.AsofJoin
     import java.sql.Timestamp
