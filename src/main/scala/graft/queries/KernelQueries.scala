@@ -135,6 +135,17 @@ object KernelQueries {
         Multimodal.fakeEmbedding(data, 8): _*)
     }),
 
+    // join-key discovery (beyond reference, r8): distinct-value inclusion
+    // + jaccard for every comparable column pair — o_custkey must surface
+    // c_custkey at inclusion 1.0. Long and string columns only in the
+    // fixture (exact cross-engine string formatting).
+    "q_join_discovery" -> ((s, dir) =>
+      graft.operators.Discovery.joinKeys(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment")))),
+
     // frame sampling + resize plan (r8): every 2nd 256-byte slice of the
     // packed payload materialized via binary substr (real byte slicing)
     // with per-frame md5, plus the aspect-preserving resize plan from the
@@ -334,6 +345,25 @@ object KernelQueries {
          |  ${embs.mkString(",\n  ")}
          |FROM documents""".stripMargin
     },
+
+    "q_join_discovery" ->
+      """WITH la AS (
+        |    SELECT DISTINCT 'o_orderkey' AS lc, CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL
+        |    UNION SELECT DISTINCT 'o_custkey' AS lc, CAST(o_custkey AS VARCHAR) AS v FROM orders WHERE o_custkey IS NOT NULL
+        |    UNION SELECT DISTINCT 'o_orderstatus' AS lc, CAST(o_orderstatus AS VARCHAR) AS v FROM orders WHERE o_orderstatus IS NOT NULL
+        |    UNION SELECT DISTINCT 'o_orderpriority' AS lc, CAST(o_orderpriority AS VARCHAR) AS v FROM orders WHERE o_orderpriority IS NOT NULL),
+        |rb AS (
+        |    SELECT DISTINCT 'c_custkey' AS rc, CAST(c_custkey AS VARCHAR) AS v FROM customer WHERE c_custkey IS NOT NULL
+        |    UNION SELECT DISTINCT 'c_nationkey' AS rc, CAST(c_nationkey AS VARCHAR) AS v FROM customer WHERE c_nationkey IS NOT NULL
+        |    UNION SELECT DISTINCT 'c_mktsegment' AS rc, CAST(c_mktsegment AS VARCHAR) AS v FROM customer WHERE c_mktsegment IS NOT NULL),
+        |na AS (SELECT lc, count(*) AS na FROM la GROUP BY 1),
+        |nb AS (SELECT rc, count(*) AS nb FROM rb GROUP BY 1),
+        |i AS (SELECT lc, rc, count(*) AS ni
+        |  FROM la JOIN rb USING (v) GROUP BY 1, 2)
+        |SELECT lc AS left_column, rc AS right_column,
+        |  round(ni * 1.0 / na, 6) AS inclusion,
+        |  round(ni * 1.0 / (na + nb - ni), 6) AS jaccard
+        |FROM i JOIN na USING (lc) JOIN nb USING (rc)""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, text,

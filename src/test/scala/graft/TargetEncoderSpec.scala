@@ -85,6 +85,28 @@ class TargetEncoderSpec extends AnyFunSuite {
   }
 }
 
+/** Join-key discovery: inclusion/jaccard semantics. */
+class DiscoverySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("joinKeys surfaces the FK at inclusion 1.0; cross-type values match") {
+    val fact = Seq((1L, "x"), (2L, "y"), (2L, "z"), (3L, "x"))
+      .toDF("fk", "junk")
+    val dim = Seq(("1", "a"), ("2", "b"), ("3", "c"), ("4", "d"))
+      .toDF("id_str", "name") // string-typed ids still match long fks
+    val out = graft.operators.Discovery.joinKeys(fact, dim).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(("fk", "id_str")) === ((1.0, 0.75))) // {1,2,3} of {1,2,3,4}
+    assert(!out.contains(("junk", "name")))         // zero overlap absent
+    // minInclusion prunes output
+    val pruned = graft.operators.Discovery.joinKeys(fact, dim,
+      minInclusion = 0.9).collect()
+    assert(pruned.length === 1)
+  }
+}
+
 /** KBins quantile discretization + GroupNormalize z-score unit checks. */
 class KBinsGroupNormSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
