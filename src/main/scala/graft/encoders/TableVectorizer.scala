@@ -31,13 +31,19 @@ object TableVectorizer {
                          datetimeResolution: String,
                          nHashFeatures: Int,
                          highCardEncoder: String = "minhash",
-                         nComponents: Int = 30) {
+                         nComponents: Int = 30,
+                         numericBins: Map[String, Seq[Double]] = Map.empty) {
 
     /** Output feature expressions for the expression-only kinds, in
       * deterministic column order; high-cardinality columns emit their raw
       * column here and are replaced by their encoder's join in `transform`.
       */
     def featureExprs: Seq[Column] = columnToKind.flatMap {
+      case (c, Numeric) if numericBins.contains(c) =>
+        // opted-in quantile discretization (KBins): ordinal bin replaces
+        // the raw numeric, same comparison-chain codegen as KBins.Model
+        Seq(KBins.Model(c, numericBins(c))
+          .binExpr(col(c).cast(DoubleType)).cast(DoubleType).as(s"${c}_bin"))
       case (c, Numeric) => Seq(col(c).cast(DoubleType).as(c))
       case (c, Datetime) =>
         DatetimeEncoder.encode(c, datetimeResolution, asDouble = true)
@@ -110,7 +116,8 @@ object TableVectorizer {
           datetimeResolution: String = "hour",
           nHashFeatures: Int = 8,
           highCardEncoder: String = "minhash",
-          nComponents: Int = 30): Model = {
+          nComponents: Int = 30,
+          binNumerics: Option[Int] = None): Model = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     // Routing only needs "distinct < threshold", so the exact saturating
     // DistinctAtMost answers it in ONE job with <= threshold+1 elements of
@@ -147,8 +154,29 @@ object TableVectorizer {
         val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
         lowCard.map(c => c -> row.getSeq[String](row.fieldIndex(c)).toSeq).toMap
       }
+    // opted-in numeric discretization: ONE batched percentile job fits
+    // every numeric column's quantile edges together (never a job per
+    // column — the fitBins discipline)
+    val numericBins: Map[String, Seq[Double]] = binNumerics match {
+      case None => Map.empty
+      case Some(k) =>
+        require(k >= 2 && k <= 256, s"binNumerics must be in [2, 256], got $k")
+        val numCols = kinds.collect { case (c, Numeric) => c }
+        if (numCols.isEmpty) Map.empty
+        else {
+          val qs = (1 until k).map(i => i.toDouble / k)
+          val aggs = numCols.map(c => expr(
+            s"percentile(CAST(`$c` AS DOUBLE), array(${qs.mkString("D, ")}D))").as(c))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          numCols.flatMap { c =>
+            if (row.isNullAt(row.fieldIndex(c))) None
+            else Some(c -> row.getSeq[Double](row.fieldIndex(c))
+              .filterNot(_.isNaN).distinct)
+          }.toMap
+        }
+    }
     Model(kinds, vocab, datetimeResolution, nHashFeatures, highCardEncoder,
-      nComponents)
+      nComponents, numericBins)
   }
 
   def fitTransform(df: DataFrame,

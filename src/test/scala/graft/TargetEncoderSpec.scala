@@ -85,6 +85,26 @@ class TargetEncoderSpec extends AnyFunSuite {
   }
 }
 
+/** TableVectorizer numeric-binning routing option. */
+class TvBinningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binNumerics routes numerics through quantile bins, others untouched") {
+    val df = (1 to 100).map(i => (i.toDouble, "c" + (i % 3))).toDF("x", "cat")
+    val m = graft.encoders.TableVectorizer.fit(df, binNumerics = Some(4))
+    val out = m.transform(df)
+    assert(out.columns.contains("x_bin") && !out.columns.contains("x"))
+    val bins = out.select("x_bin").distinct().collect().map(_.getDouble(0)).sorted
+    assert(bins.toSeq === Seq(0.0, 1.0, 2.0, 3.0))
+    // one-hot columns unaffected by the binning opt-in
+    assert(out.columns.count(_.startsWith("cat_")) >= 3)
+    // default fit unchanged: raw numeric passthrough
+    val raw = graft.encoders.TableVectorizer.fitTransform(df)
+    assert(raw.columns.contains("x") && !raw.columns.contains("x_bin"))
+  }
+}
+
 /** Join-key discovery: inclusion/jaccard semantics. */
 class DiscoverySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
