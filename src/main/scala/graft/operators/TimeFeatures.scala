@@ -43,6 +43,21 @@ object TimeFeatures {
     }
   }
 
+  /** Inter-arrival features: per-key time since the PREVIOUS event
+    * (`gap_us`, null on each key's first event) and the 1-based event
+    * index (`event_seq`) — the standard recency/position features of
+    * behavioral models, and the raw material of sessionization gaps.
+    * One key shuffle + per-key sort; `tieCols` complete the total order.
+    */
+  def interArrival(df: DataFrame, on: Seq[String], tsCol: String,
+                   tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    df.withColumn("gap_us",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("event_seq", row_number().over(w).cast(LongType))
+  }
+
   /** Per-key exponentially weighted moving average of `valueCol` in event
     * order (pandas `ewm(alpha, adjust=False)` semantics: y_0 = x_0,
     * y_i = (1-alpha)*y_{i-1} + alpha*x_i, nulls carry the previous value).

@@ -97,6 +97,14 @@ object SessionQueries {
           unix_micros(col("first_ts")).as("first_us"),
           unix_micros(col("last_ts")).as("last_us"))),
 
+    // inter-arrival features (r8): per-key gap + event index
+    "q_inter_arrival" -> ((s, dir) =>
+      graft.operators.TimeFeatures.interArrival(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("gap_us"),
+          col("event_seq"))),
+
     // nearest-direction as-of (r8): closest error event either side of
     // each click, ties toward backward (pandas merge_asof nearest)
     "q_asof_nearest" -> ((s, dir) => {
@@ -171,6 +179,14 @@ object SessionQueries {
         |  r.event_id AS ref_event_id, r.value AS ref_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_inter_arrival" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+        |  CAST(row_number() OVER w AS BIGINT) AS event_seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     // nearest = closer of the two deduped one-sided ASOF matches, ties
     // toward backward; backward dedupes tied rights to MAX event_id and
