@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,10 +33,22 @@ object Mix {
   /** Per-source rates: (sourceCol, n_docs, weight, rate). */
   def temperatureRates(df: DataFrame, sourceCol: String,
                        temperature: Double = 2.0,
-                       targetFrac: Double = 1.0): DataFrame = {
+                       targetFrac: Double = 1.0): DataFrame =
+    temperatureRatesBy(df, sourceCol, count(lit(1)), temperature, targetFrac)
+
+  /** Weighted form: source mass = an integer aggregate of the caller's
+    * choosing — pass `sum(col("n_toks"))` for TOKEN-weighted mixing, the
+    * form LLM data recipes actually specify (source shares denominated in
+    * tokens, docs still the sampling unit). Same formula, same
+    * order-independent DECIMAL weight sum, same md5 row selection.
+    */
+  def temperatureRatesBy(df: DataFrame, sourceCol: String, massAgg: Column,
+                         temperature: Double = 2.0,
+                         targetFrac: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy() // the frame is |sources| rows — tiny
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val counts = df.groupBy(col(sourceCol))
+      .agg(massAgg.cast(LongType).as("n_docs"))
     // T = 2 (the common flattening choice) routes through sqrt, which IEEE
     // correctly-rounds in every engine; pow's libm implementations may
     // differ in the last ulp, so general T is deterministic within Spark
@@ -61,9 +73,17 @@ object Mix {
     */
   def temperatureFlag(df: DataFrame, sourceCol: String, idCols: Seq[String],
                       temperature: Double = 2.0, targetFrac: Double = 1.0,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L): DataFrame =
+    temperatureFlagBy(df, sourceCol, count(lit(1)), idCols, temperature,
+      targetFrac, seed)
+
+  /** Weighted audit form (see temperatureRatesBy). */
+  def temperatureFlagBy(df: DataFrame, sourceCol: String, massAgg: Column,
+                        idCols: Seq[String],
+                        temperature: Double = 2.0, targetFrac: Double = 1.0,
+                        seed: Long = 42L): DataFrame = {
     val rates = broadcast(
-      temperatureRates(df, sourceCol, temperature, targetFrac)
+      temperatureRatesBy(df, sourceCol, massAgg, temperature, targetFrac)
         .select(col(sourceCol).as("__mix_src"), col("rate")))
     val h = substring(md5(concat_ws(":",
       idCols.map(col(_).cast(StringType)) :+ lit(seed.toString): _*)), 1, 15)

@@ -33,6 +33,15 @@ object LmQueries {
     // temperature mixing audit: every doc + its source's sampling rate and
     // the deterministic md5-threshold verdict (T=2 flattens toward uniform,
     // targetFrac=0.5 halves the corpus)
+    "q_mix_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_toks",
+        size(graft.functions.Text.tokens(col("text")))
+          .cast(org.apache.spark.sql.types.LongType))
+      Mix.temperatureFlagBy(docs, "source", sum(col("n_toks")),
+          Seq("doc_id"), temperature = 2.0, targetFrac = 0.5)
+        .select(col("doc_id"), col("source"), col("rate"), col("sampled"))
+    }),
+
     "q_mix_sources" -> ((s, dir) =>
       Mix.temperatureFlag(t(s, dir, "documents"), "source", Seq("doc_id"),
           temperature = 2.0, targetFrac = 0.5, seed = 42L)
@@ -175,6 +184,15 @@ object LmQueries {
        |  round(exp(m.avgm / 1000000.0), 6) AS ppl
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN lmm m USING (doc_id)""".stripMargin
 
+  private val mixTokensSql =
+    s"""WITH tk AS (SELECT doc_id, source, len($toksSql) AS n FROM documents),
+       |mixc AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+       |  FROM tk GROUP BY source),
+       |${mixRateCtes("0.5")}
+       |SELECT d.doc_id, d.source, th.rate,
+       |  substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 15) < th.thr AS sampled
+       |FROM documents d JOIN mixth th ON d.source IS NOT DISTINCT FROM th.source""".stripMargin
+
   private val mixSourcesSql =
     s"""WITH mixc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
        |  FROM documents GROUP BY source),
@@ -229,6 +247,7 @@ object LmQueries {
     "q_lm_score_index" -> lmScoreSql,
     "q_lm_cross" -> lmCrossSql,
     "q_mix_sources" -> mixSourcesSql,
+    "q_mix_tokens" -> mixTokensSql,
     "q_curation_full" -> curationFullSql
   )
 }
