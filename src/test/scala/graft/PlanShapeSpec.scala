@@ -35,6 +35,37 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private val sf = TestSpark.SfDir
 
+  test("r8 operators keep their claimed plan shapes") {
+    // GroupNormalize: moments via groupBy + join back — NO Window (a
+    // window would sort every row), and no SinglePartition exchange
+    val gz = planString(graft.operators.GroupNormalize.zscore(
+      graft.ops.Kernel.table(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("value")),
+      Seq("user_id"), "value"))
+    assert(!gz.contains("Window"), s"zscore plans a window:\n$gz")
+    assert(!gz.contains("SinglePartition"), s"zscore plans a global exchange:\n$gz")
+
+    // TargetEncoder out-of-fold: no SinglePartition anywhere — the stats
+    // frames aggregate distributed and join back
+    val te = planString(graft.encoders.TargetEncoder.encodeOutOfFold(
+      graft.ops.Kernel.table(spark, sf, "customer"),
+      "c_mktsegment", "c_acctbal", "c_custkey"))
+    assert(!te.contains("SinglePartition"),
+      s"target encoder plans a global exchange:\n$te")
+
+    // c4Filter: pure scan — zero exchanges of any kind
+    val c4 = planString(graft.operators.TextAnalysis.c4Filter(
+      graft.ops.Kernel.table(spark, sf, "documents"), "text", Seq("doc_id")))
+    assert(!c4.contains("Exchange"), s"c4Filter shuffles:\n$c4")
+
+    // KBins transform: literal comparison chain — zero exchanges, and the
+    // fit edges are literals (no join against a stats frame)
+    val kb = planString(graft.encoders.KBins
+      .fit(graft.ops.Kernel.table(spark, sf, "customer"), "c_acctbal", k = 4)
+      .transform(graft.ops.Kernel.table(spark, sf, "customer")))
+    assert(!kb.contains("Exchange"), s"KBins transform shuffles:\n$kb")
+  }
+
   test("row filters push down to the parquet scan") {
     val plan = planString(graft.ops.Kernel.table(spark, sf, "orders")
       .filter(col("o_orderkey") > 100L).select("o_orderkey"))
