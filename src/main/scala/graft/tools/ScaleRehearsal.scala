@@ -304,6 +304,19 @@ object ScaleRehearsal {
         graft.operators.AnnIndex.probe(batch, "embedding", "vec_id",
           "graft_rehearsal_ann8", k = 5).count()
       }),
+      // C4 heuristic cleaning (r8): pure codegen scan like repetition —
+      // wall ~linear, shufW must stay 0 (synthetic 8-token line structure
+      // mirrors q_c4_filter's fixture)
+      "c4_filter" -> (() => {
+        val lines8 = transform(
+          graft.functions.VecExprs.tokenChunks(col("text"), 8, 8),
+          c => concat(c.getField("chunk_text"),
+            when(c.getField("chunk_id") % 3 === 0, lit(".")).otherwise(lit(""))))
+        graft.operators.TextAnalysis.c4Filter(
+          docs.select(col("doc_id"),
+            array_join(lines8, "\n").as("text2")), "text2", Seq("doc_id"))
+          .filter(col("page_ok")).count()
+      }),
       // repetition signals (r7 second half): pure codegen scan, zero
       // shuffle at every scale — wall must grow ~linearly, shufW stay 0
       "repetition" -> (() => graft.operators.TextAnalysis
