@@ -34,6 +34,63 @@ object Discovery {
       .filter(col("v").isNotNull)
       .distinct()
 
+  /** KMV (k-minimum-values) sketch estimate of the same scores — the
+    * 100 TB path: instead of the exact value-level equi-join (whose
+    * shuffle carries every distinct value), each column is reduced to its
+    * k smallest 60-bit md5 hashes (one bounded MinKBy aggregate — k longs
+    * per column leave the executors) plus its exact distinct count, and
+    * the pair estimates are computed driver-side from the sketches:
+    * jaccard ≈ |U ∩ A ∩ B| / |U| with U = the k smallest of the merged
+    * sketches (Beyer et al. 2007), and |A∩B| ≈ j(na+nb)/(1+j) gives
+    * inclusion. Deterministic (md5), so the estimates themselves are
+    * engine-reproducible and hash-verifiable.
+    */
+  def joinKeysSketch(left: DataFrame, right: DataFrame,
+                     k: Int = 256): DataFrame = {
+    require(k >= 16, s"need k >= 16 sketch slots, got $k")
+    val lc = left.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
+    val rc = right.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
+    require(lc.nonEmpty && rc.nonEmpty, "no comparable columns to match")
+    def hashed(df: DataFrame, cols: Seq[String], side: String) =
+      melted(df, cols, side)
+        .select(col(s"${side}_column").as("c"),
+          conv(substring(md5(col("v")), 1, 15), 16, 10)
+            .cast(LongType).as("h"))
+        .distinct()
+    def sketchOf(df: DataFrame, cols: Seq[String], side: String)
+        : Map[String, (Seq[Long], Long)] =
+      hashed(df, cols, side).groupBy(col("c"))
+        .agg(graft.functions.AggExprs.minKBy(col("h"), k).as("sk"),
+          count(lit(1)).as("nd"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getSeq[Long](1).toSeq, r.getLong(2))).toMap
+    val (skL, skR) = (sketchOf(left, lc.toSeq, "left"),
+      sketchOf(right, rc.toSeq, "right"))
+    val rows: Seq[org.apache.spark.sql.Row] = (for {
+      a <- lc.toSeq; b <- rc.toSeq
+      (sa, na) = skL(a); (sb, nb) = skR(b)
+    } yield {
+      val u = (sa ++ sb).distinct.sorted.take(k)
+      val aSet = sa.toSet; val bSet = sb.toSet
+      val inter = u.count(h => aSet(h) && bSet(h))
+      val j = if (u.isEmpty) 0.0 else inter.toDouble / u.length
+      val interEst = j * (na + nb) / (1.0 + j)
+      val incl = if (na == 0) 0.0 else math.min(1.0, interEst / na)
+      def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      org.apache.spark.sql.Row(a, b, r6(incl), r6(j))
+    }).filter(_.getDouble(3) > 0.0)
+    import scala.jdk.CollectionConverters._
+    left.sparkSession.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("left_column", StringType, nullable = false),
+        StructField("right_column", StringType, nullable = false),
+        StructField("inclusion_est", DoubleType, nullable = false),
+        StructField("jaccard_est", DoubleType, nullable = false))))
+      .orderBy(col("inclusion_est").desc, col("jaccard_est").desc,
+        col("left_column"), col("right_column"))
+  }
+
   /** All pairs with `inclusion` (of the LEFT column's values in the right)
     * and `jaccard`, sorted best-first. `minInclusion` prunes the output,
     * not the computation.

@@ -135,6 +135,16 @@ object KernelQueries {
         Multimodal.fakeEmbedding(data, 8): _*)
     }),
 
+    // sketch-based join-key discovery (r8): KMV k-min md5 sketches per
+    // column, pair estimates from merged sketches — the bounded-state
+    // 100 TB path; the deterministic estimates themselves hash-verify
+    "q_join_discovery_sketch" -> ((s, dir) =>
+      graft.operators.Discovery.joinKeysSketch(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment")), k = 64)),
+
     // join-key discovery (beyond reference, r8): distinct-value inclusion
     // + jaccard for every comparable column pair — o_custkey must surface
     // c_custkey at inclusion 1.0. Long and string columns only in the
@@ -165,6 +175,52 @@ object KernelQueries {
         col("data"), frameBytes = 256, everyK = 2)
     })
   )
+
+
+  /** Oracle for q_join_discovery_sketch: mirrors Discovery.joinKeysSketch —
+    * distinct 60-bit md5 hashes per column, k-min sketch via row_number,
+    * KMV merge per pair, identical estimator arithmetic order.
+    */
+  private val joinSketchOracle: String = {
+    val k = 64
+    val lcols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rcols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+    def hashes(tbl: String, cols: Seq[String]): String = cols.map(c =>
+      s"SELECT DISTINCT '$c' AS c, ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS h " +
+        s"FROM $tbl WHERE $c IS NOT NULL").mkString("\n    UNION ")
+    val pairs = for { a <- lcols; b <- rcols } yield (a, b)
+    val pairCtes = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"""u_$i AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+         |    SELECT h, 1 AS ia, 0 AS ib FROM lsk WHERE c = '$a'
+         |    UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM rsk WHERE c = '$b')
+         |  GROUP BY h ORDER BY h LIMIT $k),
+         |e_$i AS (SELECT '$a' AS lc, '$b' AS rc,
+         |    CAST(count(*) AS BIGINT) AS uu,
+         |    CAST(coalesce(sum(ia * ib), 0) AS BIGINT) AS ii
+         |  FROM u_$i)""".stripMargin
+    }
+    s"""WITH lh AS (
+       |    ${hashes("orders", lcols)}),
+       |rh AS (
+       |    ${hashes("customer", rcols)}),
+       |ln AS (SELECT c, CAST(count(*) AS BIGINT) AS nd FROM lh GROUP BY c),
+       |rn AS (SELECT c, CAST(count(*) AS BIGINT) AS nd FROM rh GROUP BY c),
+       |lsk AS (SELECT c, h FROM (
+       |    SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rk
+       |    FROM lh) WHERE rk <= $k),
+       |rsk AS (SELECT c, h FROM (
+       |    SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rk
+       |    FROM rh) WHERE rk <= $k),
+       |${pairCtes.mkString(",\n")},
+       |est AS (${pairs.indices.map(i => s"SELECT * FROM e_$i").mkString("\n  UNION ALL ")})
+       |SELECT est.lc AS left_column, est.rc AS right_column,
+       |  round(least(1.0, ((CASE WHEN uu = 0 THEN 0.0 ELSE ii * 1.0 / uu END)
+       |    * (ln.nd + rn.nd) / (1.0 + (CASE WHEN uu = 0 THEN 0.0 ELSE ii * 1.0 / uu END)))
+       |    / ln.nd), 6) AS inclusion_est,
+       |  round(CASE WHEN uu = 0 THEN 0.0 ELSE ii * 1.0 / uu END, 6) AS jaccard_est
+       |FROM est JOIN ln ON est.lc = ln.c JOIN rn ON est.rc = rn.c
+       |WHERE ii > 0""".stripMargin
+  }
 
   private val tableReportOracle: String = {
     def entry(c: String, dtype: String, isNum: Boolean, isStr: Boolean,
@@ -364,6 +420,8 @@ object KernelQueries {
         |  round(ni * 1.0 / na, 6) AS inclusion,
         |  round(ni * 1.0 / (na + nb - ni), 6) AS jaccard
         |FROM i JOIN na USING (lc) JOIN nb USING (rc)""".stripMargin,
+
+    "q_join_discovery_sketch" -> joinSketchOracle,
 
     "q_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, text,

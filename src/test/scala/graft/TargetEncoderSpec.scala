@@ -125,6 +125,22 @@ class DiscoverySpec extends AnyFunSuite {
       minInclusion = 0.9).collect()
     assert(pruned.length === 1)
   }
+
+  test("joinKeysSketch estimates track the exact scores on a real overlap") {
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 400).map(i => i.toLong -> s"n$i").toDF("k", "x")
+    val b = (201 to 600).map(i => i.toLong -> s"m$i").toDF("id", "y")
+    // exact: |A∩B| = 200 of 400 -> inclusion 0.5, jaccard 200/600 = 1/3
+    val est = graft.operators.Discovery.joinKeysSketch(a, b, k = 128)
+      .filter(col("left_column") === "k" && col("right_column") === "id")
+      .head()
+    assert(math.abs(est.getDouble(2) - 0.5) < 0.15,
+      s"inclusion_est ${est.getDouble(2)}")
+    assert(math.abs(est.getDouble(3) - 1.0 / 3) < 0.12,
+      s"jaccard_est ${est.getDouble(3)}")
+    // sketch is bounded: a 10x bigger overlap gives the same-size state
+    // (implicitly — the call completes with k slots regardless of scale)
+  }
 }
 
 /** KBins quantile discretization + GroupNormalize z-score unit checks. */
