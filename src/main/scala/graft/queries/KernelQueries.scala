@@ -135,6 +135,19 @@ object KernelQueries {
         Multimodal.fakeEmbedding(data, 8): _*)
     }),
 
+    // corpus drift (r8): PSI per column between an even-key reference
+    // snapshot and an odd-key current one with totalprice shifted +10% —
+    // the numeric column must show drift, the categoricals near zero
+    "q_drift_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderstatus"), col("o_orderpriority"))
+      val ref = o.filter(col("o_orderkey") % 2 === 0)
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      graft.operators.Drift.psi(ref, cur,
+        Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+    }),
+
     // sketch-based join-key discovery (r8): KMV k-min md5 sketches per
     // column, pair estimates from merged sketches — the bounded-state
     // 100 TB path; the deterministic estimates themselves hash-verify
@@ -220,6 +233,41 @@ object KernelQueries {
        |  round(CASE WHEN uu = 0 THEN 0.0 ELSE ii * 1.0 / uu END, 6) AS jaccard_est
        |FROM est JOIN ln ON est.lc = ln.c JOIN rn ON est.rc = rn.c
        |WHERE ii > 0""".stripMargin
+  }
+
+
+  /** Oracle for q_drift_psi: fitBins labels fit on the REF slice (stats
+    * CTE), applied to both slices, eps-floored PSI per column.
+    */
+  private val driftOracle: String = {
+    val labelNum =
+      """CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN '__null'
+        | ELSE 'b' || CAST(CAST(least(floor((o_totalprice - st.mn)
+        |   / (st.mx - st.mn) * 9), 8.0) AS INTEGER) AS VARCHAR) END""".stripMargin
+    def labelCat(c: String) =
+      s"CASE WHEN $c IS NULL THEN '__null' ELSE $c END"
+    def melt(src: String) =
+      s"""SELECT 'o_totalprice' AS c, $labelNum AS b FROM $src, st
+         |    UNION ALL SELECT 'o_orderstatus', ${labelCat("o_orderstatus")} FROM $src
+         |    UNION ALL SELECT 'o_orderpriority', ${labelCat("o_orderpriority")} FROM $src""".stripMargin
+    s"""WITH ref0 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+       |cur0 AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+       |    o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1),
+       |st AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+       |    max(CAST(o_totalprice AS DOUBLE)) AS mx FROM ref0),
+       |pm AS (SELECT c, b, CAST(count(*) AS BIGINT) AS n_ref FROM (
+       |    ${melt("ref0")}) GROUP BY c, b),
+       |qm AS (SELECT c, b, CAST(count(*) AS BIGINT) AS n_cur FROM (
+       |    ${melt("cur0")}) GROUP BY c, b),
+       |tt AS (SELECT CAST((SELECT count(*) FROM ref0) AS DOUBLE) AS tr,
+       |    CAST((SELECT count(*) FROM cur0) AS DOUBLE) AS tc),
+       |j AS (SELECT coalesce(pm.c, qm.c) AS c, coalesce(pm.b, qm.b) AS b,
+       |    greatest(coalesce(n_ref, 0) / tt.tr, 1e-6) AS p,
+       |    greatest(coalesce(n_cur, 0) / tt.tc, 1e-6) AS q
+       |  FROM pm FULL OUTER JOIN qm ON pm.c = qm.c AND pm.b = qm.b, tt)
+       |SELECT c AS column_name, round(sum((p - q) * ln(p / q)), 6) AS psi,
+       |  CAST(count(*) AS BIGINT) AS n_bins
+       |FROM j GROUP BY c""".stripMargin
   }
 
   private val tableReportOracle: String = {
@@ -422,6 +470,8 @@ object KernelQueries {
         |FROM i JOIN na USING (lc) JOIN nb USING (rc)""".stripMargin,
 
     "q_join_discovery_sketch" -> joinSketchOracle,
+
+    "q_drift_psi" -> driftOracle,
 
     "q_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, text,

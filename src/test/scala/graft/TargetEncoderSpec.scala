@@ -184,3 +184,29 @@ class KBinsGroupNormSpec extends AnyFunSuite {
     assert(out.filter(col("k") === 3L).select("z").head().getDouble(0) === 0.0)
   }
 }
+
+/** PSI drift detection semantics. */
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("identical snapshots score ~0; a hard shift crosses the action bar") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val same = graft.operators.Drift.psi(ref, ref, Seq("x"))
+      .head().getDouble(1)
+    assert(same === 0.0, s"identical frames scored $same")
+    // shift the whole distribution by 2x the range: mass leaves every
+    // reference bin -> PSI far above the 0.25 action threshold
+    val cur = (1 to 1000).map(i => i.toDouble + 2000).toDF("x")
+    val shifted = graft.operators.Drift.psi(ref, cur, Seq("x"))
+      .head().getDouble(1)
+    assert(shifted > 0.25, s"hard shift scored only $shifted")
+    // a new category unseen in ref still contributes (eps-floored), and
+    // categorical drift registers
+    val refC = Seq.fill(100)("a").toDF("c")
+    val curC = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")
+    val catPsi = graft.operators.Drift.psi(refC, curC, Seq("c"))
+      .head().getDouble(1)
+    assert(catPsi > 0.25, s"half the mass moved to a new category: $catPsi")
+  }
+}
