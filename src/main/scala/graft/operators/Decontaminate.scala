@@ -68,6 +68,34 @@ object Decontaminate {
            idCol: String, n: Int = 8): DataFrame =
     flagAgainst(train, gramSet(bench, textCol, n), textCol, idCol, n)
 
+  /** ATTRIBUTED decontamination: not just "is this doc contaminated" but
+    * BY WHICH benchmarks — the audit a leakage report needs ("this shard
+    * leaks GSM8K, that one MMLU"). `bench` carries a benchmark name per
+    * row (`benchCol`); output per training row: `contaminated`,
+    * `benchmarks` (sorted distinct names hit, empty when clean) and
+    * `n_benchmarks`. Same plan as `flag` with the name riding the gram
+    * set: one corpus shingle scan, one (AQE-decidable) join, one
+    * doc-keyed aggregate whose per-group state is bounded by the number
+    * of DISTINCT benchmark names — eval suites are dozens of names, so
+    * the collect_set is a bounded buffer, never corpus-proportional.
+    */
+  def attribute(train: DataFrame, bench: DataFrame, textCol: String,
+                idCol: String, benchCol: String, n: Int = 8): DataFrame = {
+    val grams = bench
+      .select(col(benchCol).as("__bench"),
+        explode(VecExprs.tokenShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol),
+        explode_outer(VecExprs.tokenShingles(col(textCol), n)).as("gram"))
+      .join(grams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__bench"))).as("benchmarks"))
+      .withColumn("contaminated", size(col("benchmarks")) > 0)
+      .withColumn("n_benchmarks", size(col("benchmarks")).cast(
+        org.apache.spark.sql.types.LongType))
+  }
+
   /** Bloom-filter flagging — the 100 TB shape. The join path broadcasts
     * the gram set as a hash-join table (~60-80 bytes/gram with strings and
     * join plumbing); a full benchmark *suite* can reach 10^8 distinct

@@ -65,6 +65,22 @@ object TextQueries {
         "text", "doc_id", n = 4)
     }),
 
+    // attributed decontamination (r8): benchmark NAMES ride the gram set,
+    // so every flagged doc reports WHICH eval sets it leaks (doc_id % 17
+    // slice split into two named benchmarks by parity of doc_id / 17)
+    "q_decontaminate_attr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("bench_name",
+          concat(lit("eval_"),
+            (expr("doc_id div 17") % 2).cast("string")))
+      graft.operators.Decontaminate.attribute(
+        docs.filter(col("doc_id") % 17 =!= 0), bench, "text", "doc_id",
+        "bench_name", n = 4)
+        .select(col("doc_id"), col("contaminated"), col("n_benchmarks"),
+          array_join(col("benchmarks"), ",").as("benchmarks"))
+    }),
+
     // the end-to-end curation sweep: quality gate -> repetition gate ->
     // exact dedup (min-id keeper among gate survivors) -> decontamination,
     // composed as ONE plan with per-stage verdict columns; each stage is
@@ -264,6 +280,23 @@ object TextQueries {
        |  $repetitionOkSql AS repetition_ok
        |FROM repf""".stripMargin
 
+  private val decontaminateAttrSql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shingleSetSql(4)} AS g FROM tk),
+       |bench AS (SELECT DISTINCT 'eval_' || CAST((doc_id // 17) % 2 AS VARCHAR) AS bn,
+       |    unnest(g) AS gram
+       |  FROM sh WHERE doc_id % 17 = 0),
+       |tr AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 17 <> 0),
+       |hits AS (SELECT tr.doc_id AS doc_id, b.bn AS bn
+       |  FROM tr LEFT JOIN bench b USING (gram)),
+       |ag AS (SELECT doc_id,
+       |    list_sort(list_distinct(list_filter(list(bn), x -> x IS NOT NULL))) AS bs
+       |  FROM hits GROUP BY doc_id)
+       |SELECT doc_id, len(bs) > 0 AS contaminated,
+       |  CAST(len(bs) AS BIGINT) AS n_benchmarks,
+       |  coalesce(array_to_string(bs, ','), '') AS benchmarks
+       |FROM ag""".stripMargin
+
   private val decontaminateSql =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, ${shingleSetSql(4)} AS g FROM tk),
@@ -455,6 +488,7 @@ object TextQueries {
          |    AND NOT contains(text2, '{')) AS page_ok
          |FROM kp""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_attr" -> decontaminateAttrSql,
     "q_curation" -> curationSql,
 
     "q_pack" ->
