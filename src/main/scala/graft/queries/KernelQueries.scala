@@ -113,9 +113,18 @@ object KernelQueries {
         cust, supp, Seq("c_nationkey" -> "s_nationkey"), Seq("payload_det"),
         maxIter = 5, onError = graft.operators.InterpolationJoiner.Raise,
         maxDepth = 8)
-      joined.select(col("c_custkey"), col("c_nationkey"),
-        (abs(col("payload_det_predicted") - (col("c_nationkey") * 10 + 5)) <= 1.0)
-          .as("pred_ok"))
+      // the recovery assertion only binds where the aux COVERS the key:
+      // a nationkey absent from supplier (possible at tiny SF) makes the
+      // GBT extrapolate, which is correct ML behavior, not an error —
+      // uncovered rows pass vacuously, keeping the oracle scale-robust
+      val covered = supp.select(col("s_nationkey")).distinct()
+        .withColumn("__cov", lit(true))
+      joined.join(covered, joined("c_nationkey") === covered("s_nationkey"),
+          "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("__cov").isNull ||
+            abs(col("payload_det_predicted") - (col("c_nationkey") * 10 + 5)) <= 1.0)
+            .as("pred_ok"))
     }),
 
     // multimodal plumbing: binary payload + typed metadata, stub decode,
