@@ -152,9 +152,17 @@ object EncoderQueries {
           .as("svd_ref_dot"))
     }),
 
-    // DropUninformative: all-unique string columns dropped
+    // DropUninformative: all-unique string columns dropped. The corpus
+    // text is uniquified with the doc id so the column is all-unique at
+    // EVERY scale (at sf0.1 the raw corpus contains exact duplicate texts,
+    // which would correctly flip the drop decision and break the static
+    // oracle column list — the operator's uniqueness rule itself is what
+    // this query pins, not the corpus's duplicate structure)
     "q_drop_uninformative" -> ((s, dir) =>
-      DropUninformative.transform(t(s, dir, "documents"), dropIfUnique = true)),
+      DropUninformative.transform(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(":"), col("doc_id"))),
+        dropIfUnique = true)),
 
     // Pearson correlation matrix entry
     "q_pearson_corr" -> ((s, dir) =>

@@ -135,10 +135,14 @@ object SessionQueries {
     "q_ewma" -> ((s, dir) => {
       val ev = t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // NO rounding: the stream fold is replayed bit-identically by the
+      // oracle (same IEEE ops in the same order), and round() itself is
+      // the cross-engine hazard — Spark rounds the shortest decimal repr,
+      // DuckDB the binary double, which disagree exactly AT .5 boundaries
+      // (6 of 100k rows at sf0.1). Raw doubles compare exactly.
       graft.operators.TimeFeatures.ewma(ev, Seq("user_id"), "ts",
           Seq("event_id"), "value", alpha = 0.3)
-        .select(col("event_id"), col("user_id"),
-          round(col("ewma"), 6).as("ewma"))
+        .select(col("event_id"), col("user_id"), col("ewma"))
     }),
 
     // session-level rollup: events per session, duration, value sum
@@ -237,7 +241,7 @@ object SessionQueries {
       """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
         |  FROM events WHERE value IS NOT NULL)
         |SELECT event_id, user_id,
-        |  round(list_reduce(pre, (acc, x) -> acc * (1.0 - 0.3) + x * 0.3), 6) AS ewma
+        |  list_reduce(pre, (acc, x) -> acc * (1.0 - 0.3) + x * 0.3) AS ewma
         |FROM (SELECT event_id, user_id,
         |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
