@@ -2,13 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Dev helper: dump ONE query (+ its oracle entry) for tools/check.py —
-  * fast iteration on a single query/oracle pair without running the full
-  * Verify suite. Usage: runMain graft.VerifyOne <name> <sfDir> <outDir>
+/** Dev helper: dump one or more queries (+ their oracle entries) for
+  * tools/check.py — fast iteration without running the full Verify suite.
+  * Usage: runMain graft.VerifyOne <name>[,<name>...] <sfDir> <outDir>
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir, outDir) = args
+    val Array(namesArg, sfDir, outDir) = args
+    val names = namesArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,8 +22,10 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/$name")
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -30,9 +33,10 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.get(name)
-      .map(sql => s"{${q(name)}: ${q(sql)}}").getOrElse("{}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val entries = names.flatMap(n =>
+      SparkEntry.oracleSql.get(n).map(sql => s"${q(n)}: ${q(sql)}"))
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      entries.mkString("{", ", ", "}"))
     spark.stop()
   }
 }

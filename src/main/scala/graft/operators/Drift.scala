@@ -42,15 +42,23 @@ object Drift {
       .agg(count(lit(1)).as(s"n_$side"))
     val p = binned(ref, "ref")
     val q = binned(cur, "cur")
-    val totals = Seq("ref" -> ref, "cur" -> cur)
-      .map { case (s, df) => s -> df.count().toDouble }.toMap
+    // Frame totals derived FROM the melted aggregates (each row lands in
+    // exactly one bin per column, so Σ bin counts within a column = frame
+    // row count) — no extra corpus scan, keeping the "one melted aggregate
+    // per frame, nothing corpus-sized moves" contract literal. The totals
+    // frames are |cols| rows; the joins below are tiny-on-tiny.
+    def totalsOf(b: DataFrame, side: String) = b
+      .groupBy(col("column_name"))
+      .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
     // full outer per (column, bin): a bin present in only one frame floors
     // the other side at eps
     val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
+      .join(totalsOf(p, "ref"), Seq("column_name"))
+      .join(totalsOf(q, "cur"), Seq("column_name"))
     val pFrac = greatest(coalesce(col("n_ref"), lit(0L)).cast(DoubleType) /
-      totals("ref"), lit(eps))
+      col("tot_ref"), lit(eps))
     val qFrac = greatest(coalesce(col("n_cur"), lit(0L)).cast(DoubleType) /
-      totals("cur"), lit(eps))
+      col("tot_cur"), lit(eps))
     joined
       .withColumn("__term", (pFrac - qFrac) * log(pFrac / qFrac))
       .groupBy(col("column_name"))

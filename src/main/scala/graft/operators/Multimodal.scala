@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,13 +11,17 @@ import org.apache.spark.sql.types._
   * processed by (a) codegen'd expressions over the bytes where possible and
   * (b) batched per-partition decoding where a real codec would be invoked.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked DETERMINISTIC STUB (md5-derived fake
-  * dimensions / embeddings — the Spark-side schema, partitioning, and batch
-  * shape are real and tested; swap `decodeStub` for a codec call to go
-  * live). This mirrors the mapInPandas batch contract: `decodeBatched`
-  * processes whole partitions via an iterator, one buffer at a time, never
-  * materializing a partition in memory.
+  * IMAGE decode is REAL (`decodeImages`: javax.imageio, which ships with
+  * the JDK — PNG/JPEG/BMP/GIF), exercised end-to-end by the
+  * `q_multimodal_decode` oracle (PNG round-trip, pixel fingerprint
+  * recomputed arithmetically by the oracle engine). Audio/video codecs are
+  * NOT available in this environment, so those decode paths remain
+  * clearly-marked DETERMINISTIC STUBS (`decodeStubDims`/`fakeEmbedding` —
+  * md5-derived fake features; the Spark-side schema, partitioning, and
+  * batch shape are real and tested; swap in a codec call to go live). All
+  * batched paths follow the mapInPandas contract: typed `mapPartitions`
+  * over an iterator, one buffer in memory at a time, never materializing a
+  * partition.
   */
 object Multimodal {
 
@@ -88,8 +94,19 @@ object Multimodal {
                    frameBytes: Int, everyK: Int = 1): DataFrame = {
     require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be > 0")
     val ids = idCols.map(col)
-    df.select(ids ++ Seq(dataCol.as("__data"),
-        (nFrames(length(dataCol), frameBytes) - 1).as("__last")): _*)
+    // substr positions are Int: a payload longer than Int.MaxValue −
+    // frameBytes would make `frame_id * frameBytes + 1` overflow the cast
+    // below (ANSI errors opaquely; non-ANSI silently wraps to a WRONG
+    // slice). Fail loudly per-row instead — binary payloads that large
+    // should be chunked upstream.
+    val maxLen = Int.MaxValue.toLong - frameBytes
+    val guarded = when(length(dataCol).cast(LongType) > maxLen,
+      raise_error(concat(
+        lit(s"Multimodal.sampleFrames: payload of "), length(dataCol),
+        lit(s" bytes exceeds $maxLen (Int substr position space at " +
+          s"frameBytes=$frameBytes); chunk the payload upstream"))))
+      .otherwise(nFrames(length(dataCol), frameBytes) - 1)
+    df.select(ids ++ Seq(dataCol.as("__data"), guarded.as("__last")): _*)
       .select(ids ++ Seq(col("__data"),
         explode(sequence(lit(0L), col("__last"), lit(everyK.toLong)))
           .as("frame_id")): _*)
@@ -101,27 +118,100 @@ object Multimodal {
         md5(col("__frame")).as("frame_md5")): _*)
   }
 
-  /** Batched per-partition decode: the mapInPandas-shaped path. Processes an
-    * iterator of rows (id, bytes) one at a time — constant memory per
-    * partition — computing a 16-bin byte histogram (the stand-in for a real
-    * decode + feature extraction).
+  /** Batched per-partition byte statistics: the mapInPandas-shaped path,
+    * kept in the DATASET world (typed `mapPartitions` — a `MapPartitions`
+    * plan node under AQE, not a raw-RDD detour) processing an iterator of
+    * rows one at a time — constant memory per partition.
     */
   def decodeBatched(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
     val spark = df.sparkSession
-    val schema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("byte_hist", ArrayType(LongType))))
-    val rdd = df.select(col(idCol).cast(LongType), col(dataCol)).rdd
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(dataCol))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+        it.map { case (id, bytes) =>
           val hist = new Array[Long](16)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
-          Row(id, hist.toSeq)
+          (id, hist.toSeq)
         }
       }
-    spark.createDataFrame(rdd, schema)
+      .toDF("id", "byte_hist")
+  }
+
+  /** One decoded image's features. `width`/`height`/`channels` are the
+    * codec's answer; `pixel_md5` is md5 over the row-major lowercase-hex
+    * `rrggbb` pixel serialization (a deterministic content fingerprint any
+    * engine can recompute from the same pixels); `mean_luma` the average
+    * (r+g+b)/3. Undecodable payloads surface as ok=false with zeroed
+    * features rather than poisoning the partition.
+    */
+  final case class ImageFeatures(id: Long, ok: Boolean, width: Int,
+                                 height: Int, channels: Int,
+                                 pixel_md5: String, mean_luma: Double)
+
+  private[graft] def decodeOne(id: Long, bytes: Array[Byte]): ImageFeatures = {
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) ImageFeatures(id, ok = false, 0, 0, 0, "", 0.0)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val channels = img.getRaster.getNumBands
+      val sb = new java.lang.StringBuilder(w * h * 6)
+      var lumaSum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          sb.append(f"$r%02x$g%02x$b%02x")
+          lumaSum += r + g + b
+          x += 1
+        }
+        y += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val hex = md.map(b => f"${b & 0xff}%02x").mkString
+      ImageFeatures(id, ok = true, w, h, channels, hex,
+        lumaSum.toDouble / (3.0 * w * h))
+    }
+  }
+
+  /** REAL image decode (javax.imageio — PNG/JPEG/BMP/GIF ship with the
+    * JDK): the production form of the batched-decode contract. Typed
+    * `mapPartitions` over (id, payload) rows, one image in memory at a
+    * time — constant memory per partition, a `MapPartitions` node in the
+    * DataFrame plan (AQE/EXCHANGE-compatible), embarrassingly parallel:
+    * zero shuffles at any corpus size. Oracle-verified end-to-end by
+    * `q_multimodal_decode` (PNG encode → decode → pixel fingerprint
+    * recomputed arithmetically by DuckDB).
+    */
+  def decodeImages(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(dataCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => decodeOne(id, bytes) })
+      .toDF()
+  }
+
+  /** Encode a solid `rgb`-colored w×h PNG (fixture/ingestion helper: real
+    * codec bytes, deterministic given (w, h, rgb) because PNG is lossless).
+    */
+  def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 }

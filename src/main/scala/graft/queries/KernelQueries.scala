@@ -195,6 +195,29 @@ object KernelQueries {
         ow.as("out_w"), oh.as("out_h"))
       Multimodal.sampleFrames(withPlan, Seq("doc_id", "out_w", "out_h"),
         col("data"), frameBytes = 256, everyK = 2)
+    }),
+
+    // REAL image decode (r9): PNG bytes encoded per nation key (solid
+    // color, dims derived from the key), decoded with javax.imageio on the
+    // executors, pixel fingerprint = md5 over the row-major rrggbb hex
+    // serialization. PNG is lossless, so the oracle recomputes the SAME
+    // fingerprint purely arithmetically — if the decode were fake, the md5
+    // could not match.
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = t(s, dir, "nation").select(col("n_nationkey").cast("long"))
+        .as[Long]
+        .map { n =>
+          val (w, h) = (3 + (n % 5).toInt, 2 + (n % 3).toInt)
+          val rgb = (((n * 37) % 256) << 16 | ((n * 59) % 256) << 8 |
+            ((n * 83) % 256)).toInt
+          (n, Multimodal.encodePng(w, h, rgb))
+        }
+        .toDF("id", "png")
+      Multimodal.decodeImages(pngs, "id", "png")
+        .select(col("id"), col("ok"), col("width"), col("height"),
+          col("channels"), col("pixel_md5"),
+          round(col("mean_luma"), 6).as("mean_luma"))
     })
   )
 
@@ -498,6 +521,21 @@ object KernelQueries {
         |SELECT doc_id, out_w, out_h, CAST(fid AS BIGINT) AS frame_id,
         |  CAST(length(substr(text, CAST(fid * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_len,
         |  md5(substr(text, CAST(fid * 256 + 1 AS BIGINT), 256)) AS frame_md5
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  true AS ok,
+        |  CAST(3 + n_nationkey % 5 AS INTEGER) AS width,
+        |  CAST(2 + n_nationkey % 3 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  md5(repeat(printf('%02x%02x%02x',
+        |        (n_nationkey * 37) % 256,
+        |        (n_nationkey * 59) % 256,
+        |        (n_nationkey * 83) % 256),
+        |      (3 + n_nationkey % 5) * (2 + n_nationkey % 3))) AS pixel_md5,
+        |  round(((n_nationkey * 37) % 256 + (n_nationkey * 59) % 256
+        |         + (n_nationkey * 83) % 256) / 3.0, 6) AS mean_luma
+        |FROM nation""".stripMargin
   )
 }
