@@ -33,6 +33,7 @@ object AggExprs {
     * memmove, merge is a bounded merge. Runs under ObjectHashAggregateExec.
     */
   case class MinKBy(child: Expression, k: Int,
+                    distinct: Boolean = false,
                     mutableAggBufferOffset: Int = 0,
                     inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[ArrayBuffer[Any]] {
@@ -56,6 +57,10 @@ object AggExprs {
         val mid = (lo + hi) >>> 1
         if (ordering.compare(buf(mid), v) <= 0) lo = mid + 1 else hi = mid
       }
+      // distinct mode (KMV): an equal element sits immediately left of the
+      // insertion point — skip it so duplicates never occupy sketch slots
+      if (distinct && lo > 0 && ordering.compare(buf(lo - 1), v) == 0)
+        return buf
       buf.insert(lo, v)
       if (buf.length > k) buf.remove(buf.length - 1)
       buf
@@ -136,6 +141,15 @@ object AggExprs {
   /** Column wrapper: k smallest `v` per group, ascending. */
   def minKBy(v: Column, k: Int): Column =
     GraftBridge.column(MinKBy(GraftBridge.expression(v), k)
+      .toAggregateExpression())
+
+  /** k smallest DISTINCT values (the KMV-sketch form: duplicates occupy no
+    * slots, so the buffer is a true k-minimum-values sketch and the
+    * partial/merge state stays exactly k-bounded with map-side combine —
+    * only k values per partition ever shuffle).
+    */
+  def minKDistinctBy(v: Column, k: Int): Column =
+    GraftBridge.column(MinKBy(GraftBridge.expression(v), k, distinct = true)
       .toAggregateExpression())
 
   /** Statistical mode with skrub's tie-break (smallest value among the most

@@ -34,55 +34,63 @@ object ColumnAssociations {
   /** One-row frame: (col_a, col_b, cramers_v) for a categorical pair.
     *
     * Plan shape: one groupBy(a, b) contingency aggregate, then a capped
-    * gather of the (tiny) contingency frame to a single row where marginals,
-    * dimensions and the zero-cell-corrected chi2 are computed locally with
-    * array functions — one exchange total, no global window.
+    * gather of the (tiny) contingency frame to the DRIVER, where marginals,
+    * dimensions and the zero-cell-corrected chi2 are computed in O(cells)
+    * hash-map arithmetic — one exchange total, no global window. (The
+    * previous form computed the same quantities with nested SQL
+    * higher-order-function lambdas — `filter`/`element_at` over an array
+    * literal are linear scans, making it O(cells²) interpreted: a pair in
+    * the ~5k–65k cell band passed the loud-failure guard yet could run for
+    * hours, defeating the guard's intent.)
     */
   def cramersV(df: DataFrame, a: String, b: String,
                maxCells: Int = MaxPairCells): DataFrame = {
     val obs = df.filter(col(a).isNotNull && col(b).isNotNull)
       .groupBy(col(a), col(b)).agg(count(lit(1)).cast(DoubleType).as("o"))
-    val cont = obs.agg(graft.functions.Contingency.boundedCollect(
-      struct(col(a).cast(StringType).as("va"), col(b).cast(StringType).as("vb"),
-        col("o")), maxCells).as("cells"))
-    val arr = col("cells")
-    def sumO(x: Column) = aggregate(x, lit(0.0), (acc, e) => acc + e.getField("o"))
-    def marginals(field: String) = map_from_entries(transform(
-      array_distinct(transform(arr, x => x.getField(field))),
-      v => struct(v, sumO(filter(arr, y => y.getField(field) === v)))))
-    val withDims = cont
-      .withColumn("n", sumO(arr))
-      .withColumn("rts", marginals("va"))
-      .withColumn("cts", marginals("vb"))
-      .withColumn("r", size(col("rts")).cast(DoubleType))
-      .withColumn("c", size(col("cts")).cast(DoubleType))
+    val cells = obs.agg(graft.functions.Contingency.boundedCollect(
+        struct(col(a).cast(StringType).as("va"), col(b).cast(StringType).as("vb"),
+          col("o")), maxCells).as("cells"))
+      .head().getSeq[Row](0)
+    // marginals accumulated in cell order (same fold order as the former
+    // SQL-lambda form, so the 6-digit rounded value is unchanged)
+    val rts = new java.util.LinkedHashMap[String, Double]()
+    val cts = new java.util.LinkedHashMap[String, Double]()
+    var n = 0.0
+    cells.foreach { cell =>
+      val o = cell.getDouble(2)
+      rts.merge(cell.getString(0), o, _ + _)
+      cts.merge(cell.getString(1), o, _ + _)
+      n += o
+    }
+    val (r, c) = (rts.size.toDouble, cts.size.toDouble)
     // zero cells are absent from the groupBy contingency but still contribute
     // (0 - e)^2 / e = e to chi2; since all expected counts sum to n,
     // chi2 = sum_observed[(o-e)^2/e - e] + n
-    val chi2 = aggregate(arr, lit(0.0), (acc, x) => {
-      val e = element_at(col("rts"), x.getField("va")) *
-        element_at(col("cts"), x.getField("vb")) / col("n")
-      val o = x.getField("o")
-      acc + (o - e) * (o - e) / e - e
-    }) + col("n")
-    withDims.select(
-      lit(a).as("col_a"), lit(b).as("col_b"),
-      round(biasCorrectedV(chi2, col("n"), col("r"), col("c")), 6).as("cramers_v"))
+    var chi2 = 0.0
+    cells.foreach { cell =>
+      val e = rts.get(cell.getString(0)) * cts.get(cell.getString(1)) / n
+      val o = cell.getDouble(2)
+      chi2 += (o - e) * (o - e) / e - e
+    }
+    chi2 += n
+    val v = {
+      val phi2 = chi2 / n
+      val phi2corr = math.max(0.0, phi2 - (r - 1) * (c - 1) / (n - 1))
+      val rcorr = r - (r - 1) * (r - 1) / (n - 1)
+      val ccorr = c - (c - 1) * (c - 1) / (n - 1)
+      val den = math.min(rcorr - 1, ccorr - 1)
+      if (n > 1 && den > 0) math.sqrt(phi2corr / den) else 0.0
+    }
+    val r6 = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(
+      Seq(Row(a, b, r6)).asJava,
+      StructType(Seq(StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("cramers_v", DoubleType, nullable = false))))
   }
 
-  /** Bias-corrected Cramér's V (matches the reference's formula). A constant
-    * column (r = 1 or c = 1) or a single-row frame makes the corrected
-    * denominator zero — no association is measurable, so V = 0 rather than a
-    * divide-by-zero (ANSI mode makes that an ERROR, not a NaN).
-    */
-  private def biasCorrectedV(chi2: Column, n: Column, r: Column, c: Column) = {
-    val phi2 = chi2 / n
-    val phi2corr = greatest(lit(0.0), phi2 - (r - 1) * (c - 1) / (n - 1))
-    val rcorr = r - (r - 1) * (r - 1) / (n - 1)
-    val ccorr = c - (c - 1) * (c - 1) / (n - 1)
-    val den = least(rcorr - 1, ccorr - 1)
-    when(n > 1 && den > 0, sqrt(phi2corr / den)).otherwise(0.0)
-  }
 
   /** Same formula, driver-side, over one pair's dense row-major cell block
     * (va × vb counts; vocab entries that never occur have zero marginals and

@@ -79,7 +79,9 @@ object Curation {
     * scan with a doc-keyed aggregate, the id joins aligning the verdict
     * branches, and mixing's per-source aggregate (tiny). The combined
     * verdict frame feeds mixing twice (rate fit + flag join), so it is
-    * localCheckpointed — one narrow row per doc, the same discipline as the
+    * materialized once — to parquet under `checkpointDir` when provided
+    * (the lineage-free phase discipline a 100 TB run wants), else
+    * localCheckpoint — one narrow row per doc, the same discipline as the
     * semantic-dedup assignment — instead of re-running the whole sweep per
     * consumer.
     *
@@ -91,20 +93,31 @@ object Curation {
                 lmVocabSize: Int = 20000, lmMinCount: Long = 2L,
                 lmMaxBigrams: Int = 1000000, lmMaxNll: Double = 7.0,
                 mixTemperature: Double = 2.0, mixTargetFrac: Double = 0.5,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L, checkpointDir: String = ""): DataFrame = {
     val base = sweep(docs, bench, textCol, idCol, decontaminateN)
       .withColumnRenamed("kept", "__base_kept")
     val lm = NgramLm.fitScore(docs, textCol, Seq(idCol),
         vocabSize = lmVocabSize, minCount = lmMinCount,
         maxBigrams = lmMaxBigrams)
       .select(col(idCol), col("avg_nll"))
-    val curated = base
+    val curatedPlan = base
       .join(lm, Seq(idCol))
       .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
       .withColumn("lm_ok", coalesce(col("avg_nll") <= lmMaxNll, lit(false)))
       .withColumn("curated", col("__base_kept") && col("lm_ok"))
       .drop("__base_kept")
-      .localCheckpoint(true)
+    // The verdict frame feeds mixing twice; materialize it once. With a
+    // `checkpointDir` it goes to PARQUET (the phase discipline a 100 TB
+    // pipeline wants: lineage-free, recoverable under executor loss, and
+    // not pinned in executor storage memory); without one it falls back to
+    // localCheckpoint — fine single-session, but storage-pinned and
+    // unrecoverable if an executor dies.
+    val curated =
+      if (checkpointDir.nonEmpty) {
+        val path = s"${checkpointDir.stripSuffix("/")}/curation_verdicts.parquet"
+        curatedPlan.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      } else curatedPlan.localCheckpoint(true)
     val mixed = Mix.temperatureFlag(
         curated.filter(col("curated")).select(col(idCol), col(sourceCol)),
         sourceCol, Seq(idCol), mixTemperature, mixTargetFrac, seed)

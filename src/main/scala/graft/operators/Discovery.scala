@@ -34,16 +34,24 @@ object Discovery {
       .filter(col("v").isNotNull)
       .distinct()
 
+  /** Hash space of the 60-bit md5-prefix hashes (15 hex chars). */
+  private val HashSpace: Double = 1152921504606846976.0 // 2^60, exact
+
   /** KMV (k-minimum-values) sketch estimate of the same scores — the
-    * 100 TB path: instead of the exact value-level equi-join (whose
-    * shuffle carries every distinct value), each column is reduced to its
-    * k smallest 60-bit md5 hashes (one bounded MinKBy aggregate — k longs
-    * per column leave the executors) plus its exact distinct count, and
-    * the pair estimates are computed driver-side from the sketches:
-    * jaccard ≈ |U ∩ A ∩ B| / |U| with U = the k smallest of the merged
-    * sketches (Beyer et al. 2007), and |A∩B| ≈ j(na+nb)/(1+j) gives
-    * inclusion. Deterministic (md5), so the estimates themselves are
-    * engine-reproducible and hash-verifiable.
+    * 100 TB path: each column is reduced to its k smallest DISTINCT 60-bit
+    * md5 hashes in ONE melted aggregate whose partial state is k-bounded
+    * (map-side combine: only k longs per partition per column ever
+    * shuffle — measured flat shufW at any Nx, where the exact path's
+    * value-keyed join grows linearly). The md5/conv hashing runs in a
+    * codegen projection BEFORE the imperative aggregate, so the
+    * corpus-sized pass stays compiled. Distinct counts come from the
+    * sketch itself (the KMV estimator, Beyer et al. 2007: n̂ = (k−1)·M /
+    * h_(k) with M = 2^60; exact when fewer than k distinct hashes exist),
+    * so NOTHING value-sized ever leaves the scan. Pair estimates driver-
+    * side: jaccard ≈ |U ∩ A ∩ B| / |U| with U = the k smallest of the
+    * merged sketches, and |A∩B| ≈ j(n̂a+n̂b)/(1+j) gives inclusion.
+    * Deterministic (md5), so the estimates are engine-reproducible and
+    * hash-verifiable.
     */
   def joinKeysSketch(left: DataFrame, right: DataFrame,
                      k: Int = 256): DataFrame = {
@@ -51,22 +59,28 @@ object Discovery {
     val lc = left.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
     val rc = right.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
     require(lc.nonEmpty && rc.nonEmpty, "no comparable columns to match")
-    def hashed(df: DataFrame, cols: Seq[String], side: String) =
-      melted(df, cols, side)
-        .select(col(s"${side}_column").as("c"),
-          conv(substring(md5(col("v")), 1, 15), 16, 10)
+    def sketchOf(df: DataFrame, cols: Seq[String])
+        : Map[String, (Seq[Long], Double)] =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+        .filter(col("kv.v").isNotNull)
+        // codegen'd hash projection; the imperative aggregate's child is a
+        // bare column read (the ColumnAssociations packed-key discipline)
+        .select(col("kv.c").as("c"),
+          conv(substring(md5(col("kv.v")), 1, 15), 16, 10)
             .cast(LongType).as("h"))
-        .distinct()
-    def sketchOf(df: DataFrame, cols: Seq[String], side: String)
-        : Map[String, (Seq[Long], Long)] =
-      hashed(df, cols, side).groupBy(col("c"))
-        .agg(graft.functions.AggExprs.minKBy(col("h"), k).as("sk"),
-          count(lit(1)).as("nd"))
+        .groupBy(col("c"))
+        .agg(graft.functions.AggExprs.minKDistinctBy(col("h"), k).as("sk"))
         .collect()
-        .map(r => r.getString(0) ->
-          (r.getSeq[Long](1).toSeq, r.getLong(2))).toMap
-    val (skL, skR) = (sketchOf(left, lc.toSeq, "left"),
-      sketchOf(right, rc.toSeq, "right"))
+        .map { r =>
+          val sk = r.getSeq[Long](1).toSeq
+          // KMV distinct estimate: sketch not full -> it IS the distinct
+          // hash set; full -> (k-1)*M / k-th smallest
+          val nd = if (sk.length < k) sk.length.toDouble
+                   else (k - 1).toDouble * HashSpace / sk.last.toDouble
+          r.getString(0) -> (sk, nd)
+        }.toMap
+    val (skL, skR) = (sketchOf(left, lc.toSeq), sketchOf(right, rc.toSeq))
     val rows: Seq[org.apache.spark.sql.Row] = (for {
       a <- lc.toSeq; b <- rc.toSeq
       (sa, na) = skL(a); (sb, nb) = skR(b)
@@ -91,15 +105,58 @@ object Discovery {
         col("left_column"), col("right_column"))
   }
 
+  /** Default distinct-pair budget for the exact path: past ~2M distinct
+    * (column, value) pairs the value-level equi-join's shuffle starts to
+    * dominate; the sketch path answers the same question moving only
+    * k longs per column.
+    */
+  val DefaultMaxExactDistinct: Long = 2000000L
+
+  /** Σ per-column distinct-count estimate in ONE approximate aggregate per
+    * table (HLL over the melted (column, value) struct — map-side combined,
+    * one scan, no distinct shuffle): the routing probe for `joinKeys` auto
+    * mode. ±~2% accuracy is plenty for a routing threshold.
+    */
+  private def approxDistinctPairs(df: DataFrame, cols: Seq[String]): Long =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+      .filter(col("kv.v").isNotNull)
+      .agg(approx_count_distinct(col("kv")))
+      .head().getLong(0)
+
   /** All pairs with `inclusion` (of the LEFT column's values in the right)
     * and `jaccard`, sorted best-first. `minInclusion` prunes the output,
     * not the computation.
+    *
+    * `mode` routes between the exact value-level equi-join and the KMV
+    * sketch (the `deduplicate` auto-minhash discipline):
+    *  - "exact":  always the exact join (columns `inclusion`/`jaccard`).
+    *  - "sketch": always `joinKeysSketch` (columns `inclusion_est`/
+    *    `jaccard_est` — the schema says which path ran).
+    *  - "auto" (default): one approximate distinct-count probe per table
+    *    (a single HLL scan each, no shuffle of values); above
+    *    `maxExactDistinct` total distinct (column, value) pairs the exact
+    *    join's shuffle would carry every distinct value, so it routes to
+    *    the sketch. `minInclusion` prunes the sketch output too.
     */
   def joinKeys(left: DataFrame, right: DataFrame,
-               minInclusion: Double = 0.0): DataFrame = {
+               minInclusion: Double = 0.0,
+               mode: String = "auto",
+               maxExactDistinct: Long = DefaultMaxExactDistinct,
+               sketchK: Int = 256): DataFrame = {
+    require(Set("auto", "exact", "sketch")(mode),
+      s"mode must be auto|exact|sketch, got '$mode'")
     val lc = left.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
     val rc = right.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
     require(lc.nonEmpty && rc.nonEmpty, "no comparable columns to match")
+    val useSketch = mode == "sketch" || (mode == "auto" && {
+      val est = approxDistinctPairs(left, lc.toSeq) +
+        approxDistinctPairs(right, rc.toSeq)
+      est > maxExactDistinct
+    })
+    if (useSketch)
+      return joinKeysSketch(left, right, k = sketchK)
+        .filter(col("inclusion_est") >= minInclusion)
     val va = melted(left, lc.toSeq, "left")
     val vb = melted(right, rc.toSeq, "right")
     val na = va.groupBy(col("left_column")).agg(count(lit(1)).as("__na"))

@@ -66,4 +66,94 @@ object Drift {
         count(lit(1)).cast(LongType).as("n_bins"))
       .orderBy(col("psi").desc, col("column_name"))
   }
+
+  /** Kolmogorov–Smirnov statistic per NUMERIC column: sup |F_ref − F_cur|
+    * evaluated over the reference's equal-width discretization (bins fit on
+    * ref, transferred to cur — the psi contract), i.e. the binned CDF
+    * approximation of KS: error ≤ the largest single-bin mass, which
+    * `nBins` controls (default 100 — finer than psi's because a CDF sup
+    * wants resolution; still bounded state). Values BELOW the reference
+    * range land in extrapolated ordered bins (full weight); values above
+    * it clamp into the top bin (fitBins' shared contract), which keeps the
+    * sup within the same one-bin-mass error bound. Nulls are excluded (a
+    * CDF is over values). Scale shape:
+    * identical to psi — one melted aggregate per frame, a window over the
+    * tiny per-bin frame, nothing corpus-sized moves.
+    */
+  def ks(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+         nBins: Int = 100): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.foreach { c =>
+      require(ref.columns.contains(c) && cur.columns.contains(c),
+        s"column $c must exist in both frames")
+      val ok = ref.schema(c).dataType match {
+        case _: NumericType | BooleanType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"ks needs numeric/datetime columns; '$c' is " +
+        ref.schema(c).dataType.simpleString)
+    }
+    val plans = ColumnAssociations.fitBins(ref, cols, nBins = nBins,
+      catThreshold = 1) // always bin (no column has < 1 distinct value):
+                        // a CDF needs ordered bins
+    def binned(df: DataFrame, side: String) = df
+      .select(explode(array(plans.labels.map { case (c, e) =>
+        struct(lit(c).as("c"), e.cast(StringType).as("b"))
+      }: _*)).as("kv"))
+      .filter(col("kv.b") =!= "__null")
+      .groupBy(col("kv.c").as("column_name"), col("kv.b").as("bin"))
+      .agg(count(lit(1)).as(s"n_$side"))
+    val p = binned(ref, "ref")
+    val q = binned(cur, "cur")
+    def totalsOf(b: DataFrame, side: String) = b
+      .groupBy(col("column_name"))
+      .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
+    val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
+      .join(totalsOf(p, "ref"), Seq("column_name"))
+      .join(totalsOf(q, "cur"), Seq("column_name"))
+      .withColumn("__idx", substring(col("bin"), 2, 11).cast(IntegerType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name")).orderBy(col("__idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined
+      .withColumn("__cdf_ref",
+        sum(coalesce(col("n_ref"), lit(0L))).over(w) / col("tot_ref"))
+      .withColumn("__cdf_cur",
+        sum(coalesce(col("n_cur"), lit(0L))).over(w) / col("tot_cur"))
+      .groupBy(col("column_name"))
+      .agg(round(max(abs(col("__cdf_ref") - col("__cdf_cur"))), 6).as("ks"),
+        count(lit(1)).cast(LongType).as("n_bins"))
+      .orderBy(col("ks").desc, col("column_name"))
+  }
+
+  /** New-category alert feed: values present in `cur` but never seen in
+    * `ref` — the third signal monitoring stacks pair with psi/ks (psi lumps
+    * unseen values into existing bins' complements; this names them). One
+    * row per (column, new value) with its current count, biggest first.
+    * Scale shape: one distinct melt of each frame (map-side combined,
+    * bounded by Σ per-column distinct counts) + a left-anti join keyed on
+    * value — the Discovery.joinKeys shuffle class: fine for monitored
+    * (bounded-cardinality) columns, which is what a drift monitor watches;
+    * don't point it at a free-text column.
+    */
+  def newCategories(ref: DataFrame, cur: DataFrame,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.foreach { c =>
+      require(ref.columns.contains(c) && cur.columns.contains(c),
+        s"column $c must exist in both frames")
+    }
+    def melt(df: DataFrame) = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("column_name"), col("kv.v").as("value"))
+      .filter(col("value").isNotNull)
+    val curCounts = melt(cur)
+      .groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).as("n_cur"))
+    val refVals = melt(ref).distinct()
+    curCounts.join(refVals, Seq("column_name", "value"), "left_anti")
+      .orderBy(col("n_cur").desc, col("column_name"), col("value"))
+  }
 }

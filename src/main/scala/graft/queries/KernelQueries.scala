@@ -157,6 +157,27 @@ object KernelQueries {
         Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
     }),
 
+    // KS drift (r9): sup |F_ref - F_cur| over the reference's transferred
+    // 50-bin discretization — the +10% price shift must register; the
+    // oracle replays the identical binned-CDF arithmetic
+    "q_drift_ks" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ref = o.filter(col("o_orderkey") % 2 === 0)
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      graft.operators.Drift.ks(ref, cur, Seq("o_totalprice"), nBins = 50)
+    }),
+
+    // new-category alert feed (r9): values in the current snapshot never
+    // seen in the reference — drop MACHINERY from ref, it must surface
+    // with its current count; nationkeys (present in both) must not
+    "q_drift_newcats" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
+      val ref = c.filter(col("c_mktsegment") =!= "MACHINERY")
+      graft.operators.Drift.newCategories(ref, c,
+        Seq("c_mktsegment", "c_nationkey"))
+    }),
+
     // sketch-based join-key discovery (r8): KMV k-min md5 sketches per
     // column, pair estimates from merged sketches — the bounded-state
     // 100 TB path; the deterministic estimates themselves hash-verify
@@ -248,14 +269,18 @@ object KernelQueries {
        |    ${hashes("orders", lcols)}),
        |rh AS (
        |    ${hashes("customer", rcols)}),
-       |ln AS (SELECT c, CAST(count(*) AS BIGINT) AS nd FROM lh GROUP BY c),
-       |rn AS (SELECT c, CAST(count(*) AS BIGINT) AS nd FROM rh GROUP BY c),
        |lsk AS (SELECT c, h FROM (
        |    SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rk
        |    FROM lh) WHERE rk <= $k),
        |rsk AS (SELECT c, h FROM (
        |    SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rk
        |    FROM rh) WHERE rk <= $k),
+       |ln AS (SELECT c, CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE ${k - 1} * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END AS nd
+       |  FROM lsk GROUP BY c),
+       |rn AS (SELECT c, CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE ${k - 1} * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END AS nd
+       |  FROM rsk GROUP BY c),
        |${pairCtes.mkString(",\n")},
        |est AS (${pairs.indices.map(i => s"SELECT * FROM e_$i").mkString("\n  UNION ALL ")})
        |SELECT est.lc AS left_column, est.rc AS right_column,
@@ -504,6 +529,53 @@ object KernelQueries {
     "q_join_discovery_sketch" -> joinSketchOracle,
 
     "q_drift_psi" -> driftOracle,
+
+    "q_drift_ks" ->
+      """WITH ref AS (SELECT o_totalprice AS x FROM orders
+        |    WHERE o_orderkey % 2 = 0),
+        |cur AS (SELECT o_totalprice * 1.1 AS x FROM orders
+        |    WHERE o_orderkey % 2 = 1),
+        |st AS (SELECT min(x) AS mn, max(x) AS mx FROM ref WHERE NOT isnan(x)),
+        |rb AS (SELECT CAST(least(floor((x - st.mn) / (st.mx - st.mn) * 49),
+        |      48.0) AS INTEGER) AS idx, count(*) AS n_ref
+        |    FROM ref, st WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
+        |cb AS (SELECT CAST(least(floor((x - st.mn) / (st.mx - st.mn) * 49),
+        |      48.0) AS INTEGER) AS idx, count(*) AS n_cur
+        |    FROM cur, st WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(n_ref) AS DOUBLE) FROM rb) AS tr,
+        |    (SELECT CAST(sum(n_cur) AS DOUBLE) FROM cb) AS tc),
+        |j AS (SELECT coalesce(rb.idx, cb.idx) AS idx,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb ON rb.idx = cb.idx),
+        |cdf AS (SELECT idx,
+        |    CAST(sum(n_ref) OVER (ORDER BY idx) AS DOUBLE) / tot.tr AS fr,
+        |    CAST(sum(n_cur) OVER (ORDER BY idx) AS DOUBLE) / tot.tc AS fc
+        |  FROM j, tot)
+        |SELECT 'o_totalprice' AS column_name,
+        |  round(max(abs(fr - fc)), 6) AS ks,
+        |  CAST(count(*) AS BIGINT) AS n_bins
+        |FROM cdf""".stripMargin,
+
+    "q_drift_newcats" ->
+      """WITH refv AS (
+        |    SELECT DISTINCT 'c_mktsegment' AS column_name,
+        |        c_mktsegment AS value
+        |      FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |        AND c_mktsegment IS NOT NULL
+        |    UNION SELECT DISTINCT 'c_nationkey',
+        |        CAST(c_nationkey AS VARCHAR)
+        |      FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |        AND c_nationkey IS NOT NULL),
+        |curv AS (
+        |    SELECT 'c_mktsegment' AS column_name, c_mktsegment AS value
+        |      FROM customer WHERE c_mktsegment IS NOT NULL
+        |    UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |      FROM customer WHERE c_nationkey IS NOT NULL),
+        |cc AS (SELECT column_name, value, CAST(count(*) AS BIGINT) AS n_cur
+        |    FROM curv GROUP BY 1, 2)
+        |SELECT column_name, value, n_cur FROM cc
+        |WHERE NOT EXISTS (SELECT 1 FROM refv r
+        |  WHERE r.column_name = cc.column_name AND r.value = cc.value)""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, text,

@@ -107,7 +107,10 @@ object PipelineRehearsal {
       graft.operators.Curation.sweepFull(docsRaw, bench, "text", "doc_id",
           "source", decontaminateN = 4, lmVocabSize = 1000, lmMinCount = 2L,
           lmMaxBigrams = 100000, lmMaxNll = 7.0,
-          mixTemperature = 2.0, mixTargetFrac = 0.5, seed = 42L)
+          mixTemperature = 2.0, mixTargetFrac = 0.5, seed = 42L,
+          // parquet checkpoint between phases — the same discipline the
+          // rehearsal itself uses for its stage outputs (r9)
+          checkpointDir = outDir)
         .filter(col("kept")).select(col("doc_id"))
     }
 

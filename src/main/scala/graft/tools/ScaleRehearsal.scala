@@ -423,6 +423,47 @@ object ScaleRehearsal {
           .drop("o_comment", "o_clerk", "o_shippriority")
         graft.operators.ColumnAssociations.allPairs(wide).count()
       }),
+      // join-key discovery (r9): the exact path melts every distinct value
+      // into a value-keyed equi-join — its shuffle must grow ~linearly in
+      // the Nx key space; the sketch path moves k longs per column, so its
+      // shufW must stay FLAT at any scale; auto must pick exact below
+      // DefaultMaxExactDistinct and the sketch above it (the Nx orders key
+      // space crosses 2M distinct pairs at ~13x, so 100x flips the route).
+      // The right side is the FIXED 1x customer dimension in every mode.
+      "fit_join_discovery_exact" -> (() => {
+        val cust1x = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        graft.operators.Discovery.joinKeys(
+          ord.select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+          cust1x, mode = "exact").count()
+      }),
+      "fit_join_discovery_sketch" -> (() => {
+        val cust1x = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        graft.operators.Discovery.joinKeys(
+          ord.select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+          cust1x, mode = "sketch").count()
+      }),
+      // KBins fit (r9): exact percentile's aggregation state is a full
+      // sorted copy of the column (wall superlinear-ish, one wide
+      // aggregate); percentile_approx is one bounded GK-sketch aggregate —
+      // wall must track the scan and shufW stay ~flat at any Nx
+      "fit_kbins_exact" -> (() =>
+        graft.encoders.KBins.fit(ord, "o_totalprice", k = 16,
+          mode = "exact").edges.length.toLong),
+      "fit_kbins_approx" -> (() =>
+        graft.encoders.KBins.fit(ord, "o_totalprice", k = 16,
+          mode = "approx").edges.length.toLong),
+      "fit_join_discovery_auto" -> (() => {
+        val cust1x = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        graft.operators.Discovery.joinKeys(
+          ord.select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+          cust1x, mode = "auto").count()
+      }),
       // stratified sampling (r7): the fraction path is one codegen'd scan
       // predicate — time must grow ~linearly with ZERO shuffle at both
       // scales; the exact path's MinKBy shuffle is O(strata*k) rows, so

@@ -52,4 +52,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hist(0x41 >> 4) === 4L) // 'A' = 0x41 -> nibble bucket 4
     assert(hist.sum === 4L)
   }
+
+  test("decodeImages: real PNG round-trip; garbage payloads -> ok=false") {
+    val png = Multimodal.encodePng(4, 3, 0x112233)
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("id", "data")
+    val out = Multimodal.decodeImages(df, "id", "data").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val good = out(1L)
+    assert(good.getBoolean(1) && good.getInt(2) === 4 && good.getInt(3) === 3)
+    // lossless PNG: fingerprint equals md5 of the known hex serialization
+    val expectHex = "112233" * 12
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectHex.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    assert(good.getString(5) === md)
+    assert(math.abs(good.getDouble(6) - (0x11 + 0x22 + 0x33) / 3.0) < 1e-9)
+    val bad = out(2L)
+    assert(!bad.getBoolean(1) && bad.getInt(2) === 0) // quarantined, not thrown
+  }
 }

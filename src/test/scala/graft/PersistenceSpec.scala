@@ -50,6 +50,31 @@ class PersistenceSpec extends AnyFunSuite {
     sameRows(model.transform(df), loaded.transform(df))
   }
 
+  test("TargetEncoder model round-trips through JSON save/load") {
+    val f = tmpDir("te") + "/te.json"
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), (null, 5.0))
+      .toDF("cat", "y")
+    val model = graft.encoders.TargetEncoder.fit(df, "cat", "y", m = 2.0)
+    graft.encoders.TargetEncoder.save(model, f)
+    val loaded = graft.encoders.TargetEncoder.load(f)
+    assert(loaded === model) // bit-identical state incl. the null sentinel
+    // transform parity incl. an unseen category (falls back to fitted mu)
+    val probe = Seq(("a", 1L), ("b", 2L), (null, 3L), ("zz", 4L))
+      .toDF("cat", "id")
+    sameRows(model.transform(probe).orderBy("id"),
+      loaded.transform(probe).orderBy("id"))
+  }
+
+  test("KBins model round-trips through JSON save/load") {
+    val f = tmpDir("kbins") + "/kbins.json"
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val model = graft.encoders.KBins.fit(df, "x", k = 4)
+    graft.encoders.KBins.save(model, f)
+    val loaded = graft.encoders.KBins.load(f)
+    assert(loaded === model) // edges survive double round-trip bit-exactly
+    sameRows(model.transform(df).orderBy("x"), loaded.transform(df).orderBy("x"))
+  }
+
   test("TabularPipeline regression model survives save/load with identical predictions") {
     val dir = tmpDir("pipeline")
     val train = (1 to 200).map(i => (i.toLong, (i % 7).toString, i * 2.0 + (i % 3)))

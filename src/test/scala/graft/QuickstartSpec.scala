@@ -35,6 +35,16 @@ class QuickstartSpec extends AnyFunSuite {
     assert(full.columns.contains("kept"))
     assert(full.count() > 0)
 
+    // checkpointDir mode: verdicts materialize to parquet (lineage-free,
+    // recoverable) and the result is ROW-IDENTICAL to localCheckpoint mode
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val fullCkpt = Curation.sweepFull(docs, bench, "text", "doc_id", "source",
+      lmMaxNll = 7.0, mixTemperature = 2.0, mixTargetFrac = 0.5,
+      checkpointDir = ckptDir)
+    assert(new java.io.File(s"$ckptDir/curation_verdicts.parquet").exists)
+    assert(fullCkpt.orderBy("doc_id").collect().toSeq ===
+      full.orderBy("doc_id").collect().toSeq)
+
     // near-dup pruning on embeddings (SemDeDup shape)
     val emb = TestSpark.table("embeddings")  // vec_id, embedding
     val dups = Dedup.semanticDedup(emb, "embedding", "vec_id", minCosine = 0.95)

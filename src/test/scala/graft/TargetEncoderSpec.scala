@@ -47,6 +47,53 @@ class TargetEncoderSpec extends AnyFunSuite {
     assert(kb.transform(train).columns.contains("y_bin"))
   }
 
+  test("large-vocab Model routes through a broadcast join, same answers") {
+    // 600 categories > MapLiteralMaxVocab (512): transform takes the
+    // broadcast-join route; values must match the closed-form m-estimate,
+    // rows must be preserved, and null/unseen semantics must be identical
+    // to the literal-map route
+    val train = (0 until 600).flatMap(i =>
+      Seq((s"c$i", i.toDouble), (s"c$i", i + 2.0))).toDF("cat", "y")
+    val model = TargetEncoder.fit(train, "cat", "y", m = 1.0)
+    assert(model.enc.size === 600)
+    val probe = Seq(("c7", 1L), ("zz_unseen", 2L), (null, 3L)).toDF("cat", "id")
+    val out = model.transform(probe)
+    assert(out.count() === 3) // row-preserving join
+    val byId = out.collect()
+      .map(r => r.getLong(1) -> r.getAs[Double]("cat_target_enc")).toMap
+    val mu = model.mu
+    assert(math.abs(byId(1L) - (7.0 + 9.0 + 1.0 * mu) / 3.0) < 1e-12)
+    assert(math.abs(byId(2L) - mu) < 1e-12) // unseen -> mu
+    assert(math.abs(byId(3L) - mu) < 1e-12) // null unseen at fit -> mu
+  }
+
+  test("all-null-target category shrinks to the prior on every path") {
+    // category 'z' has only null targets: encode(), the estimator, and
+    // encodeOutOfFold must all give it the prior (m-estimate limit at n=0),
+    // never a null encoding; an entirely-null target fails loudly
+    val df = Seq((1L, "a", Some(10.0)), (2L, "a", Some(20.0)),
+      (3L, "z", None), (4L, "z", None)).toDF("id", "cat", "y")
+    val mu = 15.0
+    val enc = TargetEncoder.encode(df, "cat", "y", m = 2.0)
+      .filter(col("cat") === "z").select("cat_target_enc").head()
+    assert(!enc.isNullAt(0) && math.abs(enc.getDouble(0) - mu) < 1e-12)
+    val est = TargetEncoder.estimator("cat", "y", m = 2.0).fit(df)
+      .transform(df).filter(col("cat") === "z")
+      .select("cat_target_enc").head()
+    assert(math.abs(est.getDouble(0) - enc.getDouble(0)) < 1e-12)
+    val oof = TargetEncoder.encodeOutOfFold(df, "cat", "y", "id", k = 2, m = 2.0)
+      .filter(col("cat") === "z").select("cat_target_enc").collect()
+    assert(oof.forall(r => !r.isNullAt(0)))
+    val allNull = Seq(("a", Option.empty[Double])).toDF("cat", "y")
+    intercept[IllegalArgumentException] {
+      TargetEncoder.encode(allNull, "cat", "y")
+    }
+    intercept[IllegalArgumentException] {
+      TargetEncoder.encodeOutOfFold(
+        allNull.withColumn("id", lit(1L)), "cat", "y", "id")
+    }
+  }
+
   test("encodeOutOfFold: a row's own target never leaks into its feature") {
     // two frames identical EXCEPT row id=100's target: if the encoding of
     // id=100 used its own fold's stats, the two encodings would differ;
@@ -141,6 +188,33 @@ class DiscoverySpec extends AnyFunSuite {
     // sketch is bounded: a 10x bigger overlap gives the same-size state
     // (implicitly — the call completes with k slots regardless of scale)
   }
+
+  test("joinKeys auto mode routes to the sketch above maxExactDistinct") {
+    import org.apache.spark.sql.functions.col
+    val fact = Seq((1L, "x"), (2L, "y"), (2L, "z"), (3L, "x")).toDF("fk", "junk")
+    val dim = Seq(("1", "a"), ("2", "b"), ("3", "c"), ("4", "d"))
+      .toDF("id_str", "name")
+    // below the threshold: exact path, exact column names and values
+    val small = graft.operators.Discovery.joinKeys(fact, dim, mode = "auto")
+    assert(small.columns.toSeq === Seq("left_column", "right_column",
+      "inclusion", "jaccard"))
+    // force routing with a tiny budget: sketch path, *_est column names
+    // (the schema declares which path ran), FK still surfaces on top
+    val routed = graft.operators.Discovery.joinKeys(fact, dim, mode = "auto",
+      maxExactDistinct = 2L)
+    assert(routed.columns.toSeq === Seq("left_column", "right_column",
+      "inclusion_est", "jaccard_est"))
+    val top = routed.head()
+    assert((top.getString(0), top.getString(1)) === (("fk", "id_str")))
+    assert(top.getDouble(2) === 1.0) // k=256 >> 3 distinct: sketch is exact
+    // minInclusion prunes the sketch route too
+    assert(graft.operators.Discovery.joinKeys(fact, dim, mode = "sketch",
+      minInclusion = 0.99).collect().forall(_.getDouble(2) >= 0.99))
+    // explicit exact stays exact regardless of size
+    val exact = graft.operators.Discovery.joinKeys(fact, dim, mode = "exact",
+      maxExactDistinct = 2L)
+    assert(exact.columns.contains("inclusion"))
+  }
 }
 
 /** KBins quantile discretization + GroupNormalize z-score unit checks. */
@@ -169,6 +243,27 @@ class KBinsGroupNormSpec extends AnyFunSuite {
     val m = graft.encoders.KBins.fit(df, "x", k = 4)
     assert(m.edges.distinct.length === m.edges.length)
     assert(m.edges.length < 3, s"edges not collapsed: ${m.edges}")
+  }
+
+  test("KBins: approx route tracks exact edges within sketch rank error") {
+    // 20k uniform values: exact edges land at the i/4 interpolated
+    // quantiles, approx (GK sketch) at data values within 1/accuracy rank
+    // error — pin the deviation so the 100 TB route is measured, not argued
+    val df = (1 to 20000).map(_.toDouble).toDF("x")
+    val exact = graft.encoders.KBins.fit(df, "x", k = 4, mode = "exact")
+    val approx = graft.encoders.KBins.fit(df, "x", k = 4, mode = "approx",
+      approxAccuracy = 1000)
+    assert(exact.edges.length === 3 && approx.edges.length === 3)
+    exact.edges.zip(approx.edges).foreach { case (e, a) =>
+      // rank deviation bound: 20000/1000 = 20 ranks = 20 value units here
+      assert(math.abs(e - a) <= 20.0, s"edge $a drifted from exact $e")
+    }
+    // auto routes exact under the cap and approx over a forced tiny cap
+    val autoSmall = graft.encoders.KBins.fit(df, "x", k = 4, mode = "auto")
+    assert(autoSmall.edges === exact.edges)
+    val autoRouted = graft.encoders.KBins.fit(df, "x", k = 4, mode = "auto",
+      approxAccuracy = 1000, maxExactRows = 100L)
+    assert(autoRouted.edges === approx.edges)
   }
 
   test("GroupNormalize: per-group mean 0 / std 1, degenerate groups -> 0") {
@@ -208,5 +303,40 @@ class DriftSpec extends AnyFunSuite {
     val catPsi = graft.operators.Drift.psi(refC, curC, Seq("c"))
       .head().getDouble(1)
     assert(catPsi > 0.25, s"half the mass moved to a new category: $catPsi")
+  }
+
+  test("ks: 0 on identical frames, exact value on a known split, 1 on disjoint") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    assert(graft.operators.Drift.ks(ref, ref, Seq("x")).head().getDouble(1) === 0.0)
+    // cur = ref shifted by half the range: true KS = 0.5; the binned
+    // approximation must land within one bin's mass (1/100) of it
+    val half = (1 to 1000).map(i => i.toDouble + 500).toDF("x")
+    val k = graft.operators.Drift.ks(ref, half, Seq("x")).head().getDouble(1)
+    assert(math.abs(k - 0.5) <= 0.02, s"ks $k for a half-range shift")
+    // fully disjoint ranges: cur clamps into the top reference bin, so the
+    // sup reads 1 − (top-bin ref mass) — within the one-bin-mass error bound
+    val far = (1 to 1000).map(i => i.toDouble + 10000).toDF("x")
+    val k2 = graft.operators.Drift.ks(ref, far, Seq("x")).head().getDouble(1)
+    assert(k2 >= 0.98, s"disjoint ranges scored $k2")
+    // ...and on the LOW side bins extrapolate (no clamp): full weight
+    val below = (1 to 1000).map(i => i.toDouble - 10000).toDF("x")
+    val k3 = graft.operators.Drift.ks(ref, below, Seq("x")).head().getDouble(1)
+    assert(k3 === 1.0, s"low-side disjoint ranges scored $k3")
+    // strings are refused loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Drift.ks(Seq("a").toDF("s"), Seq("b").toDF("s"), Seq("s"))
+    }
+  }
+
+  test("newCategories: names unseen values with counts; seen ones silent") {
+    val ref = Seq(("a", 1), ("b", 1)).toDF("c", "n")
+    val cur = Seq(("a", 1), ("z", 1), ("z", 2), ("y", 9)).toDF("c", "n")
+    val out = graft.operators.Drift.newCategories(ref, cur, Seq("c", "n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("c", "z")) === 2L) // new value, counted
+    assert(out(("c", "y")) === 1L)
+    assert(!out.contains(("c", "a"))) // seen in ref -> silent
+    assert(out(("n", "2")) === 1L && out(("n", "9")) === 1L) // numeric cols too
+    assert(!out.contains(("n", "1")))
   }
 }
