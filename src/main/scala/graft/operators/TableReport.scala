@@ -373,4 +373,152 @@ object TableReport {
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(p, toHtml(df, orderBy, title))
   }
+
+  private def rowsToJson(cols: Seq[String], rows: Array[Row]): String = {
+    import graft.plans.Json
+    Json.arr(rows.toSeq.map { r =>
+      Json.obj(cols.zipWithIndex.map { case (c, i) =>
+        c -> (r.get(i) match {
+          case null                               => "null"
+          case d: Double if d.isNaN || d.isInfinite => Json.str(d.toString)
+          case d: Double                          => Json.num(d)
+          case f: Float                           => Json.num(f.toDouble)
+          case l: Long                            => Json.num(l)
+          case n: Int                             => Json.num(n.toLong)
+          case s: Short                           => Json.num(s.toLong)
+          case b: Boolean                         => Json.bool(b)
+          case other                              => Json.str(other.toString)
+        })
+      })
+    })
+  }
+
+  /** Interactive single-file report (reference `_html.py` + its JS assets:
+    * column filtering, sortable tables, tabs — the one reference-surface
+    * gap r8 left open). ZERO external assets and zero extra Spark jobs vs
+    * `toHtml`: the same bounded section frames are collected once, embedded
+    * as a JSON payload in a `<script type="application/json">` island, and
+    * ~70 lines of inline vanilla JS render them with (a) a live
+    * column-name filter that narrows every section, (b) click-to-sort on
+    * any table header (numeric-aware), (c) per-column value-count bars.
+    * A browserless consumer can read the same payload from the
+    * `graft-data` island — the spec parses it back and checks it against
+    * `summarize` output.
+    */
+  def toHtmlInteractive(df: DataFrame, orderBy: Seq[String],
+                        title: String = "TableReport", topAssoc: Int = 20,
+                        topK: Int = 10, nBins: Int = 10): String = {
+    import graft.plans.Json
+    val nCols = df.columns.length
+    val statsDf = summarize(df).orderBy(col("column_name"))
+    val statsCols = statsDf.columns.toSeq
+    val payload = Json.obj(Seq(
+      "title" -> Json.str(title),
+      "n_columns" -> Json.num(nCols.toLong),
+      "columns" -> Json.arr(df.columns.toSeq.map(Json.str)),
+      "stats_columns" -> Json.arr(statsCols.map(Json.str)),
+      "stats" -> rowsToJson(statsCols, statsDf.limit(nCols + 1).collect()),
+      "sample" -> {
+        val s = sampleSlices(df, orderBy)
+        rowsToJson(s.columns.toSeq, s.limit(10).collect())
+      },
+      "value_counts" -> rowsToJson(
+        Seq("column_name", "value", "value_count", "rank"),
+        valueCounts(df, topK).orderBy(col("column_name"), col("rank"))
+          .limit(nCols * topK).collect()),
+      "histograms" -> rowsToJson(
+        Seq("column_name", "bin", "bin_start", "bin_end", "bin_count"),
+        numericHistograms(df, nBins).orderBy(col("column_name"), col("bin"))
+          .limit(nCols * nBins).collect()),
+      "associations" -> rowsToJson(
+        Seq("left_column_name", "right_column_name", "cramer_v", "pearson"),
+        topAssociations(df, topAssoc)
+          .orderBy(col("cramer_v").desc, col("left_column_name"),
+            col("right_column_name"))
+          .limit(topAssoc).collect())))
+    // </script> inside a JSON string would close the island early
+    val safePayload = payload.replace("</", "<\\/")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>
+       |body{font:13px sans-serif;margin:16px}
+       |table{border-collapse:collapse;margin:8px 0}
+       |td,th{border:1px solid #999;padding:2px 6px;font:12px monospace}
+       |th{cursor:pointer;background:#eee}
+       |th.sorted-asc:after{content:" \\2191"}th.sorted-desc:after{content:" \\2193"}
+       |#colfilter{font:13px monospace;padding:4px;width:24em;margin:8px 0}
+       |.bar{background:#69c;height:10px;display:inline-block}
+       |.barlbl{font:11px monospace}
+       |h2{margin-top:20px}
+       |</style></head><body>
+       |<h1>${esc(title)}</h1>
+       |<input id="colfilter" placeholder="filter columns (substring)"/>
+       |<span id="colcount"></span>
+       |<div id="report"></div>
+       |<script id="graft-data" type="application/json">$safePayload</script>
+       |<script>
+       |var DATA=JSON.parse(document.getElementById('graft-data').textContent);
+       |var sortState={};
+       |function cell(v){return v===null?'<i>null</i>':String(v)
+       |  .replace(/&/g,'&amp;').replace(/</g,'&lt;').replace(/>/g,'&gt;');}
+       |function table(id,cols,rows){
+       |  var st=sortState[id];
+       |  if(st){rows=rows.slice().sort(function(a,b){
+       |    var x=a[st.c],y=b[st.c];
+       |    if(x===null)return 1;if(y===null)return -1;
+       |    if(typeof x==='number'&&typeof y==='number')return st.d*(x-y);
+       |    return st.d*String(x).localeCompare(String(y));});}
+       |  var h='<table id="'+id+'"><tr>'+cols.map(function(c){
+       |    var cls=st&&st.c===c?(st.d>0?'sorted-asc':'sorted-desc'):'';
+       |    return '<th class="'+cls+'" onclick="sortBy(\\''+id+'\\',\\''+c+'\\')">'
+       |      +cell(c)+'</th>';}).join('')+'</tr>';
+       |  rows.forEach(function(r){h+='<tr>'+cols.map(function(c){
+       |    return '<td>'+cell(r[c])+'</td>';}).join('')+'</tr>';});
+       |  return h+'</table>';}
+       |function sortBy(id,c){var st=sortState[id];
+       |  sortState[id]=(st&&st.c===c)?{c:c,d:-st.d}:{c:c,d:1};render();}
+       |function bars(rows,lbl,val){var mx=1;
+       |  rows.forEach(function(r){if(r[val]>mx)mx=r[val];});
+       |  return rows.map(function(r){
+       |    return '<div><span class="bar" style="width:'+
+       |      Math.round(160*r[val]/mx)+'px"></span> <span class="barlbl">'+
+       |      cell(r[lbl])+' ('+r[val]+')</span></div>';}).join('');}
+       |function render(){
+       |  var q=document.getElementById('colfilter').value.toLowerCase();
+       |  var keep=function(c){return c.toLowerCase().indexOf(q)>=0;};
+       |  var stats=DATA.stats.filter(function(r){return keep(r.column_name);});
+       |  var vc=DATA.value_counts.filter(function(r){return keep(r.column_name);});
+       |  var hist=DATA.histograms.filter(function(r){return keep(r.column_name);});
+       |  var assoc=DATA.associations.filter(function(r){
+       |    return keep(r.left_column_name)||keep(r.right_column_name);});
+       |  document.getElementById('colcount').textContent=
+       |    stats.length+' / '+DATA.n_columns+' columns';
+       |  var h='<h2>Sample</h2>'+table('t_sample',
+       |    DATA.sample.length?Object.keys(DATA.sample[0]):[],DATA.sample);
+       |  h+='<h2>Column statistics</h2>'+table('t_stats',DATA.stats_columns,stats);
+       |  h+='<h2>Value counts</h2>';
+       |  var byCol={};vc.forEach(function(r){
+       |    (byCol[r.column_name]=byCol[r.column_name]||[]).push(r);});
+       |  Object.keys(byCol).sort().forEach(function(c){
+       |    h+='<h3>'+cell(c)+'</h3>'+bars(byCol[c],'value','value_count');});
+       |  h+='<h2>Histograms</h2>';
+       |  var byColH={};hist.forEach(function(r){
+       |    (byColH[r.column_name]=byColH[r.column_name]||[]).push(r);});
+       |  Object.keys(byColH).sort().forEach(function(c){
+       |    h+='<h3>'+cell(c)+'</h3>'+bars(byColH[c],'bin','bin_count');});
+       |  h+='<h2>Top associations</h2>'+table('t_assoc',
+       |    ['left_column_name','right_column_name','cramer_v','pearson'],assoc);
+       |  document.getElementById('report').innerHTML=h;}
+       |document.getElementById('colfilter').addEventListener('input',render);
+       |render();
+       |</script></body></html>""".stripMargin
+  }
+
+  /** Render and write the interactive report to a file. */
+  def writeHtmlInteractive(df: DataFrame, orderBy: Seq[String], path: String,
+                           title: String = "TableReport"): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, toHtmlInteractive(df, orderBy, title))
+  }
 }

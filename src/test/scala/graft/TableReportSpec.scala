@@ -99,4 +99,32 @@ class TableReportSpec extends AnyFunSuite {
     // the most frequent cat value labels its bar
     assert(html.contains(">a</text>"))
   }
+
+  test("toHtmlInteractive embeds a JSON payload matching summarize output") {
+    val html = TableReport.toHtmlInteractive(frame, Seq("k"), title = "t<est>")
+    assert(html.startsWith("<!DOCTYPE html>"))
+    // no external assets: no src=/href= references anywhere
+    assert(!html.contains("src=") && !html.contains("href="))
+    // the interactive controls and their JS are inline
+    assert(html.contains("id=\"colfilter\"") && html.contains("function sortBy"))
+    // parse the data island back and check it against summarize
+    val island = html.split("<script id=\"graft-data\" type=\"application/json\">")(1)
+      .split("</script>")(0).replace("<\\/", "</")
+    val data = graft.plans.Json.parse(island).asInstanceOf[Map[String, Any]]
+    assert(data("title") === "t<est>")
+    assert(data("n_columns") === frame.columns.length.toLong)
+    val stats = data("stats").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    val expect = TableReport.summarize(frame)
+      .orderBy(org.apache.spark.sql.functions.col("column_name")).collect()
+    assert(stats.length === expect.length)
+    stats.zip(expect).foreach { case (j, r) =>
+      assert(j("column_name") === r.getAs[String]("column_name"))
+      assert(j("count") === r.getAs[Long]("count"))
+      assert(j("null_count") === r.getAs[Long]("null_count"))
+    }
+    // every section key is present for the JS renderer
+    Seq("sample", "value_counts", "histograms", "associations", "stats_columns")
+      .foreach(k => assert(data.contains(k), s"missing payload section $k"))
+  }
 }
