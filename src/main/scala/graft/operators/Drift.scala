@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,48 +24,93 @@ import org.apache.spark.sql.types._
   */
 object Drift {
 
-  def psi(ref: DataFrame, cur: DataFrame, cols: Seq[String],
-          nBins: Int = 10, maxCats: Int = 10,
-          eps: Double = 1e-6): DataFrame = {
-    require(cols.nonEmpty, "need at least one column")
-    cols.foreach { c =>
-      require(ref.columns.contains(c) && cur.columns.contains(c),
-        s"column $c must exist in both frames")
-    }
-    val plans = ColumnAssociations.fitBins(ref, cols, nBins = nBins,
-      maxCats = maxCats)
-    def binned(df: DataFrame, side: String) = df
-      .select(explode(array(plans.labels.map { case (c, e) =>
+  /** Fitted drift monitor: the reference's bin plans + its (tiny,
+    * bounded — Σ bin vocabularies rows) per-bin counts, frozen once so any
+    * number of current snapshots / micro-batches score against the SAME
+    * reference without refitting (the estimator discipline; `psiStream`
+    * is the live form).
+    */
+  final case class PsiModel(
+      labels: Seq[(String, Column)], refCounts: DataFrame, eps: Double) {
+
+    private[Drift] def binned(df: DataFrame, side: String): DataFrame = df
+      .select(explode(array(labels.map { case (c, e) =>
         struct(lit(c).as("c"), e.cast(StringType).as("b"))
       }: _*)).as("kv"))
       .groupBy(col("kv.c").as("column_name"), col("kv.b").as("bin"))
       .agg(count(lit(1)).as(s"n_$side"))
-    val p = binned(ref, "ref")
-    val q = binned(cur, "cur")
-    // Frame totals derived FROM the melted aggregates (each row lands in
-    // exactly one bin per column, so Σ bin counts within a column = frame
-    // row count) — no extra corpus scan, keeping the "one melted aggregate
-    // per frame, nothing corpus-sized moves" contract literal. The totals
-    // frames are |cols| rows; the joins below are tiny-on-tiny.
-    def totalsOf(b: DataFrame, side: String) = b
-      .groupBy(col("column_name"))
-      .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
-    // full outer per (column, bin): a bin present in only one frame floors
-    // the other side at eps
-    val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
-      .join(totalsOf(p, "ref"), Seq("column_name"))
-      .join(totalsOf(q, "cur"), Seq("column_name"))
-    val pFrac = greatest(coalesce(col("n_ref"), lit(0L)).cast(DoubleType) /
-      col("tot_ref"), lit(eps))
-    val qFrac = greatest(coalesce(col("n_cur"), lit(0L)).cast(DoubleType) /
-      col("tot_cur"), lit(eps))
-    joined
-      .withColumn("__term", (pFrac - qFrac) * log(pFrac / qFrac))
-      .groupBy(col("column_name"))
-      .agg(round(sum(col("__term")), 6).as("psi"),
-        count(lit(1)).cast(LongType).as("n_bins"))
-      .orderBy(col("psi").desc, col("column_name"))
+
+    /** (column_name, psi, n_bins) for one current snapshot — ONE melted
+      * aggregate over `cur`, then tiny-on-tiny joins.
+      */
+    def score(cur: DataFrame): DataFrame = {
+      val p = refCounts
+      val q = binned(cur, "cur")
+      // Frame totals derived FROM the melted aggregates (each row lands in
+      // exactly one bin per column, so Σ bin counts within a column = frame
+      // row count) — no extra corpus scan, keeping the "one melted
+      // aggregate per frame, nothing corpus-sized moves" contract literal.
+      def totalsOf(b: DataFrame, side: String) = b
+        .groupBy(col("column_name"))
+        .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
+      // full outer per (column, bin): a bin present in only one frame
+      // floors the other side at eps
+      val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
+        .join(totalsOf(p, "ref"), Seq("column_name"))
+        .join(totalsOf(q, "cur"), Seq("column_name"))
+      val pFrac = greatest(coalesce(col("n_ref"), lit(0L)).cast(DoubleType) /
+        col("tot_ref"), lit(eps))
+      val qFrac = greatest(coalesce(col("n_cur"), lit(0L)).cast(DoubleType) /
+        col("tot_cur"), lit(eps))
+      joined
+        .withColumn("__term", (pFrac - qFrac) * log(pFrac / qFrac))
+        .groupBy(col("column_name"))
+        .agg(round(sum(col("__term")), 6).as("psi"),
+          count(lit(1)).cast(LongType).as("n_bins"))
+        .orderBy(col("psi").desc, col("column_name"))
+    }
   }
+
+  /** Fit the reference side once: bin plans + the reference's per-bin
+    * counts, persisted (they are Σ-bin-vocabulary rows — caching them is
+    * what makes per-batch scoring one aggregate, not two).
+    */
+  def fitPsi(ref: DataFrame, cols: Seq[String], nBins: Int = 10,
+             maxCats: Int = 10, eps: Double = 1e-6): PsiModel = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.foreach(c => require(ref.columns.contains(c),
+      s"column $c must exist in the reference frame"))
+    val plans = ColumnAssociations.fitBins(ref, cols, nBins = nBins,
+      maxCats = maxCats)
+    val m = PsiModel(plans.labels, null, eps)
+    val refCounts = m.binned(ref, "ref").persist()
+    refCounts.count() // materialize once, before any consumer
+    m.copy(refCounts = refCounts)
+  }
+
+  def psi(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+          nBins: Int = 10, maxCats: Int = 10,
+          eps: Double = 1e-6): DataFrame = {
+    cols.foreach(c => require(cur.columns.contains(c),
+      s"column $c must exist in both frames"))
+    fitPsi(ref, cols, nBins, maxCats, eps).score(cur)
+  }
+
+  /** Live drift monitor: score each micro-batch against the FROZEN
+    * reference model and hand the per-batch psi frame to `sink` (alert,
+    * write, dashboard — the caller's policy). The DedupIndex.probeStream
+    * discipline: each micro-batch is a static frame inside foreachBatch,
+    * so scoring is EXACTLY the batch `score` — all state is the fitted
+    * model's bounded bin counts, nothing accumulates in stream memory.
+    */
+  def psiStream(model: PsiModel, stream: DataFrame)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(model.score(batch), batchId)
+      }
+      .start()
 
   /** Kolmogorov–Smirnov statistic per NUMERIC column: sup |F_ref − F_cur|
     * evaluated over the reference's equal-width discretization (bins fit on

@@ -328,6 +328,31 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("psiStream: micro-batches score against the FROZEN reference") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val model = graft.operators.Drift.fitPsi(ref, Seq("x"))
+    val source = MemoryStream[Double]
+    val scores = scala.collection.mutable.Map.empty[Long, Double]
+    val q = graft.operators.Drift.psiStream(model, source.toDF.toDF("x")) {
+      (psiDf, batchId) => scores(batchId) = psiDf.head().getDouble(1)
+    }
+    source.addData((1 to 1000).map(_.toDouble): _*) // batch 0: same dist
+    q.processAllAvailable()
+    source.addData((1 to 1000).map(i => i + 2000.0): _*) // batch 1: shifted
+    q.processAllAvailable()
+    q.stop()
+    model.refCounts.unpersist()
+    assert(scores(0L) === 0.0, s"identical batch scored ${scores(0L)}")
+    assert(scores(1L) > 0.25, s"shifted batch scored only ${scores(1L)}")
+    // and the one-shot psi path (which now routes through fitPsi) agrees
+    val oneShot = graft.operators.Drift.psi(ref,
+      (1 to 1000).map(i => i + 2000.0).toDF("x"), Seq("x"))
+      .head().getDouble(1)
+    assert(math.abs(oneShot - scores(1L)) < 1e-9)
+  }
+
   test("newCategories: names unseen values with counts; seen ones silent") {
     val ref = Seq(("a", 1), ("b", 1)).toDF("c", "n")
     val cur = Seq(("a", 1), ("z", 1), ("z", 2), ("y", 9)).toDF("c", "n")
