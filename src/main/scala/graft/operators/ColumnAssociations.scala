@@ -167,7 +167,46 @@ object ColumnAssociations {
                             numericCols: Seq[String],
                             extras: Map[String, Option[Double]] = Map.empty,
                             codes: Seq[(String, Column)] = Nil,
-                            vocabOf: Map[String, Int] = Map.empty)
+                            vocabOf: Map[String, Int] = Map.empty,
+                            specs: Seq[BinSpec] = Nil)
+
+  /** Serializable description of one column's fitted discretization —
+    * everything `labelOf` needs to rebuild the label expression, so a
+    * fitted bin plan can be persisted as plain JSON and reloaded
+    * bit-identically (Drift.PsiModel save/load). `kind`: "num" (numeric /
+    * boolean, cast to double), "ts" (date/timestamp, epoch seconds), "cat"
+    * (top-`kept` categories, rest lumped to __other).
+    */
+  final case class BinSpec(col: String, kind: String,
+                           min: Double = 0.0, max: Double = 0.0,
+                           nBins: Int = 0, kept: Seq[String] = Nil,
+                           nanAsNull: Boolean = false)
+
+  /** The ONE label-expression builder — fitBins routes through this, and so
+    * does a reloaded model, so the fit path and the reload path cannot
+    * drift apart.
+    */
+  def labelOf(s: BinSpec): Column = {
+    val c = col(s.col)
+    if (s.kind == "cat") {
+      val v = c.cast(StringType)
+      when(c.isNull, "__null")
+        .when(v.isin(s.kept: _*), v).otherwise("__other").as(s.col)
+    } else {
+      val nullCond = if (s.nanAsNull) c.isNull || isnan(c) else c.isNull
+      if (s.max == s.min) when(nullCond, "__null").otherwise(lit("b0")).as(s.col)
+      else {
+        val e =
+          if (s.kind == "ts")
+            unix_micros(c.cast(TimestampType)).cast(DoubleType) / 1e6
+          else c.cast(DoubleType)
+        val binInt = least(floor((e - s.min) / (s.max - s.min) * (s.nBins - 1)),
+          lit(s.nBins - 2.0)).cast(IntegerType)
+        when(nullCond, "__null")
+          .otherwise(concat(lit("b"), binInt.cast(StringType))).as(s.col)
+      }
+    }
+  }
 
   /** Fit the per-column discretization (two small stats jobs). Callers that
     * need additional whole-frame aggregates (e.g. allPairs' Pearson
@@ -265,30 +304,36 @@ object ColumnAssociations {
     val topCats: Map[String, Seq[String]] =
       alwaysCats ++ graft.ops.Jobs.overlapAll(df.sparkSession.sparkContext)(
         residualCats.map(c => () => c -> topCatOne(c))).toMap
-    val planned: Seq[(String, Column, Column, Int)] = cols.map { c =>
-      val nullCond = col(c).isNull || (df.schema(c).dataType match {
-        case FloatType | DoubleType => isnan(col(c)); case _ => lit(false)
-      })
+    val planned: Seq[(String, BinSpec, Column, Column, Int)] = cols.map { c =>
+      val nanAsNull = df.schema(c).dataType match {
+        case FloatType | DoubleType => true; case _ => false
+      }
+      val nullCond =
+        if (nanAsNull) col(c).isNull || isnan(col(c)) else col(c).isNull
       if (!catCols.contains(c)) {
         // equal-width bins over [min, max]; x == max clamps into the last bin
         val (mn, mx, _) = numStats(c)
-        val e = numericExpr(c)
+        val kind = df.schema(c).dataType match {
+          case DateType | TimestampType | TimestampNTZType => "ts"
+          case _ => "num"
+        }
+        val spec = BinSpec(c, kind, mn, mx, nBins, Nil, nanAsNull)
+        val label = labelOf(spec)
         if (mx == mn) {
-          val label = when(nullCond, "__null").otherwise(lit("b0")).as(c)
-          (c, label, when(nullCond, lit(1)).otherwise(lit(0)).as(c), 2)
+          (c, spec, label, when(nullCond, lit(1)).otherwise(lit(0)).as(c), 2)
         } else {
+          val e = numericExpr(c)
           val binInt = least(floor((e - mn) / (mx - mn) * (nBins - 1)),
             lit(nBins - 2.0)).cast(IntegerType)
-          val label = when(nullCond, "__null")
-            .otherwise(concat(lit("b"), binInt.cast(StringType))).as(c)
-          (c, label, when(nullCond, lit(nBins - 1)).otherwise(binInt).as(c), nBins)
+          (c, spec, label,
+            when(nullCond, lit(nBins - 1)).otherwise(binInt).as(c), nBins)
         }
       } else {
         val cats = topCats.getOrElse(c, Seq.empty)
         val kept = if (cats.length <= maxCats) cats else cats.take(maxCats - 1)
+        val spec = BinSpec(c, "cat", kept = kept)
+        val label = labelOf(spec)
         val v = col(c).cast(StringType)
-        val label = when(col(c).isNull, "__null")
-          .when(v.isin(kept: _*), v).otherwise("__other").as(c)
         // a kept value literally named "__other"/"__null" merges with the
         // lump/null label in the string form — `.distinct` reproduces that
         // merge in code space
@@ -298,19 +343,20 @@ object ColumnAssociations {
         val code = when(col(c).isNull, lit(idxOf("__null")))
           .otherwise(if (keptMap.isEmpty) lit(idxOf("__other"))
           else coalesce(element_at(typedLit(keptMap), v), lit(idxOf("__other"))))
-        (c, label, code.as(c), vocabLabels.length)
+        (c, spec, label, code.as(c), vocabLabels.length)
       }
     }
     BinPlans(
-      planned.map(p => p._1 -> p._2),
+      planned.map(p => p._1 -> p._3),
       numericExpr.keys.toSeq.filter(c =>
         df.schema(c).dataType match {
           case _: NumericType | BooleanType => true
           case _ => false
         }),
       extras,
-      planned.map(p => p._1 -> p._3),
-      planned.map(p => p._1 -> p._4).toMap)
+      planned.map(p => p._1 -> p._4),
+      planned.map(p => p._1 -> p._5).toMap,
+      planned.map(_._2))
   }
 
   /** All-pairs associations: ONE single-pass flat-buffer contingency job

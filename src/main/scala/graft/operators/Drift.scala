@@ -31,7 +31,15 @@ object Drift {
     * is the live form).
     */
   final case class PsiModel(
-      labels: Seq[(String, Column)], refCounts: DataFrame, eps: Double) {
+      specs: Seq[ColumnAssociations.BinSpec], refCounts: DataFrame,
+      eps: Double) {
+
+    /** Label expressions rebuilt from the serializable specs through the
+      * ONE shared builder (`ColumnAssociations.labelOf`), so a fitted and
+      * a reloaded model bin identically by construction.
+      */
+    def labels: Seq[(String, Column)] =
+      specs.map(s => s.col -> ColumnAssociations.labelOf(s))
 
     private[Drift] def binned(df: DataFrame, side: String): DataFrame = df
       .select(explode(array(labels.map { case (c, e) =>
@@ -82,10 +90,63 @@ object Drift {
       s"column $c must exist in the reference frame"))
     val plans = ColumnAssociations.fitBins(ref, cols, nBins = nBins,
       maxCats = maxCats)
-    val m = PsiModel(plans.labels, null, eps)
+    val m = PsiModel(plans.specs, null, eps)
     val refCounts = m.binned(ref, "ref").persist()
     refCounts.count() // materialize once, before any consumer
     m.copy(refCounts = refCounts)
+  }
+
+  /** Persist a fitted drift monitor as plain JSON: eps + per-column bin
+    * specs + the reference's per-bin counts (bounded — Σ bin vocabularies
+    * rows, collected once). The cross-session product shape: fit on last
+    * month's corpus in one job, score this month's crawl in another.
+    */
+  def savePsi(model: PsiModel, path: String): Unit = {
+    import graft.plans.Json
+    val cells = model.refCounts.collect()
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, Json.obj(Seq(
+      "type" -> Json.str("graft.Drift.PsiModel"),
+      "eps" -> Json.num(model.eps),
+      "specs" -> Json.arr(model.specs.map(s => Json.obj(Seq(
+        "col" -> Json.str(s.col), "kind" -> Json.str(s.kind),
+        "min" -> Json.num(s.min), "max" -> Json.num(s.max),
+        "nBins" -> Json.num(s.nBins.toLong),
+        "kept" -> Json.arr(s.kept.map(Json.str)),
+        "nanAsNull" -> Json.bool(s.nanAsNull))))),
+      "refCounts" -> Json.arr(cells.map(r => Json.arr(Seq(
+        Json.str(r.getString(0)), Json.str(r.getString(1)),
+        Json.num(r.getLong(2)))))))))
+  }
+
+  def loadPsi(path: String, spark: org.apache.spark.sql.SparkSession):
+      PsiModel = {
+    import graft.plans.Json
+    import scala.jdk.CollectionConverters._
+    val root = Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path))).asInstanceOf[Map[String, Any]]
+    require(root("type") == "graft.Drift.PsiModel",
+      s"not a PsiModel file: ${root("type")}")
+    def d(v: Any): Double = v.toString.toDouble
+    val specs = root("specs").asInstanceOf[List[Any]].map { s0 =>
+      val s = s0.asInstanceOf[Map[String, Any]]
+      ColumnAssociations.BinSpec(
+        s("col").asInstanceOf[String], s("kind").asInstanceOf[String],
+        d(s("min")), d(s("max")), d(s("nBins")).toInt,
+        s("kept").asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+        s("nanAsNull").asInstanceOf[Boolean])
+    }
+    val rows = root("refCounts").asInstanceOf[List[Any]].map { r0 =>
+      val r = r0.asInstanceOf[List[Any]]
+      org.apache.spark.sql.Row(r(0).asInstanceOf[String],
+        r(1).asInstanceOf[String], d(r(2)).toLong)
+    }
+    val refCounts = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("bin", StringType, nullable = false),
+      StructField("n_ref", LongType, nullable = false))))
+    PsiModel(specs, refCounts, d(root("eps")))
   }
 
   def psi(ref: DataFrame, cur: DataFrame, cols: Seq[String],

@@ -75,6 +75,33 @@ class PersistenceSpec extends AnyFunSuite {
     sameRows(model.transform(df).orderBy("x"), loaded.transform(df).orderBy("x"))
   }
 
+  test("Drift PsiModel round-trips through JSON save/load") {
+    val f = tmpDir("psi") + "/psi.json"
+    // numeric (with NaN), timestamp, and categorical (with null) columns so
+    // all three BinSpec kinds go through the serialize/rebuild path
+    val ref = Seq(
+      (1.0, "2021-01-01 00:00:00", "a"), (2.0, "2021-01-05 00:00:00", "a"),
+      (Double.NaN, "2021-01-09 00:00:00", "b"), (4.0, "2021-01-13 00:00:00", null),
+      (5.0, "2021-01-17 00:00:00", "c"), (6.0, "2021-01-21 00:00:00", "c"),
+      (7.0, "2021-01-25 00:00:00", "a"), (8.0, "2021-01-29 00:00:00", "b")
+    ).toDF("x", "ts_str", "cat")
+      .select(col("x"), to_timestamp(col("ts_str")).as("ts"), col("cat"))
+    val cur = Seq(
+      (0.5, "2020-12-25 00:00:00", "a"), (9.0, "2021-02-02 00:00:00", "d"),
+      (3.0, "2021-01-11 00:00:00", null), (Double.NaN, "2021-01-15 00:00:00", "b")
+    ).toDF("x", "ts_str", "cat")
+      .select(col("x"), to_timestamp(col("ts_str")).as("ts"), col("cat"))
+    val model = graft.operators.Drift.fitPsi(ref, Seq("x", "ts", "cat"),
+      nBins = 4, maxCats = 2)
+    graft.operators.Drift.savePsi(model, f)
+    val loaded = graft.operators.Drift.loadPsi(f, spark)
+    assert(loaded.specs === model.specs) // bin plans survive bit-exactly
+    assert(loaded.eps === model.eps)
+    // scoring parity: the reloaded model bins `cur` (incl. below-range,
+    // NaN, null, and unseen-category rows) identically
+    sameRows(model.score(cur), loaded.score(cur))
+  }
+
   test("TabularPipeline regression model survives save/load with identical predictions") {
     val dir = tmpDir("pipeline")
     val train = (1 to 200).map(i => (i.toLong, (i % 7).toString, i * 2.0 + (i % 3)))
