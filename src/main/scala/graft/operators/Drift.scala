@@ -164,10 +164,11 @@ object Drift {
     * so scoring is EXACTLY the batch `score` — all state is the fitted
     * model's bounded bin counts, nothing accumulates in stream memory.
     */
-  def psiStream(model: PsiModel, stream: DataFrame)(
+  def psiStream(model: PsiModel, stream: DataFrame,
+                queryName: String = "drift-psi")(
       sink: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.outputMode("append")
+    stream.writeStream.queryName(queryName).outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(model.score(batch), batchId)
       }

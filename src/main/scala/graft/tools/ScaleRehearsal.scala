@@ -456,6 +456,38 @@ object ScaleRehearsal {
       "fit_kbins_approx" -> (() =>
         graft.encoders.KBins.fit(ord, "o_totalprice", k = 16,
           mode = "approx").edges.length.toLong),
+      // drift monitoring (r9): the product shape is a FROZEN 1x reference
+      // model scoring an Nx current snapshot — fit cost is constant by
+      // construction, scoring is ONE melted aggregate over cur (map-side
+      // combined into Σ-bin-vocabulary rows), so wall must track the scan
+      // and shufW stay ~flat at any Nx. ks shares the shape (finer bins,
+      // window over the tiny per-bin frame); newCategories watches
+      // bounded-cardinality columns, so its distinct melt + left-anti join
+      // must also keep shufW flat while rows grow.
+      "fit_drift_psi" -> (() => {
+        val ref1x = spark.read.parquet(s"$sfDir/orders.parquet")
+        val model = graft.operators.Drift.fitPsi(ref1x,
+          Seq("o_totalprice", "o_orderdate", "o_orderpriority"))
+        model.score(ord).count()
+      }),
+      "fit_drift_ks" -> (() => {
+        val ref1x = spark.read.parquet(s"$sfDir/orders.parquet")
+        graft.operators.Drift.ks(ref1x, ord,
+          Seq("o_totalprice", "o_orderdate")).count()
+      }),
+      "fit_drift_newcats" -> (() => {
+        val ref1x = spark.read.parquet(s"$sfDir/orders.parquet")
+        // Nx copies preserve category values, so inject a deterministic
+        // 1-in-1000 synthetic priority (keyed by orderkey → distinct new
+        // values grow with the key space) — the alert feed must have
+        // nonzero, scale-growing output or the anti-join is unmeasured
+        val cur = ord.withColumn("o_orderpriority",
+          when(col("o_orderkey") % 1000 === 0,
+            concat(lit("9-NEW-"), (col("o_orderkey") / 1000).cast("long")))
+            .otherwise(col("o_orderpriority")))
+        graft.operators.Drift.newCategories(ref1x, cur,
+          Seq("o_orderstatus", "o_orderpriority")).count()
+      }),
       "fit_join_discovery_auto" -> (() => {
         val cust1x = spark.read.parquet(s"$sfDir/customer.parquet")
           .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))

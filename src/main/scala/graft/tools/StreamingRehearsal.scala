@@ -170,9 +170,31 @@ object StreamingRehearsal {
       }
       .start()
 
+    // ---- query C: live drift monitor on the RAW incoming stream -------
+    // (r9) the monitoring station wired into ingestion: PSI of each
+    // micro-batch's quality-feature distributions against a FROZEN 1x
+    // reference model — a moved crawl is detected BEFORE any gate touches
+    // it. All cross-batch state is the model's bounded per-bin counts;
+    // each batch costs ONE melted aggregate over the batch. The Nx copies
+    // append a copy token, so n_words/mean_word_len genuinely shift —
+    // per-batch psi must be nonzero and stable across batches.
+    val psiModel = timed("drift-fit") {
+      graft.operators.Drift.fitPsi(
+        graft.operators.TextAnalysis.qualityFeatures(docs1x, "text"),
+        Seq("n_words", "mean_word_len", "punct_ratio", "stopword_ratio"))
+    }
+    val drift = graft.operators.Drift.psiStream(psiModel,
+      graft.operators.TextAnalysis.qualityFeatures(source(), "text"),
+      queryName = "drift") { (scores, batchId) =>
+      val top = scores.head(2).map(r =>
+        f"${r.getString(0)}=${r.getDouble(1)}%.4f").mkString(" ")
+      println(s"[stream] drift id=$batchId top: $top")
+    }
+
     ingest.processAllAvailable()
     packed.processAllAvailable()
-    ingest.stop(); packed.stop()
+    drift.processAllAvailable()
+    ingest.stop(); packed.stop(); drift.stop()
     println(s"[stream] done: ${progress.size()} progress events recorded")
     spark.stop()
   }
