@@ -48,6 +48,40 @@ object Drift {
       .groupBy(col("kv.c").as("column_name"), col("kv.b").as("bin"))
       .agg(count(lit(1)).as(s"n_$side"))
 
+    /** (column_name, ks, n_bins) for one current snapshot against a model
+      * fitted by `fitKs` — the binned-CDF sup over the frozen reference
+      * bins (see `ks` for the error bound). Same scale shape as `score`:
+      * ONE melted aggregate over `cur`, a window over the tiny per-bin
+      * frame. Nulls are excluded on both sides (a CDF is over values).
+      */
+    def scoreKs(cur: DataFrame): DataFrame = {
+      require(specs.forall(_.kind != "cat"),
+        "scoreKs needs ordered (numeric/datetime) bins — fit with fitKs, " +
+          "not fitPsi-with-categoricals")
+      val p = refCounts.filter(col("bin") =!= "__null")
+      val q = binned(cur, "cur").filter(col("bin") =!= "__null")
+      def totalsOf(b: DataFrame, side: String) = b
+        .groupBy(col("column_name"))
+        .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
+      val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
+        .join(totalsOf(p, "ref"), Seq("column_name"))
+        .join(totalsOf(q, "cur"), Seq("column_name"))
+        .withColumn("__idx", substring(col("bin"), 2, 11).cast(IntegerType))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("column_name")).orderBy(col("__idx"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      joined
+        .withColumn("__cdf_ref",
+          sum(coalesce(col("n_ref"), lit(0L))).over(w) / col("tot_ref"))
+        .withColumn("__cdf_cur",
+          sum(coalesce(col("n_cur"), lit(0L))).over(w) / col("tot_cur"))
+        .groupBy(col("column_name"))
+        .agg(round(max(abs(col("__cdf_ref") - col("__cdf_cur"))), 6).as("ks"),
+          count(lit(1)).cast(LongType).as("n_bins"))
+        .orderBy(col("ks").desc, col("column_name"))
+    }
+
     /** (column_name, psi, n_bins) for one current snapshot — ONE melted
       * aggregate over `cur`, then tiny-on-tiny joins.
       */
@@ -187,12 +221,18 @@ object Drift {
     * identical to psi — one melted aggregate per frame, a window over the
     * tiny per-bin frame, nothing corpus-sized moves.
     */
-  def ks(ref: DataFrame, cur: DataFrame, cols: Seq[String],
-         nBins: Int = 100): DataFrame = {
+  /** Fit the KS reference side once: ordered (numeric/datetime-only) bin
+    * plans + the reference's per-bin counts — the fitPsi discipline with a
+    * CDF's requirements (finer default bins, `catThreshold = 1` so every
+    * column is binned, never lumped). Returns the same PsiModel container,
+    * so `savePsi`/`loadPsi` persistence and `psiStream`'s shape work for
+    * KS monitors unchanged; score with `scoreKs` (or `ksStream`).
+    */
+  def fitKs(ref: DataFrame, cols: Seq[String], nBins: Int = 100): PsiModel = {
     require(cols.nonEmpty, "need at least one column")
     cols.foreach { c =>
-      require(ref.columns.contains(c) && cur.columns.contains(c),
-        s"column $c must exist in both frames")
+      require(ref.columns.contains(c),
+        s"column $c must exist in the reference frame")
       val ok = ref.schema(c).dataType match {
         case _: NumericType | BooleanType | DateType | TimestampType |
              TimestampNTZType => true
@@ -202,37 +242,30 @@ object Drift {
         ref.schema(c).dataType.simpleString)
     }
     val plans = ColumnAssociations.fitBins(ref, cols, nBins = nBins,
-      catThreshold = 1) // always bin (no column has < 1 distinct value):
-                        // a CDF needs ordered bins
-    def binned(df: DataFrame, side: String) = df
-      .select(explode(array(plans.labels.map { case (c, e) =>
-        struct(lit(c).as("c"), e.cast(StringType).as("b"))
-      }: _*)).as("kv"))
-      .filter(col("kv.b") =!= "__null")
-      .groupBy(col("kv.c").as("column_name"), col("kv.b").as("bin"))
-      .agg(count(lit(1)).as(s"n_$side"))
-    val p = binned(ref, "ref")
-    val q = binned(cur, "cur")
-    def totalsOf(b: DataFrame, side: String) = b
-      .groupBy(col("column_name"))
-      .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
-    val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
-      .join(totalsOf(p, "ref"), Seq("column_name"))
-      .join(totalsOf(q, "cur"), Seq("column_name"))
-      .withColumn("__idx", substring(col("bin"), 2, 11).cast(IntegerType))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("column_name")).orderBy(col("__idx"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    joined
-      .withColumn("__cdf_ref",
-        sum(coalesce(col("n_ref"), lit(0L))).over(w) / col("tot_ref"))
-      .withColumn("__cdf_cur",
-        sum(coalesce(col("n_cur"), lit(0L))).over(w) / col("tot_cur"))
-      .groupBy(col("column_name"))
-      .agg(round(max(abs(col("__cdf_ref") - col("__cdf_cur"))), 6).as("ks"),
-        count(lit(1)).cast(LongType).as("n_bins"))
-      .orderBy(col("ks").desc, col("column_name"))
+      catThreshold = 1) // always bin: a CDF needs ordered bins
+    val m = PsiModel(plans.specs, null, 0.0)
+    val refCounts = m.binned(ref, "ref").persist()
+    refCounts.count() // materialize once, before any consumer
+    m.copy(refCounts = refCounts)
   }
+
+  def ks(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+         nBins: Int = 100): DataFrame = {
+    cols.foreach(c => require(cur.columns.contains(c),
+      s"column $c must exist in both frames"))
+    fitKs(ref, cols, nBins).scoreKs(cur)
+  }
+
+  /** Live KS monitor — `psiStream`'s twin over a `fitKs` model. */
+  def ksStream(model: PsiModel, stream: DataFrame,
+               queryName: String = "drift-ks")(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName).outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(model.scoreKs(batch), batchId)
+      }
+      .start()
 
   /** New-category alert feed: values present in `cur` but never seen in
     * `ref` — the third signal monitoring stacks pair with psi/ks (psi lumps
@@ -251,16 +284,106 @@ object Drift {
       require(ref.columns.contains(c) && cur.columns.contains(c),
         s"column $c must exist in both frames")
     }
-    def melt(df: DataFrame) = df
-      .select(explode(array(cols.map(c =>
-        struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
-      .select(col("kv.c").as("column_name"), col("kv.v").as("value"))
-      .filter(col("value").isNotNull)
-    val curCounts = melt(cur)
+    val refVals = meltValues(ref, cols).distinct()
+    curNewVs(cur, cols, refVals)
+  }
+
+  private def meltValues(df: DataFrame, cols: Seq[String]): DataFrame = df
+    .select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+    .select(col("kv.c").as("column_name"), col("kv.v").as("value"))
+    .filter(col("value").isNotNull)
+
+  private def curNewVs(cur: DataFrame, cols: Seq[String],
+                       refVals: DataFrame): DataFrame =
+    meltValues(cur, cols)
       .groupBy(col("column_name"), col("value"))
       .agg(count(lit(1)).as("n_cur"))
-    val refVals = melt(ref).distinct()
-    curCounts.join(refVals, Seq("column_name", "value"), "left_anti")
+      .join(refVals, Seq("column_name", "value"), "left_anti")
       .orderBy(col("n_cur").desc, col("column_name"), col("value"))
+
+  /** Frozen new-category monitor: the reference's distinct values per
+    * monitored column, collected ONCE behind a loud bound — the third
+    * estimator of the family (`fitPsi`/`fitKs` discipline). Scoring any
+    * number of snapshots / micro-batches is then one melted aggregate over
+    * cur + a BROADCAST anti-join against the frozen vocabulary — nothing
+    * value-sized shuffles, which removes the two-frame `newCategories`
+    * form's only scale caveat (its ref melt re-shuffles per call).
+    */
+  final case class NewCatsModel(cols: Seq[String], refValues: DataFrame) {
+    /** (column_name, value, n_cur) for values unseen in the reference. */
+    def score(cur: DataFrame): DataFrame = {
+      cols.foreach(c => require(cur.columns.contains(c),
+        s"column $c must exist in the scored frame"))
+      curNewVs(cur, cols, broadcast(refValues))
+    }
   }
+
+  /** Fit the reference vocabulary once. `maxDistinct` bounds the collect
+    * LOUDLY: a drift monitor watches bounded-cardinality columns — a
+    * free-text column past the cap fails with the routing advice instead
+    * of silently materializing the corpus on the driver.
+    */
+  def fitNewCats(ref: DataFrame, cols: Seq[String],
+                 maxDistinct: Int = 100000): NewCatsModel = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.foreach(c => require(ref.columns.contains(c),
+      s"column $c must exist in the reference frame"))
+    val vals = meltValues(ref, cols).distinct()
+    val rows = vals.limit(maxDistinct + 1).collect()
+    require(rows.length <= maxDistinct,
+      s"reference has more than $maxDistinct distinct values across " +
+        s"${cols.mkString(", ")} — a new-category monitor is for " +
+        "bounded-cardinality columns; drop the free-text column, raise " +
+        "maxDistinct, or use the two-frame newCategories() join form")
+    val spark = ref.sparkSession
+    import scala.jdk.CollectionConverters._
+    NewCatsModel(cols, spark.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))))
+  }
+
+  def saveNewCats(model: NewCatsModel, path: String): Unit = {
+    import graft.plans.Json
+    val cells = model.refValues.collect()
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, Json.obj(Seq(
+      "type" -> Json.str("graft.Drift.NewCatsModel"),
+      "cols" -> Json.arr(model.cols.map(Json.str)),
+      "values" -> Json.arr(cells.map(r => Json.arr(Seq(
+        Json.str(r.getString(0)), Json.str(r.getString(1)))))))))
+  }
+
+  def loadNewCats(path: String, spark: org.apache.spark.sql.SparkSession):
+      NewCatsModel = {
+    import graft.plans.Json
+    import scala.jdk.CollectionConverters._
+    val root = Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path))).asInstanceOf[Map[String, Any]]
+    require(root("type") == "graft.Drift.NewCatsModel",
+      s"not a NewCatsModel file: ${root("type")}")
+    val cols = root("cols").asInstanceOf[List[Any]].map(_.asInstanceOf[String])
+    val rows = root("values").asInstanceOf[List[Any]].map { r0 =>
+      val r = r0.asInstanceOf[List[Any]]
+      org.apache.spark.sql.Row(r(0).asInstanceOf[String],
+        r(1).asInstanceOf[String])
+    }
+    NewCatsModel(cols, spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))))
+  }
+
+  /** Live new-category alert feed — `psiStream`'s twin over a `fitNewCats`
+    * model; per-batch output is the batch's unseen values.
+    */
+  def newCatsStream(model: NewCatsModel, stream: DataFrame,
+                    queryName: String = "drift-newcats")(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName).outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(model.score(batch), batchId)
+      }
+      .start()
 }

@@ -178,6 +178,33 @@ object KernelQueries {
         Seq("c_mktsegment", "c_nationkey"))
     }),
 
+    // the estimator+persistence twins (r9): the DRIVER-VERIFIED cross-
+    // session product shape — fit on the reference, save the model to
+    // JSON, reload it in (conceptually) another job, score. Must hash-
+    // match the same oracles as the two-frame batch forms above.
+    "q_drift_ks_reload" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ref = o.filter(col("o_orderkey") % 2 === 0)
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val f = java.nio.file.Files.createTempDirectory("graft_ks")
+        .toString + "/ks.json"
+      graft.operators.Drift.savePsi(
+        graft.operators.Drift.fitKs(ref, Seq("o_totalprice"), nBins = 50), f)
+      graft.operators.Drift.loadPsi(f, s).scoreKs(cur)
+    }),
+
+    "q_drift_newcats_reload" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
+      val ref = c.filter(col("c_mktsegment") =!= "MACHINERY")
+      val f = java.nio.file.Files.createTempDirectory("graft_nc")
+        .toString + "/nc.json"
+      graft.operators.Drift.saveNewCats(
+        graft.operators.Drift.fitNewCats(ref,
+          Seq("c_mktsegment", "c_nationkey")), f)
+      graft.operators.Drift.loadNewCats(f, s).score(c)
+    }),
+
     // sketch-based join-key discovery (r8): KMV k-min md5 sketches per
     // column, pair estimates from merged sketches — the bounded-state
     // 100 TB path; the deterministic estimates themselves hash-verify
@@ -530,52 +557,15 @@ object KernelQueries {
 
     "q_drift_psi" -> driftOracle,
 
-    "q_drift_ks" ->
-      """WITH ref AS (SELECT o_totalprice AS x FROM orders
-        |    WHERE o_orderkey % 2 = 0),
-        |cur AS (SELECT o_totalprice * 1.1 AS x FROM orders
-        |    WHERE o_orderkey % 2 = 1),
-        |st AS (SELECT min(x) AS mn, max(x) AS mx FROM ref WHERE NOT isnan(x)),
-        |rb AS (SELECT CAST(least(floor((x - st.mn) / (st.mx - st.mn) * 49),
-        |      48.0) AS INTEGER) AS idx, count(*) AS n_ref
-        |    FROM ref, st WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
-        |cb AS (SELECT CAST(least(floor((x - st.mn) / (st.mx - st.mn) * 49),
-        |      48.0) AS INTEGER) AS idx, count(*) AS n_cur
-        |    FROM cur, st WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
-        |tot AS (SELECT (SELECT CAST(sum(n_ref) AS DOUBLE) FROM rb) AS tr,
-        |    (SELECT CAST(sum(n_cur) AS DOUBLE) FROM cb) AS tc),
-        |j AS (SELECT coalesce(rb.idx, cb.idx) AS idx,
-        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-        |  FROM rb FULL OUTER JOIN cb ON rb.idx = cb.idx),
-        |cdf AS (SELECT idx,
-        |    CAST(sum(n_ref) OVER (ORDER BY idx) AS DOUBLE) / tot.tr AS fr,
-        |    CAST(sum(n_cur) OVER (ORDER BY idx) AS DOUBLE) / tot.tc AS fc
-        |  FROM j, tot)
-        |SELECT 'o_totalprice' AS column_name,
-        |  round(max(abs(fr - fc)), 6) AS ks,
-        |  CAST(count(*) AS BIGINT) AS n_bins
-        |FROM cdf""".stripMargin,
+    "q_drift_ks" -> ksOracle,
 
-    "q_drift_newcats" ->
-      """WITH refv AS (
-        |    SELECT DISTINCT 'c_mktsegment' AS column_name,
-        |        c_mktsegment AS value
-        |      FROM customer WHERE c_mktsegment <> 'MACHINERY'
-        |        AND c_mktsegment IS NOT NULL
-        |    UNION SELECT DISTINCT 'c_nationkey',
-        |        CAST(c_nationkey AS VARCHAR)
-        |      FROM customer WHERE c_mktsegment <> 'MACHINERY'
-        |        AND c_nationkey IS NOT NULL),
-        |curv AS (
-        |    SELECT 'c_mktsegment' AS column_name, c_mktsegment AS value
-        |      FROM customer WHERE c_mktsegment IS NOT NULL
-        |    UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
-        |      FROM customer WHERE c_nationkey IS NOT NULL),
-        |cc AS (SELECT column_name, value, CAST(count(*) AS BIGINT) AS n_cur
-        |    FROM curv GROUP BY 1, 2)
-        |SELECT column_name, value, n_cur FROM cc
-        |WHERE NOT EXISTS (SELECT 1 FROM refv r
-        |  WHERE r.column_name = cc.column_name AND r.value = cc.value)""".stripMargin,
+    // the estimator+persistence twins (fit -> save -> load -> score)
+    // replay the identical arithmetic
+    "q_drift_ks_reload" -> ksOracle,
+
+    "q_drift_newcats" -> newcatsOracle,
+
+    "q_drift_newcats_reload" -> newcatsOracle,
 
     "q_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, text,
@@ -610,4 +600,51 @@ object KernelQueries {
         |         + (n_nationkey * 83) % 256) / 3.0, 6) AS mean_luma
         |FROM nation""".stripMargin
   )
+
+  private def ksOracle: String =
+      """WITH ref AS (SELECT o_totalprice AS x FROM orders
+        |    WHERE o_orderkey % 2 = 0),
+        |cur AS (SELECT o_totalprice * 1.1 AS x FROM orders
+        |    WHERE o_orderkey % 2 = 1),
+        |st AS (SELECT min(x) AS mn, max(x) AS mx FROM ref WHERE NOT isnan(x)),
+        |rb AS (SELECT CAST(least(floor((x - st.mn) / (st.mx - st.mn) * 49),
+        |      48.0) AS INTEGER) AS idx, count(*) AS n_ref
+        |    FROM ref, st WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
+        |cb AS (SELECT CAST(least(floor((x - st.mn) / (st.mx - st.mn) * 49),
+        |      48.0) AS INTEGER) AS idx, count(*) AS n_cur
+        |    FROM cur, st WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(n_ref) AS DOUBLE) FROM rb) AS tr,
+        |    (SELECT CAST(sum(n_cur) AS DOUBLE) FROM cb) AS tc),
+        |j AS (SELECT coalesce(rb.idx, cb.idx) AS idx,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb ON rb.idx = cb.idx),
+        |cdf AS (SELECT idx,
+        |    CAST(sum(n_ref) OVER (ORDER BY idx) AS DOUBLE) / tot.tr AS fr,
+        |    CAST(sum(n_cur) OVER (ORDER BY idx) AS DOUBLE) / tot.tc AS fc
+        |  FROM j, tot)
+        |SELECT 'o_totalprice' AS column_name,
+        |  round(max(abs(fr - fc)), 6) AS ks,
+        |  CAST(count(*) AS BIGINT) AS n_bins
+        |FROM cdf""".stripMargin
+
+  private def newcatsOracle: String =
+      """WITH refv AS (
+        |    SELECT DISTINCT 'c_mktsegment' AS column_name,
+        |        c_mktsegment AS value
+        |      FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |        AND c_mktsegment IS NOT NULL
+        |    UNION SELECT DISTINCT 'c_nationkey',
+        |        CAST(c_nationkey AS VARCHAR)
+        |      FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |        AND c_nationkey IS NOT NULL),
+        |curv AS (
+        |    SELECT 'c_mktsegment' AS column_name, c_mktsegment AS value
+        |      FROM customer WHERE c_mktsegment IS NOT NULL
+        |    UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |      FROM customer WHERE c_nationkey IS NOT NULL),
+        |cc AS (SELECT column_name, value, CAST(count(*) AS BIGINT) AS n_cur
+        |    FROM curv GROUP BY 1, 2)
+        |SELECT column_name, value, n_cur FROM cc
+        |WHERE NOT EXISTS (SELECT 1 FROM refv r
+        |  WHERE r.column_name = cc.column_name AND r.value = cc.value)""".stripMargin
 }

@@ -364,4 +364,71 @@ class DriftSpec extends AnyFunSuite {
     assert(out(("n", "2")) === 1L && out(("n", "9")) === 1L) // numeric cols too
     assert(!out.contains(("n", "1")))
   }
+
+  test("fitKs estimator: scoreKs equals the two-frame ks; JSON round-trip") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val half = (1 to 1000).map(i => i.toDouble + 500).toDF("x")
+    val model = graft.operators.Drift.fitKs(ref, Seq("x"))
+    val est = model.scoreKs(half).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val batch = graft.operators.Drift.ks(ref, half, Seq("x")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(est.toSeq === batch.toSeq)
+    // persistence: the PsiModel container round-trips KS models unchanged
+    val f = java.nio.file.Files.createTempDirectory("ks").toString + "/ks.json"
+    graft.operators.Drift.savePsi(model, f)
+    val loaded = graft.operators.Drift.loadPsi(f, spark)
+    val re = loaded.scoreKs(half).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(re.toSeq === est.toSeq)
+    model.refCounts.unpersist()
+    // a fitPsi model with categorical bins refuses scoreKs loudly
+    val catModel = graft.operators.Drift.fitPsi(
+      Seq("a", "b").toDF("c"), Seq("c"))
+    intercept[IllegalArgumentException] { catModel.scoreKs(half) }
+    catModel.refCounts.unpersist()
+  }
+
+  test("fitNewCats estimator: frozen vocabulary, broadcast score, loud cap") {
+    val ref = Seq(("a", 1), ("b", 1)).toDF("c", "n")
+    val cur = Seq(("a", 1), ("z", 1), ("z", 2), ("y", 9)).toDF("c", "n")
+    val model = graft.operators.Drift.fitNewCats(ref, Seq("c", "n"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // estimator score == the two-frame join form
+    assert(asMap(model.score(cur)) ===
+      asMap(graft.operators.Drift.newCategories(ref, cur, Seq("c", "n"))))
+    // JSON round-trip preserves the vocabulary and the scores
+    val f = java.nio.file.Files.createTempDirectory("nc").toString + "/nc.json"
+    graft.operators.Drift.saveNewCats(model, f)
+    val loaded = graft.operators.Drift.loadNewCats(f, spark)
+    assert(loaded.cols === model.cols)
+    assert(asMap(loaded.score(cur)) === asMap(model.score(cur)))
+    // the bounded-collect guard fails loudly past the cap, with routing advice
+    val wide = (1 to 50).map(i => s"v$i").toDF("c")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Drift.fitNewCats(wide, Seq("c"), maxDistinct = 10)
+    }
+    assert(err.getMessage.contains("newCategories"))
+  }
+
+  test("newCatsStream: per-batch unseen values against the frozen vocabulary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq("a", "b").toDF("c")
+    val model = graft.operators.Drift.fitNewCats(ref, Seq("c"))
+    val source = MemoryStream[String]
+    val seen = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val q = graft.operators.Drift.newCatsStream(model, source.toDF.toDF("c")) {
+      (alerts, batchId) =>
+        seen(batchId) = alerts.collect().map(_.getString(1)).toSeq
+    }
+    source.addData("a", "b", "a") // batch 0: nothing new
+    q.processAllAvailable()
+    source.addData("a", "q", "q", "r") // batch 1: q, r are new
+    q.processAllAvailable()
+    q.stop()
+    assert(seen(0L).isEmpty, s"batch 0 alerted ${seen(0L)}")
+    assert(seen(1L).toSet === Set("q", "r"))
+  }
 }
