@@ -63,6 +63,25 @@ class QuickstartSpec extends AnyFunSuite {
     assert(packed.count() > 0)
     assert(Seq("pack_id", "n_toks").forall(packed.columns.contains),
       s"pack surface changed: ${packed.columns.mkString(", ")}")
+
+    // monitoring station: freeze distributions once, score future
+    // snapshots against the frozen reference (README drift block)
+    val nextCrawl = docs
+      .withColumn("text", concat($"text", lit(" extra crawl token")))
+      .withColumn("source", concat($"source", lit("-v2")))
+    val monitorPath = java.nio.file.Files
+      .createTempDirectory("graft_qs_drift").toString + "/corpus-drift.json"
+    val monitor = Drift.fitPsi(
+      TextAnalysis.qualityFeatures(curated, "text"),
+      Seq("n_words", "mean_word_len", "punct_ratio"))
+    Drift.savePsi(monitor, monitorPath)
+    val psi = Drift.loadPsi(monitorPath, spark)
+      .score(TextAnalysis.qualityFeatures(nextCrawl, "text"))
+    assert(psi.columns.toSeq === Seq("column_name", "psi", "n_bins"))
+    assert(psi.count() === 3)
+    val alerts = Drift.fitNewCats(docs, Seq("source")).score(nextCrawl)
+    assert(alerts.count() > 0, "every -v2 source is unseen — must alert")
+    monitor.refCounts.unpersist()
   }
 
   test("README SQL registry block runs against a registered session") {
