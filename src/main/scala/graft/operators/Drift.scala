@@ -82,6 +82,18 @@ object Drift {
         .orderBy(col("ks").desc, col("column_name"))
     }
 
+    /** (column_name, bin, n_ref, n_cur) — the two frames' counts over the
+      * SAME frozen reference bins, for side-by-side distribution rendering
+      * (TableReport.compareHtml). One melted aggregate over `cur`, like
+      * `score`; output stays Σ-bin-vocabulary rows.
+      */
+    def binCounts(cur: DataFrame): DataFrame =
+      refCounts.join(binned(cur, "cur"), Seq("column_name", "bin"),
+          "full_outer")
+        .select(col("column_name"), col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+
     /** (column_name, psi, n_bins) for one current snapshot — ONE melted
       * aggregate over `cur`, then tiny-on-tiny joins.
       */

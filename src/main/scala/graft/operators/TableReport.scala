@@ -374,6 +374,99 @@ object TableReport {
     java.nio.file.Files.writeString(p, toHtml(df, orderBy, title))
   }
 
+  /** Side-by-side proportion bars: reference (blue) above current (orange)
+    * per bin, each frame normalized by ITS OWN total so differently-sized
+    * snapshots compare by SHAPE — exactly what PSI/KS measure.
+    */
+  private[graft] def svgCompareBars(
+      items: Seq[(String, Double, Double)]): String = {
+    if (items.isEmpty) return ""
+    val mx = math.max(1e-12, items.flatMap(i => Seq(i._2, i._3)).max)
+    val (labelW, maxBarW, rowH) = (170, 220, 22)
+    val bars = items.zipWithIndex.map { case ((label, pRef, pCur), i) =>
+      val wr = math.max(1L, math.round(pRef / mx * maxBarW))
+      val wc = math.max(1L, math.round(pCur / mx * maxBarW))
+      val y = i * rowH
+      s"""<text x="${labelW - 6}" y="${y + 13}" text-anchor="end">${esc(label.take(26))}</text>""" +
+        s"""<rect x="$labelW" y="${y + 2}" width="$wr" height="8" fill="#5b7fa6"/>""" +
+        s"""<rect x="$labelW" y="${y + 12}" width="$wc" height="8" fill="#d08a3e"/>""" +
+        f"""<text x="${labelW + math.max(wr, wc) + 5}%d" y="${y + 13}%d">${pRef * 100}%.1f%% / ${pCur * 100}%.1f%%</text>"""
+    }.mkString
+    s"""<svg width="${labelW + maxBarW + 110}" height="${rowH * items.size}" """ +
+      s"""font-size="10" font-family="monospace" xmlns="http://www.w3.org/2000/svg">$bars</svg>"""
+  }
+
+  /** Two-snapshot DRIFT report (beyond reference — the monitoring-station
+    * rendering of the r9 Drift family): per-column PSI, KS for the
+    * ordered (numeric/datetime) columns, the new-category alert feed, and
+    * side-by-side distribution charts over the REFERENCE's frozen bins.
+    * Every section is a bounded drift job (one melted aggregate per frame
+    * per section); rendering is driver-side string assembly over
+    * Σ-bin-vocabulary rows.
+    */
+  def compareHtml(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+                  title: String = "DriftReport", nBins: Int = 10,
+                  maxCats: Int = 10, topAlerts: Int = 50): String = {
+    val model = Drift.fitPsi(ref, cols, nBins = nBins, maxCats = maxCats)
+    val psiT = renderTable(model.score(cur), cols.length)
+    val ordered = cols.filter { c =>
+      ref.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+    }
+    val ksT = if (ordered.isEmpty) "<p>(no numeric/datetime columns)</p>"
+      else renderTable(Drift.ks(ref, cur, ordered), ordered.length)
+    val catCols = cols.filterNot(ordered.contains)
+    val alertsT = if (catCols.isEmpty) "<p>(no categorical columns)</p>"
+      else renderTable(
+        Drift.newCategories(ref, cur, catCols).limit(topAlerts), topAlerts)
+    // charts: both frames' proportions over the frozen reference bins,
+    // from ONE binCounts frame (Σ bin vocabularies rows, collected once)
+    val cells = model.binCounts(cur)
+      .orderBy(col("column_name"), col("bin")).collect()
+    val charts = cells.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (cn, rs) =>
+        val totR = math.max(1L, rs.map(_.getLong(2)).sum).toDouble
+        val totC = math.max(1L, rs.map(_.getLong(3)).sum).toDouble
+        // "__null" first, then bins by numeric index / category label
+        val sorted = rs.sortBy { r =>
+          val b = r.getString(1)
+          if (b == "__null") (-1, "") else (b.drop(1).toIntOption.getOrElse(
+            Int.MaxValue), b)
+        }
+        s"<h3>${esc(cn)}</h3>" + svgCompareBars(sorted.toSeq.map(r =>
+          (r.getString(1), r.getLong(2) / totR, r.getLong(3) / totC)))
+      }.mkString("\n")
+    model.refCounts.unpersist()
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>table{border-collapse:collapse}td,th{border:1px solid #999;padding:2px 6px;font:12px monospace}</style>
+       |</head><body>
+       |<h1>${esc(title)}</h1>
+       |<p>reference (blue) vs current (orange) over the reference's frozen bins</p>
+       |<h2>PSI per column</h2>
+       |$psiT
+       |<h2>KS per numeric/datetime column</h2>
+       |$ksT
+       |<h2>New categories (current values unseen in reference)</h2>
+       |$alertsT
+       |<h2>Distributions</h2>
+       |$charts
+       |</body></html>""".stripMargin
+  }
+
+  def writeCompareHtml(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+                       path: String, title: String = "DriftReport"): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, compareHtml(ref, cur, cols, title))
+  }
+
   private def rowsToJson(cols: Seq[String], rows: Array[Row]): String = {
     import graft.plans.Json
     Json.arr(rows.toSeq.map { r =>

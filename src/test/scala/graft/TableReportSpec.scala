@@ -127,4 +127,33 @@ class TableReportSpec extends AnyFunSuite {
     Seq("sample", "value_counts", "histograms", "associations", "stats_columns")
       .foreach(k => assert(data.contains(k), s"missing payload section $k"))
   }
+
+  test("compareHtml renders the drift report: PSI/KS tables, alerts, dual charts") {
+    val ref = (1 to 200).map(i =>
+      (i.toDouble, if (i % 3 == 0) "a" else "b")).toDF("x", "cat")
+    val cur = (1 to 200).map(i =>
+      (i.toDouble + 100, if (i % 5 == 0) "z" else "b")).toDF("x", "cat")
+    val html = TableReport.compareHtml(ref, cur, Seq("x", "cat"),
+      title = "d<rift>")
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("d&lt;rift&gt;"))
+    Seq("PSI per column", "KS per numeric/datetime column",
+      "New categories", "Distributions").foreach(h =>
+      assert(html.contains(s"<h2>$h"), s"missing section $h"))
+    // the numbers in the tables ARE the Drift family's outputs
+    val psi = graft.operators.Drift.psi(ref, cur, Seq("x", "cat"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    psi.values.foreach(v => assert(html.contains(s"<td>$v</td>"), s"psi $v"))
+    val ks = graft.operators.Drift.ks(ref, cur, Seq("x"))
+      .head().getDouble(1)
+    assert(html.contains(s"<td>$ks</td>"), s"ks $ks")
+    // 'z' is unseen in ref -> it must appear in the alert feed
+    assert(html.contains("<td>z</td>"))
+    // dual charts: one <h3> block per compared column, two bars per bin
+    assert(html.contains("<h3>x</h3><svg"))
+    assert(html.contains("<h3>cat</h3><svg"))
+    assert(html.contains("fill=\"#5b7fa6\"") && html.contains("fill=\"#d08a3e\""))
+    // self-contained: no external assets
+    assert(!html.contains("src=") && !html.contains("href="))
+  }
 }

@@ -412,6 +412,27 @@ class DriftSpec extends AnyFunSuite {
     assert(err.getMessage.contains("newCategories"))
   }
 
+  test("ksStream: micro-batches score the binned CDF against the frozen bins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val model = graft.operators.Drift.fitKs(ref, Seq("x"))
+    val source = MemoryStream[Double]
+    val scores = scala.collection.mutable.Map.empty[Long, Double]
+    val q = graft.operators.Drift.ksStream(model, source.toDF.toDF("x")) {
+      (ksDf, batchId) => scores(batchId) = ksDf.head().getDouble(1)
+    }
+    source.addData((1 to 1000).map(_.toDouble): _*) // batch 0: same dist
+    q.processAllAvailable()
+    source.addData((1 to 1000).map(i => i + 500.0): _*) // batch 1: half shift
+    q.processAllAvailable()
+    q.stop()
+    model.refCounts.unpersist()
+    assert(scores(0L) === 0.0, s"identical batch scored ${scores(0L)}")
+    assert(math.abs(scores(1L) - 0.5) <= 0.02,
+      s"half-range shift scored ${scores(1L)}")
+  }
+
   test("newCatsStream: per-batch unseen values against the frozen vocabulary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
