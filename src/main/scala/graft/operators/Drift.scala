@@ -386,6 +386,33 @@ object Drift {
       StructField("value", StringType, nullable = false)))))
   }
 
+  /** Schema drift between two snapshots: added / removed / type-changed
+    * columns — the third signal of the monitoring trio (distributions
+    * move: psi/ks; values move: newCategories; the frame ITSELF moves:
+    * this). Pure driver-side metadata — ZERO Spark jobs at any corpus
+    * size. One row per change; identical schemas → empty frame.
+    */
+  def schemaDiff(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val r = ref.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val c = cur.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (c.keySet -- r.keySet).toSeq.sorted.map(n =>
+        org.apache.spark.sql.Row(n, "added", null, c(n))) ++
+      (r.keySet -- c.keySet).toSeq.sorted.map(n =>
+        org.apache.spark.sql.Row(n, "removed", r(n), null)) ++
+      (r.keySet & c.keySet).toSeq.sorted.collect {
+        case n if r(n) != c(n) =>
+          org.apache.spark.sql.Row(n, "type_changed", r(n), c(n))
+      }
+    import scala.jdk.CollectionConverters._
+    ref.sparkSession.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("column_name", StringType, nullable = false),
+        StructField("change", StringType, nullable = false),
+        StructField("ref_type", StringType, nullable = true),
+        StructField("cur_type", StringType, nullable = true))))
+      .orderBy(col("change"), col("column_name"))
+  }
+
   /** Live new-category alert feed — `psiStream`'s twin over a `fitNewCats`
     * model; per-batch output is the batch's unseen values.
     */

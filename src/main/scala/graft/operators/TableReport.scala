@@ -407,6 +407,11 @@ object TableReport {
   def compareHtml(ref: DataFrame, cur: DataFrame, cols: Seq[String],
                   title: String = "DriftReport", nBins: Int = 10,
                   maxCats: Int = 10, topAlerts: Int = 50): String = {
+    val schemaT = {
+      val d = Drift.schemaDiff(ref, cur).collect()
+      if (d.isEmpty) "<p>(identical schemas)</p>"
+      else rowsToTable(Seq("column_name", "change", "ref_type", "cur_type"), d)
+    }
     val model = Drift.fitPsi(ref, cols, nBins = nBins, maxCats = maxCats)
     val psiT = renderTable(model.score(cur), cols.length)
     val ordered = cols.filter { c =>
@@ -449,6 +454,8 @@ object TableReport {
        |</head><body>
        |<h1>${esc(title)}</h1>
        |<p>reference (blue) vs current (orange) over the reference's frozen bins</p>
+       |<h2>Schema changes</h2>
+       |$schemaT
        |<h2>PSI per column</h2>
        |$psiT
        |<h2>KS per numeric/datetime column</h2>

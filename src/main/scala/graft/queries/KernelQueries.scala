@@ -194,6 +194,17 @@ object KernelQueries {
       graft.operators.Drift.loadPsi(f, s).scoreKs(cur)
     }),
 
+    // schema drift (r9): the monitoring trio's third signal — added /
+    // removed / type-changed columns between snapshots, pure driver-side
+    // metadata (zero Spark jobs at any corpus size)
+    "q_drift_schema" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val ref = c.drop("c_mktsegment")
+      val cur = c.drop("c_nationkey")
+        .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+      graft.operators.Drift.schemaDiff(ref, cur)
+    }),
+
     "q_drift_newcats_reload" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
       val ref = c.filter(col("c_mktsegment") =!= "MACHINERY")
@@ -566,6 +577,14 @@ object KernelQueries {
     "q_drift_newcats" -> newcatsOracle,
 
     "q_drift_newcats_reload" -> newcatsOracle,
+
+    // the expected diff is static by construction (the query builds the
+    // two snapshots from the same table with known edits)
+    "q_drift_schema" ->
+      """SELECT 'c_mktsegment' AS column_name, 'added' AS change,
+        |       CAST(NULL AS VARCHAR) AS ref_type, 'string' AS cur_type
+        |UNION ALL SELECT 'c_nationkey', 'removed', 'int', NULL
+        |UNION ALL SELECT 'c_acctbal', 'type_changed', 'double', 'string'""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, text,

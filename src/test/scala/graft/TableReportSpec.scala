@@ -137,9 +137,10 @@ class TableReportSpec extends AnyFunSuite {
       title = "d<rift>")
     assert(html.startsWith("<!DOCTYPE html>"))
     assert(html.contains("d&lt;rift&gt;"))
-    Seq("PSI per column", "KS per numeric/datetime column",
+    Seq("Schema changes", "PSI per column", "KS per numeric/datetime column",
       "New categories", "Distributions").foreach(h =>
       assert(html.contains(s"<h2>$h"), s"missing section $h"))
+    assert(html.contains("(identical schemas)")) // same columns here
     // the numbers in the tables ARE the Drift family's outputs
     val psi = graft.operators.Drift.psi(ref, cur, Seq("x", "cat"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -433,6 +433,22 @@ class DriftSpec extends AnyFunSuite {
       s"half-range shift scored ${scores(1L)}")
   }
 
+  test("schemaDiff: added/removed/type-changed columns; identical -> empty") {
+    val ref = Seq((1L, "a", 1.0)).toDF("k", "s", "x")
+    assert(graft.operators.Drift.schemaDiff(ref, ref).count() === 0)
+    val cur = Seq((1, "a", true)).toDF("k", "extra", "flag")
+      .select(col("k").cast("int").as("k"), col("extra"), col("flag"))
+    val d = graft.operators.Drift.schemaDiff(ref, cur).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(d("extra") === (("added", null, "string")))
+    assert(d("flag") === (("added", null, "boolean")))
+    assert(d("s") === (("removed", "string", null)))
+    assert(d("x") === (("removed", "double", null)))
+    assert(d("k") === (("type_changed", "bigint", "int")))
+    assert(d.size === 5)
+  }
+
   test("newCatsStream: per-batch unseen values against the frozen vocabulary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
