@@ -44,14 +44,11 @@ object AnnIndex {
     * distance (stored codes × full-precision query, `ArrayDotBytes`), so
     * quantization error enters once, not twice.
     */
-  def write(corpus: DataFrame, vecCol: String, idCol: String, name: String,
-            path: String, planesPerTable: Int = 0, nTables: Int = 16,
-            numBuckets: Int = 32, quantize: Boolean = false): Unit = {
+  private def postingsOf(corpus: DataFrame, vecCol: String, idCol: String,
+                         planes: Int, nTables: Int,
+                         quantize: Boolean): DataFrame = {
     import graft.functions.VecExprs
     val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
-    val planes =
-      if (planesPerTable > 0) planesPerTable
-      else Dedup.planesFor(raw.count())
     val normed = raw
       .repartition(graft.ops.Partitions.cpuSpread(raw), col("corpus_id"))
       .select(col("corpus_id"), Dedup.normalized(col("__v")).as("cv"))
@@ -60,23 +57,48 @@ object AnnIndex {
         posexplode(VecExprs.hyperplaneBuckets(col("cv"), nTables, planes)))
       .select(col("pos").as("tbl"), col("col").as("bkt"),
         col("corpus_id"), col("cv"))
-    val postings =
-      if (!quantize) keyed
-      else {
-        val scale = aggregate(col("cv"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x)))
-        keyed
-          .withColumn("qscale", scale)
-          .select(col("tbl"), col("bkt"), col("corpus_id"), col("qscale"),
-            transform(col("cv"), x =>
-              round(x * lit(127.0) / col("qscale")).cast(ByteType)).as("qv"))
-      }
+    if (!quantize) keyed
+    else {
+      val scale = aggregate(col("cv"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x)))
+      keyed
+        .withColumn("qscale", scale)
+        .select(col("tbl"), col("bkt"), col("corpus_id"), col("qscale"),
+          transform(col("cv"), x =>
+            round(x * lit(127.0) / col("qscale")).cast(ByteType)).as("qv"))
+    }
+  }
+
+  def write(corpus: DataFrame, vecCol: String, idCol: String, name: String,
+            path: String, planesPerTable: Int = 0, nTables: Int = 16,
+            numBuckets: Int = 32, quantize: Boolean = false): Unit = {
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else Dedup.planesFor(corpus.count())
+    val postings = postingsOf(corpus, vecCol, idCol, planes, nTables, quantize)
     val table = postingsTable(name)
     graft.sources.Bucketize.writeBucketed(postings, table,
       s"$path/postings", Seq("tbl", "bkt"), numBuckets)
     corpus.sparkSession.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
       s"'graft.planesPerTable' = '$planes', 'graft.nTables' = '$nTables', " +
       s"'graft.quantized' = '$quantize')")
+  }
+
+  /** Append a new embedding batch to an existing postings index — the
+    * accumulate-over-months half (`DedupIndex.append`'s embedding twin).
+    * Hashing geometry AND quantization mode come from the index's own
+    * table properties, so appended postings are laid out exactly like the
+    * original build; appended rows land in new per-bucket files and probes
+    * stay exchange-free on the index side.
+    */
+  def append(corpus: DataFrame, vecCol: String, idCol: String,
+             name: String): Unit = {
+    val spark = corpus.sparkSession
+    val (planes, tables) = geometry(spark, name)
+    val postings = postingsOf(corpus, vecCol, idCol, planes, tables,
+      quantized(spark, name))
+    graft.sources.Bucketize.appendBucketed(postings, postingsTable(name),
+      Seq("tbl", "bkt"))
   }
 
   /** The (planesPerTable, nTables) geometry persisted with the index. */
@@ -175,6 +197,31 @@ object AnnIndex {
     val centDf = cents.toDF("cid", "cv")
     graft.sources.Bucketize.writeBucketed(centDf, centroidsTable(name),
       s"$path/centroids", Seq("cid"), 1)
+  }
+
+  /** Append a new embedding batch to a persisted k-means IVF index:
+    * assign the batch to the index's STORED centroids (no retraining —
+    * the classic IVF insert) and append the assigned rows to the bucketed
+    * cell table. The quantizer drifts from the true corpus centroids as
+    * the corpus grows; rebuild with `writeKmeans` when recall degrades —
+    * that tradeoff is IVF's, not this implementation's.
+    */
+  def appendKmeans(corpus: DataFrame, vecCol: String, idCol: String,
+                   name: String): Unit = {
+    val spark = corpus.sparkSession
+    val cents: Seq[(Int, Seq[Double])] = spark.table(centroidsTable(name))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .toSeq.sortBy(_._1)
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val assigned = raw
+      .repartition(graft.ops.Partitions.cpuSpread(raw), col("corpus_id"))
+      .select(col("corpus_id"), Dedup.normalized(col("__v")).as("cv"))
+      .withColumn("cid",
+        element_at(SimilaritySearch.nearestCids(cents, col("cv"), 1), 1))
+      .select(col("cid"), col("corpus_id"), col("cv"))
+    graft.sources.Bucketize.appendBucketed(assigned, cellsTable(name),
+      Seq("cid"))
   }
 
   /** Top-k per query against the persisted cells: assign each query to

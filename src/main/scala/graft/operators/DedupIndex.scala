@@ -69,6 +69,25 @@ object DedupIndex {
         s"'graft.nBands' = '$nBands')")
   }
 
+  /** Append a new ingest batch to an existing index — the accumulate-
+    * over-months half of the story (`write` once, then per ingest: `probe`
+    * the batch, route duplicates away, `append` the survivors). The
+    * shingle/band geometry comes from the index's OWN table properties, so
+    * appended rows hash exactly like the original layout — the caller
+    * cannot desynchronize the index against itself. Appended rows land in
+    * new per-bucket files: probes stay exchange-free on the index side.
+    * The caller is responsible for id uniqueness across ingests (probe +
+    * route-away gives it naturally).
+    */
+  def append(df: DataFrame, textCol: String, idCol: String,
+             name: String): Unit = {
+    val (n, rowsPerBand, nBands) = geometry(df.sparkSession, name)
+    val (bands, docs) = parts(df, textCol, idCol, n, rowsPerBand, nBands)
+    graft.sources.Bucketize.appendBucketed(bands, bandsTable(name),
+      Seq("band"))
+    graft.sources.Bucketize.appendBucketed(docs, docsTable(name), Seq("id"))
+  }
+
   /** The (n, rowsPerBand, nBands) geometry persisted with the index. */
   def geometry(spark: SparkSession, name: String): (Int, Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES `${bandsTable(name)}`")

@@ -254,6 +254,21 @@ object DedupQueries {
         "graft_dedup_index_q", minJaccard = 0.2)
     }),
 
+    // incremental ingestion (r9): the index accumulates across TWO ingests
+    // (write one quarter, append the other) and must answer probes exactly
+    // like a one-shot build of the same corpus — same oracle
+    "q_dedup_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idxa")
+        .toString
+      DedupIndex.write(docs.filter(col("doc_id") % 4 === 0), "text", "doc_id",
+        "graft_dedup_index_qa", path, numBuckets = 8)
+      DedupIndex.append(docs.filter(col("doc_id") % 4 === 2), "text",
+        "doc_id", "graft_dedup_index_qa")
+      DedupIndex.probe(docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+        "graft_dedup_index_qa", minJaccard = 0.2)
+    }),
+
     // multi-table hyperplane-LSH near-dup — the registered query IS the
     // scale path (the exact all-pairs variant stays available for small-n
     // tests); 16 tables x 4 planes amplify pair recall to ~0.9 (measured by
@@ -347,6 +362,22 @@ object DedupQueries {
         planesPerTable = 4, nTables = 16, numBuckets = 8)
       AnnIndex.probe(emb.filter(col("vec_id") < 10), "embedding", "vec_id",
         "graft_ann_index_q", k = 5)
+    }),
+
+    // incremental ingestion (r9): even vectors written, odd APPENDED with
+    // geometry read from the layout's own properties — probes must be
+    // bit-identical to the one-shot build (same oracle as q_ann_index)
+    "q_ann_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_idxa")
+        .toString
+      AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), "embedding",
+        "vec_id", "graft_ann_index_qa", path,
+        planesPerTable = 4, nTables = 16, numBuckets = 8)
+      AnnIndex.append(emb.filter(col("vec_id") % 2 === 1), "embedding",
+        "vec_id", "graft_ann_index_qa")
+      AnnIndex.probe(emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        "graft_ann_index_qa", k = 5)
     }),
 
     // SQ8-quantized persisted ANN index: postings store int8 codes +
@@ -505,46 +536,10 @@ object DedupQueries {
 
     "q_dedup_simhash" -> simhashSql,
 
-    "q_dedup_index" ->
-      s"""WITH itok AS (
-         |  SELECT doc_id AS id, $toksSql AS toks FROM documents
-         |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
-         |btok AS (
-         |  SELECT doc_id AS id, $toksSql AS toks FROM documents
-         |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
-         |idocs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM itok),
-         |bdocs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM btok),
-         |isigs AS (
-         |  SELECT id, list_transform(range(0, 16),
-         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
-         |  FROM idocs),
-         |bsigs AS (
-         |  SELECT id, list_transform(range(0, 16),
-         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
-         |  FROM bdocs),
-         |ibands AS (
-         |  SELECT id, unnest(list_transform(range(0, 8),
-         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
-         |  FROM isigs),
-         |bbands AS (
-         |  SELECT id, unnest(list_transform(range(0, 8),
-         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
-         |  FROM bsigs),
-         |cand AS (
-         |  SELECT DISTINCT b.id AS bid, i.id AS iid
-         |  FROM bbands b JOIN ibands i USING (band)),
-         |verif AS (
-         |  SELECT bid, iid,
-         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
-         |  FROM cand JOIN bdocs x ON cand.bid = x.id
-         |            JOIN idocs y ON cand.iid = y.id),
-         |best AS (
-         |  SELECT bid, iid, j, row_number() OVER (
-         |    PARTITION BY bid ORDER BY j DESC, iid ASC) AS rn
-         |  FROM verif WHERE j >= 0.2)
-         |SELECT bid AS id, iid AS match_id, round(j, 6) AS jaccard
-         |FROM best WHERE rn = 1""".stripMargin,
+    "q_dedup_index" -> dedupIndexSql,
+
+    // the incremental-append twin probes the SAME accumulated index
+    "q_dedup_index_append" -> dedupIndexSql,
 
     "q_dedup_canonical" -> {
       val normV = "trim(regexp_replace(lower(v), '[^a-z0-9]+', ' ', 'g'))"
@@ -722,6 +717,8 @@ object DedupQueries {
     // expressions exactly, so the oracle is the same SQL
     "q_ann_index" -> annIvfSql,
 
+    "q_ann_index_append" -> annIvfSql,
+
     "q_ann_recall" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,
@@ -761,4 +758,45 @@ object DedupQueries {
          |  ON e5.query_id = a5.query_id AND e5.corpus_id = a5.corpus_id
          |GROUP BY e5.query_id""".stripMargin
   )
+
+  private def dedupIndexSql: String =
+      s"""WITH itok AS (
+         |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+         |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+         |btok AS (
+         |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+         |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+         |idocs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM itok),
+         |bdocs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM btok),
+         |isigs AS (
+         |  SELECT id, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM idocs),
+         |bsigs AS (
+         |  SELECT id, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM bdocs),
+         |ibands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM isigs),
+         |bbands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM bsigs),
+         |cand AS (
+         |  SELECT DISTINCT b.id AS bid, i.id AS iid
+         |  FROM bbands b JOIN ibands i USING (band)),
+         |verif AS (
+         |  SELECT bid, iid,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+         |  FROM cand JOIN bdocs x ON cand.bid = x.id
+         |            JOIN idocs y ON cand.iid = y.id),
+         |best AS (
+         |  SELECT bid, iid, j, row_number() OVER (
+         |    PARTITION BY bid ORDER BY j DESC, iid ASC) AS rn
+         |  FROM verif WHERE j >= 0.2)
+         |SELECT bid AS id, iid AS match_id, round(j, 6) AS jaccard
+         |FROM best WHERE rn = 1""".stripMargin
 }

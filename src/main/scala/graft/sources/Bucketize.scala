@@ -33,6 +33,35 @@ object Bucketize {
       .saveAsTable(table)
   }
 
+  /** Append `df` to an existing bucketed table with the SAME bucket spec
+    * (Spark validates the spec against the catalog entry and refuses a
+    * mismatch loudly). Appended rows land in new per-bucket files: bucket
+    * pruning and exchange-free joins keep working — Spark just stops
+    * assuming within-bucket sortedness once a bucket has several files,
+    * which trades a local re-sort, never a shuffle. This is the
+    * accumulate-over-months half of the persisted-index story.
+    */
+  def appendBucketed(df: DataFrame, table: String,
+                     keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    require(df.sparkSession.catalog.tableExists(table),
+      s"table $table does not exist — write it with writeBucketed first")
+    df.write.format("parquet").mode("append")
+      .bucketBy(numBucketsOf(df.sparkSession, table), keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** The bucket count recorded in the catalog for a bucketed table —
+    * appends read it from here so they cannot mismatch the layout.
+    */
+  def numBucketsOf(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table is not bucketed"))
+
   /** Number of shuffle exchanges in the (possibly adaptive) physical plan —
     * the assertion primitive for "this join is co-located". Descends into
     * AQE query stages: QueryStageExec is a LEAF node, so a plain `collect`

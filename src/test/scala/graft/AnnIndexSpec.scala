@@ -177,4 +177,56 @@ class AnnIndexSpec extends AnyFunSuite {
         plain.collect().map(_.toSeq).toSet)
     }
   }
+
+  test("append accumulates: write-half + append-half probes like write-full") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val queries = emb.filter(col("vec_id") < 8)
+    val dirF = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_ap_full", dirF,
+      planesPerTable = 4, nTables = 16, numBuckets = 4)
+    // geometry is pinned at write time; append reads it (and the quantize
+    // flag) from the layout's own properties — passing nothing here IS the
+    // desynchronization-proof contract under test
+    val dirI = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), "embedding",
+      "vec_id", "graft_annidx_ap_inc", dirI,
+      planesPerTable = 4, nTables = 16, numBuckets = 4)
+    AnnIndex.append(emb.filter(col("vec_id") % 2 === 1), "embedding",
+      "vec_id", "graft_annidx_ap_inc")
+    def run(name: String) = AnnIndex.probe(queries, "embedding", "vec_id",
+        name, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    val full = run("graft_annidx_ap_full")
+    assert(full.nonEmpty)
+    assert(run("graft_annidx_ap_inc").toSeq === full.toSeq)
+  }
+
+  test("appendKmeans: IVF insert against stored centroids, still bucketed") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    AnnIndex.writeKmeans(half, "embedding", "vec_id", "graft_annidx_km_inc",
+      dir, kClusters = 16, iters = 2, numBuckets = 4)
+    AnnIndex.appendKmeans(emb.filter(col("vec_id") % 2 === 1), "embedding",
+      "vec_id", "graft_annidx_km_inc")
+    // every appended vector is in the cell table, assigned to a stored cid
+    val cells = spark.table(AnnIndex.cellsTable("graft_annidx_km_inc"))
+    assert(cells.count() === emb.count())
+    val cids = spark.table(AnnIndex.centroidsTable("graft_annidx_km_inc"))
+      .select("cid").collect().map(_.getInt(0)).toSet
+    assert(cells.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSet.subsetOf(cids))
+    // a probe near an APPENDED vector must surface it (the insert is live)
+    val probeQ = emb.filter(col("vec_id") % 2 === 1).limit(3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val got = AnnIndex.probeKmeans(probeQ, "embedding", "vec_id",
+      "graft_annidx_km_inc", k = 1, nProbe = 4)
+    val hits = got.collect().map(r => (r.getLong(0) - 1000000L, r.getLong(2)))
+    assert(hits.nonEmpty)
+    hits.foreach { case (q, m) =>
+      assert(m === q, s"query $q (an appended vector, re-id'd) must find " +
+        s"its own appended posting at rank 1, found $m")
+    }
+  }
 }

@@ -129,4 +129,34 @@ class DedupIndexSpec extends AnyFunSuite {
         plain.collect().map(_.toSeq).toSet)
     }
   }
+
+  test("append accumulates: write-half + append-half probes like write-full") {
+    val docs = TestSpark.table("documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val bat = docs.filter(col("doc_id") % 2 === 1)
+    val dirF = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    DedupIndex.write(idx, "text", "doc_id", "graft_didx_ap_full", dirF,
+      numBuckets = 4)
+    val dirI = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    DedupIndex.write(idx.filter(col("doc_id") % 4 === 0), "text", "doc_id",
+      "graft_didx_ap_inc", dirI, numBuckets = 4)
+    DedupIndex.append(idx.filter(col("doc_id") % 4 === 2), "text", "doc_id",
+      "graft_didx_ap_inc")
+    def run(name: String) = DedupIndex.probe(bat, "text", "doc_id", name,
+        minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val full = run("graft_didx_ap_full")
+    assert(full.nonEmpty)
+    assert(run("graft_didx_ap_inc").toSeq === full.toSeq)
+    // multi-file buckets after the append: the probe must STILL read both
+    // index sides as bucketed scans (exchange-free on the index side)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = DedupIndex.probe(bat, "text", "doc_id",
+        "graft_didx_ap_inc", minJaccard = 0.2)
+      probe.collect()
+      assert(Bucketize.bucketedScans(probe) === 2,
+        probe.queryExecution.executedPlan.toString)
+    }
+  }
 }
