@@ -135,24 +135,40 @@ object StreamingRehearsal {
       }
     })
 
-    // ---- query A: gated stream -> persisted-index probes per batch ----
+    // ---- query A: gated stream -> probe, route, APPEND per batch ------
+    // the FULL ingest loop (r9): probe the batch against the ACCUMULATED
+    // index, route near-identical docs (jaccard >= 0.9) away, append the
+    // survivors — so the index grows live and later micro-batches match
+    // against earlier ones, not just the offline 1x build. The claims
+    // under test: per-batch latency stays batch-shaped as the index
+    // accumulates, and appended docs are immediately probe-visible
+    // (cross-copy near-dups get routed once their first copy is in).
     val emb10 = spark.read.parquet(s"$corpusDir/embeddings10.parquet")
     val ingest = gated(source()).writeStream.queryName("ingest")
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/ckpt/ingest")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
+        val matches = graft.operators.DedupIndex.probe(b, "clean_text",
+          "doc_id", "graft_sr_didx", minJaccard = 0.4).persist()
         try {
           val survivors = b.count()
-          val dups = graft.operators.DedupIndex.probe(b, "clean_text",
-            "doc_id", "graft_sr_didx", minJaccard = 0.4).count()
+          val dups = matches.count()
+          val newDocs = b.join(
+            matches.filter(col("jaccard") >= 0.9)
+              .select(col("id").as("doc_id")),
+            Seq("doc_id"), "left_anti").persist()
+          val appended = newDocs.count()
+          graft.operators.DedupIndex.append(newDocs, "clean_text", "doc_id",
+            "graft_sr_didx")
+          newDocs.unpersist()
           val ann = graft.operators.AnnIndex.probe(
             b.select(col("doc_id").as("vec_id"))
               .join(emb10, "vec_id"),
             "embedding", "vec_id", "graft_sr_aidx", k = 5).count()
           println(s"[stream] probe id=$batchId survivors=$survivors " +
-            s"dupMatches=$dups annRows=$ann")
-        } finally b.unpersist()
+            s"dupMatches=$dups appended=$appended annRows=$ann")
+        } finally { matches.unpersist(); b.unpersist() }
       }
       .start()
 
