@@ -101,6 +101,15 @@ object AnnIndex {
       Seq("tbl", "bkt"))
   }
 
+  /** Compact append-accumulated postings into a fresh layout at `newPath`
+    * (`DedupIndex.compact`'s embedding twin); geometry and quantization
+    * properties carry over.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, name: String,
+              newPath: String): Unit =
+    graft.sources.Bucketize.compact(spark, postingsTable(name),
+      s"$newPath/postings")
+
   /** The (planesPerTable, nTables) geometry persisted with the index. */
   def geometry(spark: org.apache.spark.sql.SparkSession,
                name: String): (Int, Int) = {

@@ -88,6 +88,16 @@ object DedupIndex {
     graft.sources.Bucketize.appendBucketed(docs, docsTable(name), Seq("id"))
   }
 
+  /** Compact an append-accumulated index into a fresh layout at `newPath`
+    * (one sorted file per bucket again); geometry properties carry over,
+    * so probes are plan- and result-identical. Run it on the cadence the
+    * append-file count dictates — the classic ingest → compact rhythm.
+    */
+  def compact(spark: SparkSession, name: String, newPath: String): Unit = {
+    graft.sources.Bucketize.compact(spark, bandsTable(name), s"$newPath/bands")
+    graft.sources.Bucketize.compact(spark, docsTable(name), s"$newPath/docs")
+  }
+
   /** The (n, rowsPerBand, nBands) geometry persisted with the index. */
   def geometry(spark: SparkSession, name: String): (Int, Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES `${bandsTable(name)}`")

@@ -56,11 +56,37 @@ object Bucketize {
     * appends read it from here so they cannot mismatch the layout.
     */
   def numBucketsOf(spark: SparkSession, table: String): Int =
+    bucketSpecOf(spark, table).numBuckets
+
+  private def bucketSpecOf(spark: SparkSession, table: String):
+      org.apache.spark.sql.catalyst.catalog.BucketSpec =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
+      .bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"table $table is not bucketed"))
+
+  /** Rewrite an append-accumulated bucketed table into a fresh layout at
+    * `newPath`: months of `appendBucketed` calls leave many small files
+    * per bucket (correct, exchange-free, but small-file-shaped scans and
+    * no within-bucket sort guarantee); compaction restores one sorted
+    * file per bucket-partition. The rewrite goes to a NEW directory and
+    * only then swaps the catalog entry — reading and overwriting the same
+    * path would race the lazy scan against its own deletion. Bucket spec
+    * and table properties (index geometry!) carry over unchanged, so
+    * probes against the compacted index are plan- and result-identical.
+    */
+  def compact(spark: SparkSession, table: String, newPath: String): Unit = {
+    val spec = bucketSpecOf(spark, table)
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft."))
+    val keys = spec.bucketColumnNames
+    writeBucketed(spark.table(table), table, newPath, keys, spec.numBuckets)
+    props.foreach { case (k, v) =>
+      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$k' = '$v')")
+    }
+  }
 
   /** Number of shuffle exchanges in the (possibly adaptive) physical plan —
     * the assertion primitive for "this join is co-located". Descends into

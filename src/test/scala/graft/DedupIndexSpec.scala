@@ -158,5 +158,16 @@ class DedupIndexSpec extends AnyFunSuite {
       assert(Bucketize.bucketedScans(probe) === 2,
         probe.queryExecution.executedPlan.toString)
     }
+    // compaction: rewrite the accumulated layout fresh — fewer files,
+    // geometry properties carried over, probe answers identical
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val beforeFiles = parquetFiles(s"$dirI/bands")
+    val dirC = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    DedupIndex.compact(spark, "graft_didx_ap_inc", dirC)
+    assert(parquetFiles(s"$dirC/bands") < beforeFiles,
+      s"compaction must shrink the file count (before=$beforeFiles)")
+    assert(DedupIndex.geometry(spark, "graft_didx_ap_inc") === ((3, 2, 8)))
+    assert(run("graft_didx_ap_inc").toSeq === full.toSeq)
   }
 }
