@@ -589,6 +589,28 @@ object ScaleRehearsal {
           "doc_id", "src", minDocs = 5)
           .agg(sum(col("n_lines_removed"))).head().getLong(0)
       }),
+      // persisted-index ingest rhythm (r9): build cost grows with the
+      // corpus, but appending a FIXED 500-doc batch must be BATCH-shaped
+      // at any index scale — didx_append runs right after didx_build in
+      // the same suite and appends to the index it just laid out, so its
+      // wall at 10x vs 1x is the claim under test (flat = append never
+      // touches the accumulated corpus)
+      "didx_build" -> (() => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_sr_didx").toString
+        graft.operators.DedupIndex.write(docs, "text", "doc_id",
+          "graft_sr_didx_scale", dir, numBuckets = 32)
+        spark.table(graft.operators.DedupIndex
+          .bandsTable("graft_sr_didx_scale")).count()
+      }),
+      "didx_append" -> (() => {
+        val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+          .limit(500)
+        graft.operators.DedupIndex.append(batch, "text", "doc_id",
+          "graft_sr_didx_scale")
+        500L
+      }),
       // temperature mixing: one tiny per-source aggregate (the map-side
       // partial collapses to |sources| rows per partition), broadcast
       // rates, then a pure codegen'd filter scan — shufW must stay ~0 at
