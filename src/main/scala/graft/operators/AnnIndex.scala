@@ -133,8 +133,19 @@ object AnnIndex {
     * cosine). The candidate join never broadcasts and never reshuffles
     * the corpus: the query batch shuffles to the index's bucket count.
     */
+  /** `allowed` (optional): FILTERED search — restrict matches to the ids
+    * in this one-column frame (semi-join on the candidate set BEFORE
+    * top-k, so k survivors are returned from within the subset). Because
+    * LSH bucket keys are per-vector, filtering candidates is EXACTLY
+    * equivalent to probing an index built on the allowed subset (pinned
+    * in AnnIndexSpec) — the layout serves every slice of the corpus
+    * without per-slice rebuilds. The filter frame joins on corpus_id
+    * (broadcast when small, shuffle of the filter — never the corpus —
+    * when not).
+    */
   def probe(queries: DataFrame, vecCol: String, idCol: String, name: String,
-            k: Int, planesPerTable: Int = 0, nTables: Int = 0): DataFrame = {
+            k: Int, planesPerTable: Int = 0, nTables: Int = 0,
+            allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VecExprs
     val spark = queries.sparkSession
     val (planes, tables) =
@@ -146,7 +157,15 @@ object AnnIndex {
         posexplode(VecExprs.hyperplaneBuckets(col("qv"), tables, planes)))
       .select(col("query_id"), col("qv"),
         col("pos").as("tbl"), col("col").as("bkt"))
-    val postings = spark.table(postingsTable(name))
+    val postings = allowed match {
+      case None => spark.table(postingsTable(name))
+      case Some(a) =>
+        require(a.columns.length == 1,
+          s"allowed must be a one-column id frame, got ${a.columns.mkString(", ")}")
+        spark.table(postingsTable(name)).join(
+          a.select(col(a.columns.head).as("corpus_id")).distinct(),
+          Seq("corpus_id"), "left_semi")
+    }
     // score before deduplicating multi-table hits, same rationale as
     // ivfTopK: once scored, the vectors drop out of the dedup shuffle.
     // SQ8 postings (detected from the layout's own schema, so plain

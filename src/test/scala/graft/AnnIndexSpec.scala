@@ -202,6 +202,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(run("graft_annidx_ap_inc").toSeq === full.toSeq)
   }
 
+  test("filtered probe equals probing an index built on the allowed subset") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val queries = emb.filter(col("vec_id") < 8)
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val dirF = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb, "embedding", "vec_id", "graft_annidx_filt_full",
+      dirF, planesPerTable = 4, nTables = 16, numBuckets = 4)
+    val dirE = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(evens, "embedding", "vec_id", "graft_annidx_filt_sub",
+      dirE, planesPerTable = 4, nTables = 16, numBuckets = 4)
+    val filtered = AnnIndex.probe(queries, "embedding", "vec_id",
+        "graft_annidx_filt_full", k = 5,
+        allowed = Some(evens.select(col("vec_id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    val rebuilt = AnnIndex.probe(queries, "embedding", "vec_id",
+        "graft_annidx_filt_sub", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    assert(filtered.nonEmpty)
+    assert(filtered.toSeq === rebuilt.toSeq)
+    // every match honors the filter
+    filtered.foreach { case (_, _, m, _) => assert(m % 2 === 0L) }
+  }
+
   test("appendKmeans: IVF insert against stored centroids, still bucketed") {
     val emb = TestSpark.table("embeddings").limit(400)
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
