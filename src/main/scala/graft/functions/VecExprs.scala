@@ -425,6 +425,57 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Map an array<string> of subword tokens to vocabulary ids
+    * (array<int>): hash lookup against the FITTED vocabulary carried as
+    * one reference object — O(1) per token, where a Catalyst map literal
+    * would scan linearly per element. Tokens outside the vocabulary map
+    * to -1, keeping out-of-alphabet symbols visible instead of silently
+    * bucketing them (the caller decides the unk policy downstream).
+    */
+  case class TokenIds(child: Expression, vocab: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected array<string> input, got ${other.simpleString}")
+    }
+
+    @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+      var i = 0
+      vocab.foreach { s =>
+        if (!m.containsKey(s)) m.put(s, i)
+        i += 1
+      }
+      m
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        val v = if (s == null) null else idx.get(s.toString)
+        out(i) = if (v == null) -1 else v.intValue()
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenIdsExpr", this, classOf[TokenIds].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Fixed-size token windows with overlap over the normalized token
     * stream — training-example construction (chunk long docs into
     * model-context-sized windows). Chunk i covers tokens
@@ -1056,6 +1107,9 @@ object VecExprs {
 
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeEncode(GraftBridge.expression(c), merges))
+
+  def tokenIds(c: Column, vocab: Seq[String]): Column =
+    GraftBridge.column(TokenIds(GraftBridge.expression(c), vocab))
 
   def tokenWindowHashes(c: Column, n: Int): Column =
     GraftBridge.column(TokenWindowHashes(GraftBridge.expression(c), n))

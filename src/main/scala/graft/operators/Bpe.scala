@@ -37,8 +37,22 @@ import graft.functions.Text
   */
 object Bpe {
 
-  /** Ordered merge rules: (left, right, weighted pair count at selection). */
-  final case class Model(merges: Seq[(String, String, Long)])
+  /** Ordered merge rules: (left, right, weighted pair count at selection)
+    * + the initial single-character alphabet of the capped word table
+    * (sorted) — together they define the VOCABULARY: alphabet symbols
+    * first, then one (possibly duplicate-collapsed) symbol per merge, in
+    * rank order. That is the classic BPE id space a training run needs
+    * (`vocab`/`tokenizeIds`).
+    */
+  final case class Model(merges: Seq[(String, String, Long)],
+                         alphabet: Seq[String] = Nil) {
+    /** Vocabulary in id order: alphabet, then merge outputs, first
+      * occurrence wins (two merges CAN produce the same string —
+      * (a,bc)→abc and (ab,c)→abc — so the id space dedupes).
+      */
+    def vocab: Seq[String] =
+      (alphabet ++ merges.map(m => m._1 + m._2)).distinct
+  }
 
   def fit(corpus: DataFrame, textCol: String, numMerges: Int,
           maxWords: Int = 50000): Model = {
@@ -47,6 +61,8 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    val alphabet = words.flatMap(_._1.toCharArray.map(_.toString))
+      .distinct.sorted.toSeq
     var syms: Array[(Array[String], Long)] =
       words.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -72,7 +88,7 @@ object Bpe {
         k += 1
       }
     }
-    Model(merges.toSeq)
+    Model(merges.toSeq, alphabet)
   }
 
   /** (idCols..., bpe_tokens array<string>) — one codegen'd scan. */
@@ -90,7 +106,8 @@ object Bpe {
       "type" -> Json.str("graft.Bpe.Model"),
       "merges" -> Json.arr(model.merges.map { case (a, b, n) =>
         Json.arr(Seq(Json.str(a), Json.str(b), Json.num(n)))
-      }))))
+      }),
+      "alphabet" -> Json.arr(model.alphabet.map(Json.str)))))
   }
 
   def load(path: String): Model = {
@@ -106,7 +123,10 @@ object Bpe {
           case d: Double => d.toLong
           case other => other.toString.toDouble.toLong
         })
-    })
+    },
+      // absent in pre-r9 files: those models tokenize but cannot id-encode
+      o.get("alphabet").map(_.asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[String])).getOrElse(Nil))
   }
 
   def tokenize(df: DataFrame, textCol: String, idCols: Seq[String],
@@ -114,4 +134,20 @@ object Bpe {
     df.select(idCols.map(col) :+
       graft.functions.VecExprs.bpeEncode(col(textCol),
         model.merges.map(m => (m._1, m._2))).as("bpe_tokens"): _*)
+
+  /** (idCols..., bpe_tokens, token_ids array<int>) — the model-ready id
+    * form: subwords mapped into the fitted vocabulary by a reference-
+    * object hash lookup (`TokenIds` — O(1) per token, codegen'd), -1 for
+    * symbols outside the fitted alphabet. Same pure-scan shape as
+    * `tokenize`.
+    */
+  def tokenizeIds(df: DataFrame, textCol: String, idCols: Seq[String],
+                  model: Model): DataFrame = {
+    require(model.alphabet.nonEmpty,
+      "model has no alphabet (fitted before id support, or hand-built) — " +
+        "refit or construct Model with an alphabet to id-encode")
+    tokenize(df, textCol, idCols, model)
+      .withColumn("token_ids",
+        graft.functions.VecExprs.tokenIds(col("bpe_tokens"), model.vocab))
+  }
 }

@@ -78,4 +78,45 @@ object Pack {
     packed.groupBy(col(groupCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("pack_tokens")).as("tokens"))
+
+  /** The final hop from packed docs to TENSOR-READY training rows: one
+    * row per (shard, pack) with the member documents' token arrays
+    * concatenated in pack order, the member ids, and each document's
+    * START offset into the concatenation — what an attention mask /
+    * cross-doc-masking loader consumes. `truncate` clips the straddling
+    * tail at `budget` (the boundary-aligned window lets a pack overflow
+    * by less than its last doc; a training sequence is ≤ budget long).
+    *
+    * `idsCol` is any array column (token ids from `Bpe.tokenizeIds`,
+    * subword strings, …); offsets count ITS elements, so feed the same
+    * tokenization the packing budget was denominated in.
+    *
+    * Scale shape: ONE groupBy (shard, pack) whose collect_list state is
+    * bounded by the pack budget (≤ 2*budget − 1 tokens by the packing
+    * invariant) — never corpus-sized; ordering is per-pack sort_array,
+    * no window, no global sort.
+    */
+  def toTrainingRows(packed: DataFrame, idsCol: String, groupCol: String,
+                     idCol: String, budget: Long,
+                     truncate: Boolean = true): DataFrame = {
+    require(budget > 0 && budget <= Int.MaxValue, "budget must fit in Int")
+    val agg = packed.groupBy(col(groupCol), col("pack_id"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("k"),
+        coalesce(col(idsCol), array()).as("ids")))).as("__docs"))
+    val lens = transform(col("__docs"), d => size(d.getField("ids")).cast(LongType))
+    // exclusive running total of member lengths; n+1 elements, last = total
+    val starts = aggregate(lens, array(lit(0L)),
+      (acc, n) => concat(acc, array(element_at(acc, -1) + n)))
+    val ids0 = flatten(transform(col("__docs"), d => d.getField("ids")))
+    agg
+      .withColumn("doc_ids", transform(col("__docs"), d => d.getField("k")))
+      .withColumn("__starts", starts)
+      .withColumn("doc_starts",
+        slice(col("__starts"), lit(1), size(col("__docs"))))
+      .withColumn("n_docs", size(col("__docs")).cast(LongType))
+      .withColumn("input_ids",
+        if (truncate) slice(ids0, 1, budget.toInt) else ids0)
+      .withColumn("n_tokens", size(col("input_ids")).cast(LongType))
+      .drop("__docs", "__starts")
+  }
 }

@@ -103,6 +103,27 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("pack_id"),
           col("pack_tokens"))),
 
+    // tensor-ready pack rows (r9): per (shard, pack) the member token
+    // arrays concatenated in pack order with start offsets, truncated at
+    // the budget — what a cross-doc-masking loader consumes. Arrays are
+    // fingerprinted (joined strings / md5) for the cross-engine compare.
+    "q_pack_rows" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", graft.functions.Text.tokens(col("text")))
+        .withColumn("n_toks", size(col("toks"))
+          .cast(org.apache.spark.sql.types.LongType))
+      val packed = graft.operators.Pack.sequences(docs, "n_toks",
+        budget = 256L, groupCol = "source", idCol = "doc_id")
+      graft.operators.Pack.toTrainingRows(packed, "toks", "source",
+          "doc_id", budget = 256L)
+        .select(col("source"), col("pack_id"), col("n_docs"), col("n_tokens"),
+          array_join(transform(col("doc_ids"),
+            x => x.cast("string")), " ").as("doc_ids"),
+          array_join(transform(col("doc_starts"),
+            x => x.cast("string")), " ").as("doc_starts"),
+          md5(array_join(col("input_ids"), " ")).as("seq_fp"))
+    }),
+
     // the shuffled-pack variant: same window, md5(id:seed)-ordered stream
     // per shard — packs must not reproduce ingest adjacency
     "q_pack_shuffled" -> ((s, dir) =>
@@ -502,6 +523,32 @@ object TextQueries {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(pack_tokens) AS BIGINT) AS tokens
          |FROM p GROUP BY source, pack_id""".stripMargin,
+
+    // pack assignment from the CLAMPED counts (packCtes), start offsets
+    // and the concatenation from the ACTUAL token arrays — the Spark
+    // side's exact policy for budget-straddling and oversized docs
+    "q_pack_rows" ->
+      s"""WITH tk2 AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |$packCtes,
+         |m AS (SELECT p.source AS source, p.pack_id AS pack_id,
+         |    p.doc_id AS doc_id, tk2.toks AS toks,
+         |    sum(len(tk2.toks)) OVER (PARTITION BY p.source, p.pack_id
+         |      ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) - len(tk2.toks)
+         |      AS start
+         |  FROM p JOIN tk2 ON p.doc_id = tk2.doc_id),
+         |g AS (SELECT source, pack_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ' ')
+         |      AS doc_ids,
+         |    array_to_string(list(CAST(start AS VARCHAR) ORDER BY doc_id), ' ')
+         |      AS doc_starts,
+         |    flatten(list(toks ORDER BY doc_id)) AS seq
+         |  FROM m GROUP BY source, pack_id)
+         |SELECT source, pack_id, n_docs,
+         |  CAST(least(len(seq), 256) AS BIGINT) AS n_tokens,
+         |  doc_ids, doc_starts,
+         |  md5(array_to_string(seq[1:256], ' ')) AS seq_fp
+         |FROM g""".stripMargin,
 
     // same packing math, md5(id:42)-ordered stream per shard
     "q_pack_shuffled" ->

@@ -41,6 +41,20 @@ object TokenizerQueries {
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
           md5(array_join(col("bpe_tokens"), " ")).as("subword_fp"))
+    }),
+
+    // the id-encoded corpus (r9): subwords mapped into the fitted
+    // vocabulary (sorted alphabet of the capped word table, then merge
+    // outputs in rank order, first occurrence wins; out-of-alphabet
+    // symbols -1) — the oracle rebuilds the identical id space in SQL
+    "q_bpe_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = Bpe.fit(docs, "text", NumMerges, MaxWords)
+      Bpe.tokenizeIds(docs, "text", Seq("doc_id"), m)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_bpe_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            x => x.cast("string")), " ")).as("ids_fp"))
     })
   )
 
@@ -111,8 +125,51 @@ object TokenizerQueries {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN ag USING (doc_id)""".stripMargin
   }
 
+  private val bpeIdsSql = {
+    val encCtes = (1 to NumMerges).map(j =>
+      s"e$j AS (SELECT word, $foldSql AS syms FROM e${j - 1} CROSS JOIN b$j)")
+      .mkString(",\n")
+    val mergeEnts = (1 to NumMerges).map(j =>
+      s"SELECT $j AS j, ml || mr AS s FROM b$j").mkString("\n  UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),
+       |u AS (SELECT unnest(toks) AS w FROM tk),
+       |$fitCtes,
+       |dt AS (SELECT doc_id, pr.pos AS pos, pr.w AS w FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> struct_pack(pos := i, w := toks[i]))) AS pr FROM tk)),
+       |dw AS (SELECT DISTINCT w AS word FROM dt),
+       |e0 AS (SELECT word, regexp_extract_all(word, '.') AS syms FROM dw),
+       |$encCtes,
+       |al AS (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS s FROM w0),
+       |ae AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS seq FROM al),
+       |acnt AS (SELECT count(*) AS a FROM ae),
+       |me AS ($mergeEnts),
+       |ent AS (SELECT s, seq FROM ae
+       |  UNION ALL SELECT me.s, acnt.a + me.j - 1 FROM me, acnt),
+       |vv AS (SELECT s, min(seq) AS seq FROM ent GROUP BY s),
+       |vid AS (SELECT s,
+       |    CAST(row_number() OVER (ORDER BY seq) - 1 AS INTEGER) AS id
+       |  FROM vv),
+       |sy AS (SELECT word, pr.i AS i, pr.s AS s FROM (
+       |  SELECT word, unnest(list_transform(range(1, len(syms) + 1),
+       |    i -> struct_pack(i := i, s := syms[i]))) AS pr FROM e$NumMerges)),
+       |si AS (SELECT word, i, coalesce(vid.id, -1) AS id
+       |  FROM sy LEFT JOIN vid ON sy.s = vid.s),
+       |wi AS (SELECT word, list(CAST(id AS VARCHAR) ORDER BY i) AS idstrs
+       |  FROM si GROUP BY word),
+       |ag AS (SELECT dt.doc_id AS doc_id,
+       |    CAST(sum(len(wi.idstrs)) AS BIGINT) AS n_bpe_tokens,
+       |    md5(array_to_string(flatten(list(wi.idstrs ORDER BY dt.pos)), ' ')) AS ids_fp
+       |  FROM dt JOIN wi ON dt.w = wi.word
+       |  GROUP BY dt.doc_id)
+       |SELECT d.doc_id, coalesce(ag.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  CASE WHEN ag.doc_id IS NULL THEN md5('') ELSE ag.ids_fp END AS ids_fp
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN ag USING (doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql,
-    "q_bpe_tokens" -> bpeTokensSql
+    "q_bpe_tokens" -> bpeTokensSql,
+    "q_bpe_ids" -> bpeIdsSql
   )
 }

@@ -149,6 +149,69 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(stats(("b", 0L)) === (1L, 10L))
   }
 
+  test("Pack.toTrainingRows: pack-ordered concat, start offsets, tail truncation") {
+    // shard a, budget 10: docs of 6,6,6 tokens -> pack 0 = {1,2} (12
+    // tokens, straddle overflow), pack 1 = {3}
+    val docs = Seq(
+      ("a", 1L, (0 until 6).toArray),
+      ("a", 2L, (10 until 16).toArray),
+      ("a", 3L, (20 until 26).toArray)
+    ).toDF("src", "doc_id", "ids")
+      .withColumn("n_toks", size($"ids").cast("long"))
+    val packed = graft.operators.Pack.sequences(docs, "n_toks", 10L,
+      "src", "doc_id")
+    val rows = graft.operators.Pack.toTrainingRows(packed, "ids", "src",
+        "doc_id", budget = 10L)
+      .collect().map(r => r.getAs[Long]("pack_id") -> r).toMap
+    val p0 = rows(0L)
+    assert(p0.getAs[Seq[Long]]("doc_ids") === Seq(1L, 2L))
+    assert(p0.getAs[Seq[Long]]("doc_starts") === Seq(0L, 6L))
+    // 12 concatenated tokens truncate at the 10-token budget
+    assert(p0.getAs[Seq[Int]]("input_ids") ===
+      ((0 until 6) ++ (10 until 14)).toSeq)
+    assert(p0.getAs[Long]("n_tokens") === 10L)
+    assert(p0.getAs[Long]("n_docs") === 2L)
+    val p1 = rows(1L)
+    assert(p1.getAs[Seq[Long]]("doc_ids") === Seq(3L))
+    assert(p1.getAs[Seq[Int]]("input_ids") === (20 until 26).toSeq)
+    // untruncated form keeps the straddling tail intact
+    val raw = graft.operators.Pack.toTrainingRows(packed, "ids", "src",
+        "doc_id", budget = 10L, truncate = false)
+      .collect().map(r => r.getAs[Long]("pack_id") -> r).toMap
+    assert(raw(0L).getAs[Seq[Int]]("input_ids").length === 12)
+  }
+
+  test("Bpe vocab + tokenizeIds: alphabet-first ids, unknowns are -1, round-trip") {
+    val corpus = Seq("low lower lowest low low", "new newer newest new")
+      .toDF("text")
+    val m = graft.operators.Bpe.fit(corpus, "text", numMerges = 4)
+    // alphabet = sorted distinct chars of the word table; vocab prepends it
+    assert(m.alphabet === m.alphabet.sorted)
+    assert(m.alphabet.distinct === m.alphabet)
+    val v = m.vocab
+    assert(v.take(m.alphabet.length) === m.alphabet)
+    assert(v.distinct === v)
+    // ids: every subword of in-alphabet text resolves; an out-of-alphabet
+    // char maps to -1
+    val out = graft.operators.Bpe.tokenizeIds(
+      Seq((1L, "low newest"), (2L, "zzz")).toDF("id", "text"),
+      "text", Seq("id"), m)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[Int](2))).toMap
+    val (toks1, ids1) = out(1L)
+    assert(ids1.length === toks1.length)
+    ids1.zip(toks1).foreach { case (id, t) =>
+      assert(id >= 0 && v(id) === t, s"token $t resolved to id $id")
+    }
+    assert(out(2L)._2.forall(_ === -1), "z is outside the fitted alphabet")
+    // persistence: alphabet (and so the id space) survives save/load
+    val f = java.nio.file.Files.createTempDirectory("bpe_ids").toString + "/m.json"
+    graft.operators.Bpe.save(m, f)
+    val loaded = graft.operators.Bpe.load(f)
+    assert(loaded === m)
+    assert(loaded.vocab === v)
+  }
+
   test("semanticDedup flags the higher id of a near-identical pair only") {
     // two tight groups far apart; within group A ids 1,2 are near-identical
     def v(base: Array[Double], eps: Double) = base.map(_ + eps)
