@@ -589,6 +589,24 @@ object ScaleRehearsal {
           "doc_id", "src", minDocs = 5)
           .agg(sum(col("n_lines_removed"))).head().getLong(0)
       }),
+      // tensor-ready pack rows (r9): the ONE corpus-shuffling hop of the
+      // model-ready tail — collect_list moves the full token stream into
+      // its packs (repartitioning into training shards IS a shuffle; no
+      // way around it and no need for one). Wall and shufW must both grow
+      // ~linearly in tokens, state stays pack-budget-bounded. The sum
+      // consumes input_ids so the concat cannot be pruned.
+      "pack_rows" -> (() => {
+        val toked = docs
+          .withColumn("toks", graft.functions.Text.tokens(col("text")))
+          .withColumn("n_toks", size(col("toks")).cast(
+            org.apache.spark.sql.types.LongType))
+          .withColumn("src", concat(lit("s"), col("doc_id") % 64))
+        val packed = graft.operators.Pack.sequences(toked, "n_toks",
+          budget = 4096L, groupCol = "src", idCol = "doc_id")
+        graft.operators.Pack.toTrainingRows(packed, "toks", "src",
+            "doc_id", budget = 4096L)
+          .agg(sum(size(col("input_ids")))).head().getLong(0)
+      }),
       // persisted-index ingest rhythm (r9): build cost grows with the
       // corpus, but appending a FIXED 500-doc batch must be BATCH-shaped
       // at any index scale — didx_append runs right after didx_build in

@@ -57,12 +57,25 @@ class QuickstartSpec extends AnyFunSuite {
         size = 64, overlap = 8)
       .withColumn("cid", concat($"doc_id", lit(":"), $"chunk_id"))
     val packed = Pack.sequences(
-      Bpe.tokenize(chunks, "chunk_text", Seq("cid", "source"), bpe)
-        .withColumn("n_toks", size($"bpe_tokens").cast("long")),
+      Bpe.tokenizeIds(chunks, "chunk_text", Seq("cid", "source"), bpe)
+        .withColumn("n_toks", size($"token_ids").cast("long")),
       "n_toks", budget = 64L, groupCol = "source", idCol = "cid")
     assert(packed.count() > 0)
     assert(Seq("pack_id", "n_toks").forall(packed.columns.contains),
       s"pack surface changed: ${packed.columns.mkString(", ")}")
+    val shards = Pack.toTrainingRows(packed, "token_ids", "source", "cid",
+      budget = 64L)
+    assert(shards.count() > 0)
+    assert(Seq("input_ids", "doc_starts", "doc_ids", "n_tokens")
+      .forall(shards.columns.contains),
+      s"training-row surface changed: ${shards.columns.mkString(", ")}")
+    // sequences are budget-clipped and offsets stay in range
+    import org.apache.spark.sql.Row
+    shards.select($"n_tokens", $"doc_starts").collect().foreach {
+      case Row(n: Long, starts: scala.collection.Seq[_]) =>
+        assert(n <= 64L)
+        starts.foreach(st => assert(st.asInstanceOf[Long] < 64L))
+    }
 
     // monitoring station: freeze distributions once, score future
     // snapshots against the frozen reference (README drift block)
