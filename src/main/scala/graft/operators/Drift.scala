@@ -130,16 +130,28 @@ object Drift {
     * what makes per-batch scoring one aggregate, not two).
     */
   def fitPsi(ref: DataFrame, cols: Seq[String], nBins: Int = 10,
-             maxCats: Int = 10, eps: Double = 1e-6): PsiModel = {
+             maxCats: Int = 10, eps: Double = 1e-6,
+             cache: Boolean = true): PsiModel = {
     require(cols.nonEmpty, "need at least one column")
     cols.foreach(c => require(ref.columns.contains(c),
       s"column $c must exist in the reference frame"))
     val plans = ColumnAssociations.fitBins(ref, cols, nBins = nBins,
       maxCats = maxCats)
-    val m = PsiModel(plans.specs, null, eps)
-    val refCounts = m.binned(ref, "ref").persist()
-    refCounts.count() // materialize once, before any consumer
-    m.copy(refCounts = refCounts)
+    withRefCounts(PsiModel(plans.specs, null, eps), ref, cache)
+  }
+
+  /** `cache = true`: persist + materialize the bounded per-bin counts so
+    * every later score is ONE aggregate (the score-many estimator shape;
+    * the caller owns the handle — unpersist via `model.refCounts` when
+    * done). `cache = false`: leave them lazy — the one-shot `psi`/`ks`
+    * forms use this so they never leak a cached frame the caller cannot
+    * release.
+    */
+  private def withRefCounts(m: PsiModel, ref: DataFrame,
+                            cache: Boolean): PsiModel = {
+    val rc0 = m.binned(ref, "ref")
+    val rc = if (cache) { val r = rc0.persist(); r.count(); r } else rc0
+    m.copy(refCounts = rc)
   }
 
   /** Persist a fitted drift monitor as plain JSON: eps + per-column bin
@@ -200,7 +212,9 @@ object Drift {
           eps: Double = 1e-6): DataFrame = {
     cols.foreach(c => require(cur.columns.contains(c),
       s"column $c must exist in both frames"))
-    fitPsi(ref, cols, nBins, maxCats, eps).score(cur)
+    // cache = false: the one-shot form returns a frame, not a model —
+    // a persisted refCounts here would leak with no handle to release
+    fitPsi(ref, cols, nBins, maxCats, eps, cache = false).score(cur)
   }
 
   /** Live drift monitor: score each micro-batch against the FROZEN
@@ -211,14 +225,26 @@ object Drift {
     * model's bounded bin counts, nothing accumulates in stream memory.
     */
   def psiStream(model: PsiModel, stream: DataFrame,
-                queryName: String = "drift-psi")(
+                queryName: Option[String] = None)(
       sink: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.queryName(queryName).outputMode("append")
+    scoreStream(stream, queryName, model.score _)(sink)
+
+  /** The one foreachBatch monitor wrapper all three signals share. No
+    * default queryName: Spark auto-assigns unique ids, so any number of
+    * concurrent monitors coexist; name one explicitly for dashboards.
+    */
+  private def scoreStream(stream: DataFrame, queryName: Option[String],
+                          scoreFn: DataFrame => DataFrame)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = stream.writeStream.outputMode("append")
+    queryName.fold(w0)(w0.queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(model.score(batch), batchId)
+        sink(scoreFn(batch), batchId)
       }
       .start()
+  }
 
   /** Kolmogorov–Smirnov statistic per NUMERIC column: sup |F_ref − F_cur|
     * evaluated over the reference's equal-width discretization (bins fit on
@@ -240,7 +266,8 @@ object Drift {
     * so `savePsi`/`loadPsi` persistence and `psiStream`'s shape work for
     * KS monitors unchanged; score with `scoreKs` (or `ksStream`).
     */
-  def fitKs(ref: DataFrame, cols: Seq[String], nBins: Int = 100): PsiModel = {
+  def fitKs(ref: DataFrame, cols: Seq[String], nBins: Int = 100,
+            cache: Boolean = true): PsiModel = {
     require(cols.nonEmpty, "need at least one column")
     cols.foreach { c =>
       require(ref.columns.contains(c),
@@ -255,29 +282,22 @@ object Drift {
     }
     val plans = ColumnAssociations.fitBins(ref, cols, nBins = nBins,
       catThreshold = 1) // always bin: a CDF needs ordered bins
-    val m = PsiModel(plans.specs, null, 0.0)
-    val refCounts = m.binned(ref, "ref").persist()
-    refCounts.count() // materialize once, before any consumer
-    m.copy(refCounts = refCounts)
+    withRefCounts(PsiModel(plans.specs, null, 0.0), ref, cache)
   }
 
   def ks(ref: DataFrame, cur: DataFrame, cols: Seq[String],
          nBins: Int = 100): DataFrame = {
     cols.foreach(c => require(cur.columns.contains(c),
       s"column $c must exist in both frames"))
-    fitKs(ref, cols, nBins).scoreKs(cur)
+    fitKs(ref, cols, nBins, cache = false).scoreKs(cur)
   }
 
   /** Live KS monitor — `psiStream`'s twin over a `fitKs` model. */
   def ksStream(model: PsiModel, stream: DataFrame,
-               queryName: String = "drift-ks")(
+               queryName: Option[String] = None)(
       sink: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.queryName(queryName).outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(model.scoreKs(batch), batchId)
-      }
-      .start()
+    scoreStream(stream, queryName, model.scoreKs _)(sink)
 
   /** New-category alert feed: values present in `cur` but never seen in
     * `ref` — the third signal monitoring stacks pair with psi/ks (psi lumps
@@ -417,12 +437,8 @@ object Drift {
     * model; per-batch output is the batch's unseen values.
     */
   def newCatsStream(model: NewCatsModel, stream: DataFrame,
-                    queryName: String = "drift-newcats")(
+                    queryName: Option[String] = None)(
       sink: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.queryName(queryName).outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(model.score(batch), batchId)
-      }
-      .start()
+    scoreStream(stream, queryName, model.score _)(sink)
 }

@@ -98,11 +98,27 @@ object Pack {
     */
   def toTrainingRows(packed: DataFrame, idsCol: String, groupCol: String,
                      idCol: String, budget: Long,
-                     truncate: Boolean = true): DataFrame = {
+                     truncate: Boolean = true,
+                     shuffleSeed: Option[Long] = None): DataFrame = {
     require(budget > 0 && budget <= Int.MaxValue, "budget must fit in Int")
+    // pack order must REPLAY the order `sequences` streamed the shard in:
+    // pass the SAME shuffleSeed the packing used, or id order (the
+    // default) silently un-shuffles the packs and truncates the wrong
+    // tail doc — the md5 key is prepended to the sort struct so
+    // sort_array reproduces the seeded stream exactly
+    val sorted = shuffleSeed match {
+      case Some(seed) =>
+        sort_array(collect_list(struct(
+          md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+            .as("o"),
+          col(idCol).as("k"),
+          coalesce(col(idsCol), array()).as("ids"))))
+      case None =>
+        sort_array(collect_list(struct(col(idCol).as("k"),
+          coalesce(col(idsCol), array()).as("ids"))))
+    }
     val agg = packed.groupBy(col(groupCol), col("pack_id"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("k"),
-        coalesce(col(idsCol), array()).as("ids")))).as("__docs"))
+      .agg(sorted.as("__docs"))
     val lens = transform(col("__docs"), d => size(d.getField("ids")).cast(LongType))
     // exclusive running total of member lengths; n+1 elements, last = total
     val starts = aggregate(lens, array(lit(0L)),

@@ -70,11 +70,14 @@ object Bucketize {
     * `newPath`: months of `appendBucketed` calls leave many small files
     * per bucket (correct, exchange-free, but small-file-shaped scans and
     * no within-bucket sort guarantee); compaction restores one sorted
-    * file per bucket-partition. The rewrite goes to a NEW directory and
-    * only then swaps the catalog entry — reading and overwriting the same
-    * path would race the lazy scan against its own deletion. Bucket spec
-    * and table properties (index geometry!) carry over unchanged, so
-    * probes against the compacted index are plan- and result-identical.
+    * file per bucket-partition. Crash-safe ordering: the rewrite goes to
+    * a NEW directory under a staging catalog name WITH its properties
+    * already applied, and only then swaps (drop + rename) — a failed
+    * write leaves the live table untouched, and the exposed table always
+    * carries its geometry properties. The residual window is the two
+    * metadata ops of the swap itself. Bucket spec and graft.* table
+    * properties (index geometry!) carry over unchanged, so probes against
+    * the compacted index are plan- and result-identical.
     */
   def compact(spark: SparkSession, table: String, newPath: String): Unit = {
     val spec = bucketSpecOf(spark, table)
@@ -82,10 +85,13 @@ object Bucketize {
       .collect().map(r => r.getString(0) -> r.getString(1))
       .filter(_._1.startsWith("graft."))
     val keys = spec.bucketColumnNames
-    writeBucketed(spark.table(table), table, newPath, keys, spec.numBuckets)
+    val staging = s"${table}__compacting"
+    writeBucketed(spark.table(table), staging, newPath, keys, spec.numBuckets)
     props.foreach { case (k, v) =>
-      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$k' = '$v')")
+      spark.sql(s"ALTER TABLE `$staging` SET TBLPROPERTIES ('$k' = '$v')")
     }
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
   /** Number of shuffle exchanges in the (possibly adaptive) physical plan —

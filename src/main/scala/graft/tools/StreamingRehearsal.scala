@@ -148,27 +148,33 @@ object StreamingRehearsal {
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/ckpt/ingest")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // every persist is released in the finally, whichever step throws
         val b = batch.persist()
-        val matches = graft.operators.DedupIndex.probe(b, "clean_text",
-          "doc_id", "graft_sr_didx", minJaccard = 0.4).persist()
+        var matches: DataFrame = null
+        var newDocs: DataFrame = null
         try {
+          matches = graft.operators.DedupIndex.probe(b, "clean_text",
+            "doc_id", "graft_sr_didx", minJaccard = 0.4).persist()
           val survivors = b.count()
           val dups = matches.count()
-          val newDocs = b.join(
+          newDocs = b.join(
             matches.filter(col("jaccard") >= 0.9)
               .select(col("id").as("doc_id")),
             Seq("doc_id"), "left_anti").persist()
           val appended = newDocs.count()
           graft.operators.DedupIndex.append(newDocs, "clean_text", "doc_id",
             "graft_sr_didx")
-          newDocs.unpersist()
           val ann = graft.operators.AnnIndex.probe(
             b.select(col("doc_id").as("vec_id"))
               .join(emb10, "vec_id"),
             "embedding", "vec_id", "graft_sr_aidx", k = 5).count()
           println(s"[stream] probe id=$batchId survivors=$survivors " +
             s"dupMatches=$dups appended=$appended annRows=$ann")
-        } finally { matches.unpersist(); b.unpersist() }
+        } finally {
+          if (newDocs != null) newDocs.unpersist()
+          if (matches != null) matches.unpersist()
+          b.unpersist()
+        }
       }
       .start()
 
@@ -201,7 +207,7 @@ object StreamingRehearsal {
     }
     val drift = graft.operators.Drift.psiStream(psiModel,
       graft.operators.TextAnalysis.qualityFeatures(source(), "text"),
-      queryName = "drift") { (scores, batchId) =>
+      queryName = Some("drift")) { (scores, batchId) =>
       val top = scores.head(2).map(r =>
         f"${r.getString(0)}=${r.getDouble(1)}%.4f").mkString(" ")
       println(s"[stream] drift id=$batchId top: $top")

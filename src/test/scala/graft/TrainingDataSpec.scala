@@ -181,6 +181,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(raw(0L).getAs[Seq[Int]]("input_ids").length === 12)
   }
 
+  test("toTrainingRows replays the seeded stream order of shuffled packs") {
+    val docs = (1L to 8L).map(i =>
+      ("a", i, (i * 100 until i * 100 + 5).map(_.toInt).toArray))
+      .toDF("src", "doc_id", "ids")
+      .withColumn("n_toks", size($"ids").cast("long"))
+    val seed = Some(7L)
+    val packed = graft.operators.Pack.sequences(docs, "n_toks", 12L,
+      "src", "doc_id", shuffleSeed = seed)
+    // expected per-pack member order = the md5(id:seed) stream order the
+    // window packed in (same key, tie-broken by id)
+    val streamOrder = packed
+      .withColumn("o", md5(concat_ws(":", $"doc_id".cast("string"), lit("7"))))
+      .orderBy($"o", $"doc_id")
+      .select($"pack_id", $"doc_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val rows = graft.operators.Pack.toTrainingRows(packed, "ids", "src",
+        "doc_id", budget = 12L, shuffleSeed = seed)
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[collection.Seq[Long]]("doc_ids").toSeq,
+          r.getAs[collection.Seq[Int]]("input_ids").toSeq)).toMap
+    rows.foreach { case (pid, (dids, ids)) =>
+      assert(dids === streamOrder(pid),
+        s"pack $pid member order must replay the seeded stream")
+      // the concatenation follows the same order (first member's tokens
+      // lead the sequence)
+      assert(ids.take(5) === (dids.head * 100 until dids.head * 100 + 5)
+        .map(_.toInt).toSeq)
+    }
+    // id order and stream order genuinely differ somewhere on this fixture
+    assert(streamOrder.values.exists(v => v != v.sorted),
+      "fixture must exercise a non-id stream order")
+  }
+
   test("Bpe vocab + tokenizeIds: alphabet-first ids, unknowns are -1, round-trip") {
     val corpus = Seq("low lower lowest low low", "new newer newest new")
       .toDF("text")
