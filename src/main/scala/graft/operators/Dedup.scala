@@ -37,6 +37,27 @@ object Dedup {
       .groupBy(col("__fp").as("fingerprint"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** SOFT exact dedup: keep every copy, weight each 1/cluster-size — the
+    * alternative several corpus pipelines prefer to hard dropping (total
+    * per-content mass stays 1, so duplicated pages aren't over-trained on
+    * but rare formatting variants survive). One fingerprint aggregate +
+    * one broadcast-decidable join back; every input row comes back with
+    * (n_copies, dup_weight). Pairs with `Mix`'s sampled flag: use the
+    * weight as a sampling rate or a loss weight downstream.
+    */
+  def duplicationWeights(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    val counts = df
+      .withColumn("__fp", Text.contentFingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(count(lit(1)).as("n_copies"))
+    df.withColumn("__fp", Text.contentFingerprint(col(textCol)))
+      .join(counts, Seq("__fp"))
+      .withColumn("dup_weight",
+        round(lit(1.0) / col("n_copies").cast("double"), 6))
+      .drop("__fp")
+  }
+
   /** Candidate pairs (idA < idB) sharing at least one word-`n`-gram shingle,
     * with exact Jaccard similarity >= `minJaccard`.
     *

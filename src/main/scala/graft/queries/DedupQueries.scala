@@ -227,6 +227,12 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    // soft dedup (r9): every copy kept, weighted 1/cluster-size — the
+    // keep-but-downweight alternative to hard dropping
+    "q_dedup_weights" -> ((s, dir) =>
+      Dedup.duplicationWeights(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"), col("dup_weight"))),
+
     // cutoff ENABLED (df > 25 shingles dropped from the inverted index):
     // the tested configuration is the scale-safe one.
     "q_dedup_jaccard" -> ((s, dir) =>
@@ -492,6 +498,14 @@ object DedupQueries {
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS doc_id,
          |  count(*) AS n_dups
          |FROM documents GROUP BY md5($normSql)""".stripMargin,
+
+    "q_dedup_weights" ->
+      s"""WITH fp AS (SELECT doc_id, md5($normSql) AS f FROM documents),
+         |c AS (SELECT f, CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM fp GROUP BY f)
+         |SELECT doc_id, n_copies,
+         |  round(1.0 / n_copies, 6) AS dup_weight
+         |FROM fp JOIN c USING (f)""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
