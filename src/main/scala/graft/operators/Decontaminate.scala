@@ -141,4 +141,57 @@ object Decontaminate {
       flag(train, bench, textCol, idCol, n).filter(col("contaminated"))
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination (r9): flag corpus items whose EMBEDDING is
+    * within `minCosine` of a benchmark embedding — the paraphrase-level
+    * leakage the n-gram rule cannot see (a reworded eval question shares
+    * no 8-gram with the original). Candidates come from the same
+    * multi-table hyperplane LSH as the ANN family (a corpus item is only
+    * compared against benchmarks sharing a bucket, so recall follows the
+    * table/plane geometry — the measured ~0.9 at 16×4); the benchmark
+    * side is broadcast (eval suites are small by construction), so the
+    * corpus side is ONE pure scan + one id-keyed best aggregate — zero
+    * corpus-sized shuffles at any scale.
+    *
+    * Output: one row per corpus item — (idCol, contaminated, bench_id,
+    * cosine); bench_id/cosine are the best (highest-cosine, ties to the
+    * smallest bench id) match, null when clean.
+    */
+  def semantic(corpus: DataFrame, bench: DataFrame, vecCol: String,
+               idCol: String, minCosine: Double = 0.9,
+               planesPerTable: Int = 4, nTables: Int = 16): DataFrame = {
+    import graft.functions.VecExprs
+    val c = corpus.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), Dedup.normalized(col(vecCol)).as("__nv"))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .select(col("bench_id"), Dedup.normalized(col(vecCol)).as("__bv"))
+    val bPost = b
+      .select(col("bench_id"), col("__bv"),
+        posexplode(VecExprs.hyperplaneBuckets(col("__bv"), nTables,
+          planesPerTable)))
+      .select(col("pos").as("tbl"), col("col").as("bkt"),
+        col("bench_id"), col("__bv"))
+    val cPost = c
+      .select(col(idCol), col("__nv"),
+        posexplode(VecExprs.hyperplaneBuckets(col("__nv"), nTables,
+          planesPerTable)))
+      .select(col(idCol), col("__nv"), col("pos").as("tbl"),
+        col("col").as("bkt"))
+    val best = cPost.join(broadcast(bPost), Seq("tbl", "bkt"))
+      .withColumn("__cos",
+        round(VecExprs.arrayDot(col("__nv"), col("__bv")), 6))
+      .filter(col("__cos") >= minCosine)
+      // best match as a bounded struct-min (no window): highest cosine,
+      // ties to the smallest bench id; abs() normalizes -0.0
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__cos")).as("nj"),
+        col("bench_id").as("b"))).as("best"))
+      .select(col(idCol), col("best.b").as("bench_id"),
+        abs(col("best.nj")).as("cosine"))
+    corpus.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), col("bench_id").isNotNull.as("contaminated"),
+        col("bench_id"), col("cosine"))
+  }
 }

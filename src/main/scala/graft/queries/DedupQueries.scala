@@ -227,6 +227,18 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    // semantic decontamination (r9): corpus items within cosine 0.4 of a
+    // benchmark embedding among LSH-bucket candidates — the paraphrase-
+    // level leakage the n-gram rule cannot see. Synthetic split: vec_id
+    // < 50 plays the benchmark, the rest the corpus.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.semantic(
+        emb.filter(col("vec_id") >= 50),
+        emb.filter(col("vec_id") < 50),
+        "embedding", "vec_id", minCosine = 0.4)
+    }),
+
     // soft dedup (r9): every copy kept, weighted 1/cluster-size — the
     // keep-but-downweight alternative to hard dropping
     "q_dedup_weights" -> ((s, dir) =>
@@ -498,6 +510,33 @@ object DedupQueries {
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS doc_id,
          |  count(*) AS n_dups
          |FROM documents GROUP BY md5($normSql)""".stripMargin,
+
+    "q_decontaminate_semantic" ->
+      s"""WITH v AS ($normVSql),
+         |c AS (SELECT * FROM v WHERE id >= 50),
+         |b AS (SELECT * FROM v WHERE id < 50),
+         |cb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM c),
+         |ct AS (SELECT id, struct_extract(tb, 'tbl') AS tbl,
+         |    struct_extract(tb, 'bkt') AS bkt FROM cb),
+         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM b),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl,
+         |    struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |cand AS (SELECT DISTINCT ct.id AS id, bt.id AS bench_id
+         |  FROM ct JOIN bt ON ct.tbl = bt.tbl AND ct.bkt = bt.bkt),
+         |scored AS (SELECT cand.id, cand.bench_id,
+         |    round(list_sum(list_transform(list_zip(cv.nv, bv.nv),
+         |      p -> p[1] * p[2])), 6) AS cosine
+         |  FROM cand JOIN c cv ON cand.id = cv.id
+         |    JOIN b bv ON cand.bench_id = bv.id),
+         |hits AS (SELECT id, bench_id, cosine,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY cosine DESC, bench_id) AS rn
+         |  FROM scored WHERE cosine >= 0.4),
+         |best AS (SELECT id, bench_id, cosine FROM hits WHERE rn = 1)
+         |SELECT ids.id AS vec_id, best.bench_id IS NOT NULL AS contaminated,
+         |  best.bench_id, best.cosine
+         |FROM (SELECT id FROM v WHERE id >= 50) ids
+         |LEFT JOIN best ON ids.id = best.id""".stripMargin,
 
     "q_dedup_weights" ->
       s"""WITH fp AS (SELECT doc_id, md5($normSql) AS f FROM documents),

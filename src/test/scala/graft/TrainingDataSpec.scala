@@ -122,6 +122,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(fp > clean.size / 20, s"expected visible compounding, saw $fp")
   }
 
+  test("Decontaminate.semantic: embedding-near items flag with best match") {
+    // bench 100 = e1, 101 = e2; corpus: 1 ≈ e1 (flag), 2 = e2 exactly
+    // (flag, cosine 1), 3 orthogonal-ish (clean), 4 null vec (clean row)
+    def vec(xs: Double*) = xs.toArray
+    val corpus = Seq(
+      (1L, vec(0.99, 0.1, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 0, 1))
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, Option.empty[Array[Double]]))
+        .toDF("vec_id", "embedding"))
+    val bench = Seq((100L, vec(1, 0, 0, 0)), (101L, vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Decontaminate.semantic(corpus, bench,
+        "embedding", "vec_id", minCosine = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L)) // one row per corpus item
+    assert(out(1L)._1 && out(1L)._2.contains(100L))
+    assert(out(2L)._1 && out(2L)._2.contains(101L) &&
+      out(2L)._3.contains(1.0))
+    assert(out(3L) === ((false, None, None)))
+    assert(out(4L) === ((false, None, None))) // null embedding -> clean row
+  }
+
   test("Pack.sequences: boundary-aligned packing per shard, oversized docs clamp") {
     val docs = Seq(
       // shard a, budget 10: tokens 6,6,6 -> starts 0,6,12 -> packs 0,0,1
