@@ -159,7 +159,8 @@ object Decontaminate {
     */
   def semantic(corpus: DataFrame, bench: DataFrame, vecCol: String,
                idCol: String, minCosine: Double = 0.9,
-               planesPerTable: Int = 4, nTables: Int = 16): DataFrame = {
+               planesPerTable: Int = 4, nTables: Int = 16,
+               maxBench: Long = 1000000L): DataFrame = {
     import graft.functions.VecExprs
     val c = corpus.select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
@@ -167,6 +168,14 @@ object Decontaminate {
     val b = bench.select(col(idCol).as("bench_id"), col(vecCol))
       .filter(col(vecCol).isNotNull)
       .select(col("bench_id"), Dedup.normalized(col(vecCol)).as("__bv"))
+    // the benchmark side is broadcast ×nTables — guard it LOUDLY (the
+    // gramSet discipline) instead of letting a mis-aimed "bench" frame
+    // OOM executors; flip the arguments or raise the cap deliberately
+    val nBench = b.limit(math.min(maxBench + 1, Int.MaxValue).toInt).count()
+    require(nBench <= maxBench,
+      s"bench side has more than $maxBench embeddings — semantic " +
+        "decontamination broadcasts the benchmark; point the SMALL frame " +
+        "at `bench` (or raise maxBench deliberately)")
     val bPost = b
       .select(col("bench_id"), col("__bv"),
         posexplode(VecExprs.hyperplaneBuckets(col("__bv"), nTables,
