@@ -589,6 +589,17 @@ object ScaleRehearsal {
           "doc_id", "src", minDocs = 5)
           .agg(sum(col("n_lines_removed"))).head().getLong(0)
       }),
+      // semantic decontamination (r9): FIXED 200-vector benchmark
+      // broadcast, Nx corpus side — wall must track the corpus scan and
+      // shufW stay bounded by candidate hits (id-keyed best aggregate),
+      // never corpus-sized. The count consumes the flag output.
+      "decon_semantic" -> (() => {
+        val bench1x = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") < 200)
+        graft.operators.Decontaminate.semantic(
+          emb, bench1x, "embedding", "vec_id", minCosine = 0.4)
+          .filter(col("contaminated")).count()
+      }),
       // tensor-ready pack rows (r9): the ONE corpus-shuffling hop of the
       // model-ready tail — collect_list moves the full token stream into
       // its packs (repartitioning into training shards IS a shuffle; no
