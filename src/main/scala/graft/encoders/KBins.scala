@@ -71,7 +71,9 @@ object KBins {
     val row = df.agg(expr(fn).cast(ArrayType(DoubleType)).as("q")).head()
     val edges =
       if (row.isNullAt(0)) Seq.empty[Double]
-      else row.getSeq[Double](0).filterNot(_.isNaN).distinct
+      else row.getSeq[Double](0).filter(java.lang.Double.isFinite).distinct
+        // finite-only (NaN AND +/-Inf): an infinite edge is useless as a
+        // cut point and poisons the JSON model file (bare Infinity)
     Model(c, edges)
   }
 

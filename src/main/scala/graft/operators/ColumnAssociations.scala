@@ -81,8 +81,7 @@ object ColumnAssociations {
       val den = math.min(rcorr - 1, ccorr - 1)
       if (n > 1 && den > 0) math.sqrt(phi2corr / den) else 0.0
     }
-    val r6 = java.math.BigDecimal.valueOf(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val r6 = round6(v)
     import scala.jdk.CollectionConverters._
     df.sparkSession.createDataFrame(
       Seq(Row(a, b, r6)).asJava,
@@ -257,7 +256,16 @@ object ColumnAssociations {
     //  3. one top-categories job per non-numeric column
     val alwaysCat = cols.filterNot(numericExpr.contains)
     val minMaxExprs = numericExpr.toSeq.flatMap { case (c, e) =>
-      Seq(min(e).as(s"${c}__min"), max(e).as(s"${c}__max"))
+      // NaN sorts ABOVE every double in Spark, so max() returns NaN when
+      // any value is NaN — and a NaN/Inf bin edge poisons the serialized
+      // BinSpec (bare NaN is invalid JSON; Drift.savePsi would write a
+      // file loadPsi can never parse). NaN rows are null-binned anyway
+      // and +/-Inf clamp into the extreme bins, so edges over FINITE
+      // values are the correct contract, not just the serializable one.
+      val finite = when(isnan(e) ||
+        e === Double.PositiveInfinity || e === Double.NegativeInfinity,
+        lit(null)).otherwise(e)
+      Seq(min(finite).as(s"${c}__min"), max(finite).as(s"${c}__max"))
     } ++ extraAggs
     var extras = Map.empty[String, Option[Double]]
     var minMax = Map.empty[String, (Double, Double)]

@@ -81,8 +81,12 @@ object Discovery {
           r.getString(0) -> (sk, nd)
         }.toMap
     val (skL, skR) = (sketchOf(left, lc.toSeq), sketchOf(right, rc.toSeq))
+    // an entirely-null column (or an empty frame) produces no group and is
+    // absent from its sketch map — it can match nothing, so it simply
+    // contributes no pairs (the exact path's melt drops it the same way)
     val rows: Seq[org.apache.spark.sql.Row] = (for {
-      a <- lc.toSeq; b <- rc.toSeq
+      a <- lc.toSeq if skL.contains(a)
+      b <- rc.toSeq if skR.contains(b)
       (sa, na) = skL(a); (sb, nb) = skR(b)
     } yield {
       val u = (sa ++ sb).distinct.sorted.take(k)

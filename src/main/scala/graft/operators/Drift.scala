@@ -63,9 +63,14 @@ object Drift {
       def totalsOf(b: DataFrame, side: String) = b
         .groupBy(col("column_name"))
         .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
+      // the cur totals join is LEFT: a monitored column whose current
+      // snapshot has NO non-null values (a broken upstream feed — the
+      // catastrophic case) must surface as ks = 1.0, not silently vanish
+      // from the result; its cur CDF reads 0 everywhere while the ref CDF
+      // reaches 1.0, so the sup is 1.0 by construction
       val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
         .join(totalsOf(p, "ref"), Seq("column_name"))
-        .join(totalsOf(q, "cur"), Seq("column_name"))
+        .join(totalsOf(q, "cur"), Seq("column_name"), "left")
         .withColumn("__idx", substring(col("bin"), 2, 11).cast(IntegerType))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("column_name")).orderBy(col("__idx"))
@@ -75,7 +80,8 @@ object Drift {
         .withColumn("__cdf_ref",
           sum(coalesce(col("n_ref"), lit(0L))).over(w) / col("tot_ref"))
         .withColumn("__cdf_cur",
-          sum(coalesce(col("n_cur"), lit(0L))).over(w) / col("tot_cur"))
+          when(col("tot_cur").isNull, lit(0.0)).otherwise(
+            sum(coalesce(col("n_cur"), lit(0L))).over(w) / col("tot_cur")))
         .groupBy(col("column_name"))
         .agg(round(max(abs(col("__cdf_ref") - col("__cdf_cur"))), 6).as("ks"),
           count(lit(1)).cast(LongType).as("n_bins"))

@@ -151,14 +151,25 @@ object Multimodal {
                                  pixel_md5: String, mean_luma: Double)
 
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): ImageFeatures = {
+    // NonFatal, not just IOException: ImageIO plugin readers throw
+    // unchecked exceptions on malformed-but-header-valid payloads
+    // (CMMException on broken ICC profiles, ArrayIndexOutOfBounds in the
+    // JPEG reader) — a crawled corpus WILL contain such blobs, and the
+    // quarantine contract is ok=false, never a killed job
     val img =
       try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) ImageFeatures(id, ok = false, 0, 0, 0, "", 0.0)
     else {
       val (w, h) = (img.getWidth, img.getHeight)
       val channels = img.getRaster.getNumBands
-      val sb = new java.lang.StringBuilder(w * h * 6)
+      // stream each pixel row's hex serialization into the digest —
+      // identical md5 to hashing the whole string, O(row) extra memory
+      // instead of ~12 bytes/pixel heap (and w*h*6 overflows Int for
+      // gigapixel payloads)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexDigits = "0123456789abcdef".getBytes
+      val rowBuf = new Array[Byte](w * 6)
       var lumaSum = 0L
       var y = 0
       while (y < h) {
@@ -166,15 +177,17 @@ object Multimodal {
         while (x < w) {
           val rgb = img.getRGB(x, y)
           val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
-          sb.append(f"$r%02x$g%02x$b%02x")
+          val o = x * 6
+          rowBuf(o) = hexDigits(r >> 4); rowBuf(o + 1) = hexDigits(r & 0xf)
+          rowBuf(o + 2) = hexDigits(g >> 4); rowBuf(o + 3) = hexDigits(g & 0xf)
+          rowBuf(o + 4) = hexDigits(b >> 4); rowBuf(o + 5) = hexDigits(b & 0xf)
           lumaSum += r + g + b
           x += 1
         }
+        md.update(rowBuf)
         y += 1
       }
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      val hex = md.map(b => f"${b & 0xff}%02x").mkString
+      val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
       ImageFeatures(id, ok = true, w, h, channels, hex,
         lumaSum.toDouble / (3.0 * w * h))
     }

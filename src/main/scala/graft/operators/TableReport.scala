@@ -561,6 +561,8 @@ object TableReport {
        |var sortState={};
        |function cell(v){return v===null?'<i>null</i>':String(v)
        |  .replace(/&/g,'&amp;').replace(/</g,'&lt;').replace(/>/g,'&gt;');}
+       |function attr(v){return String(v).replace(/&/g,'&amp;')
+       |  .replace(/"/g,'&quot;').replace(/</g,'&lt;').replace(/>/g,'&gt;');}
        |function table(id,cols,rows){
        |  var st=sortState[id];
        |  if(st){rows=rows.slice().sort(function(a,b){
@@ -570,8 +572,10 @@ object TableReport {
        |    return st.d*String(x).localeCompare(String(y));});}
        |  var h='<table id="'+id+'"><tr>'+cols.map(function(c){
        |    var cls=st&&st.c===c?(st.d>0?'sorted-asc':'sorted-desc'):'';
-       |    return '<th class="'+cls+'" onclick="sortBy(\\''+id+'\\',\\''+c+'\\')">'
-       |      +cell(c)+'</th>';}).join('')+'</tr>';
+       |    // column names ride DATA attributes (entity-escaped), never a JS
+       |    // string literal — a quote in a column name cannot break out
+       |    return '<th class="'+cls+'" data-sid="'+attr(id)+'" data-c="'
+       |      +attr(c)+'">'+cell(c)+'</th>';}).join('')+'</tr>';
        |  rows.forEach(function(r){h+='<tr>'+cols.map(function(c){
        |    return '<td>'+cell(r[c])+'</td>';}).join('')+'</tr>';});
        |  return h+'</table>';}
@@ -610,6 +614,9 @@ object TableReport {
        |    ['left_column_name','right_column_name','cramer_v','pearson'],assoc);
        |  document.getElementById('report').innerHTML=h;}
        |document.getElementById('colfilter').addEventListener('input',render);
+       |document.addEventListener('click',function(e){
+       |  var t=e.target&&e.target.closest?e.target.closest('th[data-c]'):null;
+       |  if(t)sortBy(t.getAttribute('data-sid'),t.getAttribute('data-c'));});
        |render();
        |</script></body></html>""".stripMargin
   }

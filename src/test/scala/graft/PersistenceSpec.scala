@@ -77,22 +77,31 @@ class PersistenceSpec extends AnyFunSuite {
 
   test("Drift PsiModel round-trips through JSON save/load") {
     val f = tmpDir("psi") + "/psi.json"
-    // numeric (with NaN), timestamp, and categorical (with null) columns so
-    // all three BinSpec kinds go through the serialize/rebuild path
-    val ref = Seq(
-      (1.0, "2021-01-01 00:00:00", "a"), (2.0, "2021-01-05 00:00:00", "a"),
-      (Double.NaN, "2021-01-09 00:00:00", "b"), (4.0, "2021-01-13 00:00:00", null),
-      (5.0, "2021-01-17 00:00:00", "c"), (6.0, "2021-01-21 00:00:00", "c"),
-      (7.0, "2021-01-25 00:00:00", "a"), (8.0, "2021-01-29 00:00:00", "b")
-    ).toDF("x", "ts_str", "cat")
+    // numeric (with NaN) and timestamp columns get >= catThreshold (30)
+    // DISTINCT values so they genuinely fit as "num"/"ts" BinSpecs (an
+    // 8-row fixture routed ALL columns to "cat" and never exercised the
+    // min/max serialization — the blind spot that hid the NaN-edge bug),
+    // plus a categorical with nulls — all three kinds round-trip
+    val ref = (1 to 40).map { i =>
+      (if (i == 3) Double.NaN else i.toDouble,
+        f"2021-01-${(i % 28) + 1}%02d ${i % 24}%02d:00:00",
+        if (i % 7 == 0) null else s"c${i % 3}")
+    }.toDF("x", "ts_str", "cat")
       .select(col("x"), to_timestamp(col("ts_str")).as("ts"), col("cat"))
     val cur = Seq(
-      (0.5, "2020-12-25 00:00:00", "a"), (9.0, "2021-02-02 00:00:00", "d"),
-      (3.0, "2021-01-11 00:00:00", null), (Double.NaN, "2021-01-15 00:00:00", "b")
+      (0.5, "2020-12-25 00:00:00", "c0"), (90.0, "2021-02-02 00:00:00", "d"),
+      (3.0, "2021-01-11 00:00:00", null), (Double.NaN, "2021-01-15 00:00:00", "c1")
     ).toDF("x", "ts_str", "cat")
       .select(col("x"), to_timestamp(col("ts_str")).as("ts"), col("cat"))
     val model = graft.operators.Drift.fitPsi(ref, Seq("x", "ts", "cat"),
       nBins = 4, maxCats = 2)
+    // the fixture must actually exercise all three spec kinds — and the
+    // NaN in x must NOT poison the fitted numeric edges (NaN-safe min/max)
+    assert(model.specs.map(s => s.col -> s.kind).toMap ===
+      Map("x" -> "num", "ts" -> "ts", "cat" -> "cat"))
+    val xSpec = model.specs.find(_.col == "x").get
+    assert(xSpec.min === 1.0 && xSpec.max === 40.0,
+      s"NaN leaked into the numeric edges: $xSpec")
     graft.operators.Drift.savePsi(model, f)
     val loaded = graft.operators.Drift.loadPsi(f, spark)
     assert(loaded.specs === model.specs) // bin plans survive bit-exactly

@@ -365,6 +365,16 @@ class DriftSpec extends AnyFunSuite {
     assert(!out.contains(("n", "1")))
   }
 
+  test("ks reads 1.0 — not a vanished row — when cur has no non-null values") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val curAllNull = Seq.fill(5)(Option.empty[Double]).toDF("x")
+    val out = graft.operators.Drift.ks(ref, curAllNull, Seq("x")).collect()
+    assert(out.length === 1, "the broken-feed column must still surface")
+    assert(out(0).getString(0) === "x")
+    assert(out(0).getDouble(1) === 1.0,
+      s"total distributional loss must read 1.0, got ${out(0).getDouble(1)}")
+  }
+
   test("fitKs estimator: scoreKs equals the two-frame ks; JSON round-trip") {
     val ref = (1 to 1000).map(_.toDouble).toDF("x")
     val half = (1 to 1000).map(i => i.toDouble + 500).toDF("x")
