@@ -67,7 +67,9 @@ object Drift {
       // snapshot has NO non-null values (a broken upstream feed — the
       // catastrophic case) must surface as ks = 1.0, not silently vanish
       // from the result; its cur CDF reads 0 everywhere while the ref CDF
-      // reaches 1.0, so the sup is 1.0 by construction
+      // reaches 1.0, so the sup is 1.0 by construction. An entirely EMPTY
+      // cur therefore reads 1.0 for every column — for a monitor, "no
+      // data arrived" IS total drift, not a case to stay quiet about
       val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
         .join(totalsOf(p, "ref"), Seq("column_name"))
         .join(totalsOf(q, "cur"), Seq("column_name"), "left")
