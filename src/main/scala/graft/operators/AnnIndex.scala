@@ -258,8 +258,14 @@ object AnnIndex {
     * cid against the bucketed cell scan. Output schema and semantics are
     * exactly `SimilaritySearch.kmeansIvfTopK`'s on the same geometry.
     */
+  /** `allowed` (optional): FILTERED search over the cells, same contract
+    * as `probe`'s — cell assignment is per-vector, so filtering candidates
+    * before top-k equals probing an index built on the subset trained on
+    * the SAME centroids.
+    */
   def probeKmeans(queries: DataFrame, vecCol: String, idCol: String,
-                  name: String, k: Int, nProbe: Int = 8): DataFrame = {
+                  name: String, k: Int, nProbe: Int = 8,
+                  allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VecExprs
     val spark = queries.sparkSession
     val cents: Seq[(Int, Seq[Double])] = spark.table(centroidsTable(name))
@@ -270,7 +276,16 @@ object AnnIndex {
       .select(col("query_id"), Dedup.normalized(col("__v")).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(SimilaritySearch.nearestCids(cents, col("qv"), nProbe)).as("cid"))
-    val scored = spark.table(cellsTable(name)).join(q, Seq("cid"))
+    val cells = allowed match {
+      case None => spark.table(cellsTable(name))
+      case Some(a) =>
+        require(a.columns.length == 1,
+          s"allowed must be a one-column id frame, got ${a.columns.mkString(", ")}")
+        spark.table(cellsTable(name)).join(
+          a.select(col(a.columns.head).as("corpus_id")).distinct(),
+          Seq("corpus_id"), "left_semi")
+    }
+    val scored = cells.join(q, Seq("cid"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
         round(VecExprs.arrayDot(col("cv"), col("qv")), 6))

@@ -227,6 +227,31 @@ class AnnIndexSpec extends AnyFunSuite {
     filtered.foreach { case (_, _, m, _) => assert(m % 2 === 0L) }
   }
 
+  test("filtered probeKmeans honors the allowed subset") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val queries = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.writeKmeans(emb, "embedding", "vec_id", "graft_annidx_km_filt",
+      dir, kClusters = 16, iters = 2, numBuckets = 4)
+    val evens = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val got = AnnIndex.probeKmeans(queries, "embedding", "vec_id",
+        "graft_annidx_km_filt", k = 5, nProbe = 4, allowed = Some(evens))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(2) % 2 === 0L,
+      s"match ${r.getLong(2)} violates the filter"))
+    // equals the unfiltered probe post-filtered + re-ranked to k within
+    // the subset (cell assignment is per-vector, so candidates agree)
+    val viaPost = AnnIndex.probeKmeans(queries, "embedding", "vec_id",
+        "graft_annidx_km_filt", k = 400, nProbe = 4)
+      .filter(col("corpus_id") % 2 === 0)
+      .collect().groupBy(_.getLong(0)).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r.getDouble(3), r.getLong(2))).take(5).toSeq
+      }.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      === viaPost)
+  }
+
   test("appendKmeans: IVF insert against stored centroids, still bucketed") {
     val emb = TestSpark.table("embeddings").limit(400)
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
