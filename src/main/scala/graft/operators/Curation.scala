@@ -88,6 +88,47 @@ object Curation {
     * Output: one row per input doc — idCol, sourceCol, the six stage
     * verdicts, the audit payloads (avg_nll, mix rate) and final `kept`.
     */
+  /** DATASET CARD (beyond reference — the release artifact a curation run
+    * ships with its corpus): retention totals, per-stage pass rates, and
+    * the per-source funnel (docs → curated → sampled, with mix rates),
+    * rendered as self-contained markdown from ONE bounded aggregate over
+    * the verdict frame (global + per-source rows — |sources|+1 rows ever
+    * leave the executors). Feed it `sweepFull`'s output.
+    */
+  def datasetCard(verdicts: DataFrame, sourceCol: String,
+                  title: String = "Dataset card"): String = {
+    val stages = Seq("quality_ok", "repetition_ok", "lm_ok", "exact_unique",
+      "mix_sampled", "kept")
+    def aggs(prefix: String) =
+      count(lit(1)).as(s"${prefix}n") +:
+        (stages.map(s => sum(col(s).cast("long")).as(s"$prefix$s")) :+
+          sum((!col("contaminated")).cast("long")).as(s"${prefix}clean") :+
+          round(avg(col("rate")), 6).as(s"${prefix}rate"))
+    val g = verdicts.agg(aggs("g_").head, aggs("g_").tail: _*).collect()(0)
+    val perSource = verdicts.groupBy(col(sourceCol))
+      .agg(aggs("s_").head, aggs("s_").tail: _*)
+      .orderBy(col(sourceCol)).collect()
+    val n = g.getAs[Long]("g_n").toDouble
+    def pct(x: Long) = f"${100.0 * x / math.max(1.0, n)}%.1f%%"
+    val sb = new StringBuilder
+    sb ++= s"# $title\n\n"
+    sb ++= f"Documents in: ${n.toLong}%d — kept: ${g.getAs[Long]("g_kept")}%d " +
+      s"(${pct(g.getAs[Long]("g_kept"))})\n\n"
+    sb ++= "## Stage pass rates\n\n| stage | passed | rate |\n|---|---|---|\n"
+    (stages.filterNot(_ == "kept").map(s => s -> g.getAs[Long](s"g_$s")) :+
+      ("not_contaminated" -> g.getAs[Long]("g_clean"))).foreach {
+      case (s, v) => sb ++= s"| $s | $v | ${pct(v)} |\n"
+    }
+    sb ++= "\n## Sources\n\n| source | docs | curated survivors sampled | " +
+      "kept | mean mix rate |\n|---|---|---|---|---|\n"
+    perSource.foreach { r =>
+      sb ++= s"| ${r.getAs[String](sourceCol)} | ${r.getAs[Long]("s_n")} | " +
+        s"${r.getAs[Long]("s_mix_sampled")} | ${r.getAs[Long]("s_kept")} | " +
+        s"${Option(r.getAs[Any]("s_rate")).getOrElse("—")} |\n"
+    }
+    sb.toString
+  }
+
   def sweepFull(docs: DataFrame, bench: DataFrame, textCol: String,
                 idCol: String, sourceCol: String, decontaminateN: Int = 8,
                 lmVocabSize: Int = 20000, lmMinCount: Long = 2L,

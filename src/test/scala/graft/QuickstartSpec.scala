@@ -45,6 +45,18 @@ class QuickstartSpec extends AnyFunSuite {
     assert(fullCkpt.orderBy("doc_id").collect().toSeq ===
       full.orderBy("doc_id").collect().toSeq)
 
+    // dataset card: the release artifact, from ONE bounded aggregate
+    val card = Curation.datasetCard(full, "source")
+    assert(card.startsWith("# Dataset card"))
+    val keptN = full.filter($"kept").count()
+    assert(card.contains(s"kept: $keptN ("), card.take(200))
+    Seq("| quality_ok |", "| repetition_ok |", "| lm_ok |",
+      "| not_contaminated |", "## Sources").foreach(sec =>
+      assert(card.contains(sec), s"card missing $sec"))
+    // every source appears as a funnel row
+    full.select($"source").distinct().collect().map(_.getString(0))
+      .foreach(src => assert(card.contains(s"| $src |"), s"missing $src"))
+
     // near-dup pruning on embeddings (SemDeDup shape)
     val emb = TestSpark.table("embeddings")  // vec_id, embedding
     val dups = Dedup.semanticDedup(emb, "embedding", "vec_id", minCosine = 0.95)
