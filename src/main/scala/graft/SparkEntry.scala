@@ -39,7 +39,7 @@ object SparkEntry {
       TextQueries.queries ++ EncoderQueries.queries ++
       FuzzyJoinQueries.queries ++ CleanerQueries.queries ++ KernelQueries.queries ++
       StreamingQueries.queries ++ ProofQueries.queries ++ LmQueries.queries ++
-      TokenizerQueries.queries
+      TokenizerQueries.queries ++ RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check.
@@ -49,5 +49,5 @@ object SparkEntry {
       TextQueries.oracle ++ EncoderQueries.oracle ++
       FuzzyJoinQueries.oracle ++ CleanerQueries.oracle ++ KernelQueries.oracle ++
       StreamingQueries.oracle ++ ProofQueries.oracle ++ LmQueries.oracle ++
-      TokenizerQueries.oracle
+      TokenizerQueries.oracle ++ RetrievalQueries.oracle
 }

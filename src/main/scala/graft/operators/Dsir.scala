@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., 2023,
+  * "Data Selection for Language Models via Importance Resampling").
+  * Selects raw-corpus documents whose hashed-n-gram distribution looks like
+  * a (small, high-quality) target corpus:
+  *
+  *   1. fit: hash word bigrams into B buckets; estimate two bag-of-buckets
+  *      unigram models — p_target(b) and p_raw(b) — with add-0.5 smoothing.
+  *   2. weight: log importance weight of a document is
+  *      λ(d) = Σ_g ln(p_target(bucket(g)) / p_raw(bucket(g))).
+  *   3. resample: Gumbel-top-k over λ(d) + Gumbel(0,1) noise — sampling
+  *      WITHOUT replacement proportional to the importance weights.
+  *
+  * Everything is engine-reproducible: buckets come from md5 (identical in
+  * the SQL oracle), per-gram log-ratios are rounded to 6 dp and summed as
+  * DECIMAL(28,6) (exact, order-independent → `weight_micro` integers), and
+  * the Gumbel noise is derived from md5(doc_id) (deterministic, mirrors
+  * the library's md5-keyed sampling discipline, `Kernel.hexThreshold15`).
+  *
+  * 100 TB shape: `fit` is two corpus scans each reduced to a ≤B-row
+  * aggregate (map-side combine; B defaults to 10k — the model state is
+  * bounded by construction, like `NgramLm`'s top-V tables). The fitted
+  * log-ratio table rides to the executors as an int-indexed array literal
+  * (O(1) lookup inside codegen — not a map literal, which scans linearly).
+  * `weights`/`resample` are then pure zero-shuffle scans over the raw
+  * corpus plus one top-k. Reference contract: this is the scale
+  * counterpart of skrub's row-selection surface (deduplicate/sample);
+  * algorithm from the published DSIR paper.
+  */
+object Dsir {
+
+  /** Fitted model: per-bucket ln(p_target/p_raw), 6-dp rounded. */
+  case class DsirModel(nBuckets: Int, logRatio: Array[Double]) {
+    def save(path: String): Unit = {
+      val json = s"""{"nBuckets":$nBuckets,"logRatio":[${logRatio.mkString(",")}]}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
+  object DsirModel {
+    def load(path: String): DsirModel = {
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val nb = """"nBuckets":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+      val arr = """"logRatio":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
+      val lr =
+        if (arr.trim.isEmpty) Array.empty[Double]
+        else arr.split(",").map(_.toDouble)
+      require(lr.length == nb,
+        s"DsirModel.load: ${lr.length} ratios for $nb buckets")
+      DsirModel(nb, lr)
+    }
+  }
+
+  /** Hashed-bigram buckets of a text column: one bucket id per word
+    * bigram (documents with <2 tokens hash their whole normalized text —
+    * `Text.wordShingles` fallback, so no document is weightless).
+    */
+  def buckets(text: Column, nBuckets: Int): Column =
+    transform(graft.functions.Text.wordShingles(text, 2),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType) % nBuckets)
+
+  /** Per-bucket gram counts of a corpus: ≤ nBuckets rows. */
+  private def bucketCounts(df: DataFrame, textCol: String, nBuckets: Int): DataFrame =
+    df.select(explode(buckets(coalesce(col(textCol), lit("")), nBuckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Fit the bucketed importance model from a target corpus and the raw
+    * corpus. Both reduce to ≤B-row aggregates; the division and ln happen
+    * driver-side on the bounded arrays.
+    */
+  def fit(raw: DataFrame, target: DataFrame, textCol: String,
+          nBuckets: Int = 10000): DsirModel = {
+    require(nBuckets > 0 && nBuckets <= (1 << 22),
+      s"DsirModel: nBuckets $nBuckets out of (0, 4M] — the model must stay driver-bounded")
+    def counts(df: DataFrame): Array[Long] = {
+      val a = new Array[Long](nBuckets)
+      bucketCounts(df, textCol, nBuckets).collect().foreach { r =>
+        a(r.getLong(0).toInt) = r.getLong(1)
+      }
+      a
+    }
+    val ct = counts(target)
+    val cr = counts(raw)
+    val totT = ct.sum.toDouble + 0.5 * nBuckets
+    val totR = cr.sum.toDouble + 0.5 * nBuckets
+    val lr = Array.tabulate(nBuckets) { i =>
+      val pt = (ct(i) + 0.5) / totT
+      val pr = (cr(i) + 0.5) / totR
+      // same 6-dp rounding the per-gram oracle applies
+      BigDecimal(math.log(pt / pr))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    DsirModel(nBuckets, lr)
+  }
+
+  /** Log importance weight per document as integer micro-nats:
+    * (idCol, weight_micro). Pure scan — the model is an int-indexed array
+    * literal; per-gram 6-dp values sum exactly as DECIMAL(28,6).
+    */
+  def weights(raw: DataFrame, textCol: String, idCol: String,
+              model: DsirModel): DataFrame = {
+    val lrLit = typedLit(model.logRatio.toSeq)
+    val perGram = transform(buckets(coalesce(col(textCol), lit("")), model.nBuckets),
+      b => element_at(lrLit, b.cast(IntegerType) + 1).cast(DecimalType(28, 6)))
+    raw.select(col(idCol).as("doc_id"),
+      (aggregate(perGram, lit(BigDecimal(0)).cast(DecimalType(28, 6)),
+        (acc, x) => (acc + x).cast(DecimalType(28, 6))) * lit(1000000))
+        .cast(LongType).as("weight_micro"))
+  }
+
+  /** Gumbel-top-k importance resample WITHOUT replacement: key(d) =
+    * λ(d) + Gumbel(0,1), take the k largest keys. The Gumbel draw is
+    * md5(doc_id)-derived (60-bit uniform), so the selection is
+    * deterministic and oracle-reproducible. Output: (doc_id,
+    * weight_micro, key_micro, rank), rank 1..k by (key desc, doc_id).
+    */
+  def resample(raw: DataFrame, textCol: String, idCol: String,
+               model: DsirModel, k: Int): DataFrame = {
+    val w = weights(raw, textCol, idCol, model)
+    // u in (0,1): (h60 + 0.5) / 2^60 from the first 15 md5 hex digits
+    val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(DoubleType) + lit(0.5)) / lit(1152921504606846976.0)
+    val gumbelMicro = round(-log(-log(u)) * lit(1000000.0)).cast(LongType)
+    val keyed = w.withColumn("key_micro", col("weight_micro") + gumbelMicro)
+    // sort+limit plans as TakeOrderedAndProject (per-partition top-k, then
+    // one k-row merge) — no global sort; the rank window then runs over k
+    // rows only, so its single partition is bounded by construction.
+    val top = keyed.orderBy(col("key_micro").desc, col("doc_id").asc).limit(k)
+    val win = Window.orderBy(col("key_micro").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(win))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BM25 full-text retrieval over a document corpus — the lexical half of
+  * the retrieval story next to the ANN family (`SimilaritySearch`,
+  * `AnnIndex` cover the embedding half). The reference ecosystem reaches
+  * for this through external search engines; here it is a first-class
+  * Spark operator so corpus curation (dedup → quality gates → retrieval
+  * eval) runs in one engine.
+  *
+  * Scoring is Lucene-flavored BM25:
+  *   idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   tfn(t, d) = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  *   score     = Σ_t idf(t) * tfn(t, d)  over the DISTINCT query terms
+  * with the library's oracle-parity float discipline: each per-term
+  * contribution is rounded to 6 dp, summed as DECIMAL(28,6) (exact,
+  * order-independent), and reported as an integer micro-score
+  * (`score_micro = round(score * 1e6)`), so ranking ties break
+  * deterministically and the whole operator hash-matches a SQL oracle.
+  *
+  * 100 TB shape: the postings build is ONE corpus-token shuffle
+  * (groupBy (doc, term)) plus a vocab-bounded df aggregate; the probe
+  * broadcast-joins the (small) query-term set to postings, so only
+  * candidate postings — rows whose term appears in some query — move into
+  * the (query, doc) score aggregation. Probe cost is ∝ postings of query
+  * terms, independent of corpus width. For a standing corpus, persist the
+  * postings with `buildIndex` (bucketed by term, `graft.sources.Bucketize`)
+  * and probe with zero corpus-side Exchange like `DedupIndex`/`AnnIndex`.
+  */
+object TextSearch {
+
+  /** Tokenized corpus: (id, toks, dl). Empty/null texts keep dl = 0. */
+  private def tokenized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+
+  /** Postings (term, doc_id, tf) + per-doc lengths (doc_id, dl) from a
+    * corpus. One corpus-token shuffle; tf combines map-side.
+    */
+  def postings(df: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val tk = tokenized(df, textCol, idCol)
+    val docLens = tk.select(col("doc_id"), col("dl"))
+    val post = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    (post, docLens)
+  }
+
+  /** BM25 scores for every (query, candidate) pair that shares ≥1 term.
+    * Output: (q_id, doc_id, score_micro: bigint). `queries` is expected to
+    * be small (it is broadcast); the corpus side is `df`.
+    */
+  def scores(df: DataFrame, textCol: String, idCol: String,
+             queries: DataFrame, qTextCol: String, qIdCol: String,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (post, docLens) = postings(df, textCol, idCol)
+    // Corpus stats: N counts every document row (empty docs included — they
+    // are real corpus members for idf purposes); avgdl over the same N.
+    val stats = docLens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val sumDl = stats.getLong(1)
+    require(nDocs > 0, "TextSearch.scores: empty corpus")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+
+    val df_ = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf as a double column; rounding happens once, on the final per-term
+    // contribution (same shape as the SQL oracle).
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5))
+      / (col("df").cast(DoubleType) + lit(0.5)))
+
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+        explode(array_distinct(graft.functions.Text.tokens(coalesce(col(qTextCol), lit("")))))
+          .as("term"))
+      .distinct()
+
+    val tfD = col("tf").cast(DoubleType)
+    val dlD = col("dl").cast(DoubleType)
+    val tfn = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl))))
+
+    post
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(df_.withColumn("idf", idf).drop("df")), Seq("term"))
+      .join(docLens, Seq("doc_id"))
+      .withColumn("contrib", round(col("idf") * tfn, 6).cast(DecimalType(28, 6)))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("q_id"), col("doc_id"),
+        (col("s") * lit(1000000)).cast(LongType).as("score_micro"))
+  }
+
+  /** Top-k BM25 hits per query with a fully deterministic rank:
+    * (score_micro desc, doc_id asc). Output adds `rank` (1-based).
+    */
+  def topk(df: DataFrame, textCol: String, idCol: String,
+           queries: DataFrame, qTextCol: String, qIdCol: String,
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val sc = scores(df, textCol, idCol, queries, qTextCol, qIdCol, k1, b)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  def postingsTable(name: String): String = s"${name}_postings"
+  def lensTable(name: String): String = s"${name}_lens"
+
+  /** Persist the corpus as a standing BM25 index: postings bucketed by
+    * term, doc lengths bucketed by doc id, corpus stats as table
+    * properties. `probe` then touches no corpus-side Exchange: the query
+    * terms broadcast against the bucketed postings scan.
+    */
+  def buildIndex(df: DataFrame, textCol: String, idCol: String,
+                 name: String, path: String, numBuckets: Int = 32): Unit = {
+    val (post, docLens) = postings(df, textCol, idCol)
+    val stats = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    graft.sources.Bucketize.writeBucketed(post, postingsTable(name),
+      s"$path/postings", Seq("term"), numBuckets)
+    graft.sources.Bucketize.writeBucketed(docLens, lensTable(name),
+      s"$path/lens", Seq("doc_id"), numBuckets)
+    df.sparkSession.sql(
+      s"ALTER TABLE `${postingsTable(name)}` SET TBLPROPERTIES (" +
+        s"'graft.bm25.nDocs' = '${stats.getLong(0)}', " +
+        s"'graft.bm25.sumDl' = '${stats.getLong(1)}')")
+  }
+
+  /** Probe a persisted index built by `buildIndex`. Corpus stats come from
+    * the index's own table properties — a probe cannot desynchronize from
+    * the layout it scores against.
+    */
+  def probe(spark: SparkSession, name: String,
+            queries: DataFrame, qTextCol: String, qIdCol: String,
+            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${postingsTable(name)}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val nDocs = props("graft.bm25.nDocs").toLong
+    val avgdl = props("graft.bm25.sumDl").toDouble / nDocs.toDouble
+    val post = spark.table(postingsTable(name))
+    val docLens = spark.table(lensTable(name))
+
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+        explode(array_distinct(graft.functions.Text.tokens(coalesce(col(qTextCol), lit("")))))
+          .as("term"))
+      .distinct()
+    // df over the standing postings: bucketed scan, vocab-bounded agg of
+    // only the terms the queries mention (semi-join pushes the filter).
+    val df_ = post.join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5))
+      / (col("df").cast(DoubleType) + lit(0.5)))
+
+    val tfD = col("tf").cast(DoubleType)
+    val dlD = col("dl").cast(DoubleType)
+    val tfn = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl))))
+
+    val sc = post
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(df_.withColumn("idf", idf).drop("df")), Seq("term"))
+      .join(docLens, Seq("doc_id"))
+      .withColumn("contrib", round(col("idf") * tfn, 6).cast(DecimalType(28, 6)))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("q_id"), col("doc_id"),
+        (col("s") * lit(1000000)).cast(LongType).as("score_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.ops.Kernel
+import graft.operators.{Dsir, TextSearch}
+
+/** BM25 retrieval + DSIR importance-resampling queries, each mirrored
+  * exactly in DuckDB (micro-integer score discipline — see
+  * `operators/TextSearch.scala` / `operators/Dsir.scala` headers).
+  */
+object RetrievalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Kernel.table(s, dir, n)
+
+  private val toksSql = TextQueries.toksSql
+
+  private val NQueries = 8
+  private val QTerms = 6
+  private val TopK = 5
+  private val DsirBuckets = 10000
+  private val DsirK = 20
+
+  /** Deterministic query workload: 8 md5-selected documents, each queried
+    * by its first 6 normalized tokens (shared by q_bm25_scores/_topk).
+    */
+  private def queryDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .limit(NQueries)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.Text.tokens(col("text")), 1, QTerms), " ")
+          .as("q_text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_scores" -> ((s, dir) =>
+      TextSearch.scores(t(s, dir, "documents"), "text", "doc_id",
+        queryDocs(s, dir), "q_text", "q_id")),
+
+    "q_bm25_topk" -> ((s, dir) =>
+      TextSearch.topk(t(s, dir, "documents"), "text", "doc_id",
+        queryDocs(s, dir), "q_text", "q_id", k = TopK)),
+
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("source") ===
+        docs.agg(min(col("source"))).head().getString(0))
+      val model = Dsir.fit(docs, target, "text", DsirBuckets)
+      Dsir.weights(docs, "text", "doc_id", model)
+    }),
+
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("source") ===
+        docs.agg(min(col("source"))).head().getString(0))
+      val model = Dsir.fit(docs, target, "text", DsirBuckets)
+      Dsir.resample(docs, "text", "doc_id", model, DsirK)
+    })
+  )
+
+  /** Shared BM25 CTE chain: tokens → postings/df/lengths/stats → the
+    * md5-selected query terms → per-(q, doc) DECIMAL(28,6) micro-scores.
+    * Float parity: every double literal is written as the same arithmetic
+    * Spark performs (1.2 + 1.0, 1.0 - 0.75 — not pre-folded constants), so
+    * both engines fold the identical IEEE expression tree.
+    */
+  private def bm25Ctes: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS s FROM dl),
+       |post AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY doc_id, w),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |qd AS (SELECT doc_id AS q_id, toks FROM tk
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $NQueries),
+       |qt AS (SELECT DISTINCT q_id, unnest(toks[1:$QTerms]) AS term FROM qd),
+       |sc AS (SELECT qt.q_id, p.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + ((CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE)) + 0.5)
+       |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+       |      * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+       |        / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |          + 0.75 * (CAST(d.dl AS DOUBLE)
+       |            / (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))))), 6)
+       |      AS DECIMAL(28,6)) AS contrib
+       |  FROM post p JOIN qt ON p.term = qt.term
+       |  JOIN dfq ON p.term = dfq.term
+       |  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN st),
+       |ag AS (SELECT q_id, doc_id, sum(contrib) AS sc
+       |  FROM sc GROUP BY q_id, doc_id),
+       |bm AS (SELECT q_id, doc_id,
+       |    CAST(sc * 1000000 AS BIGINT) AS score_micro FROM ag)""".stripMargin
+
+  /** Shared DSIR CTE chain: word-bigram grams (whole-text fallback under 2
+    * tokens) → md5 buckets mod B → target (min source) and raw bucket
+    * counts → per-gram 6-dp log-ratios summed as DECIMAL(28,6) →
+    * wm(doc_id, weight_micro).
+    */
+  private def dsirCtes: String =
+    s"""tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |gr AS (SELECT doc_id, source,
+       |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i + 1]) END AS grams
+       |  FROM tk),
+       |tb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT unnest(grams) AS g FROM gr
+       |        WHERE source = (SELECT min(source) FROM documents))),
+       |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY b),
+       |rb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT unnest(grams) AS g FROM gr)),
+       |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nt,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM rb) AS nr),
+       |db AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, unnest(grams) AS g FROM gr)),
+       |lrs AS (SELECT db.doc_id,
+       |    CAST(round(ln(
+       |      ((CAST(coalesce(ct.c, 0) AS DOUBLE) + 0.5)
+       |        / (CAST(tot.nt AS DOUBLE) + 0.5 * $DsirBuckets))
+       |      / ((CAST(coalesce(cr.c, 0) AS DOUBLE) + 0.5)
+       |        / (CAST(tot.nr AS DOUBLE) + 0.5 * $DsirBuckets))), 6)
+       |      AS DECIMAL(28,6)) AS lr
+       |  FROM db LEFT JOIN ct ON db.b = ct.b LEFT JOIN cr ON db.b = cr.b
+       |  CROSS JOIN tot),
+       |wm AS (SELECT doc_id, CAST(sum(lr) * 1000000 AS BIGINT) AS weight_micro
+       |  FROM lrs GROUP BY doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25_scores" ->
+      s"""WITH $bm25Ctes
+         |SELECT q_id, doc_id, score_micro FROM bm""".stripMargin,
+
+    "q_bm25_topk" ->
+      s"""WITH $bm25Ctes,
+         |rk AS (SELECT q_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm)
+         |SELECT q_id, doc_id, score_micro, rank FROM rk WHERE rank <= $TopK""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, weight_micro FROM wm""".stripMargin,
+
+    "q_dsir_resample" ->
+      s"""WITH $dsirCtes,
+         |ky AS (SELECT doc_id, weight_micro,
+         |    weight_micro + CAST(round(-ln(-ln(
+         |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        + 0.5) / 1152921504606846976.0))) * 1000000) AS BIGINT)
+         |      AS key_micro FROM wm),
+         |rk AS (SELECT doc_id, weight_micro, key_micro,
+         |    row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rank FROM ky)
+         |SELECT doc_id, weight_micro, key_micro, rank FROM rk
+         |WHERE rank <= $DsirK""".stripMargin
+  )
+}

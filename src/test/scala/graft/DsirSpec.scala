@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** DSIR importance resampling: the weights must actually separate
+  * target-like text from the rest, the model must round-trip through
+  * persistence bit-identically, and the resample must be a deterministic
+  * without-replacement top-k.
+  */
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = TestSpark.table("documents")
+    .select(col("doc_id"), col("text"), col("source"))
+
+  private lazy val targetSource =
+    docs.agg(min(col("source"))).head().getString(0)
+
+  test("target-source documents score higher on average than the rest") {
+    val target = docs.filter(col("source") === targetSource)
+    val model = Dsir.fit(docs, target, "text", nBuckets = 2048)
+    val w = Dsir.weights(docs, "text", "doc_id", model)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val means = w.groupBy(col("source") === targetSource)
+      .agg(avg(col("weight_micro"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} must exceed non-target ${means(false)}")
+  }
+
+  test("model save/load round-trips and reproduces weights bit-identically") {
+    val target = docs.filter(col("source") === targetSource)
+    val model = Dsir.fit(docs, target, "text", nBuckets = 512)
+    val p = java.nio.file.Files.createTempDirectory("graft_dsir")
+      .resolve("model.json").toString
+    model.save(p)
+    val back = Dsir.DsirModel.load(p)
+    assert(back.nBuckets === model.nBuckets)
+    assert(back.logRatio.toSeq === model.logRatio.toSeq)
+    val a = Dsir.weights(docs, "text", "doc_id", model)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Dsir.weights(docs, "text", "doc_id", back)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("resample is a deterministic without-replacement top-k") {
+    val target = docs.filter(col("source") === targetSource)
+    val model = Dsir.fit(docs, target, "text", nBuckets = 512)
+    val r1 = Dsir.resample(docs, "text", "doc_id", model, k = 10)
+      .orderBy("rank").collect().map(_.toSeq)
+    val r2 = Dsir.resample(docs, "text", "doc_id", model, k = 10)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(r1.length === 10)
+    assert(r1.toSeq === r2.toSeq, "md5-derived Gumbel draws are deterministic")
+    assert(r1.map(_.head).distinct.length === 10, "without replacement")
+    // ranks are keyed strictly: key_micro non-increasing in rank
+    val keys = r1.map(_(2).asInstanceOf[Long])
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("fit refuses an unbounded bucket count") {
+    intercept[IllegalArgumentException] {
+      Dsir.fit(docs, docs, "text", nBuckets = (1 << 22) + 1)
+    }
+  }
+}

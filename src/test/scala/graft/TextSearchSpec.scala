@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextSearch
+import graft.sources.Bucketize
+
+/** BM25 retrieval: ranking sanity, persisted-index parity with the
+  * in-memory scorer, and the scale contract — a probe against the standing
+  * index computes its df aggregate over the bucketed postings scan without
+  * an Exchange (at 100 TB the absent corpus shuffle IS the feature).
+  */
+class TextSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = TestSpark.table("documents")
+    .select(col("doc_id"), col("text"))
+
+  private lazy val queries = docs
+    .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(4)
+    .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+
+  test("a rare term outranks common ones: idf drives the ranking") {
+    // (the parquet fixture is a random bag over a ~30-word vocabulary, so
+    // "self-retrieval" is not a meaningful property there; the textbook
+    // idf contract is, on a controlled corpus)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilonrare"),
+      (3L, "alpha beta gamma delta alpha beta"),
+      (4L, "alpha beta gamma zeta")).toDF("doc_id", "text")
+    val qs = Seq((10L, "epsilonrare alpha")).toDF("q_id", "q_text")
+    val top = TextSearch.topk(corpus, "text", "doc_id",
+        qs, "q_text", "q_id", k = 4).orderBy("rank")
+      .collect().map(_.getLong(1))
+    assert(top.head === 2L,
+      s"the only doc holding the rare query term must rank first, got ${top.toSeq}")
+    assert(top.length === 4, "every doc shares 'alpha' so all are candidates")
+  }
+
+  test("scores are positive and only for candidates sharing a term") {
+    val qs = Seq((1L, "zzzzunseen wordnotincorpus")).toDF("q_id", "q_text")
+    val sc = TextSearch.scores(docs, "text", "doc_id", qs, "q_text", "q_id")
+    assert(sc.count() === 0L, "terms absent from the corpus must match nothing")
+    val sc2 = TextSearch.scores(docs, "text", "doc_id",
+      queries, "q_text", "q_id")
+    assert(sc2.filter(col("score_micro") <= 0).count() === 0L,
+      "BM25 idf/tfn are positive by construction")
+  }
+
+  test("persisted-index probe is bit-identical to the in-memory scorer " +
+    "and its df aggregate reads the bucketed postings without an Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    TextSearch.buildIndex(docs, "text", "doc_id", "graft_bm25_idx", dir,
+      numBuckets = 4)
+    val got = TextSearch.probe(spark, "graft_bm25_idx",
+      queries, "q_text", "q_id", k = 5)
+    val want = TextSearch.topk(docs, "text", "doc_id",
+      queries, "q_text", "q_id", k = 5)
+    val g = got.orderBy("q_id", "rank").collect().map(_.toSeq)
+    val w = want.orderBy("q_id", "rank").collect().map(_.toSeq)
+    assert(g.toSeq === w.toSeq)
+
+    // the standing postings are bucketed by term: the probe's df aggregate
+    // (groupBy term) must not re-shuffle the corpus
+    val qTerms = queries.select(explode(
+      graft.functions.Text.tokens(col("q_text"))).as("term")).distinct()
+    val dfAgg = spark.table(TextSearch.postingsTable("graft_bm25_idx"))
+      .join(broadcast(qTerms), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    assert(Bucketize.shuffleExchanges(dfAgg) === 0,
+      "df over bucketed postings must be exchange-free")
+    assert(Bucketize.bucketedScans(dfAgg) === 1)
+  }
+}
