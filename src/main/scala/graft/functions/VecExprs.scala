@@ -1087,6 +1087,106 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Hashed word-bigram buckets in ONE pass over the text — the DSIR gram
+    * hasher (operators/Dsir.scala). Semantics mirror `Dsir.buckets`
+    * (Text.wordShingles(c, 2) + md5-first-8-hex mod B, whole-normalized-
+    * text fallback under 2 tokens — no document is weightless) exactly;
+    * the composed higher-order-function form is CodegenFallback and builds
+    * a hex string per gram, this loop reads the raw digest bytes and stays
+    * inside whole-stage codegen (pinned equivalent in DsirSpec).
+    */
+  case class GramBuckets(child: Expression, nBuckets: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    // first 8 md5 hex digits == first 4 digest bytes as unsigned 32-bit
+    private def bucketOf(g: String): Long = {
+      val d = NgramVec.md5Bytes(g)
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      u % nBuckets
+    }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      if (toks.length <= 1)
+        new GenericArrayData(Array[Any](bucketOf(toks.mkString(" "))))
+      else {
+        val out = new Array[Any](toks.length - 1)
+        var i = 0
+        while (i < toks.length - 1) {
+          out(i) = bucketOf(toks(i) + " " + toks(i + 1))
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gbExpr", this, classOf[GramBuckets].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** DSIR log importance weight in micro-nats, ONE pass over the text:
+    * Σ over hashed bigram grams of microRatios(bucket). `microRatios` are
+    * the fitted 6-dp log-ratios in micro units (exact longs), so this
+    * integer sum equals the composed DECIMAL(28,6) aggregate exactly —
+    * order-free by construction, overflow-free in practice (|ratio| stays
+    * well under 40 nats = 4e7 micro; 2^63 / 4e7 ≈ 2e11 grams per document
+    * before a Long could wrap).
+    */
+  case class GramWeightMicro(child: Expression, microRatios: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    private def bucketOf(g: String): Int = {
+      val d = NgramVec.md5Bytes(g)
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (u % microRatios.length).toInt
+    }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      if (toks.length <= 1) microRatios(bucketOf(toks.mkString(" ")))
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < toks.length - 1) {
+          acc += microRatios(bucketOf(toks(i) + " " + toks(i + 1)))
+          i += 1
+        }
+        acc
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gwExpr", this, classOf[GramWeightMicro].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
@@ -1157,4 +1257,10 @@ object VecExprs {
   def arrayDotBytes(q: Column, v: Column): Column =
     GraftBridge.column(ArrayDotBytes(GraftBridge.expression(q),
       GraftBridge.expression(v)))
+
+  def gramBuckets(c: Column, nBuckets: Int): Column =
+    GraftBridge.column(GramBuckets(GraftBridge.expression(c), nBuckets))
+
+  def gramWeightMicro(c: Column, microRatios: Array[Long]): Column =
+    GraftBridge.column(GramWeightMicro(GraftBridge.expression(c), microRatios))
 }

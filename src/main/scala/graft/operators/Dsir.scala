@@ -62,7 +62,11 @@ object Dsir {
 
   /** Hashed-bigram buckets of a text column: one bucket id per word
     * bigram (documents with <2 tokens hash their whole normalized text —
-    * `Text.wordShingles` fallback, so no document is weightless).
+    * `Text.wordShingles` fallback, so no document is weightless). This is
+    * the REFERENCE formulation the SQL oracle mirrors; the hot paths use
+    * the loop-codegen twin `VecExprs.gramBuckets` (higher-order functions
+    * are CodegenFallback and build a hex string per gram — measured 8x on
+    * the rehearsal corpus), pinned equivalent in DsirSpec.
     */
   def buckets(text: Column, nBuckets: Int): Column =
     transform(graft.functions.Text.wordShingles(text, 2),
@@ -70,7 +74,8 @@ object Dsir {
 
   /** Per-bucket gram counts of a corpus: ≤ nBuckets rows. */
   private def bucketCounts(df: DataFrame, textCol: String, nBuckets: Int): DataFrame =
-    df.select(explode(buckets(coalesce(col(textCol), lit("")), nBuckets)).as("bucket"))
+    df.select(explode(graft.functions.VecExprs.gramBuckets(
+        coalesce(col(textCol), lit("")), nBuckets)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
 
   /** Fit the bucketed importance model from a target corpus and the raw
@@ -108,13 +113,14 @@ object Dsir {
     */
   def weights(raw: DataFrame, textCol: String, idCol: String,
               model: DsirModel): DataFrame = {
-    val lrLit = typedLit(model.logRatio.toSeq)
-    val perGram = transform(buckets(coalesce(col(textCol), lit("")), model.nBuckets),
-      b => element_at(lrLit, b.cast(IntegerType) + 1).cast(DecimalType(28, 6)))
+    // 6-dp log-ratios in exact micro-longs: the integer sum inside the
+    // loop expression equals the composed DECIMAL(28,6) aggregate bit for
+    // bit (each logRatio double is the nearest double to a 6-dp decimal,
+    // so round(lr * 1e6) recovers that decimal's micro value exactly)
+    val micro = model.logRatio.map(lr => Math.round(lr * 1e6))
     raw.select(col(idCol).as("doc_id"),
-      (aggregate(perGram, lit(BigDecimal(0)).cast(DecimalType(28, 6)),
-        (acc, x) => (acc + x).cast(DecimalType(28, 6))) * lit(1000000))
-        .cast(LongType).as("weight_micro"))
+      graft.functions.VecExprs.gramWeightMicro(
+        coalesce(col(textCol), lit("")), micro).as("weight_micro"))
   }
 
   /** Gumbel-top-k importance resample WITHOUT replacement: key(d) =

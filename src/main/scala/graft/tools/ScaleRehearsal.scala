@@ -647,7 +647,44 @@ object ScaleRehearsal {
       "mix_sources" -> (() => graft.operators.Mix.temperatureFlag(
         docs.withColumn("src", concat(lit("s"), col("doc_id") % 8)),
         "src", Seq("doc_id"), temperature = 2.0, targetFrac = 0.5)
-        .filter(col("sampled")).count())
+        .filter(col("sampled")).count()),
+      // BM25 standing index (r9): build = ONE corpus-token shuffle, once;
+      // probing a FIXED 8-query workload costs ∝ postings of the query
+      // terms (df grows with the corpus — candidate-linear, never a corpus
+      // re-tokenize), and the df aggregate over the bucketed postings is
+      // exchange-free (TextSearchSpec). Keep both names in any filter:
+      // probe reads the index build just wrote.
+      "bm25_index_build" -> (() => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_sr_bm25").toString
+        graft.operators.TextSearch.buildIndex(docs, "text", "doc_id",
+          "graft_sr_bm25", dir, numBuckets = 32)
+        spark.table(graft.operators.TextSearch
+          .postingsTable("graft_sr_bm25")).count()
+      }),
+      "bm25_probe" -> (() => {
+        val qs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(8)
+          .select(col("doc_id").as("q_id"),
+            array_join(slice(graft.functions.Text.tokens(col("text")), 1, 6),
+              " ").as("q_text"))
+        graft.operators.TextSearch.probe(spark, "graft_sr_bm25",
+          qs, "q_text", "q_id", k = 10).count()
+      }),
+      // DSIR selection (r9): fit = two <=B-row hashed-bucket aggregates
+      // against a FIXED 1x target slice (shufW flat in B while the raw
+      // corpus grows), weights = zero-shuffle codegen scan over the array
+      // literal, resample = TakeOrderedAndProject top-k — wall must track
+      // the corpus scans, shufW stay ~flat. The count consumes the
+      // selection so nothing prunes.
+      "dsir_select" -> (() => {
+        val target = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 17 === 0)
+        val m = graft.operators.Dsir.fit(docs, target, "text",
+          nBuckets = 10000)
+        graft.operators.Dsir.resample(docs, "text", "doc_id", m,
+          k = 1000).count()
+      })
     )
 
     def selected(docs: DataFrame, emb: DataFrame, ord: DataFrame,

@@ -62,6 +62,16 @@ class DsirSpec extends AnyFunSuite {
     assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
   }
 
+  test("loop-codegen gramBuckets matches the composed reference form") {
+    val fixture = docs.select(col("text"))
+      .union(Seq("", "one", "Two tokens", "a  b   c!d").toDF("text"))
+    val both = fixture.select(
+      graft.functions.VecExprs.gramBuckets(coalesce(col("text"), lit("")),
+        997).as("fast"),
+      Dsir.buckets(coalesce(col("text"), lit("")), 997).as("ref"))
+    assert(both.filter(not(col("fast") === col("ref"))).count() === 0L)
+  }
+
   test("fit refuses an unbounded bucket count") {
     intercept[IllegalArgumentException] {
       Dsir.fit(docs, docs, "text", nBuckets = (1 << 22) + 1)
