@@ -172,4 +172,21 @@ object TextSearch {
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Probe a persisted index with a live query stream: each micro-batch of
+    * queries runs the same batch `probe` (same plan, exchange-free df over
+    * the bucketed postings); all state lives in the index layout, not in
+    * stream memory — the search-as-you-ingest twin of
+    * `DedupIndex.probeStream` / `AnnIndex.probeStream`.
+    */
+  def probeStream(stream: DataFrame, qTextCol: String, qIdCol: String,
+                  name: String, k: Int)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probe(batch.sparkSession, name, batch, qTextCol, qIdCol, k),
+          batchId)
+      }
+      .start()
 }

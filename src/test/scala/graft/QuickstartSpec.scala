@@ -63,6 +63,27 @@ class QuickstartSpec extends AnyFunSuite {
     assert(dups.columns.contains("is_dup"))
     assert(dups.count() > 0)
 
+    // DSIR importance resampling toward a reference slice (README block)
+    val reference = docs.filter($"source" ===
+      docs.agg(min($"source")).head().getString(0))
+    val dsir = Dsir.fit(raw = docs, target = reference, "text")
+    val selected = Dsir.resample(docs, "text", "doc_id", dsir, k = 50)
+    assert(selected.count() === 50)
+    assert(Seq("doc_id", "weight_micro", "key_micro", "rank")
+      .forall(selected.columns.contains))
+
+    // BM25 index build + probe (README block; small bucket knob)
+    val bm25Dir = java.nio.file.Files.createTempDirectory("graft_qs_bm25").toString
+    TextSearch.buildIndex(curated, "text", "doc_id", "corpus_bm25", bm25Dir,
+      numBuckets = 4)
+    val userQueries = docs.limit(3)
+      .select($"doc_id".as("q_id"), $"text".as("q_text"))
+    val hits = TextSearch.probe(spark, "corpus_bm25", userQueries,
+      "q_text", "q_id", k = 10)
+    assert(hits.count() > 0)
+    assert(Seq("q_id", "doc_id", "score_micro", "rank")
+      .forall(hits.columns.contains))
+
     // BPE fit + chunk + pack, exactly the README pipeline (small knobs)
     val bpe = Bpe.fit(curated, "text", numMerges = 32)
     val chunks = Chunk.split(curated, "text", Seq("doc_id", "source"),

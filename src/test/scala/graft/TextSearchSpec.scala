@@ -73,4 +73,33 @@ class TextSearchSpec extends AnyFunSuite {
       "df over bucketed postings must be exchange-free")
     assert(Bucketize.bucketedScans(dfAgg) === 1)
   }
+
+  test("probeStream matches the batch probe per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+    TextSearch.buildIndex(docs, "text", "doc_id", "graft_bm25_stream", dir,
+      numBuckets = 4)
+    val qs = queries.collect().map(r => (r.getLong(0), r.getString(1)))
+    val source = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int)]()
+    val query = TextSearch.probeStream(
+      source.toDF().toDF("q_id", "q_text"), "q_text", "q_id",
+      "graft_bm25_stream", k = 3) { (topk, _) =>
+      seen ++= topk.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    }
+    try {
+      val (first, second) = qs.splitAt(qs.length / 2)
+      source.addData(first.toSeq)
+      query.processAllAvailable()
+      source.addData(second.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val direct = TextSearch.probe(spark, "graft_bm25_stream",
+        queries, "q_text", "q_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(seen.nonEmpty)
+    assert(seen.sorted.toSeq === direct.sorted.toSeq)
+  }
 }
