@@ -64,8 +64,9 @@ object TextSearch {
     val stats = docLens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .head()
     val nDocs = stats.getLong(0)
-    val sumDl = stats.getLong(1)
+    // nDocs first: an empty corpus has a NULL sum and getLong would NPE
     require(nDocs > 0, "TextSearch.scores: empty corpus")
+    val sumDl = stats.getLong(1)
     val avgdl = sumDl.toDouble / nDocs.toDouble
 
     val df_ = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -119,6 +120,7 @@ object TextSearch {
                  name: String, path: String, numBuckets: Int = 32): Unit = {
     val (post, docLens) = postings(df, textCol, idCol)
     val stats = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    require(stats.getLong(0) > 0, "TextSearch.buildIndex: empty corpus")
     graft.sources.Bucketize.writeBucketed(post, postingsTable(name),
       s"$path/postings", Seq("term"), numBuckets)
     graft.sources.Bucketize.writeBucketed(docLens, lensTable(name),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 import graft.ops.Kernel
-import graft.operators.{Dsir, TextSearch}
+import graft.operators.{Classify, Dsir, TextSearch}
 
 /** BM25 retrieval + DSIR importance-resampling queries, each mirrored
   * exactly in DuckDB (micro-integer score discipline — see
@@ -56,6 +56,15 @@ object RetrievalQueries {
         docs.agg(min(col("source"))).head().getString(0))
       val model = Dsir.fit(docs, target, "text", DsirBuckets)
       Dsir.resample(docs, "text", "doc_id", model, DsirK)
+    }),
+
+    // nearest-centroid domain tagging: fit on the vec_id % 5 == 0 labeled
+    // seed, classify the whole embeddings table
+    "q_classify_centroid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Classify.fitCentroids(
+        emb.filter(col("vec_id") % 5 === 0), "embedding", "label")
+      Classify.classify(emb, "embedding", "vec_id", model)
     })
   )
 
@@ -143,6 +152,29 @@ object RetrievalQueries {
     "q_dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, weight_micro FROM wm""".stripMargin,
+
+    // mirrors Classify.fitCentroids/classify bit for bit: the k-means
+    // recenter/assign discipline (round-6 centroid coordinates, round-6
+    // L2 assignment with cid tie-break, round-6 cosine) over GIVEN labels
+    "q_classify_centroid" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(label AS VARCHAR) AS lab,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cent AS (SELECT lab, list_transform(range(1, len(vs[1]) + 1),
+         |      i -> round(list_sum(list_transform(vs, e -> e[i])) / len(vs), 6)) AS cv
+         |  FROM (SELECT lab, list(nv) AS vs FROM v WHERE id % 5 = 0 GROUP BY lab)),
+         |cidt AS (SELECT lab, cv,
+         |    row_number() OVER (ORDER BY lab) - 1 AS cid FROM cent),
+         |asg AS (SELECT id, lab AS label_pred, cv, nv FROM (
+         |    SELECT v.id, c.lab, c.cv, v.nv, row_number() OVER (PARTITION BY v.id
+         |      ORDER BY round(list_sum(list_transform(list_zip(v.nv, c.cv),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), c.cid) AS rn
+         |    FROM v CROSS JOIN cidt c) WHERE rn = 1)
+         |SELECT id, label_pred,
+         |  round(list_sum(list_transform(list_zip(nv, cv), p -> p[1] * p[2])), 6) AS cosine
+         |FROM asg""".stripMargin,
 
     "q_dsir_resample" ->
       s"""WITH $dsirCtes,

@@ -684,6 +684,19 @@ object ScaleRehearsal {
           nBuckets = 10000)
         graft.operators.Dsir.resample(docs, "text", "doc_id", m,
           k = 1000).count()
+      }),
+      // nearest-centroid tagging (r9): fit on a FIXED 1x labeled seed
+      // (|labels|*dim bounded state), classify = pure zero-shuffle scan —
+      // wall ~linear, shufW only the tiny fit aggregate. The filter
+      // consumes label_pred + cosine so the scan cannot be pruned.
+      "classify_centroid" -> (() => {
+        val seed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") % 5 === 0)
+        val m = graft.operators.Classify.fitCentroids(seed, "embedding",
+          "label")
+        graft.operators.Classify.classify(emb, "embedding", "vec_id", m)
+          .filter(col("cosine") > -2.0 && col("label_pred").isNotNull)
+          .count()
       })
     )
 
