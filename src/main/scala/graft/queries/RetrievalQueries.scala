@@ -58,6 +58,24 @@ object RetrievalQueries {
       Dsir.resample(docs, "text", "doc_id", model, DsirK)
     }),
 
+    // hybrid retrieval: RRF-fuse the BM25 lexical top-5 with the exact
+    // cosine top-5 of the same 8-query workload (vec_id aligns with doc_id)
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qd = queryDocs(s, dir)
+      val lex = TextSearch.topk(docs, "text", "doc_id",
+          qd, "q_text", "q_id", k = TopK)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val qVecs = emb.join(broadcast(qd.select(col("q_id"))),
+        emb("vec_id") === col("q_id"), "left_semi")
+      val sem = graft.operators.SimilaritySearch.bruteForceTopK(
+          emb, qVecs, "embedding", "vec_id", k = TopK)
+        .select(col("query_id").as("q_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Retrieval.rrf(Seq(lex, sem), k = TopK)
+    }),
+
     // nearest-centroid domain tagging: fit on the vec_id % 5 == 0 labeled
     // seed, classify the whole embeddings table
     "q_classify_centroid" -> ((s, dir) => {
@@ -152,6 +170,40 @@ object RetrievalQueries {
     "q_dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, weight_micro FROM wm""".stripMargin,
+
+    // RRF hybrid fusion: bm25Ctes' top-5 (rk) unioned with the exact
+    // cosine top-5 of the same qd workload, 1e6/(60+rank) integer
+    // contributions summed per (q, doc), re-ranked deterministically
+    "q_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |rk AS (SELECT q_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm),
+         |lex AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= $TopK),
+         |ev AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings),
+         |scored AS (SELECT q.id AS q_id, c.id AS doc_id,
+         |    round(list_sum(list_transform(list_zip(c.nv, q.nv),
+         |      p -> p[1] * p[2])), 6) AS cosine
+         |  FROM ev c JOIN ev q ON q.id IN (SELECT q_id FROM qd)
+         |    AND q.id <> c.id),
+         |sem AS (SELECT q_id, doc_id, rank FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, doc_id ASC) AS rank FROM scored)
+         |  WHERE rank <= $TopK),
+         |uni AS (SELECT q_id, doc_id,
+         |    CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS contrib
+         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+         |fus AS (SELECT q_id, doc_id,
+         |    CAST(sum(contrib) AS BIGINT) AS rrf_micro
+         |  FROM uni GROUP BY q_id, doc_id)
+         |SELECT q_id, doc_id, rrf_micro, rank FROM (
+         |  SELECT q_id, doc_id, rrf_micro, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
+         |  FROM fus) WHERE rank <= $TopK""".stripMargin,
 
     // mirrors Classify.fitCentroids/classify bit for bit: the k-means
     // recenter/assign discipline (round-6 centroid coordinates, round-6
