@@ -74,16 +74,20 @@ object Classify {
       .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
       .select(col(labelCol).cast(StringType).as("lab"),
         Dedup.normalized(col(vecCol)).as("nv"))
+    // bound the label space BEFORE the |labels|*dim collect — a guard that
+    // runs after the collect cannot prevent the driver blow-up it exists
+    // to prevent (one cheap distinct-count probe, the NgramLm discipline)
+    val nLabels = nv.select(col("lab")).distinct().count()
+    require(nLabels <= maxLabels,
+      s"Classify.fitCentroids: $nLabels labels exceed maxLabels=" +
+        s"$maxLabels — centroid state must stay driver-bounded; raise the " +
+        "cap explicitly if the label space is genuinely this wide")
     val rows = nv
       .select(col("lab"), posexplode(col("nv")).as(Seq("pos", "x")))
       .groupBy(col("lab"), col("pos")).agg(avg(col("x")).as("m"))
       .collect()
     require(rows.nonEmpty, "Classify.fitCentroids: empty labeled seed")
     val byLab = rows.groupBy(_.getString(0))
-    require(byLab.size <= maxLabels,
-      s"Classify.fitCentroids: ${byLab.size} labels exceed maxLabels=" +
-        s"$maxLabels — centroid state must stay driver-bounded; raise the " +
-        "cap explicitly if the label space is genuinely this wide")
     val labs = byLab.keys.toSeq.sorted
     val cents = labs.map(l =>
       byLab(l).sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toSeq)

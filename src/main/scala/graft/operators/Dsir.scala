@@ -39,7 +39,9 @@ object Dsir {
   case class DsirModel(nBuckets: Int, logRatio: Array[Double]) {
     def save(path: String): Unit = {
       val json = s"""{"nBuckets":$nBuckets,"logRatio":[${logRatio.mkString(",")}]}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,15 +20,20 @@ import org.apache.spark.sql.types._
   * order-independent), and reported as an integer micro-score
   * (`score_micro = round(score * 1e6)`), so ranking ties break
   * deterministically and the whole operator hash-matches a SQL oracle.
+  * ONE scorer (`scoreMicro`) feeds every surface — in-memory, persisted
+  * index, streaming — so the formula and the rounding discipline cannot
+  * drift between paths (TextSearchSpec pins probe ≡ topk bit-identically).
   *
   * 100 TB shape: the postings build is ONE corpus-token shuffle
   * (groupBy (doc, term)) plus a vocab-bounded df aggregate; the probe
   * broadcast-joins the (small) query-term set to postings, so only
   * candidate postings — rows whose term appears in some query — move into
-  * the (query, doc) score aggregation. Probe cost is ∝ postings of query
-  * terms, independent of corpus width. For a standing corpus, persist the
-  * postings with `buildIndex` (bucketed by term, `graft.sources.Bucketize`)
-  * and probe with zero corpus-side Exchange like `DedupIndex`/`AnnIndex`.
+  * the (query, doc) score aggregation, and the top-k is a bounded minKBy
+  * aggregate (k rows per (query, partition) reach the shuffle — never a
+  * per-query window sort of every candidate). For a standing corpus,
+  * persist the postings with `buildIndex` (bucketed by term,
+  * `graft.sources.Bucketize`) and probe with zero corpus-side Exchange
+  * like `DedupIndex`/`AnnIndex`.
   */
 object TextSearch {
 
@@ -40,45 +44,51 @@ object TextSearch {
       .withColumn("dl", size(col("toks")).cast(LongType))
 
   /** Postings (term, doc_id, tf) + per-doc lengths (doc_id, dl) from a
-    * corpus. One corpus-token shuffle; tf combines map-side.
+    * corpus. One corpus-token shuffle; tf combines map-side. The lens
+    * frame comes back PERSISTED (two thin columns): it is consumed by the
+    * stats job AND the scoring join, and without the cache each consumer
+    * would re-tokenize the corpus.
     */
   def postings(df: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val tk = tokenized(df, textCol, idCol)
-    val docLens = tk.select(col("doc_id"), col("dl"))
+    val docLens = tk.select(col("doc_id"), col("dl")).persist()
     val post = tk.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     (post, docLens)
   }
 
-  /** BM25 scores for every (query, candidate) pair that shares ≥1 term.
-    * Output: (q_id, doc_id, score_micro: bigint). `queries` is expected to
-    * be small (it is broadcast); the corpus side is `df`.
+  /** (nDocs, sumDl) from a lens frame — N counts every document row
+    * (empty docs included; they are real corpus members for idf).
     */
-  def scores(df: DataFrame, textCol: String, idCol: String,
-             queries: DataFrame, qTextCol: String, qIdCol: String,
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (post, docLens) = postings(df, textCol, idCol)
-    // Corpus stats: N counts every document row (empty docs included — they
-    // are real corpus members for idf purposes); avgdl over the same N.
+  private def corpusStats(docLens: DataFrame): (Long, Long) = {
     val stats = docLens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .head()
     val nDocs = stats.getLong(0)
     // nDocs first: an empty corpus has a NULL sum and getLong would NPE
-    require(nDocs > 0, "TextSearch.scores: empty corpus")
-    val sumDl = stats.getLong(1)
-    val avgdl = sumDl.toDouble / nDocs.toDouble
+    require(nDocs > 0, "TextSearch: empty corpus")
+    (nDocs, stats.getLong(1))
+  }
 
-    val df_ = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // idf as a double column; rounding happens once, on the final per-term
-    // contribution (same shape as the SQL oracle).
+  /** THE scorer — every public surface goes through here. BM25 micro-
+    * scores of `queries` against (post, docLens) under the given corpus
+    * stats: (q_id, doc_id, score_micro). The df aggregate is semi-joined
+    * to the query terms first (identical values, vocab-bounded work; over
+    * a term-bucketed postings table it is also exchange-free).
+    */
+  private def scoreMicro(post: DataFrame, docLens: DataFrame,
+                         nDocs: Long, avgdl: Double,
+                         queries: DataFrame, qTextCol: String, qIdCol: String,
+                         k1: Double, b: Double): DataFrame = {
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+        explode(array_distinct(graft.functions.Text.tokens(
+          coalesce(col(qTextCol), lit(""))))).as("term"))
+      .distinct()
+    val df_ = post
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5))
       / (col("df").cast(DoubleType) + lit(0.5)))
-
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-        explode(array_distinct(graft.functions.Text.tokens(coalesce(col(qTextCol), lit("")))))
-          .as("term"))
-      .distinct()
 
     val tfD = col("tf").cast(DoubleType)
     val dlD = col("dl").cast(DoubleType)
@@ -96,17 +106,41 @@ object TextSearch {
         (col("s") * lit(1000000)).cast(LongType).as("score_micro"))
   }
 
+  /** Deterministic bounded top-k of a scored frame: rank 1..k by
+    * (score_micro desc, doc_id asc) via the minKBy aggregate — only k rows
+    * per (query, partition) reach the shuffle, never a per-query window
+    * sort of every candidate (the `SimilaritySearch.topK` discipline).
+    */
+  private def topkOf(sc: DataFrame, k: Int): DataFrame =
+    sc.groupBy(col("q_id"))
+      .agg(graft.functions.AggExprs.minKBy(
+        struct((-col("score_micro")).as("ns"), col("doc_id").as("doc_id"),
+          col("score_micro").as("score_micro")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.doc_id").as("doc_id"),
+        col("t.score_micro").as("score_micro"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+
+  /** BM25 scores for every (query, candidate) pair that shares ≥1 term.
+    * Output: (q_id, doc_id, score_micro: bigint). `queries` is expected to
+    * be small (it is broadcast); the corpus side is `df`.
+    */
+  def scores(df: DataFrame, textCol: String, idCol: String,
+             queries: DataFrame, qTextCol: String, qIdCol: String,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (post, docLens) = postings(df, textCol, idCol)
+    val (nDocs, sumDl) = corpusStats(docLens)
+    scoreMicro(post, docLens, nDocs, sumDl.toDouble / nDocs.toDouble,
+      queries, qTextCol, qIdCol, k1, b)
+  }
+
   /** Top-k BM25 hits per query with a fully deterministic rank:
     * (score_micro desc, doc_id asc). Output adds `rank` (1-based).
     */
   def topk(df: DataFrame, textCol: String, idCol: String,
            queries: DataFrame, qTextCol: String, qIdCol: String,
-           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val sc = scores(df, textCol, idCol, queries, qTextCol, qIdCol, k1, b)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-    sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topkOf(scores(df, textCol, idCol, queries, qTextCol, qIdCol, k1, b), k)
 
   def postingsTable(name: String): String = s"${name}_postings"
   def lensTable(name: String): String = s"${name}_lens"
@@ -114,26 +148,28 @@ object TextSearch {
   /** Persist the corpus as a standing BM25 index: postings bucketed by
     * term, doc lengths bucketed by doc id, corpus stats as table
     * properties. `probe` then touches no corpus-side Exchange: the query
-    * terms broadcast against the bucketed postings scan.
+    * terms broadcast against the bucketed postings scan. The tokenize
+    * happens twice (postings write, lens write) — the stats come from the
+    * already-cached lens frame, not a third pass.
     */
   def buildIndex(df: DataFrame, textCol: String, idCol: String,
                  name: String, path: String, numBuckets: Int = 32): Unit = {
     val (post, docLens) = postings(df, textCol, idCol)
-    val stats = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    require(stats.getLong(0) > 0, "TextSearch.buildIndex: empty corpus")
-    graft.sources.Bucketize.writeBucketed(post, postingsTable(name),
-      s"$path/postings", Seq("term"), numBuckets)
     graft.sources.Bucketize.writeBucketed(docLens, lensTable(name),
       s"$path/lens", Seq("doc_id"), numBuckets)
+    val (nDocs, sumDl) = corpusStats(docLens)
+    graft.sources.Bucketize.writeBucketed(post, postingsTable(name),
+      s"$path/postings", Seq("term"), numBuckets)
+    docLens.unpersist()
     df.sparkSession.sql(
       s"ALTER TABLE `${postingsTable(name)}` SET TBLPROPERTIES (" +
-        s"'graft.bm25.nDocs' = '${stats.getLong(0)}', " +
-        s"'graft.bm25.sumDl' = '${stats.getLong(1)}')")
+        s"'graft.bm25.nDocs' = '$nDocs', " +
+        s"'graft.bm25.sumDl' = '$sumDl')")
   }
 
-  /** Probe a persisted index built by `buildIndex`. Corpus stats come from
-    * the index's own table properties — a probe cannot desynchronize from
-    * the layout it scores against.
+  /** Probe a persisted index built by `buildIndex` — the same scorer as
+    * `topk`, with corpus stats from the index's own table properties, so a
+    * probe cannot desynchronize from the layout it scores against.
     */
   def probe(spark: SparkSession, name: String,
             queries: DataFrame, qTextCol: String, qIdCol: String,
@@ -142,37 +178,9 @@ object TextSearch {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val nDocs = props("graft.bm25.nDocs").toLong
     val avgdl = props("graft.bm25.sumDl").toDouble / nDocs.toDouble
-    val post = spark.table(postingsTable(name))
-    val docLens = spark.table(lensTable(name))
-
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-        explode(array_distinct(graft.functions.Text.tokens(coalesce(col(qTextCol), lit("")))))
-          .as("term"))
-      .distinct()
-    // df over the standing postings: bucketed scan, vocab-bounded agg of
-    // only the terms the queries mention (semi-join pushes the filter).
-    val df_ = post.join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5))
-      / (col("df").cast(DoubleType) + lit(0.5)))
-
-    val tfD = col("tf").cast(DoubleType)
-    val dlD = col("dl").cast(DoubleType)
-    val tfn = tfD * lit(k1 + 1.0) /
-      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl))))
-
-    val sc = post
-      .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(df_.withColumn("idf", idf).drop("df")), Seq("term"))
-      .join(docLens, Seq("doc_id"))
-      .withColumn("contrib", round(col("idf") * tfn, 6).cast(DecimalType(28, 6)))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("contrib")).as("s"))
-      .select(col("q_id"), col("doc_id"),
-        (col("s") * lit(1000000)).cast(LongType).as("score_micro"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-    sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topkOf(scoreMicro(spark.table(postingsTable(name)),
+      spark.table(lensTable(name)), nDocs, avgdl,
+      queries, qTextCol, qIdCol, k1, b), k)
   }
 
   /** Probe a persisted index with a live query stream: each micro-batch of

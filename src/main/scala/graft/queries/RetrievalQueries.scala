@@ -126,7 +126,11 @@ object RetrievalQueries {
     * wm(doc_id, weight_micro).
     */
   private def dsirCtes: String =
-    s"""tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+    // coalesce(text, '') mirrors Dsir's null handling: a NULL-text doc
+    // still contributes its whole-text-fallback gram and gets a weight row
+    s"""tk AS (SELECT doc_id, source, $toksSql AS toks
+       |  FROM (SELECT doc_id, source, coalesce(text, '') AS text
+       |        FROM documents)),
        |gr AS (SELECT doc_id, source,
        |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
        |         ELSE list_transform(range(1, len(toks)),

@@ -82,12 +82,12 @@ class TextSearchSpec extends AnyFunSuite {
       numBuckets = 4)
     val qs = queries.collect().map(r => (r.getLong(0), r.getString(1)))
     val source = MemoryStream[(Long, String)]
-    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int)]()
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
     val query = TextSearch.probeStream(
       source.toDF().toDF("q_id", "q_text"), "q_text", "q_id",
       "graft_bm25_stream", k = 3) { (topk, _) =>
       seen ++= topk.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     }
     try {
       val (first, second) = qs.splitAt(qs.length / 2)
@@ -98,7 +98,7 @@ class TextSearchSpec extends AnyFunSuite {
     } finally query.stop()
     val direct = TextSearch.probe(spark, "graft_bm25_stream",
         queries, "q_text", "q_id", k = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(seen.nonEmpty)
     assert(seen.sorted.toSeq === direct.sorted.toSeq)
   }
