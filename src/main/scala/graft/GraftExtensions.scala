@@ -255,5 +255,12 @@ object GraftFunctions {
       VecExprs.NgramRepStats(args(0),
         litInt("graft_ngram_rep_stats", "n", args(1)))
     },
+    fn("graft_gram_buckets",
+      "graft_gram_buckets(text, n_buckets) - md5-hashed word-bigram " +
+        "buckets (DSIR gram hasher; whole-text fallback under 2 tokens)") { args =>
+      arity("graft_gram_buckets", args, 2)
+      VecExprs.GramBuckets(args(0),
+        litInt("graft_gram_buckets", "n_buckets", args(1)))
+    },
   )
 }

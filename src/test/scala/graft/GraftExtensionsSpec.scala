@@ -44,7 +44,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_ngram_rep_stats(text, 2) AS reps,
         |  graft_token_pairs(text) AS tp,
         |  graft_token_chunks(text, 4, 3) AS tc,
-        |  graft_token_window_hashes(text, 3) AS twh
+        |  graft_token_window_hashes(text, 3) AS twh,
+        |  graft_gram_buckets(text, 997) AS gb
         |FROM ext_fixture""".stripMargin)
 
     val api = df.select(
@@ -61,7 +62,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.VecExprs.ngramRepStats(col("text"), 2).as("reps"),
       graft.functions.VecExprs.tokenPairs(col("text")).as("tp"),
       graft.functions.VecExprs.tokenChunks(col("text"), 4, 3).as("tc"),
-      graft.functions.VecExprs.tokenWindowHashes(col("text"), 3).as("twh"))
+      graft.functions.VecExprs.tokenWindowHashes(col("text"), 3).as("twh"),
+      graft.functions.VecExprs.gramBuckets(col("text"), 997).as("gb"))
 
     assert(sql.collect().toSeq == api.collect().toSeq)
   }
