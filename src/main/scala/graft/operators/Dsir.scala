@@ -125,25 +125,57 @@ object Dsir {
         coalesce(col(textCol), lit("")), micro).as("weight_micro"))
   }
 
-  /** Gumbel-top-k importance resample WITHOUT replacement: key(d) =
-    * λ(d) + Gumbel(0,1), take the k largest keys. The Gumbel draw is
-    * md5(doc_id)-derived (60-bit uniform), so the selection is
-    * deterministic and oracle-reproducible. Output: (doc_id,
-    * weight_micro, key_micro, rank), rank 1..k by (key desc, doc_id).
+  /** (doc_id, weight_micro, key_micro): the Gumbel-perturbed selection
+    * keys — key(d) = λ(d) + Gumbel(0,1) in micro-nats, the Gumbel draw
+    * md5(doc_id)-derived (60-bit uniform), so every selection built on the
+    * keys is deterministic and oracle-reproducible.
     */
-  def resample(raw: DataFrame, textCol: String, idCol: String,
-               model: DsirModel, k: Int): DataFrame = {
+  private def keyed(raw: DataFrame, textCol: String, idCol: String,
+                    model: DsirModel): DataFrame = {
     val w = weights(raw, textCol, idCol, model)
     // u in (0,1): (h60 + 0.5) / 2^60 from the first 15 md5 hex digits
     val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
       .cast(DoubleType) + lit(0.5)) / lit(1152921504606846976.0)
     val gumbelMicro = round(-log(-log(u)) * lit(1000000.0)).cast(LongType)
-    val keyed = w.withColumn("key_micro", col("weight_micro") + gumbelMicro)
+    w.withColumn("key_micro", col("weight_micro") + gumbelMicro)
+  }
+
+  /** Gumbel-top-k importance resample WITHOUT replacement: take the k
+    * largest keys. Output: (doc_id, weight_micro, key_micro, rank), rank
+    * 1..k by (key desc, doc_id). The exact k-list merges through the
+    * driver (TakeOrderedAndProject) — right for eval-sized k; for
+    * corpus-sized selections use `selectFraction`.
+    */
+  def resample(raw: DataFrame, textCol: String, idCol: String,
+               model: DsirModel, k: Int): DataFrame = {
     // sort+limit plans as TakeOrderedAndProject (per-partition top-k, then
     // one k-row merge) — no global sort; the rank window then runs over k
     // rows only, so its single partition is bounded by construction.
-    val top = keyed.orderBy(col("key_micro").desc, col("doc_id").asc).limit(k)
+    val top = keyed(raw, textCol, idCol, model)
+      .orderBy(col("key_micro").desc, col("doc_id").asc).limit(k)
     val win = Window.orderBy(col("key_micro").desc, col("doc_id").asc)
     top.withColumn("rank", row_number().over(win))
+  }
+
+  /** Importance-select ~`frac` of the corpus WITHOUT driver
+    * materialization — the 100 TB twin of `resample`: the cutoff is one
+    * `percentile_approx` aggregate over the Gumbel-perturbed keys
+    * (bounded sketch state), selection is then a pure filter scan.
+    * Deterministic given the model (the sketch is deterministic for a
+    * fixed partitioning of a deterministic frame, and every key is
+    * md5-derived). Output: (doc_id, weight_micro, key_micro).
+    */
+  def selectFraction(raw: DataFrame, textCol: String, idCol: String,
+                     model: DsirModel, frac: Double,
+                     accuracy: Int = 10000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0,
+      s"Dsir.selectFraction: frac $frac outside (0, 1]")
+    if (frac == 1.0) keyed(raw, textCol, idCol, model)
+    else {
+      val ks = keyed(raw, textCol, idCol, model)
+      val cut = ks.agg(percentile_approx(col("key_micro"),
+        lit(1.0 - frac), lit(accuracy)).as("cut")).head().getLong(0)
+      ks.filter(col("key_micro") >= cut)
+    }
   }
 }

@@ -114,19 +114,47 @@ object PipelineRehearsal {
         .filter(col("kept")).select(col("doc_id"))
     }
 
-    // 2. semantic near-dup pruning over the survivors' embeddings
+    // 2. DSIR importance selection toward a FIXED 1× reference slice
+    //    (doc_id % 17 == 1 — disjoint from the eval set): keep ~80% of the
+    //    curated survivors by hashed-bigram importance, threshold from ONE
+    //    percentile_approx aggregate, selection a pure filter scan (the
+    //    corpus-sized form — nothing selection-sized touches the driver)
+    val selected = stage("dsir") {
+      val curated = docsRaw.join(kept, "doc_id")
+      val target = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 17 === 1)
+      val m = graft.operators.Dsir.fit(curated, target, "text",
+        nBuckets = 10000)
+      graft.operators.Dsir.selectFraction(curated, "text", "doc_id", m,
+        frac = 0.8).select(col("doc_id"))
+    }
+
+    // 3. semantic near-dup pruning over the selection's embeddings
     //    (vec_id ≡ doc_id in the synthesis), auto √n cells, nProbe=2
     val unique = stage("semdedup") {
       val emb = spark.read.parquet(s"$corpusDir/embeddings10.parquet")
-        .join(kept.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+        .join(selected.withColumnRenamed("doc_id", "vec_id"), "vec_id")
       graft.operators.Dedup.semanticDedupMultiProbe(emb, "embedding",
           "vec_id", minCosine = 0.95, kClusters = 0, iters = 2, nProbe = 2)
         .filter(!col("is_dup"))
         .select(col("vec_id").as("doc_id"))
     }
 
-    // 3. chunk survivors into context windows. The synthesized corpus'
-    // every doc has nCopies-1 cross-copy near-dups BY DESIGN, so stage 2
+    // 4. nearest-centroid domain tagging over the survivors' embeddings,
+    //    centroids fit ONCE on the FIXED 1× labeled seed — the per-doc
+    //    domain feed a mixing/analysis stage consumes downstream
+    stage("tag") {
+      val seed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 5 === 0)
+      val m = graft.operators.Classify.fitCentroids(seed, "embedding",
+        "label")
+      val emb = spark.read.parquet(s"$corpusDir/embeddings10.parquet")
+        .join(unique.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      graft.operators.Classify.classify(emb, "embedding", "vec_id", m)
+    }
+
+    // 5. chunk survivors into context windows. The synthesized corpus'
+    // every doc has nCopies-1 cross-copy near-dups BY DESIGN, so semdedup
     // legitimately collapses survivors back to ~1× — which would starve
     // the tail stages of scale. SPARK_GRAFT_PIPELINE_FULL_TAIL=1 runs the
     // tail on the full curated set instead (as if dedup flagged rather
@@ -142,7 +170,7 @@ object PipelineRehearsal {
         .withColumn("cid", concat(col("doc_id"), lit(":"), col("chunk_id")))
     }
 
-    // 4. BPE: fit on the surviving corpus (capped word table), tokenize
+    // 6. BPE: fit on the surviving corpus (capped word table), tokenize
     //    every chunk
     val tokens = stage("bpe") {
       val model = graft.operators.Bpe.fit(survivors, "text", numMerges = 64,
@@ -153,10 +181,27 @@ object PipelineRehearsal {
           size(col("bpe_tokens")).cast(org.apache.spark.sql.types.LongType))
     }
 
-    // 5. pack chunks into fixed-budget sequences per source shard
+    // 7. pack chunks into fixed-budget sequences per source shard
     stage("pack") {
       graft.operators.Pack.sequences(tokens.drop("bpe_tokens"), "n_toks",
         budget = 256L, groupCol = "source", idCol = "cid")
+    }
+
+    // 8. stand up the BM25 index over the curated corpus and run the fixed
+    //    8-query retrieval workload against it — the search-side release
+    //    artifact next to the packs (index build cost included in the
+    //    stage; the probe never re-tokenizes the corpus)
+    stage("bm25") {
+      val survivorsDocs = docsRaw.join(tailIds, "doc_id")
+      graft.operators.TextSearch.buildIndex(survivorsDocs, "text", "doc_id",
+        "graft_pipeline_bm25", s"$outDir/bm25_index", numBuckets = 32)
+      val qs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(8)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(graft.functions.Text.tokens(col("text")), 1, 6),
+            " ").as("q_text"))
+      graft.operators.TextSearch.probe(spark, "graft_pipeline_bm25",
+        qs, "q_text", "q_id", k = 10)
     }
 
     println(f"[pipeline] TOTAL          ${(System.nanoTime() - t0) / 1e9}%8.2f s")

@@ -62,6 +62,28 @@ class DsirSpec extends AnyFunSuite {
     assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
   }
 
+  test("selectFraction keeps ~frac by a clean key threshold, no driver list") {
+    val target = docs.filter(col("source") === targetSource)
+    val model = Dsir.fit(docs, target, "text", nBuckets = 512)
+    val sel = Dsir.selectFraction(docs, "text", "doc_id", model, frac = 0.4)
+    val total = docs.count().toDouble
+    val got = sel.count().toDouble
+    assert(math.abs(got / total - 0.4) < 0.1,
+      s"selected ${got / total} of the corpus, wanted ~0.4")
+    // threshold property: every selected key >= every rejected key
+    val minSel = sel.agg(min(col("key_micro"))).head().getLong(0)
+    val rejected = Dsir.selectFraction(docs, "text", "doc_id", model, 1.0)
+      .join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxRej = rejected.agg(max(col("key_micro"))).head().getLong(0)
+    assert(minSel > maxRej, s"threshold violated: $minSel <= $maxRej")
+    // frac = 1.0 keeps everything
+    assert(Dsir.selectFraction(docs, "text", "doc_id", model, 1.0)
+      .count() === total.toLong)
+    intercept[IllegalArgumentException] {
+      Dsir.selectFraction(docs, "text", "doc_id", model, 0.0)
+    }
+  }
+
   test("loop-codegen gramBuckets matches the composed reference form") {
     val fixture = docs.select(col("text"))
       .union(Seq("", "one", "Two tokens", "a  b   c!d").toDF("text"))
