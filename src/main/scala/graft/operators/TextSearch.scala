@@ -167,6 +167,43 @@ object TextSearch {
         s"'graft.bm25.sumDl' = '$sumDl')")
   }
 
+  /** Append an ingest batch to a standing index — the accumulate-over-
+    * months half of the story (probe the batch, route dups away, append
+    * the survivors — the `DedupIndex.append` rhythm). Postings and lens
+    * rows land in new per-bucket files (probes stay exchange-free); the
+    * corpus stats in the table properties are UPDATED from the batch's
+    * own lens aggregate, so idf/avgdl keep tracking the true corpus. The
+    * caller is responsible for id uniqueness across ingests.
+    */
+  def append(df: DataFrame, textCol: String, idCol: String,
+             name: String): Unit = {
+    val (post, docLens) = postings(df, textCol, idCol)
+    graft.sources.Bucketize.appendBucketed(docLens, lensTable(name),
+      Seq("doc_id"))
+    val (bN, bSum) = corpusStats(docLens)
+    graft.sources.Bucketize.appendBucketed(post, postingsTable(name),
+      Seq("term"))
+    docLens.unpersist()
+    val spark = df.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES `${postingsTable(name)}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.sql(
+      s"ALTER TABLE `${postingsTable(name)}` SET TBLPROPERTIES (" +
+        s"'graft.bm25.nDocs' = '${props("graft.bm25.nDocs").toLong + bN}', " +
+        s"'graft.bm25.sumDl' = '${props("graft.bm25.sumDl").toLong + bSum}')")
+  }
+
+  /** Compact an append-accumulated index into a fresh layout at `newPath`
+    * (one sorted file per bucket again); the stats properties carry over,
+    * so probes are plan- and result-identical — the ingest → compact
+    * rhythm shared with `DedupIndex`/`AnnIndex`.
+    */
+  def compact(spark: SparkSession, name: String, newPath: String): Unit = {
+    graft.sources.Bucketize.compact(spark, postingsTable(name),
+      s"$newPath/postings")
+    graft.sources.Bucketize.compact(spark, lensTable(name), s"$newPath/lens")
+  }
+
   /** Probe a persisted index built by `buildIndex` — the same scorer as
     * `topk`, with corpus stats from the index's own table properties, so a
     * probe cannot desynchronize from the layout it scores against.

@@ -58,6 +58,22 @@ object RetrievalQueries {
       Dsir.resample(docs, "text", "doc_id", model, DsirK)
     }),
 
+    // persisted BM25 index through the INGEST RHYTHM: build on the even
+    // half, append the odd half, probe — must hash-match the one-shot
+    // oracle exactly (stats properties updated on append, postings land
+    // in new per-bucket files)
+    "q_bm25_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q_bm25_idx").toString
+      TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", "graft_q_bm25_idx", path)
+      TextSearch.append(docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", "graft_q_bm25_idx")
+      TextSearch.probe(s, "graft_q_bm25_idx",
+        queryDocs(s, dir), "q_text", "q_id", k = TopK)
+    }),
+
     // hybrid retrieval: RRF-fuse the BM25 lexical top-5 with the exact
     // cosine top-5 of the same 8-query workload (vec_id aligns with doc_id)
     "q_rrf_fusion" -> ((s, dir) => {
@@ -159,17 +175,22 @@ object RetrievalQueries {
        |wm AS (SELECT doc_id, CAST(sum(lr) * 1000000 AS BIGINT) AS weight_micro
        |  FROM lrs GROUP BY doc_id)""".stripMargin
 
+  private def bm25TopkSql: String =
+    s"""WITH $bm25Ctes,
+       |rk AS (SELECT q_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm)
+       |SELECT q_id, doc_id, score_micro, rank FROM rk WHERE rank <= $TopK""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bm25_scores" ->
       s"""WITH $bm25Ctes
          |SELECT q_id, doc_id, score_micro FROM bm""".stripMargin,
 
-    "q_bm25_topk" ->
-      s"""WITH $bm25Ctes,
-         |rk AS (SELECT q_id, doc_id, score_micro,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm)
-         |SELECT q_id, doc_id, score_micro, rank FROM rk WHERE rank <= $TopK""".stripMargin,
+    "q_bm25_topk" -> bm25TopkSql,
+
+    // the build-half + append-half probe must equal the one-shot ranking
+    "q_bm25_index" -> bm25TopkSql,
 
     "q_dsir_weights" ->
       s"""WITH $dsirCtes

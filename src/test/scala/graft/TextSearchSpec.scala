@@ -74,6 +74,29 @@ class TextSearchSpec extends AnyFunSuite {
     assert(Bucketize.bucketedScans(dfAgg) === 1)
   }
 
+  test("append updates stats and probes bit-identically to one-shot build; " +
+    "compact preserves results") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_bm25a").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25b").toString
+    TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", "graft_bm25_half", dir1, numBuckets = 4)
+    TextSearch.append(docs.filter(col("doc_id") % 2 === 1),
+      "text", "doc_id", "graft_bm25_half")
+    val viaAppend = TextSearch.probe(spark, "graft_bm25_half",
+      queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
+      .collect().map(_.toSeq)
+    val oneShot = TextSearch.topk(docs, "text", "doc_id",
+      queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
+      .collect().map(_.toSeq)
+    assert(viaAppend.toSeq === oneShot.toSeq,
+      "split build+append must score exactly like the one-shot corpus")
+    TextSearch.compact(spark, "graft_bm25_half", dir2)
+    val afterCompact = TextSearch.probe(spark, "graft_bm25_half",
+      queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
+      .collect().map(_.toSeq)
+    assert(afterCompact.toSeq === oneShot.toSeq)
+  }
+
   test("probeStream matches the batch probe per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
