@@ -157,6 +157,43 @@ object Dsir {
     top.withColumn("rank", row_number().over(win))
   }
 
+  /** KL(target ‖ corpus) over the hashed-bucket models — the selection
+    * diagnostic from the DSIR paper: a selection that worked moves the
+    * corpus distribution TOWARD the target, so KL(target ‖ selected) must
+    * drop below KL(target ‖ raw). One ≤B-row aggregate per frame; the
+    * per-bucket terms p_t·ln(p_t/p_c) are rounded to pico-nats (12 dp) and
+    * summed exactly, so the diagnostic is engine-reproducible. Returns the
+    * KL in pico-nats.
+    */
+  def klDiagnostic(corpus: DataFrame, target: DataFrame, textCol: String,
+                   nBuckets: Int = 10000): Long = {
+    require(nBuckets > 0 && nBuckets <= (1 << 22),
+      s"Dsir.klDiagnostic: nBuckets $nBuckets out of (0, 4M]")
+    def counts(df: DataFrame): Array[Long] = {
+      val a = new Array[Long](nBuckets)
+      bucketCounts(df, textCol, nBuckets).collect().foreach { r =>
+        a(r.getLong(0).toInt) = r.getLong(1)
+      }
+      a
+    }
+    val ct = counts(target)
+    val cc = counts(corpus)
+    val totT = ct.sum.toDouble + 0.5 * nBuckets
+    val totC = cc.sum.toDouble + 0.5 * nBuckets
+    var kl = 0L
+    var i = 0
+    while (i < nBuckets) {
+      val pt = (ct(i) + 0.5) / totT
+      val pc = (cc(i) + 0.5) / totC
+      // exactly the oracle's CAST(round(term * 1e12) AS BIGINT): multiply
+      // first, then round half away from zero on the product
+      val p = pt * math.log(pt / pc) * 1000000000000.0
+      kl += (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
+      i += 1
+    }
+    kl
+  }
+
   /** Importance-select ~`frac` of the corpus WITHOUT driver
     * materialization — the 100 TB twin of `resample`: the cutoff is one
     * `percentile_approx` aggregate over the Gumbel-perturbed keys

@@ -21,6 +21,7 @@ object RetrievalQueries {
   private val TopK = 5
   private val DsirBuckets = 10000
   private val DsirK = 20
+  private val DsirKlK = 100
 
   /** Deterministic query workload: 8 md5-selected documents, each queried
     * by its first 6 normalized tokens (shared by q_bm25_scores/_topk).
@@ -56,6 +57,22 @@ object RetrievalQueries {
         docs.agg(min(col("source"))).head().getString(0))
       val model = Dsir.fit(docs, target, "text", DsirBuckets)
       Dsir.resample(docs, "text", "doc_id", model, DsirK)
+    }),
+
+    // the DSIR paper's selection diagnostic: KL(target || selected) must
+    // drop below KL(target || raw) — two bounded-bucket KLs in pico-nats
+    "q_dsir_kl" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("source") ===
+        docs.agg(min(col("source"))).head().getString(0))
+      val model = Dsir.fit(docs, target, "text", DsirBuckets)
+      val sel = Dsir.resample(docs, "text", "doc_id", model, DsirKlK)
+        .select(col("doc_id"))
+      val klRaw = Dsir.klDiagnostic(docs, target, "text", DsirBuckets)
+      val klSel = Dsir.klDiagnostic(docs.join(sel, "doc_id"), target,
+        "text", DsirBuckets)
+      Seq(("raw", klRaw), ("selected", klSel)).toDF("which", "kl_pico")
     }),
 
     // persisted BM25 index through the INGEST RHYTHM: build on the even
@@ -229,6 +246,43 @@ object RetrievalQueries {
          |  SELECT q_id, doc_id, rrf_micro, row_number() OVER (
          |    PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
          |  FROM fus) WHERE rank <= $TopK""".stripMargin,
+
+    // KL diagnostic: the resample CTEs give the selected ids; a full
+    // B-bucket spine (absent buckets still carry 0.5 smoothing mass) feeds
+    // per-bucket pt*ln(pt/p) terms rounded on the *1e12 product — exactly
+    // klDiagnostic's arithmetic shape
+    "q_dsir_kl" ->
+      s"""WITH $dsirCtes,
+         |ky AS (SELECT doc_id, weight_micro,
+         |    weight_micro + CAST(round(-ln(-ln(
+         |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        + 0.5) / 1152921504606846976.0))) * 1000000) AS BIGINT)
+         |      AS key_micro FROM wm),
+         |rk AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rank FROM ky),
+         |sel AS (SELECT doc_id FROM rk WHERE rank <= $DsirKlK),
+         |sb AS (SELECT b FROM db WHERE doc_id IN (SELECT doc_id FROM sel)),
+         |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM sb GROUP BY b),
+         |tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM sb) AS ns),
+         |spine AS (SELECT unnest(range(0, $DsirBuckets)) AS b),
+         |terms AS (SELECT
+         |    (CAST(coalesce(ct.c, 0) AS DOUBLE) + 0.5)
+         |      / (CAST(tot.nt AS DOUBLE) + 0.5 * $DsirBuckets) AS pt,
+         |    (CAST(coalesce(cr.c, 0) AS DOUBLE) + 0.5)
+         |      / (CAST(tot.nr AS DOUBLE) + 0.5 * $DsirBuckets) AS pr,
+         |    (CAST(coalesce(cs.c, 0) AS DOUBLE) + 0.5)
+         |      / (CAST(tots.ns AS DOUBLE) + 0.5 * $DsirBuckets) AS ps
+         |  FROM spine s LEFT JOIN ct ON s.b = ct.b
+         |  LEFT JOIN cr ON s.b = cr.b LEFT JOIN cs ON s.b = cs.b
+         |  CROSS JOIN tot CROSS JOIN tots),
+         |kl AS (SELECT
+         |    CAST(sum(CAST(round((pt * ln(pt / pr)) * 1000000000000.0)
+         |      AS BIGINT)) AS BIGINT) AS kraw,
+         |    CAST(sum(CAST(round((pt * ln(pt / ps)) * 1000000000000.0)
+         |      AS BIGINT)) AS BIGINT) AS ksel
+         |  FROM terms)
+         |SELECT 'raw' AS which, kraw AS kl_pico FROM kl
+         |UNION ALL SELECT 'selected' AS which, ksel AS kl_pico FROM kl""".stripMargin,
 
     // mirrors Classify.fitCentroids/classify bit for bit: the k-means
     // recenter/assign discipline (round-6 centroid coordinates, round-6

@@ -84,6 +84,20 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("KL diagnostic: zero against itself, drops after selection") {
+    val target = docs.filter(col("source") === targetSource)
+    val model = Dsir.fit(docs, target, "text", nBuckets = 2048)
+    assert(Dsir.klDiagnostic(target, target, "text", 2048) === 0L,
+      "identical distributions have exactly zero KL (every term is pt*ln(1))")
+    val sel = Dsir.resample(docs, "text", "doc_id", model, k = 60)
+      .select(col("doc_id"))
+    val klRaw = Dsir.klDiagnostic(docs, target, "text", 2048)
+    val klSel = Dsir.klDiagnostic(docs.join(sel, "doc_id"), target,
+      "text", 2048)
+    assert(klSel < klRaw,
+      s"selection must move the corpus toward the target: $klSel !< $klRaw")
+  }
+
   test("loop-codegen gramBuckets matches the composed reference form") {
     val fixture = docs.select(col("text"))
       .union(Seq("", "one", "Two tokens", "a  b   c!d").toDF("text"))
