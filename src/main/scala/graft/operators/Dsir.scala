@@ -85,23 +85,38 @@ object Dsir {
     * driver-side on the bounded arrays.
     */
   def fit(raw: DataFrame, target: DataFrame, textCol: String,
-          nBuckets: Int = 10000): DsirModel = {
+          nBuckets: Int = 10000): DsirModel =
+    fitFromCounts(bucketCountsOf(raw, textCol, nBuckets),
+      bucketCountsOf(target, textCol, nBuckets))
+
+  /** Dense per-bucket gram counts of a corpus — ONE scan reduced to a
+    * ≤nBuckets-row aggregate. Public so fit/diagnostic workflows can count
+    * each corpus once and share the arrays (`fitFromCounts`,
+    * `klFromCounts`) instead of re-scanning per call.
+    */
+  def bucketCountsOf(df: DataFrame, textCol: String,
+                     nBuckets: Int): Array[Long] = {
     require(nBuckets > 0 && nBuckets <= (1 << 22),
-      s"DsirModel: nBuckets $nBuckets out of (0, 4M] — the model must stay driver-bounded")
-    def counts(df: DataFrame): Array[Long] = {
-      val a = new Array[Long](nBuckets)
-      bucketCounts(df, textCol, nBuckets).collect().foreach { r =>
-        a(r.getLong(0).toInt) = r.getLong(1)
-      }
-      a
+      s"Dsir: nBuckets $nBuckets out of (0, 4M] — state must stay driver-bounded")
+    val a = new Array[Long](nBuckets)
+    bucketCounts(df, textCol, nBuckets).collect().foreach { r =>
+      a(r.getLong(0).toInt) = r.getLong(1)
     }
-    val ct = counts(target)
-    val cr = counts(raw)
-    val totT = ct.sum.toDouble + 0.5 * nBuckets
-    val totR = cr.sum.toDouble + 0.5 * nBuckets
+    a
+  }
+
+  /** Fit from already-collected count arrays (same smoothing/rounding as
+    * `fit` — that overload delegates here).
+    */
+  def fitFromCounts(raw: Array[Long], target: Array[Long]): DsirModel = {
+    require(raw.length == target.length && raw.nonEmpty,
+      s"Dsir.fitFromCounts: ${raw.length} raw vs ${target.length} target buckets")
+    val nBuckets = raw.length
+    val totT = target.sum.toDouble + 0.5 * nBuckets
+    val totR = raw.sum.toDouble + 0.5 * nBuckets
     val lr = Array.tabulate(nBuckets) { i =>
-      val pt = (ct(i) + 0.5) / totT
-      val pr = (cr(i) + 0.5) / totR
+      val pt = (target(i) + 0.5) / totT
+      val pr = (raw(i) + 0.5) / totR
       // same 6-dp rounding the per-gram oracle applies
       BigDecimal(math.log(pt / pr))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -166,29 +181,36 @@ object Dsir {
     * KL in pico-nats.
     */
   def klDiagnostic(corpus: DataFrame, target: DataFrame, textCol: String,
-                   nBuckets: Int = 10000): Long = {
-    require(nBuckets > 0 && nBuckets <= (1 << 22),
-      s"Dsir.klDiagnostic: nBuckets $nBuckets out of (0, 4M]")
-    def counts(df: DataFrame): Array[Long] = {
-      val a = new Array[Long](nBuckets)
-      bucketCounts(df, textCol, nBuckets).collect().foreach { r =>
-        a(r.getLong(0).toInt) = r.getLong(1)
-      }
-      a
-    }
-    val ct = counts(target)
-    val cc = counts(corpus)
-    val totT = ct.sum.toDouble + 0.5 * nBuckets
-    val totC = cc.sum.toDouble + 0.5 * nBuckets
+                   nBuckets: Int = 10000): Long =
+    klFromCounts(bucketCountsOf(target, textCol, nBuckets),
+      bucketCountsOf(corpus, textCol, nBuckets))
+
+  /** KL from already-collected count arrays — fit+diagnose workflows
+    * count each corpus once (`bucketCountsOf`) and share the arrays
+    * instead of paying 2-3 redundant corpus scans.
+    */
+  def klFromCounts(target: Array[Long], corpus: Array[Long]): Long = {
+    require(target.length == corpus.length && target.nonEmpty,
+      s"Dsir.klFromCounts: ${target.length} target vs ${corpus.length} corpus buckets")
+    val nBuckets = target.length
+    val totT = target.sum.toDouble + 0.5 * nBuckets
+    val totC = corpus.sum.toDouble + 0.5 * nBuckets
     var kl = 0L
     var i = 0
     while (i < nBuckets) {
-      val pt = (ct(i) + 0.5) / totT
-      val pc = (cc(i) + 0.5) / totC
+      val pt = (target(i) + 0.5) / totT
+      val pc = (corpus(i) + 0.5) / totC
       // exactly the oracle's CAST(round(term * 1e12) AS BIGINT): multiply
-      // first, then round half away from zero on the product
+      // first, then round half away from zero on the PRODUCT — compared on
+      // the exact fractional part (p - floor(p) is exact for |p| >= 1 by
+      // Sterbenz, trivially exact below), never via the p + 0.5 shift,
+      // whose own IEEE rounding can flip a boundary double (the largest
+      // double below 0.5 plus 0.5 rounds to exactly 1.0)
       val p = pt * math.log(pt / pc) * 1000000000000.0
-      kl += (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
+      val a = math.abs(p)
+      val f = math.floor(a)
+      val r = if (a - f >= 0.5) f + 1.0 else f
+      kl += (if (p < 0) -r else r).toLong
       i += 1
     }
     kl
@@ -197,10 +219,16 @@ object Dsir {
   /** Importance-select ~`frac` of the corpus WITHOUT driver
     * materialization — the 100 TB twin of `resample`: the cutoff is one
     * `percentile_approx` aggregate over the Gumbel-perturbed keys
-    * (bounded sketch state), selection is then a pure filter scan.
-    * Deterministic given the model (the sketch is deterministic for a
-    * fixed partitioning of a deterministic frame, and every key is
-    * md5-derived). Output: (doc_id, weight_micro, key_micro).
+    * (bounded sketch state), selection is then a pure filter scan. The
+    * KEYS are fully deterministic (md5-derived), so selection given a
+    * cutoff is deterministic; the cutoff itself comes from a quantile
+    * sketch whose partial-merge order a multi-executor cluster does not
+    * fix, so run-to-run the threshold — and with it the boundary
+    * documents — can move within the sketch's rank error. When exact
+    * run-to-run reproducibility of the SET matters (release snapshots),
+    * use `resample` with an explicit k, or persist the chosen `cut` and
+    * re-apply it as a plain filter. Output: (doc_id, weight_micro,
+    * key_micro); an empty input selects nothing.
     */
   def selectFraction(raw: DataFrame, textCol: String, idCol: String,
                      model: DsirModel, frac: Double,
@@ -210,9 +238,12 @@ object Dsir {
     if (frac == 1.0) keyed(raw, textCol, idCol, model)
     else {
       val ks = keyed(raw, textCol, idCol, model)
-      val cut = ks.agg(percentile_approx(col("key_micro"),
-        lit(1.0 - frac), lit(accuracy)).as("cut")).head().getLong(0)
-      ks.filter(col("key_micro") >= cut)
+      val cutRow = ks.agg(percentile_approx(col("key_micro"),
+        lit(1.0 - frac), lit(accuracy)).as("cut")).head()
+      // empty input: the sketch returns NULL — select nothing rather than
+      // NPE (the curate stage upstream may legitimately keep zero docs)
+      if (cutRow.isNullAt(0)) ks.filter(lit(false))
+      else ks.filter(col("key_micro") >= cutRow.getLong(0))
     }
   }
 }

@@ -172,18 +172,24 @@ object TextSearch {
     * the survivors — the `DedupIndex.append` rhythm). Postings and lens
     * rows land in new per-bucket files (probes stay exchange-free); the
     * corpus stats in the table properties are UPDATED from the batch's
-    * own lens aggregate, so idf/avgdl keep tracking the true corpus. The
-    * caller is responsible for id uniqueness across ingests.
+    * own lens aggregate, so idf/avgdl keep tracking the true corpus. An
+    * empty batch is a no-op (a routing stage may legitimately drop every
+    * doc). The caller is responsible for id uniqueness across ingests.
+    *
+    * Crash ordering: stats are computed FIRST and the properties updated
+    * BEFORE the data appends, so every intermediate crash state is
+    * monotone-degraded (batch docs registered in N but not yet
+    * retrievable — like empty docs) rather than silently mis-scored in
+    * both directions. A crashed append must NOT simply be retried (the
+    * properties would double-count); rebuild or `compact` from a known
+    * state instead.
     */
   def append(df: DataFrame, textCol: String, idCol: String,
              name: String): Unit = {
     val (post, docLens) = postings(df, textCol, idCol)
-    graft.sources.Bucketize.appendBucketed(docLens, lensTable(name),
-      Seq("doc_id"))
-    val (bN, bSum) = corpusStats(docLens)
-    graft.sources.Bucketize.appendBucketed(post, postingsTable(name),
-      Seq("term"))
-    docLens.unpersist()
+    val bN = docLens.count()
+    if (bN == 0) { docLens.unpersist(); return }
+    val (_, bSum) = corpusStats(docLens)
     val spark = df.sparkSession
     val props = spark.sql(s"SHOW TBLPROPERTIES `${postingsTable(name)}`")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -191,6 +197,11 @@ object TextSearch {
       s"ALTER TABLE `${postingsTable(name)}` SET TBLPROPERTIES (" +
         s"'graft.bm25.nDocs' = '${props("graft.bm25.nDocs").toLong + bN}', " +
         s"'graft.bm25.sumDl' = '${props("graft.bm25.sumDl").toLong + bSum}')")
+    graft.sources.Bucketize.appendBucketed(docLens, lensTable(name),
+      Seq("doc_id"))
+    graft.sources.Bucketize.appendBucketed(post, postingsTable(name),
+      Seq("term"))
+    docLens.unpersist()
   }
 
   /** Compact an append-accumulated index into a fresh layout at `newPath`

@@ -66,13 +66,16 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       val target = docs.filter(col("source") ===
         docs.agg(min(col("source"))).head().getString(0))
-      val model = Dsir.fit(docs, target, "text", DsirBuckets)
+      // count each corpus ONCE and share the arrays across fit + both KLs
+      val ct = Dsir.bucketCountsOf(target, "text", DsirBuckets)
+      val cr = Dsir.bucketCountsOf(docs, "text", DsirBuckets)
+      val model = Dsir.fitFromCounts(cr, ct)
       val sel = Dsir.resample(docs, "text", "doc_id", model, DsirKlK)
         .select(col("doc_id"))
-      val klRaw = Dsir.klDiagnostic(docs, target, "text", DsirBuckets)
-      val klSel = Dsir.klDiagnostic(docs.join(sel, "doc_id"), target,
-        "text", DsirBuckets)
-      Seq(("raw", klRaw), ("selected", klSel)).toDF("which", "kl_pico")
+      val cs = Dsir.bucketCountsOf(docs.join(sel, "doc_id"), "text",
+        DsirBuckets)
+      Seq(("raw", Dsir.klFromCounts(ct, cr)),
+        ("selected", Dsir.klFromCounts(ct, cs))).toDF("which", "kl_pico")
     }),
 
     // persisted BM25 index through the INGEST RHYTHM: build on the even

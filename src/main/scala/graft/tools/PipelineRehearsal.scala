@@ -192,8 +192,7 @@ object PipelineRehearsal {
     //    artifact next to the packs (index build cost included in the
     //    stage; the probe never re-tokenizes the corpus)
     stage("bm25") {
-      val survivorsDocs = docsRaw.join(tailIds, "doc_id")
-      graft.operators.TextSearch.buildIndex(survivorsDocs, "text", "doc_id",
+      graft.operators.TextSearch.buildIndex(survivors, "text", "doc_id",
         "graft_pipeline_bm25", s"$outDir/bm25_index", numBuckets = 32)
       val qs = spark.read.parquet(s"$sfDir/documents.parquet")
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(8)
