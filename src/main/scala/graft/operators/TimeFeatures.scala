@@ -58,6 +58,39 @@ object TimeFeatures {
       .withColumn("event_seq", row_number().over(w).cast(LongType))
   }
 
+  /** Per-key forward fill (pandas `ffill` within groups): each null in
+    * `cols` takes the most recent non-null value of the same key in
+    * (tsCol, tieCols) order; leading nulls stay null. The sensor-feed /
+    * sparse-observation repair step of a feature pipeline. One key
+    * shuffle + per-key sort shared by every filled column — the running
+    * `last(ignoreNulls)` frame is O(rows) per key.
+    */
+  def fillForward(df: DataFrame, on: Seq[String], tsCol: String,
+                  tieCols: Seq[String], cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fillForward: no columns to fill")
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c + "_ffill", last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Per-key lagged copies of `valueCol` at each offset in `lags`
+    * (`<value>_lag_<n>`, null where the key has no n-th predecessor) —
+    * the autoregressive feature block. Same one-shuffle/per-key-sort
+    * shape as `interArrival`; all lags share the single sort.
+    */
+  def lagFeatures(df: DataFrame, on: Seq[String], tsCol: String,
+                  tieCols: Seq[String], valueCol: String,
+                  lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0),
+      s"lagFeatures: lags must be positive, got $lags")
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    lags.foldLeft(df)((d, n) =>
+      d.withColumn(s"${valueCol}_lag_$n", lag(col(valueCol), n).over(w)))
+  }
+
   /** Per-key exponentially weighted moving average of `valueCol` in event
     * order (pandas `ewm(alpha, adjust=False)` semantics: y_0 = x_0,
     * y_i = (1-alpha)*y_{i-1} + alpha*x_i, nulls carry the previous value).

@@ -105,6 +105,27 @@ object SessionQueries {
         .select(col("event_id"), col("user_id"), col("gap_us"),
           col("event_seq"))),
 
+    // per-key forward fill (r9): clicks' values nulled deterministically,
+    // then repaired from each user's most recent non-null observation
+    "q_fill_forward" -> ((s, dir) =>
+      graft.operators.TimeFeatures.fillForward(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"),
+          when(col("event_type") === "click", lit(null))
+            .otherwise(col("value")).as("value")),
+        Seq("user_id"), "ts", Seq("event_id"), Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("value_ffill"))),
+
+    // per-key lag features (r9): the autoregressive block, lags 1 and 3
+    "q_lag_features" -> ((s, dir) =>
+      graft.operators.TimeFeatures.lagFeatures(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), "ts", Seq("event_id"), "value", Seq(1, 3))
+        .select(col("event_id"), col("user_id"), col("value_lag_1"),
+          col("value_lag_3"))),
+
     // nearest-direction as-of (r8): closest error event either side of
     // each click, ties toward backward (pandas merge_asof nearest)
     "q_asof_nearest" -> ((s, dir) => {
@@ -189,6 +210,22 @@ object SessionQueries {
         |  epoch_us(CAST(ts AS TIMESTAMP))
         |    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
         |  CAST(row_number() OVER w AS BIGINT) AS event_seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value,
+        |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+        |    IGNORE NULLS) OVER w AS value_ffill
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_lag_features" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER w AS value_lag_1,
+        |  lag(value, 3) OVER w AS value_lag_3
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 

@@ -402,6 +402,37 @@ class LmMixSpec extends AnyFunSuite {
     assert(enc.containsSlice(Seq("z", "z")))
   }
 
+  test("TimeFeatures: fillForward repairs within keys, lagFeatures shift " +
+    "exactly, leading positions stay null") {
+    import graft.operators.TimeFeatures
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2021-01-01 00:00:00"), Some(1.0)),
+      (2L, 1L, ts("2021-01-01 00:30:00"), None),
+      (3L, 1L, ts("2021-01-01 01:30:00"), None),
+      (4L, 1L, ts("2021-01-01 02:00:00"), Some(4.0)),
+      (5L, 2L, ts("2021-01-01 00:10:00"), None) // leading null, other key
+    ).toDF("event_id", "user_id", "ts", "value")
+    val f = TimeFeatures.fillForward(ev, Seq("user_id"), "ts",
+        Seq("event_id"), Seq("value"))
+      .orderBy($"event_id").collect()
+    assert(f.map(r => Option(r.getAs[Any]("value_ffill"))).toSeq ===
+      Seq(Some(1.0), Some(1.0), Some(1.0), Some(4.0), None),
+      "nulls take the key's most recent non-null; leading nulls stay null")
+    val l = TimeFeatures.lagFeatures(ev, Seq("user_id"), "ts",
+        Seq("event_id"), "value", Seq(1, 2))
+      .orderBy($"event_id").collect()
+    assert(l.map(r => Option(r.getAs[Any]("value_lag_1"))).toSeq ===
+      Seq(None, Some(1.0), None, None, None))
+    assert(l.map(r => Option(r.getAs[Any]("value_lag_2"))).toSeq ===
+      Seq(None, None, Some(1.0), None, None))
+    intercept[IllegalArgumentException] {
+      TimeFeatures.lagFeatures(ev, Seq("user_id"), "ts", Seq("event_id"),
+        "value", Seq(0))
+    }
+  }
+
   test("TimeFeatures.ewma: exact recurrence, null carry, merge refuses") {
     import spark.implicits._
     val df = Seq(
