@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
   * standard score-free combiner for hybrid retrieval: fuse the lexical
@@ -37,5 +37,42 @@ object Retrieval {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf_micro").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-query ranking metrics against a relevance set — the in-engine
+    * retrieval eval (recall@k, reciprocal rank, binary-relevance DCG@k),
+    * so index-quality regressions surface in the same plans that built
+    * the index. `results` is a ranked list (q_id, doc_id, rank); `truth`
+    * the relevant (q_id, doc_id) pairs. Output one row per query with
+    * relevance judgments: (q_id, n_rel, n_hits, recall_micro, mrr_micro,
+    * dcg_micro) — every metric an exact round-to-integer micro-unit
+    * (terms rounded on the *1e6 product; sums order-independent), zeros
+    * for judged queries with no hits. Cost ∝ |results| — corpus scale
+    * happened upstream in the retrieval operators.
+    */
+  def evalRanking(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "Retrieval.evalRanking: k must be positive")
+    val rel = truth.select(col("q_id"), col("doc_id")).distinct()
+    val nRel = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    val hits = results.filter(col("rank") <= k)
+      .join(rel, Seq("q_id", "doc_id"))
+    val dcgTerm = round(lit(1000000.0) /
+      log(2.0, col("rank").cast(DoubleType) + lit(1.0))).cast(LongType)
+    val perQ = hits.groupBy(col("q_id")).agg(
+      count(lit(1)).as("n_hits"),
+      min(col("rank")).as("best_rank"),
+      sum(dcgTerm).as("dcg_micro"))
+    nRel.join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        // round-then-cast (never bare double->int casts: Spark truncates
+        // where DuckDB rounds)
+        round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) * lit(1000000.0)
+          / least(col("n_rel"), lit(k.toLong)).cast(DoubleType))
+          .cast(LongType).as("recall_micro"),
+        coalesce(round(lit(1000000.0) /
+          col("best_rank").cast(DoubleType)).cast(LongType), lit(0L))
+          .as("mrr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"))
   }
 }

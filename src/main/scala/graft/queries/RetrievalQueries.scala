@@ -59,6 +59,17 @@ object RetrievalQueries {
       Dsir.resample(docs, "text", "doc_id", model, DsirK)
     }),
 
+    // in-engine retrieval eval: the 8 self-queries judged against their
+    // own documents (truth = (q, q)) over the BM25 top-5
+    "q_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qd = queryDocs(s, dir)
+      val results = TextSearch.topk(docs, "text", "doc_id",
+        qd, "q_text", "q_id", k = TopK)
+      val truth = qd.select(col("q_id"), col("q_id").as("doc_id"))
+      graft.operators.Retrieval.evalRanking(results, truth, k = TopK)
+    }),
+
     // the DSIR paper's selection diagnostic: KL(target || selected) must
     // drop below KL(target || raw) — two bounded-bucket KLs in pico-nats
     "q_dsir_kl" -> ((s, dir) => {
@@ -249,6 +260,34 @@ object RetrievalQueries {
          |  SELECT q_id, doc_id, rrf_micro, row_number() OVER (
          |    PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
          |  FROM fus) WHERE rank <= $TopK""".stripMargin,
+
+    // retrieval eval: truth = each query's own doc; DCG base-2 log written
+    // as ln(x)/ln(2.0) — the exact expression Spark's Logarithm evaluates
+    // (DuckDB's log2 builtin is std::log2, a DIFFERENT libm call)
+    "q_retrieval_eval" ->
+      s"""WITH $bm25Ctes,
+         |rk AS (SELECT q_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm),
+         |top AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= $TopK),
+         |rel AS (SELECT q_id, q_id AS doc_id FROM (SELECT DISTINCT q_id FROM qd)),
+         |nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM rel GROUP BY q_id),
+         |h AS (SELECT t.q_id, t.rank FROM top t
+         |  JOIN rel r ON t.q_id = r.q_id AND t.doc_id = r.doc_id),
+         |pq AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    min(rank) AS best_rank,
+         |    CAST(sum(CAST(round(1000000.0 / (ln(CAST(rank AS DOUBLE) + 1.0)
+         |      / ln(2.0))) AS BIGINT)) AS BIGINT) AS dcg_micro
+         |  FROM h GROUP BY q_id)
+         |SELECT n.q_id, n.n_rel,
+         |  CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(round((CAST(coalesce(p.n_hits, 0) AS DOUBLE) * 1000000.0)
+         |    / CAST(least(n.n_rel, $TopK) AS DOUBLE)) AS BIGINT) AS recall_micro,
+         |  CAST(coalesce(CAST(round(1000000.0 / CAST(p.best_rank AS DOUBLE))
+         |    AS BIGINT), 0) AS BIGINT) AS mrr_micro,
+         |  CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro
+         |FROM nrel n LEFT JOIN pq p USING (q_id)""".stripMargin,
 
     // KL diagnostic: the resample CTEs give the selected ids; a full
     // B-bucket spine (absent buckets still carry 0.5 smoothing mass) feeds

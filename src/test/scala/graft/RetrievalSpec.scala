@@ -33,6 +33,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.sortBy(_.toString).toSeq === b.sortBy(_.toString).toSeq)
   }
 
+  test("evalRanking: perfect hit, graded rank, and judged miss") {
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L),   // q1: rel doc at rank 1
+      (2L, 20L, 1L), (2L, 21L, 2L),   // q2: rel doc at rank 2
+      (3L, 30L, 1L)                    // q3: rel doc absent
+    ).toDF("q_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (2L, 21L), (3L, 99L)).toDF("q_id", "doc_id")
+    val m = Retrieval.evalRanking(results, truth, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m(1L) === ((1L, 1000000L, 1000000L, 1000000L)),
+      "rank-1 hit: recall, mrr, dcg all 1.0")
+    // rank 2: rr = 1/2; dcg term = 1e6 / log2(3)
+    val dcg2 = Math.round(1000000.0 / (math.log(3.0) / math.log(2.0)))
+    assert(m(2L) === ((1L, 1000000L, 500000L, dcg2)))
+    assert(m(3L) === ((0L, 0L, 0L, 0L)),
+      "judged query with no hit appears with zero metrics")
+  }
+
   test("refuses empty input and non-positive constants") {
     intercept[IllegalArgumentException] { Retrieval.rrf(Seq.empty, k = 5) }
     val lex = Seq((1L, 10L, 1)).toDF("q_id", "doc_id", "rank")
