@@ -54,7 +54,11 @@ object Retrieval {
     require(k > 0, "Retrieval.evalRanking: k must be positive")
     val rel = truth.select(col("q_id"), col("doc_id")).distinct()
     val nRel = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    // metrics are defined on the SET of retrieved relevant docs at their
+    // best rank: a duplicated (q, doc) entry (fused or concatenated result
+    // lists) cannot double-count into n_hits/dcg or push recall past 1.0
     val hits = results.filter(col("rank") <= k)
+      .groupBy(col("q_id"), col("doc_id")).agg(min(col("rank")).as("rank"))
       .join(rel, Seq("q_id", "doc_id"))
     val dcgTerm = round(lit(1000000.0) /
       log(2.0, col("rank").cast(DoubleType) + lit(1.0))).cast(LongType)
@@ -65,10 +69,12 @@ object Retrieval {
     nRel.join(perQ, Seq("q_id"), "left")
       .select(col("q_id"), col("n_rel"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        // round-then-cast (never bare double->int casts: Spark truncates
-        // where DuckDB rounds)
+        // STANDARD recall@k (trec_eval): hits over ALL relevant docs — a
+        // query with more relevant docs than k cannot reach 1.0. Round-
+        // then-cast (never bare double->int: Spark truncates, DuckDB
+        // rounds).
         round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType) * lit(1000000.0)
-          / least(col("n_rel"), lit(k.toLong)).cast(DoubleType))
+          / col("n_rel").cast(DoubleType))
           .cast(LongType).as("recall_micro"),
         coalesce(round(lit(1000000.0) /
           col("best_rank").cast(DoubleType)).cast(LongType), lit(0L))

@@ -43,6 +43,24 @@ object TimeFeatures {
     }
   }
 
+  /** The family's shared per-key total order: partition by `on`, order by
+    * (tsCol, tieCols). ONE definition of the tie-break/null-ordering
+    * contract for interArrival / fillForward / lagFeatures / ewma — the
+    * order-dependent operators cannot silently diverge.
+    */
+  private def keyedWindow(on: Seq[String], tsCol: String,
+                          tieCols: Seq[String]) =
+    Window.partitionBy(on.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+
+  /** `keyedWindow` with the running ROWS frame (unbounded preceding →
+    * current) the fold/fill operators consume.
+    */
+  private def runningWindow(on: Seq[String], tsCol: String,
+                            tieCols: Seq[String]) =
+    keyedWindow(on, tsCol, tieCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
   /** Inter-arrival features: per-key time since the PREVIOUS event
     * (`gap_us`, null on each key's first event) and the 1-based event
     * index (`event_seq`) — the standard recency/position features of
@@ -51,8 +69,7 @@ object TimeFeatures {
     */
   def interArrival(df: DataFrame, on: Seq[String], tsCol: String,
                    tieCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    val w = keyedWindow(on, tsCol, tieCols)
     df.withColumn("gap_us",
         unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
       .withColumn("event_seq", row_number().over(w).cast(LongType))
@@ -68,9 +85,11 @@ object TimeFeatures {
   def fillForward(df: DataFrame, on: Seq[String], tsCol: String,
                   tieCols: Seq[String], cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "fillForward: no columns to fill")
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clashes = cols.map(_ + "_ffill").filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"fillForward: output columns ${clashes.mkString(", ")} already " +
+        "exist — refusing to silently overwrite (was fillForward applied twice?)")
+    val w = runningWindow(on, tsCol, tieCols)
     cols.foldLeft(df)((d, c) =>
       d.withColumn(c + "_ffill", last(col(c), ignoreNulls = true).over(w)))
   }
@@ -85,8 +104,7 @@ object TimeFeatures {
                   lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ > 0),
       s"lagFeatures: lags must be positive, got $lags")
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    val w = keyedWindow(on, tsCol, tieCols)
     lags.foldLeft(df)((d, n) =>
       d.withColumn(s"${valueCol}_lag_$n", lag(col(valueCol), n).over(w)))
   }
@@ -104,9 +122,7 @@ object TimeFeatures {
   def ewma(df: DataFrame, on: Seq[String], tsCol: String, tieCols: Seq[String],
            valueCol: String, alpha: Double,
            outCol: String = "ewma"): DataFrame = {
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = runningWindow(on, tsCol, tieCols)
     df.withColumn(outCol,
       graft.functions.Ewma.ewma(col(valueCol).cast(
         org.apache.spark.sql.types.DoubleType), alpha).over(w))

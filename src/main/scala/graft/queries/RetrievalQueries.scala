@@ -283,7 +283,7 @@ object RetrievalQueries {
          |SELECT n.q_id, n.n_rel,
          |  CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(round((CAST(coalesce(p.n_hits, 0) AS DOUBLE) * 1000000.0)
-         |    / CAST(least(n.n_rel, $TopK) AS DOUBLE)) AS BIGINT) AS recall_micro,
+         |    / CAST(n.n_rel AS DOUBLE)) AS BIGINT) AS recall_micro,
          |  CAST(coalesce(CAST(round(1000000.0 / CAST(p.best_rank AS DOUBLE))
          |    AS BIGINT), 0) AS BIGINT) AS mrr_micro,
          |  CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro

@@ -431,6 +431,13 @@ class LmMixSpec extends AnyFunSuite {
       TimeFeatures.lagFeatures(ev, Seq("user_id"), "ts", Seq("event_id"),
         "value", Seq(0))
     }
+    // refuses to silently overwrite an existing _ffill column
+    intercept[IllegalArgumentException] {
+      TimeFeatures.fillForward(
+        TimeFeatures.fillForward(ev, Seq("user_id"), "ts", Seq("event_id"),
+          Seq("value")),
+        Seq("user_id"), "ts", Seq("event_id"), Seq("value"))
+    }
   }
 
   test("TimeFeatures.ewma: exact recurrence, null carry, merge refuses") {

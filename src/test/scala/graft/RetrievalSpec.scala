@@ -52,6 +52,23 @@ class RetrievalSpec extends AnyFunSuite {
       "judged query with no hit appears with zero metrics")
   }
 
+  test("evalRanking: standard recall@k denominator and duplicate immunity") {
+    // 3 relevant docs, k=2, both slots relevant: recall@2 = 2/3 (trec
+    // semantics — NOT capped to 1.0 by min(n_rel, k))
+    val results = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("q_id", "doc_id")
+    val r = Retrieval.evalRanking(results, truth, k = 2).head()
+    assert(r.getLong(3) === Math.round(2000000.0 / 3.0))
+    // a duplicated (q, doc) entry (concatenated result lists) counts once,
+    // at its best rank
+    val dup = Seq((1L, 10L, 1L), (1L, 10L, 2L)).toDF("q_id", "doc_id", "rank")
+    val t1 = Seq((1L, 10L)).toDF("q_id", "doc_id")
+    val d = Retrieval.evalRanking(dup, t1, k = 5).head()
+    assert(d.getLong(2) === 1L, "duplicate rows must not double-count hits")
+    assert(d.getLong(3) === 1000000L && d.getLong(4) === 1000000L &&
+      d.getLong(5) === 1000000L)
+  }
+
   test("refuses empty input and non-positive constants") {
     intercept[IllegalArgumentException] { Retrieval.rrf(Seq.empty, k = 5) }
     val lex = Seq((1L, 10L, 1)).toDF("q_id", "doc_id", "rank")
