@@ -556,6 +556,17 @@ object ScaleRehearsal {
         ev.filter(col("value").isNotNull), Seq("user_id"), "ts",
         Seq("event_id"), "value", alpha = 0.3)
         .filter(col("ewma") > 0.0).count()),
+      // forward fill + lag block (r9): same contract — both ride the ONE
+      // shared keyed sort; the filters consume the filled/lagged columns
+      "time_ffill" -> (() => graft.operators.TimeFeatures.fillForward(
+        ev.withColumn("value",
+          when(col("event_type") === "click", lit(null))
+            .otherwise(col("value"))),
+        Seq("user_id"), "ts", Seq("event_id"), Seq("value"))
+        .filter(col("value_ffill").isNotNull).count()),
+      "time_lags" -> (() => graft.operators.TimeFeatures.lagFeatures(
+        ev, Seq("user_id"), "ts", Seq("event_id"), "value", Seq(1, 3))
+        .filter(col("value_lag_3").isNotNull).count()),
       // embedding PCA: fit = one melted mean aggregate + one Gram pass
       // (driver state = d x d, corpus-independent); transform = pure
       // CenterProject scan — wall ~linear, shufW ~flat (only the tiny
