@@ -139,13 +139,19 @@ object AnnIndex {
     * LSH bucket keys are per-vector, filtering candidates is EXACTLY
     * equivalent to probing an index built on the allowed subset (pinned
     * in AnnIndexSpec) — the layout serves every slice of the corpus
-    * without per-slice rebuilds. The filter frame joins on corpus_id
-    * (broadcast when small, shuffle of the filter — never the corpus —
-    * when not).
+    * without per-slice rebuilds. The filter frame is BROADCAST by default
+    * (`broadcastAllowed = true`): filtered search is for bounded allow-
+    * lists, and a broadcast semi-join leaves the bucketed postings scan
+    * untouched. A corpus-scale filter frame cannot broadcast — pass
+    * `broadcastAllowed = false`, and know the cost honestly: a shuffled
+    * left_semi on corpus_id RE-EXCHANGES the (tbl, bkt)-bucketed postings
+    * by corpus_id, a corpus-sized exchange. At that scale, materialize
+    * the filtered corpus as its own index instead.
     */
   def probe(queries: DataFrame, vecCol: String, idCol: String, name: String,
             k: Int, planesPerTable: Int = 0, nTables: Int = 0,
-            allowed: Option[DataFrame] = None): DataFrame = {
+            allowed: Option[DataFrame] = None,
+            broadcastAllowed: Boolean = true): DataFrame = {
     import graft.functions.VecExprs
     val spark = queries.sparkSession
     val (planes, tables) =
@@ -162,8 +168,9 @@ object AnnIndex {
       case Some(a) =>
         require(a.columns.length == 1,
           s"allowed must be a one-column id frame, got ${a.columns.mkString(", ")}")
+        val ids = a.select(col(a.columns.head).as("corpus_id")).distinct()
         spark.table(postingsTable(name)).join(
-          a.select(col(a.columns.head).as("corpus_id")).distinct(),
+          if (broadcastAllowed) broadcast(ids) else ids,
           Seq("corpus_id"), "left_semi")
     }
     // score before deduplicating multi-table hits, same rationale as

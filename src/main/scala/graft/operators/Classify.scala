@@ -66,7 +66,14 @@ object Classify {
   /** Fit per-label centroids from a labeled seed frame: normalized
     * vectors, per-(label, component) mean — |labels|·dim bounded rows to
     * the driver, each coordinate rounded to 6 dp (the k-means recenter
-    * discipline, oracle-reproducible). Null vectors/labels are dropped.
+    * discipline, oracle-reproducible) — then the centroid itself is
+    * L2-NORMALIZED (and re-rounded to 6 dp). A mean of unit vectors has
+    * norm < 1 for any non-degenerate class, so without this step the
+    * reported "cosine" would be a systematically understated dot product
+    * with the unnormalized mean, and nearest-by-L2 assignment would not
+    * agree with nearest-by-cosine; over unit centroids the two rankings
+    * coincide and `classify`'s cosine is the true cosine to the winning
+    * centroid direction. Null vectors/labels are dropped.
     */
   def fitCentroids(seed: DataFrame, vecCol: String, labelCol: String,
                    maxLabels: Int = 10000): CentroidModel = {
@@ -89,8 +96,13 @@ object Classify {
     require(rows.nonEmpty, "Classify.fitCentroids: empty labeled seed")
     val byLab = rows.groupBy(_.getString(0))
     val labs = byLab.keys.toSeq.sorted
-    val cents = labs.map(l =>
-      byLab(l).sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toSeq)
+    val cents = labs.map { l =>
+      val mean = byLab(l).sortBy(_.getInt(1)).map(r => round6(r.getDouble(2)))
+      // norm over the ROUNDED means, summed in index order (the oracle
+      // replays list_sum over the same rounded list bit for bit)
+      val norm = math.sqrt(mean.map(x => x * x).sum)
+      mean.map(x => round6(x / norm)).toSeq
+    }
     CentroidModel(labs, cents)
   }
 

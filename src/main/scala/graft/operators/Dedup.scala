@@ -40,19 +40,25 @@ object Dedup {
   /** SOFT exact dedup: keep every copy, weight each 1/cluster-size — the
     * alternative several corpus pipelines prefer to hard dropping (total
     * per-content mass stays 1, so duplicated pages aren't over-trained on
-    * but rare formatting variants survive). One fingerprint aggregate +
-    * one broadcast-decidable join back; every input row comes back with
-    * (n_copies, dup_weight). Pairs with `Mix`'s sampled flag: use the
-    * weight as a sampling rate or a loss weight downstream.
+    * but rare formatting variants survive). ONE fingerprint pass + ONE
+    * corpus shuffle: the cluster size is a count window over the
+    * fingerprint, so the corpus is hashed exactly once (the previous
+    * aggregate-then-join-back shape hashed it twice — a second full
+    * hashing pass at 100 TB) and moves through exactly one exchange.
+    * Tradeoff vs the join shape: a pathologically mega-duplicated
+    * fingerprint makes one window partition large and AQE cannot split a
+    * window partition the way it splits a skewed join — acceptable
+    * because real duplication clusters are bounded (thousands of copies),
+    * while the double hashing pass costs on EVERY corpus. Pairs with
+    * `Mix`'s sampled flag: use the weight as a sampling rate or a loss
+    * weight downstream.
     */
   def duplicationWeights(df: DataFrame, textCol: String,
                          idCol: String): DataFrame = {
-    val counts = df
-      .withColumn("__fp", Text.contentFingerprint(col(textCol)))
-      .groupBy(col("__fp"))
-      .agg(count(lit(1)).as("n_copies"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
     df.withColumn("__fp", Text.contentFingerprint(col(textCol)))
-      .join(counts, Seq("__fp"))
+      .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("dup_weight",
         round(lit(1.0) / col("n_copies").cast("double"), 6))
       .drop("__fp")

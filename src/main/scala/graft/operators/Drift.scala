@@ -116,10 +116,15 @@ object Drift {
         .groupBy(col("column_name"))
         .agg(sum(col(s"n_$side")).cast(DoubleType).as(s"tot_$side"))
       // full outer per (column, bin): a bin present in only one frame
-      // floors the other side at eps
+      // floors the other side at eps. The cur totals join is LEFT (the
+      // scoreKs broken-feed contract): a column with NO current rows must
+      // surface as max drift, not silently vanish — tot_cur comes back
+      // null, every qFrac divides to null, and `greatest(..., eps)` skips
+      // the null, so the column reads psi = Σ (p_i − eps)·ln(p_i/eps)
+      // (the eps-floor maximum) — "no data arrived" IS total drift
       val joined = p.join(q, Seq("column_name", "bin"), "full_outer")
         .join(totalsOf(p, "ref"), Seq("column_name"))
-        .join(totalsOf(q, "cur"), Seq("column_name"))
+        .join(totalsOf(q, "cur"), Seq("column_name"), "left")
       val pFrac = greatest(coalesce(col("n_ref"), lit(0L)).cast(DoubleType) /
         col("tot_ref"), lit(eps))
       val qFrac = greatest(coalesce(col("n_cur"), lit(0L)).cast(DoubleType) /

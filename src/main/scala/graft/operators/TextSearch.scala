@@ -44,14 +44,22 @@ object TextSearch {
       .withColumn("dl", size(col("toks")).cast(LongType))
 
   /** Postings (term, doc_id, tf) + per-doc lengths (doc_id, dl) from a
-    * corpus. One corpus-token shuffle; tf combines map-side. The lens
-    * frame comes back PERSISTED (two thin columns): it is consumed by the
-    * stats job AND the scoring join, and without the cache each consumer
-    * would re-tokenize the corpus.
+    * corpus. One corpus-token shuffle; tf combines map-side.
+    *
+    * `cache = true`: the lens frame comes back PERSISTED (two thin
+    * columns) — the index builders use this because they consume it twice
+    * (stats job + bucketed write) and OWN the handle: they unpersist it
+    * before returning. `cache = false` (the one-shot `scores`/`topk`
+    * path): the lens frame stays lazy, costing one extra tokenize pass at
+    * materialization but never pinning a storage-lifetime frame the
+    * caller has no handle to release (the `Drift.withRefCounts` one-shot
+    * discipline).
     */
-  def postings(df: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
+  def postings(df: DataFrame, textCol: String, idCol: String,
+               cache: Boolean = true): (DataFrame, DataFrame) = {
     val tk = tokenized(df, textCol, idCol)
-    val docLens = tk.select(col("doc_id"), col("dl")).persist()
+    val lens0 = tk.select(col("doc_id"), col("dl"))
+    val docLens = if (cache) lens0.persist() else lens0
     val post = tk.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
@@ -128,7 +136,10 @@ object TextSearch {
   def scores(df: DataFrame, textCol: String, idCol: String,
              queries: DataFrame, qTextCol: String, qIdCol: String,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (post, docLens) = postings(df, textCol, idCol)
+    // cache = false: the returned plan is lazy, so a persist here would
+    // outlive this call with no handle to release it — the one-shot form
+    // pays one extra tokenize scan instead of leaking a cached frame
+    val (post, docLens) = postings(df, textCol, idCol, cache = false)
     val (nDocs, sumDl) = corpusStats(docLens)
     scoreMicro(post, docLens, nDocs, sumDl.toDouble / nDocs.toDouble,
       queries, qTextCol, qIdCol, k1, b)
@@ -144,6 +155,29 @@ object TextSearch {
 
   def postingsTable(name: String): String = s"${name}_postings"
   def lensTable(name: String): String = s"${name}_lens"
+
+  private val PendingKey = "graft.bm25.pendingBatch"
+
+  private def tblProps(spark: SparkSession, name: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES `${postingsTable(name)}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** Loud guard against the half-applied-append window: `append` stamps a
+    * pending-batch marker before it mutates anything and clears it only
+    * after both data appends commit, so any crash inside the window is
+    * DETECTED (by the next append/probe) instead of silently double-
+    * counting stats on a blind retry.
+    */
+  private def requireClean(props: Map[String, String], name: String,
+                           what: String): Unit =
+    props.get(PendingKey).filter(_.nonEmpty).foreach { b =>
+      throw new IllegalStateException(
+        s"TextSearch.$what: index '$name' has a half-applied append " +
+          s"(pending batch '$b' — a prior append crashed between the " +
+          "stats update and the data commits). Do NOT retry the append; " +
+          s"run TextSearch.repair(spark, \"$name\") to resync the stats " +
+          "from the lens table, or rebuild the index from source.")
+    }
 
   /** Persist the corpus as a standing BM25 index: postings bucketed by
     * term, doc lengths bucketed by doc id, corpus stats as table
@@ -180,9 +214,12 @@ object TextSearch {
     * BEFORE the data appends, so every intermediate crash state is
     * monotone-degraded (batch docs registered in N but not yet
     * retrievable — like empty docs) rather than silently mis-scored in
-    * both directions. A crashed append must NOT simply be retried (the
-    * properties would double-count); rebuild or `compact` from a known
-    * state instead.
+    * both directions. The window is additionally STAMPED: a pending-batch
+    * marker is set before the stats mutation and cleared only after both
+    * data appends commit, so a crashed append is detected loudly by the
+    * next append/probe instead of silently double-counting on a blind
+    * retry. Recovery: `repair` (resync stats from the lens table) or a
+    * rebuild from source.
     */
   def append(df: DataFrame, textCol: String, idCol: String,
              name: String): Unit = {
@@ -191,17 +228,39 @@ object TextSearch {
     if (bN == 0) { docLens.unpersist(); return }
     val (_, bSum) = corpusStats(docLens)
     val spark = df.sparkSession
-    val props = spark.sql(s"SHOW TBLPROPERTIES `${postingsTable(name)}`")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = tblProps(spark, name)
+    requireClean(props, name, "append")
+    val batchTag = java.util.UUID.randomUUID().toString
     spark.sql(
       s"ALTER TABLE `${postingsTable(name)}` SET TBLPROPERTIES (" +
+        s"'$PendingKey' = '$batchTag', " +
         s"'graft.bm25.nDocs' = '${props("graft.bm25.nDocs").toLong + bN}', " +
         s"'graft.bm25.sumDl' = '${props("graft.bm25.sumDl").toLong + bSum}')")
     graft.sources.Bucketize.appendBucketed(docLens, lensTable(name),
       Seq("doc_id"))
     graft.sources.Bucketize.appendBucketed(post, postingsTable(name),
       Seq("term"))
+    spark.sql(s"ALTER TABLE `${postingsTable(name)}` " +
+      s"UNSET TBLPROPERTIES ('$PendingKey')")
     docLens.unpersist()
+  }
+
+  /** Recover from a detected half-applied append: recompute nDocs/sumDl
+    * from the lens table (the ground truth for both — every committed doc
+    * has exactly one lens row) and clear the pending marker. Postings of
+    * the crashed batch may be absent (those docs score as empty — the
+    * monotone-degraded state `append` documents) but never double-counted
+    * in the stats; a `compact`-then-rebuild is the full-fidelity path.
+    */
+  def repair(spark: SparkSession, name: String): Unit = {
+    val lens = spark.table(lensTable(name))
+    val (nDocs, sumDl) = corpusStats(lens)
+    spark.sql(
+      s"ALTER TABLE `${postingsTable(name)}` SET TBLPROPERTIES (" +
+        s"'graft.bm25.nDocs' = '$nDocs', " +
+        s"'graft.bm25.sumDl' = '$sumDl')")
+    spark.sql(s"ALTER TABLE `${postingsTable(name)}` " +
+      s"UNSET TBLPROPERTIES IF EXISTS ('$PendingKey')")
   }
 
   /** Compact an append-accumulated index into a fresh layout at `newPath`
@@ -222,8 +281,8 @@ object TextSearch {
   def probe(spark: SparkSession, name: String,
             queries: DataFrame, qTextCol: String, qIdCol: String,
             k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES `${postingsTable(name)}`")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = tblProps(spark, name)
+    requireClean(props, name, "probe")
     val nDocs = props("graft.bm25.nDocs").toLong
     val avgdl = props("graft.bm25.sumDl").toDouble / nDocs.toDouble
     topkOf(scoreMicro(spark.table(postingsTable(name)),

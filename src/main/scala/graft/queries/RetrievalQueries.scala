@@ -327,17 +327,21 @@ object RetrievalQueries {
          |UNION ALL SELECT 'selected' AS which, ksel AS kl_pico FROM kl""".stripMargin,
 
     // mirrors Classify.fitCentroids/classify bit for bit: the k-means
-    // recenter/assign discipline (round-6 centroid coordinates, round-6
-    // L2 assignment with cid tie-break, round-6 cosine) over GIVEN labels
+    // recenter/assign discipline (round-6 mean coordinates, round-6
+    // L2-NORMALIZED centroid, round-6 L2 assignment with cid tie-break,
+    // round-6 true cosine) over GIVEN labels
     "q_classify_centroid" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(label AS VARCHAR) AS lab,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
          |      sqrt(list_sum(list_transform(embedding,
          |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
          |  FROM embeddings WHERE embedding IS NOT NULL),
-         |cent AS (SELECT lab, list_transform(range(1, len(vs[1]) + 1),
-         |      i -> round(list_sum(list_transform(vs, e -> e[i])) / len(vs), 6)) AS cv
+         |centm AS (SELECT lab, list_transform(range(1, len(vs[1]) + 1),
+         |      i -> round(list_sum(list_transform(vs, e -> e[i])) / len(vs), 6)) AS mv
          |  FROM (SELECT lab, list(nv) AS vs FROM v WHERE id % 5 = 0 GROUP BY lab)),
+         |cent AS (SELECT lab, list_transform(mv, x -> round(x /
+         |      sqrt(list_sum(list_transform(mv, y -> y * y))), 6)) AS cv
+         |  FROM centm),
          |cidt AS (SELECT lab, cv,
          |    row_number() OVER (ORDER BY lab) - 1 AS cid FROM cent),
          |asg AS (SELECT id, lab AS label_pred, cv, nv FROM (

@@ -48,6 +48,27 @@ class ClassifySpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("fitted centroids are unit vectors, so 'cosine' is the true cosine") {
+    // a mean of non-identical unit vectors has norm < 1; the fit must
+    // re-normalize it so the reported dot product IS the cosine to the
+    // centroid direction, and nearest-by-L2 agrees with nearest-by-cosine
+    val model = Classify.fitCentroids(clearCut, "vec", "lab")
+    model.labels.zip(model.centroids).foreach { case (l, c) =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5 * c.length,
+        s"centroid for '$l' has norm $norm, expected 1 within round-6 slack")
+    }
+    // a vector EXACTLY on a centroid direction must score cosine ≈ 1
+    val onAxis = Seq((42L, Seq(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val m2 = Classify.fitCentroids(
+      Seq((1L, "x", Seq(1.0f, 0.0f, 0.0f)),
+        (2L, "y", Seq(0.0f, 1.0f, 0.0f))).toDF("id", "lab", "vec"),
+      "vec", "lab")
+    val cos = Classify.classify(onAxis, "vec", "id", m2).head().getDouble(2)
+    assert(math.abs(cos - 1.0) < 1e-5,
+      s"on-centroid vector must read cosine ~1.0, got $cos")
+  }
+
   test("equidistant ties break toward the first label") {
     val seed = Seq(
       (1L, "a", Seq(1.0f, 0.0f)),

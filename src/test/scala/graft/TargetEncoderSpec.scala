@@ -365,6 +365,20 @@ class DriftSpec extends AnyFunSuite {
     assert(!out.contains(("n", "1")))
   }
 
+  test("psi surfaces a 0-row current snapshot as max drift, not an empty frame") {
+    // the broken-feed contract shared with ks: an empty micro-batch /
+    // snapshot means "no data arrived", which for a monitor IS total
+    // drift — the cur-totals join is LEFT, so every monitored column
+    // surfaces at the eps-floor maximum Σ (p_i − eps)·ln(p_i/eps)
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val empty = Seq.empty[Double].toDF("x")
+    val out = graft.operators.Drift.psi(ref, empty, Seq("x")).collect()
+    assert(out.length === 1, "the broken-feed column must still surface")
+    assert(out(0).getString(0) === "x")
+    assert(out(0).getDouble(1) > 1.0,
+      s"an empty feed must read far above the 0.25 action bar, got ${out(0).getDouble(1)}")
+  }
+
   test("ks reads 1.0 — not a vanished row — when cur has no non-null values") {
     val ref = (1 to 1000).map(_.toDouble).toDF("x")
     val curAllNull = Seq.fill(5)(Option.empty[Double]).toDF("x")

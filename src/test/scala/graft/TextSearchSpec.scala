@@ -97,6 +97,49 @@ class TextSearchSpec extends AnyFunSuite {
     assert(afterCompact.toSeq === oneShot.toSeq)
   }
 
+  test("a half-applied append is detected loudly; repair resyncs the stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25c").toString
+    TextSearch.buildIndex(docs, "text", "doc_id", "graft_bm25_crash", dir,
+      numBuckets = 4)
+    val before = TextSearch.probe(spark, "graft_bm25_crash",
+      queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
+      .collect().map(_.toSeq)
+    // simulate the crash window: marker stamped, data appends never ran
+    spark.sql("ALTER TABLE `graft_bm25_crash_postings` SET TBLPROPERTIES " +
+      "('graft.bm25.pendingBatch' = 'deadbeef', " +
+      "'graft.bm25.nDocs' = '999999')")
+    val eProbe = intercept[IllegalStateException] {
+      TextSearch.probe(spark, "graft_bm25_crash",
+        queries, "q_text", "q_id", k = 5)
+    }
+    assert(eProbe.getMessage.contains("half-applied"))
+    val eAppend = intercept[IllegalStateException] {
+      TextSearch.append(docs.limit(3), "text", "doc_id", "graft_bm25_crash")
+    }
+    assert(eAppend.getMessage.contains("deadbeef"),
+      "the refusal must name the crashed batch")
+    // repair recomputes nDocs/sumDl from the lens table and clears the
+    // marker — probes resume with the pre-crash answers
+    TextSearch.repair(spark, "graft_bm25_crash")
+    val after = TextSearch.probe(spark, "graft_bm25_crash",
+      queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
+      .collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq,
+      "repair must restore the committed-corpus stats exactly")
+  }
+
+  test("one-shot scores/topk leave no persisted frame behind") {
+    // the index builders own (and release) the lens cache; the one-shot
+    // forms must not pin storage the caller has no handle to release
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    TextSearch.topk(docs, "text", "doc_id", queries, "q_text", "q_id", k = 3)
+      .count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"one-shot topk pinned ${leaked.size} RDD(s) in storage")
+  }
+
   test("probeStream matches the batch probe per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
