@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   */
 object TableVectorizer {
 
+  /** Hard cap on the one-hot vocabulary of a column FORCED low-cardinality
+    * by a ToCategorical tag: the low-card path collects the vocabulary to
+    * the driver, so a tag on a genuinely unbounded column must fail
+    * loudly, not OOM the collect.
+    */
+  val MaxTaggedVocab = 4096
+
   sealed trait Kind
   case object Numeric extends Kind
   case object Datetime extends Kind
@@ -119,6 +126,14 @@ object TableVectorizer {
           nComponents: Int = 30,
           binNumerics: Option[Int] = None): Model = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    // columns marked by ToCategorical route low-cardinality REGARDLESS of
+    // the measured distinct count (the tag is the caller taking
+    // responsibility) — but behind a loud cap, because the low-card path
+    // collects the vocabulary to the driver and one-hots it
+    val taggedCols = df.schema.fields
+      .filter(f => f.dataType == StringType &&
+        graft.encoders.ToCategorical.isCategorical(f))
+      .map(_.name).toSet
     // Routing only needs "distinct < threshold", so the exact saturating
     // DistinctAtMost answers it in ONE job with <= threshold+1 elements of
     // state per column (a high-card column saturates within its first
@@ -131,18 +146,34 @@ object TableVectorizer {
     val cards: Map[String, Long] =
       if (stringCols.isEmpty) Map.empty
       else {
-        val exprs = stringCols.map(c =>
-          graft.functions.Contingency.distinctAtMost(col(c), cardinalityThreshold).as(c))
+        // same one-job saturating count, but a TAGGED column saturates at
+        // the vocabulary cap instead of the routing threshold, so the
+        // guard below can tell "big but bounded" from "unbounded" without
+        // a second pass
+        val exprs = stringCols.map(c => graft.functions.Contingency
+          .distinctAtMost(col(c),
+            if (taggedCols(c)) MaxTaggedVocab else cardinalityThreshold)
+          .as(c))
         val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
         stringCols.map(c => c -> row.getAs[Long](c)).toMap
       }
+    taggedCols.foreach { c =>
+      require(cards(c) <= MaxTaggedVocab,
+        s"TableVectorizer: column '$c' is marked categorical " +
+          s"(ToCategorical) but has more than $MaxTaggedVocab distinct " +
+          "values — the one-hot vocabulary must stay driver-bounded. " +
+          "Remove the tag (the column will route to the high-cardinality " +
+          "encoder) or reduce the vocabulary upstream.")
+    }
     val kinds: Seq[(String, Kind)] = df.schema.fields.toSeq.map { f =>
       f.name -> (f.dataType match {
         case _: NumericType => Numeric
         case BooleanType    => Numeric
         case DateType | TimestampType | TimestampNTZType => Datetime
         case StringType =>
-          if (cards(f.name) < cardinalityThreshold) LowCardinality else HighCardinality
+          if (taggedCols(f.name) ||
+            cards(f.name) < cardinalityThreshold) LowCardinality
+          else HighCardinality
         case _ => Rejected
       })
     }

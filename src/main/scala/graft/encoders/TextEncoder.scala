@@ -105,24 +105,33 @@ object TextEncoder {
       .distinct()
 
   /** Population scaling factor of an array-typed feature column, decimal-
-    * exact: per-position decimal sums (order-independent), variances
-    * combined in position order on the driver (≤ dim values), round-6 +
-    * epsilon-clip like the reference's `_clip_epsilon`.
+    * exact: per-position decimal sums (order-independent across
+    * partitions), variances combined in position order on the driver
+    * (≤ dim values), epsilon-clipped to 1 like the reference's
+    * `_clip_epsilon`. No rounding: every op after the exact decimal sums
+    * is a fixed-order double computation, so the factor is bit-
+    * reproducible as-is (and a SQL oracle replays it exactly).
     */
   private def blockScale(feats: DataFrame, fCol: String): Double = {
+    // features quantized to exact micro-LONGs (6 dp) before the sums, so
+    // Σx and Σx² are exact INTEGERS in both engines regardless of
+    // partition/aggregation order; Σx² rides a DECIMAL(38,0) so it stays
+    // exact to ~1e26 rows of unit-scale features (a LONG would overflow
+    // past ~9M rows per position)
+    val micro = round(col("__x") * lit(1000000.0), 0).cast(LongType)
     val melted = feats.select(posexplode(col(fCol)).as(Seq("__p", "__x")))
+      .withColumn("__m", micro)
       .groupBy(col("__p"))
-      .agg(count(col("__x")).cast(DoubleType).as("n"),
-        sum(col("__x").cast(DecimalType(24, 6))).cast(DoubleType).as("s"),
-        sum(col("__x").cast(DecimalType(24, 6)) *
-          col("__x").cast(DecimalType(24, 6))).cast(DoubleType).as("sq"))
+      .agg(count(col("__m")).as("n"), sum(col("__m")).as("s"),
+        sum((col("__m") * col("__m")).cast(DecimalType(38, 0))).as("sq"))
       .collect().sortBy(_.getInt(0))
-    val total = melted.map(r => {
-      val n = r.getDouble(1); val s = r.getDouble(2); val sq = r.getDouble(3)
+    val total = melted.map { r =>
+      val n = r.getLong(1).toDouble
+      val s = r.getLong(2).toDouble / 1e6
+      val sq = r.getDecimal(3).doubleValue() / 1e12
       (sq - s * s / n) / n
-    }).sum
-    val sf = BigDecimal(math.sqrt(total))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    val sf = math.sqrt(total)
     if (sf < 1e-12) 1.0 else sf
   }
 

@@ -94,7 +94,10 @@ object TableReport {
       val nRows = col(s"${f.name}__count") + col(s"${f.name}__nulls")
       struct(
         lit(f.name).as("column_name"),
-        lit(f.dataType.simpleString).as("dtype"),
+        // a ToCategorical tag displays as its own dtype, like the
+        // reference's Categorical dtype in report headers
+        lit(if (graft.encoders.ToCategorical.isCategorical(f)) "categorical"
+          else f.dataType.simpleString).as("dtype"),
         col(s"${f.name}__count").as("count"),
         col(s"${f.name}__nulls").as("null_count"),
         round(col(s"${f.name}__nulls").cast(DoubleType) /

@@ -231,6 +231,40 @@ object EncoderQueries {
           col("s_name_gap_gram_total").as("gram_total"),
           col("s_name_gap_row_sum_ok").as("row_sum_ok"))),
 
+    // ToCategorical is schema-only (the tag rides StructField.metadata),
+    // so the oracle pins the data contract: values pass through untouched
+    // and the tag + report dtype are surfaced as columns
+    "q_to_categorical" -> ((s, dir) => {
+      import graft.encoders.ToCategorical
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val tagged = ToCategorical.transform(cust, "c_mktsegment")
+      val dtype = graft.operators.TableReport
+        .summarize(tagged, exactQuantiles = false)
+        .filter(col("column_name") === "c_mktsegment")
+        .select(col("dtype")).head().getString(0)
+      tagged.select(col("c_custkey"), col("c_mktsegment"),
+        lit(ToCategorical.isCategorical(tagged.schema("c_mktsegment")))
+          .as("is_categorical"),
+        lit(dtype).as("dtype"))
+    }),
+
+    // TextEncoder pipeline over the deterministic hash provider with PCA
+    // skipped (nComponents = None): every stage — null ≡ "" canonicali-
+    // zation, unique-value embedding, micro-exact block scaling factor,
+    // scaled features — is exactly SQL-replayable, so the pretrained-
+    // embedding INTEGRATION SHAPE gets a full hash oracle (the model
+    // itself is pluggable; PCA reduction is spec-covered in EncodersSpec)
+    "q_text_encoder_shape" -> ((s, dir) => {
+      import graft.encoders.{HashEmbeddingProvider, TextEncoder}
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      TextEncoder.encode(cust, "c_mktsegment", HashEmbeddingProvider(8),
+          nComponents = None)
+        .select(col("c_custkey") +:
+          (0 until 8).map(i => col(s"c_mktsegment_$i").as(s"f_$i")): _*)
+    }),
+
     // numeric profile with decimal-exact std (order-independent)
     "q_num_profile" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -481,6 +515,36 @@ object EncoderQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_to_categorical" ->
+      """SELECT c_custkey, c_mktsegment, TRUE AS is_categorical,
+        |  'categorical' AS dtype FROM customer""".stripMargin,
+    // replays the whole TextEncoder pipeline bit for bit: md5 hash
+    // projection per DISTINCT value, per-column population variance over
+    // exact micro-LONG sums (order-independent), sqrt + epsilon clip,
+    // feature / scale — no rounding anywhere because every double op is
+    // fixed-order on identical bits
+    "q_text_encoder_shape" -> {
+      val fs = (0 until 8).map { j =>
+        s"""('0x' || substr(md5(md5(value) || '$j'), 1, 8))::BIGINT
+           | / 2147483648.0 - 1.0 AS f_$j""".stripMargin
+      }
+      val vars = (0 until 8).map { j =>
+        s"""((CAST(sum(CAST(round(f_$j * 1000000.0) AS BIGINT)
+           |      * CAST(round(f_$j * 1000000.0) AS BIGINT)) AS DOUBLE) / 1e12
+           |  - (CAST(sum(CAST(round(f_$j * 1000000.0) AS BIGINT)) AS DOUBLE) / 1e6)
+           |    * (CAST(sum(CAST(round(f_$j * 1000000.0) AS BIGINT)) AS DOUBLE) / 1e6)
+           |    / CAST(count(f_$j) AS DOUBLE))
+           |  / CAST(count(f_$j) AS DOUBLE))""".stripMargin
+      }
+      s"""WITH base AS (SELECT c_custkey,
+         |    coalesce(c_mktsegment, '') AS value FROM customer),
+         |e AS (SELECT c_custkey, ${fs.mkString(",\n")} FROM base),
+         |v AS (SELECT sqrt(${vars.mkString("\n + ")}) AS sf0 FROM e),
+         |s AS (SELECT CASE WHEN sf0 < 1e-12 THEN 1.0 ELSE sf0 END AS sf FROM v)
+         |SELECT c_custkey, ${(0 until 8).map(j => s"f_$j / sf AS f_$j")
+           .mkString(", ")}
+         |FROM e, s""".stripMargin
+    },
     "q_embed_pca" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |u AS (SELECT vec_id, pr.p AS p, pr.x AS x FROM (
