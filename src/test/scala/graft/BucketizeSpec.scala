@@ -72,4 +72,41 @@ class BucketizeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
   }
+
+  test("date-partitioned layout prunes directories: a one-day filter reads " +
+    "fewer files, the partition filter is in the plan, and data filters " +
+    "still push into parquet") {
+    import graft.sources.Partitioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = TestSpark.table("events")
+      .withColumn("event_date", to_date(col("ts")))
+    Partitioned.write(events, dir, Seq("event_date"))
+    val back = Partitioned.read(spark, dir)
+
+    val full = Partitioned.scanEvidence(
+      back.select(col("event_id"), col("value")))
+    val oneDay = back.filter(
+      col("event_date") === events.agg(max(to_date(col("ts")))).head().getDate(0))
+    val pruned = Partitioned.scanEvidence(
+      oneDay.select(col("event_id"), col("value")))
+    assert(pruned.numFiles < full.numFiles,
+      s"one-day filter must read fewer files: ${pruned.numFiles} vs ${full.numFiles}")
+    assert(pruned.partitionFilters.contains("event_date"),
+      s"the date predicate must prune as a PartitionFilter, got: ${pruned.partitionFilters}")
+
+    // a data-column predicate on the same layout pushes into parquet
+    val dataFiltered = Partitioned.scanEvidence(
+      back.filter(col("event_type") === "click")
+        .select(col("event_id"), col("event_type")))
+    assert(dataFiltered.pushedFilters.contains("event_type"),
+      s"data predicate must reach PushedFilters, got: ${dataFiltered.pushedFilters}")
+
+    // pruning changed I/O, never answers: equal to the flat-layout filter
+    val viaFlat = events
+      .filter(col("event_date") === events.agg(max(to_date(col("ts")))).head().getDate(0))
+      .agg(count(lit(1)), sum(col("value"))).head()
+    val viaPruned = oneDay.agg(count(lit(1)), sum(col("value"))).head()
+    assert(viaPruned === viaFlat,
+      "partitioned reads must return exactly the flat layout's rows")
+  }
 }
