@@ -23,6 +23,23 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * when the build side is small relative to the skew it breaks.
   * Supported join types: inner, left (right/full would duplicate
   * unmatched BUILD rows across salts).
+  *
+  * WHEN to reach for this (measured, BASELINE.md "Skewed-join rehearsal"):
+  *  1. a broadcastable dim ends the story — broadcast joins never shuffle
+  *     the probe side, so no join skew exists;
+  *  2. wide/incompressible hot rows: AQE's OptimizeSkewedJoin splits at
+  *     defaults (`skew=true` in the final plan) — prefer it; the salt
+  *     only ties it while paying salt-hash + build-replication overhead;
+  *  3. narrow/compressible hot rows or compute-heavy joins: AQE's skew
+  *     detector is BYTES-based and post-compression — a 10M-row hot
+  *     partition that compresses under the threshold is invisible to it
+  *     (measured: `skew=false` with a 25x task-time straggler). THIS is
+  *     the salted join's case;
+  *  4. size `buckets` at >= 4x the shuffle parallelism: salts land on
+  *     partitions by hash, and at buckets == partitions the collision
+  *     pileup re-concentrates several salts of the hot key onto one task
+  *     (measured: 128 buckets over 32 partitions caps the largest join
+  *     group at hot/128).
   */
 object Skew {
 
