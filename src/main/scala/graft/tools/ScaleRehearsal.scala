@@ -682,6 +682,41 @@ object ScaleRehearsal {
         graft.operators.TextSearch.probe(spark, "graft_sr_bm25",
           qs, "q_text", "q_id", k = 10).count()
       }),
+      // RRF hybrid fusion (r10 task 6): both retrieval legs run against
+      // the Nx corpus for a FIXED 8-query workload; fusion itself is
+      // |queries|*k rows, so the cost must track the two legs (BM25
+      // candidate postings + brute-force dots), never the fusion
+      "rrf_fusion" -> (() => {
+        val qs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(8)
+          .select(col("doc_id").as("q_id"),
+            array_join(slice(graft.functions.Text.tokens(col("text")), 1, 6),
+              " ").as("q_text"))
+        val lex = graft.operators.TextSearch.topk(docs, "text", "doc_id",
+            qs, "q_text", "q_id", k = 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        val qVecs = emb.join(broadcast(qs.select(col("q_id"))),
+          emb("vec_id") === col("q_id"), "left_semi")
+        val sem = SimilaritySearch.bruteForceTopK(emb, qVecs,
+            "embedding", "vec_id", k = 10)
+          .select(col("query_id").as("q_id"),
+            col("corpus_id").as("doc_id"), col("rank"))
+        graft.operators.Retrieval.rrf(Seq(lex, sem), k = 10).count()
+      }),
+      // ranking eval (r10 task 6): metrics are computed on the k-bounded
+      // result set joined to a FIXED 8-row truth frame — the eval stage's
+      // own cost must stay constant while the retrieval leg scales
+      "retrieval_eval" -> (() => {
+        val qs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(8)
+          .select(col("doc_id").as("q_id"),
+            array_join(slice(graft.functions.Text.tokens(col("text")), 1, 6),
+              " ").as("q_text"))
+        val results = graft.operators.TextSearch.topk(docs, "text",
+          "doc_id", qs, "q_text", "q_id", k = 10)
+        graft.operators.Retrieval.evalRanking(results,
+          qs.select(col("q_id"), col("q_id").as("doc_id")), k = 10).count()
+      }),
       // DSIR selection (r9): fit = two <=B-row hashed-bucket aggregates
       // against a FIXED 1x target slice (shufW flat in B while the raw
       // corpus grows), weights = zero-shuffle codegen scan over the array
