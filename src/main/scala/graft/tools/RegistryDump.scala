@@ -30,7 +30,17 @@ object RegistryDump {
         VecExprs.minhashSig(VecExprs.tokenShingles(col("text"), 3), 16).as("sig"),
         VecExprs.ngramRepStats(col("text"), 2).as("reps"),
         VecExprs.ngramTf(col("text"), 16).as("tf"))
-      .coalesce(1).write.mode("overwrite").parquet(out)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/registry")
+    // the REAL-pipeline reference for the py4j half of the check: the
+    // q_curation sweep shape, Scala-driven — the pyspark process re-runs
+    // the SAME operator through the JVM gateway and must match row for row
+    graft.operators.Curation.sweep(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", decontaminateN = 4)
+      .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+        col("exact_unique"), col("contaminated"), col("kept"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/curation")
     spark.stop()
   }
 }

@@ -24,8 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/registry_dump"
-    classes = os.path.join(REPO, "target", "scala-2.13", "classes")
-    assert os.path.isdir(classes), f"compile first: {classes} missing"
+    # the PACKAGED jar, not the classes dir: this is the artifact a real
+    # Python deployment ships (tools/pyspark_registry_check.sh builds it)
+    import glob
+    jars = sorted(glob.glob(os.path.join(REPO, "target", "scala-2.13", "*.jar")),
+                  key=os.path.getmtime, reverse=True)
+    assert jars, "package first: no jar under target/scala-2.13"
+    jar = jars[0]
 
     from pyspark.sql import SparkSession
 
@@ -34,7 +39,7 @@ def main():
         .appName("graft-pyspark-registry-check")
         # the two supported wirings from README "SQL function registry":
         # cluster-wide extensions conf + the compiled classes on the driver
-        .config("spark.driver.extraClassPath", classes)
+        .config("spark.driver.extraClassPath", jar)
         .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
@@ -55,7 +60,7 @@ def main():
                graft_ngram_tf(text, 16)                              AS tf
         FROM documents"""
     )
-    expected = spark.read.parquet(dump)
+    expected = spark.read.parquet(os.path.join(dump, "registry"))
     n = expected.count()
     assert n > 0, "empty facade dump"
     only_sql = sql_out.exceptAll(expected).count()
@@ -82,6 +87,31 @@ def main():
     ).head()["n"]
     assert frag == frag_fac and frag > 0, f"fragment mismatch: {frag} vs {frag_fac}"
     print(f"OK curation fragment: {frag} docs pass in both paths")
+
+    # 3. a REAL pipeline from Python: the curation sweep operator itself,
+    #    driven through the py4j gateway on the packaged jar (static
+    #    forwarders on the Scala object), compared row-for-row with the
+    #    Scala-driven reference dump — proof a Python deployment can run
+    #    the full operator surface, not just the SQL expression registry
+    from pyspark.sql import DataFrame as PyDF
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.filter("doc_id % 17 != 0")
+    bench = docs.filter("doc_id % 17 = 0")
+    out_jdf = spark._jvm.graft.operators.Curation.sweep(
+        corpus._jdf, bench._jdf, "text", "doc_id", 4)
+    swept = PyDF(out_jdf, spark).select(
+        "doc_id", "quality_ok", "repetition_ok", "exact_unique",
+        "contaminated", "kept")
+    ref = spark.read.parquet(os.path.join(dump, "curation"))
+    n_sweep = swept.count()
+    assert n_sweep == ref.count() > 0, "curation verdict row counts differ"
+    diff = swept.exceptAll(ref).count() + ref.exceptAll(swept).count()
+    assert diff == 0, f"python-driven sweep != scala-driven sweep: {diff} rows"
+    kept = swept.filter("kept").count()
+    assert 0 < kept < n_sweep, f"degenerate sweep: kept={kept}/{n_sweep}"
+    print(f"OK real pipeline via py4j: Curation.sweep over {n_sweep} docs, "
+          f"kept {kept}, identical to the Scala-driven run")
 
     spark.stop()
     print("PYSPARK REGISTRY CHECK PASSED")
