@@ -75,9 +75,16 @@ object TableVectorizer {
       * _table_vectorizer.py:888): `minhash` = MinHashEncoder (md5-exact,
       * hash-verifiable — our default), `svd` = StringEncoder (TF-IDF +
       * truncated SVD, the reference default; factors are not cross-engine
-      * hash-verifiable), `hashed` = pure-expression hashed n-gram counts.
+      * hash-verifiable), `hashed` = pure-expression hashed n-gram counts,
+      * `text` = TextEncoder over `textProvider` (the reference's
+      * TableVectorizer(high_cardinality=TextEncoder()) wiring — hand it a
+      * TableEmbeddingProvider for model-served embeddings; like the
+      * reference, the provider is RUNTIME state handed in at transform
+      * time, not persisted model state).
       */
-    def transform(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    def transform(df: DataFrame, passthrough: Seq[String] = Nil,
+                  textProvider: EmbeddingProvider =
+                    HashEmbeddingProvider(64)): DataFrame = {
       val extra = passthrough.filter(df.columns.contains).map(col)
       val base = df.select(featureExprs ++ extra: _*)
       val highCard = columnToKind.collect {
@@ -87,6 +94,8 @@ object TableVectorizer {
         val encoded = highCardEncoder match {
           case "minhash" => MinHashEncoder.encode(d, c, nComponents)
           case "svd"     => StringEncoder.encode(d, c, nComponents)
+          case "text"    => TextEncoder.encode(d, c, textProvider,
+            Some(nComponents))
           case other => throw new IllegalArgumentException(
             s"unknown highCardEncoder $other")
         }

@@ -189,4 +189,51 @@ object TextEncoder {
   def encode(df: DataFrame, c: String, provider: EmbeddingProvider,
              nComponents: Option[Int] = Some(30)): DataFrame =
     transform(df, c, provider, fit(df, c, provider, nComponents))
+
+  /** JSON round-trip of the fitted state (PCA basis + block scale). Like
+    * the reference — where unpickling a TextEncoder re-loads the language
+    * model from disk — the PROVIDER is runtime state: hand the same one
+    * back to `transform` after `load`.
+    */
+  def save(model: TextEncoderModel, path: String): Unit = {
+    import graft.plans.Json
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val base = Seq(
+      "type" -> Json.str("graft.TextEncoder.Model"),
+      "out_dim" -> Json.num(model.outDim.toLong),
+      "scale" -> Json.num(model.scale))
+    val withPca = model.pca match {
+      case None => base
+      case Some(m) => base :+ ("pca" -> Json.obj(Seq(
+        "mean" -> Json.arr(m.mean.toSeq.map(Json.num)),
+        "basis" -> Json.arr(m.basis.toSeq.map(r =>
+          Json.arr(r.toSeq.map(Json.num)))),
+        "eigenvalues" -> Json.arr(m.eigenvalues.toSeq.map(Json.num)))))
+    }
+    java.nio.file.Files.writeString(p, Json.obj(withPca))
+  }
+
+  private def asD(a: Any): Double = a match {
+    case d: Double => d
+    case l: Long   => l.toDouble
+    case other     => other.toString.toDouble
+  }
+
+  def load(path: String): TextEncoderModel = {
+    import graft.plans.Json
+    val o = Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path))).asInstanceOf[Map[String, Any]]
+    require(o.get("type").contains("graft.TextEncoder.Model"),
+      "not a TextEncoder.Model file")
+    val pca = o.get("pca").map { pAny =>
+      val pm = pAny.asInstanceOf[Map[String, Any]]
+      Embed.PcaModel(
+        pm("mean").asInstanceOf[Seq[Any]].map(asD).toArray,
+        pm("basis").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Seq[Any]].map(asD).toArray).toArray,
+        pm("eigenvalues").asInstanceOf[Seq[Any]].map(asD).toArray)
+    }
+    TextEncoderModel(asD(o("out_dim")).toInt, pca, asD(o("scale")))
+  }
 }

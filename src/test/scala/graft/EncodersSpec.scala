@@ -208,6 +208,22 @@ class EncodersSpec extends AnyFunSuite {
       "too-few-rows path must truncate to the first nComponents dims")
   }
 
+  test("TableVectorizer routes high-cardinality strings through TextEncoder " +
+    "with highCardEncoder=text") {
+    import graft.encoders.HashEmbeddingProvider
+    val cust = TestSpark.table("customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val n = cust.count()
+    val out = TableVectorizer.fit(cust, highCardEncoder = "text")
+      .transform(cust, textProvider = HashEmbeddingProvider(64))
+    // c_name is high-card -> 30 TextEncoder features; c_mktsegment one-hots
+    assert((0 until 30).forall(i => out.columns.contains(s"c_name_$i")),
+      s"expected c_name_0..29 in ${out.columns.mkString(",")}")
+    assert(!out.columns.contains("c_name"), "raw column must be replaced")
+    assert(out.columns.exists(_.startsWith("c_mktsegment_")))
+    assert(out.count() === n)
+  }
+
   test("TextEncoder: a precomputed lookup table reproduces the in-process " +
     "provider; missing keys surface as null features") {
     import graft.encoders.{HashEmbeddingProvider, TableEmbeddingProvider, TextEncoder}

@@ -75,6 +75,35 @@ class PersistenceSpec extends AnyFunSuite {
     sameRows(model.transform(df).orderBy("x"), loaded.transform(df).orderBy("x"))
   }
 
+  test("TextEncoder model round-trips through JSON save/load") {
+    import graft.encoders.{HashEmbeddingProvider, TextEncoder}
+    val f = tmpDir("textenc") + "/textenc.json"
+    val provider = HashEmbeddingProvider(16)
+    val df = TestSpark.table("customer").select(col("c_name")).limit(200)
+    val model = TextEncoder.fit(df, "c_name", provider, Some(4))
+    TextEncoder.save(model, f)
+    val loaded = TextEncoder.load(f)
+    assert(loaded.outDim === model.outDim)
+    assert(loaded.scale === model.scale) // double survives bit-exactly
+    assert(loaded.pca.isDefined === model.pca.isDefined)
+    (loaded.pca zip model.pca).foreach { case (l, m) =>
+      assert(l.mean.toSeq === m.mean.toSeq)
+      assert(l.basis.map(_.toSeq).toSeq === m.basis.map(_.toSeq).toSeq)
+      assert(l.eigenvalues.toSeq === m.eigenvalues.toSeq)
+    }
+    // the provider is runtime state (like the reference re-loading the
+    // language model after unpickling): same provider + loaded state must
+    // transform bit-identically
+    sameRows(
+      TextEncoder.transform(df, "c_name", provider, model).orderBy("c_name"),
+      TextEncoder.transform(df, "c_name", provider, loaded).orderBy("c_name"))
+    // the no-PCA form round-trips too (absent "pca" key)
+    val m2 = TextEncoder.fit(df, "c_name", provider, nComponents = None)
+    val f2 = tmpDir("textenc2") + "/textenc2.json"
+    TextEncoder.save(m2, f2)
+    assert(TextEncoder.load(f2).pca.isEmpty && TextEncoder.load(f2).scale === m2.scale)
+  }
+
   test("Drift PsiModel round-trips through JSON save/load") {
     val f = tmpDir("psi") + "/psi.json"
     // numeric (with NaN) and timestamp columns get >= catThreshold (30)
