@@ -81,6 +81,34 @@ object TextQueries {
           array_join(col("benchmarks"), ",").as("benchmarks"))
     }),
 
+    // budgeted selection: greedy token-budget fill by a deterministic
+    // quality proxy (distinct-token ratio) — the operator's histogram +
+    // boundary-bin plan must reproduce the naive global-window cumsum the
+    // oracle replays, row for row
+    "q_token_budget" -> ((s, dir) => {
+      val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("cost"),
+        (size(array_distinct(toks)).cast("double") /
+          (size(toks).cast("double") + lit(1.0))).as("prio"))
+      graft.operators.Budget.selectToBudget(scored, "cost", "prio",
+          "doc_id", budget = 50000L)
+        .select(col("doc_id"), col("cost"), col("prio"), col("kept"))
+    }),
+
+    // per-group caps: at most 20 best docs per source by the same quality
+    // proxy — the minKBy form (k rows per (group, partition) reach the
+    // shuffle), oracle = row_number window
+    "q_cap_per_group" -> ((s, dir) => {
+      val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("double") /
+          (size(toks).cast("double") + lit(1.0))).as("prio"))
+      graft.operators.Budget.capPerGroup(scored, "source", "prio",
+          "doc_id", k = 20)
+        .select(col("doc_id"), col("source"), col("prio"), col("kept"))
+    }),
+
     // the end-to-end curation sweep: quality gate -> repetition gate ->
     // exact dedup (min-id keeper among gate survivors) -> decontamination,
     // composed as ONE plan with per-stage verdict columns; each stage is
@@ -388,6 +416,33 @@ object TextQueries {
        |  FROM c)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // naive global-window greedy: cumulative cost in (quantized-priority
+    // desc, id) order, kept while <= budget — costs are non-negative so
+    // the prefix form and the cumsum filter coincide. The ORDER uses the
+    // same 6 dp micro quantization as the operator's histogram, so bin
+    // membership and ordering agree bit for bit.
+    "q_token_budget" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS cost,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / (CAST(len(toks) AS DOUBLE) + 1.0) AS prio FROM tk),
+         |w AS (SELECT doc_id, cost, prio,
+         |    CAST(sum(cost) OVER (
+         |      ORDER BY CAST(round(prio * 1000000.0) AS BIGINT) DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sc)
+         |SELECT doc_id, cost, prio, cum <= 50000 AS kept FROM w""".stripMargin,
+
+    "q_cap_per_group" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / (CAST(len(toks) AS DOUBLE) + 1.0) AS prio FROM tk),
+         |rk AS (SELECT doc_id, source, prio,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(round(prio * 1000000.0) AS BIGINT) DESC, doc_id)
+         |      AS rn FROM sc)
+         |SELECT doc_id, source, prio, rn <= 20 AS kept FROM rk""".stripMargin,
+
     "q_langid" -> langidSql,
 
     // same decomposed suffix built with chr(769) = U+0301

@@ -717,6 +717,19 @@ object ScaleRehearsal {
         graft.operators.Retrieval.evalRanking(results,
           qs.select(col("q_id"), col("q_id").as("doc_id")), k = 10).count()
       }),
+      // budgeted selection (r10): one range aggregate + one bins-bounded
+      // histogram aggregate + a window over ONLY the boundary bin
+      // (corpus/bins rows) — shufW must stay histogram-sized while the
+      // corpus grows; the kept count consumes the verdict
+      "token_budget" -> (() => {
+        val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+        val scored = docs.select(col("doc_id"),
+          size(toks).cast("long").as("cost"),
+          (size(array_distinct(toks)).cast("double") /
+            (size(toks).cast("double") + lit(1.0))).as("prio"))
+        graft.operators.Budget.selectToBudget(scored, "cost", "prio",
+          "doc_id", budget = 50000L).filter(col("kept")).count()
+      }),
       // DSIR selection (r9): fit = two <=B-row hashed-bucket aggregates
       // against a FIXED 1x target slice (shufW flat in B while the raw
       // corpus grows), weights = zero-shuffle codegen scan over the array

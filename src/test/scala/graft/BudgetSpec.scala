@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Budget
+
+/** Budgeted selection: the histogram + boundary-bin plan must reproduce
+  * the naive global-window greedy EXACTLY (that equivalence is the whole
+  * point — the oracle replays the window), including ties, boundary
+  * overflow, and degenerate inputs.
+  */
+class BudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def naiveGreedy(rows: Seq[(Long, Long, Double)],
+                          budget: Long): Set[Long] = {
+    // (id, cost, prio): keep while cumulative cost <= budget in
+    // (quantized prio desc, id asc) order
+    var cum = 0L
+    rows.sortBy { case (id, _, p) => (-math.round(p * 1e6), id) }
+      .takeWhile { case (_, c, _) => { cum += c; cum <= budget } }
+      .map(_._1).toSet
+  }
+
+  test("selectToBudget == naive global greedy on ties, boundary overflow, " +
+    "and zero-cost rows") {
+    val rows = Seq(
+      (1L, 10L, 0.9), (2L, 10L, 0.9), // tie: id order decides
+      (3L, 0L, 0.8),                  // zero cost always fits if reached
+      (4L, 25L, 0.7),
+      (5L, 5L, 0.6), (6L, 100L, 0.5), (7L, 1L, 0.4))
+    val df = rows.toDF("id", "cost", "prio")
+    for (budget <- Seq(0L, 10L, 20L, 21L, 45L, 50L, 151L, 1000L)) {
+      val got = Budget.selectToBudget(df, "cost", "prio", "id", budget)
+        .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+      assert(got === naiveGreedy(rows, budget),
+        s"budget=$budget: got $got, want ${naiveGreedy(rows, budget)}")
+    }
+  }
+
+  test("selectToBudget matches the naive greedy on a randomized-ish corpus " +
+    "with few bins (boundary bin holds many rows)") {
+    // deterministic pseudo-random: md5-derived costs/priorities, 500 rows,
+    // bins=8 so the boundary bin is ~60 rows — the exact-prefix path runs
+    val rows = (1L to 500L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      val cost = java.lang.Long.parseLong(h.substring(0, 2), 16) + 1L
+      val prio = java.lang.Long.parseLong(h.substring(2, 6), 16) / 65536.0
+      (i, cost, prio)
+    }
+    val df = rows.toDF("id", "cost", "prio")
+    for (budget <- Seq(1000L, 10000L, 30000L)) {
+      val got = Budget.selectToBudget(df, "cost", "prio", "id", budget,
+          bins = 8)
+        .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+      assert(got === naiveGreedy(rows, budget), s"budget=$budget mismatch")
+    }
+  }
+
+  test("selectToBudget degenerate inputs: empty frame, single priority, " +
+    "everything fits") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("id", "cost", "prio")
+    assert(Budget.selectToBudget(empty, "cost", "prio", "id", 10L)
+      .filter(col("kept")).count() === 0)
+    // all rows share one priority (one bin): ids break the tie
+    val flat = (1L to 10L).map(i => (i, 10L, 0.5)).toDF("id", "cost", "prio")
+    val kept = Budget.selectToBudget(flat, "cost", "prio", "id", 35L)
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L))
+    // budget above total: keep everything, and the plan needs no window
+    val all = Budget.selectToBudget(flat, "cost", "prio", "id", 1000L)
+    assert(all.filter(col("kept")).count() === 10)
+    assert(!all.queryExecution.executedPlan.toString.contains("Window"),
+      "the everything-fits path must not plan any window")
+  }
+
+  test("capPerGroup keeps the k best per group with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
+      ("b", 5L, 0.3), ("b", 6L, 0.8),
+      ("c", 7L, 0.2)).toDF("g", "id", "prio")
+    val kept = Budget.capPerGroup(df, "g", "prio", "id", k = 2)
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 5L, 6L, 7L),
+      "a keeps its 2 ties by id, b keeps both, c keeps its only row")
+    val one = Budget.capPerGroup(df, "g", "prio", "id", k = 1)
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(one === Set(1L, 6L, 7L))
+  }
+}
