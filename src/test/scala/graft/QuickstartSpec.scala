@@ -72,6 +72,19 @@ class QuickstartSpec extends AnyFunSuite {
     assert(Seq("doc_id", "weight_micro", "key_micro", "rank")
       .forall(selected.columns.contains))
 
+    // budgeted selection (README block; fixture-sized budget/cap)
+    val scored = TextAnalysis.qualityFeatures(curated, "text")
+    val shipped = Budget.selectToBudget(scored, "n_words",
+      "stopword_ratio", "doc_id", budget = 2000L)
+    val nShipped = shipped.filter($"kept").count()
+    assert(nShipped > 0 && nShipped < curated.count(),
+      s"budget must bind on the fixture: kept $nShipped")
+    val capped = Budget.capPerGroup(scored, "source", "stopword_ratio",
+      "doc_id", k = 10)
+    val perSource = capped.filter($"kept").groupBy($"source").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(perSource <= 10, s"cap violated: $perSource per source")
+
     // BM25 index build + probe (README block; small bucket knob)
     val bm25Dir = java.nio.file.Files.createTempDirectory("graft_qs_bm25").toString
     TextSearch.buildIndex(curated, "text", "doc_id", "corpus_bm25", bm25Dir,
