@@ -124,6 +124,41 @@ object Dsir {
     DsirModel(nBuckets, lr)
   }
 
+  /** GPT-3-style quality-classifier filter (Brown et al. 2020 appendix A
+    * trains a linear classifier between a high-quality seed and raw
+    * CommonCrawl; CCNet's fastText head plays the same role): a
+    * hashed-bucket Naive-Bayes log-odds scorer IS this module's model
+    * with target = the positive (high-quality) corpus and raw = the
+    * negative contrast corpus — the fitted per-bucket
+    * log(P(g|pos)/P(g|neg)) is exactly `logRatio`. This entry point NAMES
+    * that composition and adds the decision: score every doc and flag the
+    * ones whose total log-odds clears `minMeanMicro` micro-nats PER GRAM
+    * (0 = "more positive-like than negative-like"). The comparison is
+    * all-integer (score_micro > minMeanMicro * n_grams — no division), so
+    * the verdict is exactly oracle-reproducible. A 0-gram doc never
+    * clears a non-negative bar (0 > 0 is false) — empty docs read as
+    * low-quality, matching the heuristic gates.
+    *
+    * Output: (doc_id, score_micro, n_grams, quality_pred). Scale shape =
+    * `weights`: two bounded fit aggregates (≤nBuckets rows each) + ONE
+    * zero-shuffle codegen scan over `docs`.
+    */
+  def classifierFlag(docs: DataFrame, textCol: String, idCol: String,
+                     pos: DataFrame, neg: DataFrame,
+                     nBuckets: Int = 10000,
+                     minMeanMicro: Long = 0L): DataFrame = {
+    val model = fit(raw = neg, target = pos, textCol, nBuckets)
+    val micro = model.logRatio.map(lr => Math.round(lr * 1e6))
+    val text = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.VecExprs.gramWeightMicro(text, micro)
+          .as("score_micro"),
+        size(graft.functions.VecExprs.gramBuckets(text, nBuckets))
+          .cast(LongType).as("n_grams"))
+      .withColumn("quality_pred",
+        col("score_micro") > lit(minMeanMicro) * col("n_grams"))
+  }
+
   /** Log importance weight per document as integer micro-nats:
     * (idCol, weight_micro). Pure scan — the model is an int-indexed array
     * literal; per-gram 6-dp values sum exactly as DECIMAL(28,6).

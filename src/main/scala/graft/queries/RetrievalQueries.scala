@@ -123,6 +123,19 @@ object RetrievalQueries {
       graft.operators.Retrieval.rrf(Seq(lex, sem), k = TopK)
     }),
 
+    // GPT-3-style quality classifier: hashed-NB log-odds between the
+    // min-source slice (positive seed) and its complement (negative
+    // contrast), scored over the whole corpus — the decision is
+    // all-integer so the verdict hashes
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val minSrc = docs.agg(min(col("source"))).head().getString(0)
+      Dsir.classifierFlag(docs, "text", "doc_id",
+        pos = docs.filter(col("source") === minSrc),
+        neg = docs.filter(col("source") =!= minSrc),
+        nBuckets = DsirBuckets)
+    }),
+
     // nearest-centroid domain tagging: fit on the vec_id % 5 == 0 labeled
     // seed, classify the whole embeddings table
     "q_classify_centroid" -> ((s, dir) => {
@@ -206,6 +219,44 @@ object RetrievalQueries {
        |wm AS (SELECT doc_id, CAST(sum(lr) * 1000000 AS BIGINT) AS weight_micro
        |  FROM lrs GROUP BY doc_id)""".stripMargin
 
+  /** dsirCtes' classifier twin: positive = the min-source slice, negative
+    * = its complement (NOT the whole corpus), scored over every doc, with
+    * per-doc gram counts for the integer decision.
+    */
+  private def qcCtes: String =
+    s"""tk AS (SELECT doc_id, source, $toksSql AS toks
+       |  FROM (SELECT doc_id, source, coalesce(text, '') AS text
+       |        FROM documents)),
+       |gr AS (SELECT doc_id, source,
+       |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i + 1]) END AS grams
+       |  FROM tk),
+       |pb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT unnest(grams) AS g FROM gr
+       |        WHERE source = (SELECT min(source) FROM documents))),
+       |nb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT unnest(grams) AS g FROM gr
+       |        WHERE source != (SELECT min(source) FROM documents))),
+       |cp AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM pb GROUP BY b),
+       |cn AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM nb GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pb) AS np,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nb) AS nn),
+       |db AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, unnest(grams) AS g FROM gr)),
+       |lrs AS (SELECT db.doc_id,
+       |    CAST(round(ln(
+       |      ((CAST(coalesce(cp.c, 0) AS DOUBLE) + 0.5)
+       |        / (CAST(tot.np AS DOUBLE) + 0.5 * $DsirBuckets))
+       |      / ((CAST(coalesce(cn.c, 0) AS DOUBLE) + 0.5)
+       |        / (CAST(tot.nn AS DOUBLE) + 0.5 * $DsirBuckets))), 6)
+       |      AS DECIMAL(28,6)) AS lr
+       |  FROM db LEFT JOIN cp ON db.b = cp.b LEFT JOIN cn ON db.b = cn.b
+       |  CROSS JOIN tot),
+       |qm AS (SELECT doc_id, CAST(sum(lr) * 1000000 AS BIGINT) AS score_micro
+       |  FROM lrs GROUP BY doc_id),
+       |ng AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM gr)""".stripMargin
+
   private def bm25TopkSql: String =
     s"""WITH $bm25Ctes,
        |rk AS (SELECT q_id, doc_id, score_micro,
@@ -226,6 +277,12 @@ object RetrievalQueries {
     "q_dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, weight_micro FROM wm""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH $qcCtes
+         |SELECT qm.doc_id, qm.score_micro, ng.n_grams,
+         |  qm.score_micro > 0 AS quality_pred
+         |FROM qm JOIN ng ON qm.doc_id = ng.doc_id""".stripMargin,
 
     // RRF hybrid fusion: bm25Ctes' top-5 (rk) unioned with the exact
     // cosine top-5 of the same qd workload, 1e6/(60+rank) integer

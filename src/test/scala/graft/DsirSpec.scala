@@ -108,6 +108,27 @@ class DsirSpec extends AnyFunSuite {
     assert(both.filter(not(col("fast") === col("ref"))).count() === 0L)
   }
 
+  test("classifierFlag separates a controlled pos/neg vocabulary and " +
+    "reads empty docs as low-quality") {
+    import spark.implicits._
+    // disjoint vocabularies: every pos doc must flag true, every neg false
+    val pos = (1L to 20L).map(i => (i, s"alpha beta alpha gamma beta $i"))
+      .toDF("doc_id", "text")
+    val neg = (21L to 40L).map(i => (i, s"zork quux blorp zork quux $i"))
+      .toDF("doc_id", "text")
+    val scored = graft.operators.Dsir.classifierFlag(
+      pos.union(neg).union(Seq((99L, "")).toDF("doc_id", "text")),
+      "text", "doc_id", pos, neg, nBuckets = 1024)
+    val byId = scored.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    (1L to 20L).foreach(i => assert(byId(i)._3,
+      s"pos doc $i scored ${byId(i)._1} over ${byId(i)._2} grams"))
+    (21L to 40L).foreach(i => assert(!byId(i)._3,
+      s"neg doc $i scored ${byId(i)._1}"))
+    // empty doc: 1 fallback gram, decision 0 > 0 is false -> low quality
+    assert(!byId(99L)._3 && byId(99L)._2 === 1L)
+  }
+
   test("fit refuses an unbounded bucket count") {
     intercept[IllegalArgumentException] {
       Dsir.fit(docs, docs, "text", nBuckets = (1 << 22) + 1)
