@@ -107,4 +107,50 @@ object Mix {
                         seed: Long = 42L): DataFrame =
     temperatureFlag(df, sourceCol, idCols, temperature, targetFrac, seed)
       .filter(col("sampled")).drop("rate", "sampled")
+
+  /** Fractional-epoch repetition schedule — the LLaMA-style data recipe
+    * ("Wikipedia 2.45 epochs, CommonCrawl 1.1, code 0.64"): materialize
+    * `epochs(source)` copies of every row, where a fractional epoch f
+    * means each row repeats floor(f) times plus ONE extra repeat for the
+    * deterministic frac(f)-share of rows (md5(id:seed) threshold — the
+    * `temperatureFlag` selection discipline, so the realized share is
+    * exact in expectation and every engine replays the same choice).
+    * Epochs below 1 subsample (0 repeats for the non-selected rows);
+    * sources absent from the map default to 1.0. Output adds
+    * `repeat_idx` (0-based) — (ids..., repeat_idx) stays unique, so
+    * packing/shuffling downstream treats repeats as distinct rows.
+    *
+    * Scale shape: one broadcast of the |sources|-row epoch table, one
+    * codegen'd scan computing the per-row copy count, one explode —
+    * output-row-linear, zero shuffles.
+    */
+  def repeatEpochs(df: DataFrame, sourceCol: String, idCols: Seq[String],
+                   epochs: Map[String, Double],
+                   seed: Long = 42L): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
+      "epochs must be in [0, 1000] — a larger factor is almost certainly " +
+        "a unit mistake and would explode the corpus")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val eTable = broadcast(
+      epochs.toSeq.toDF("__ep_src", "__ep").select(
+        col("__ep_src"),
+        floor(col("__ep")).cast(LongType).as("__whole"),
+        // frac as an exact 60-bit hex threshold (temperatureFlag's form)
+        when(col("__ep") - floor(col("__ep")) <= 0.0, lit("0"))
+          .otherwise(lpad(lower(hex(
+            floor((col("__ep") - floor(col("__ep"))) *
+              lit(1.152921504606846976e18)).cast(LongType))), 15, "0"))
+          .as("__thr")))
+    val h = substring(md5(concat_ws(":",
+      idCols.map(col(_).cast(StringType)) :+ lit(seed.toString): _*)), 1, 15)
+    df.join(eTable, df(sourceCol) <=> eTable("__ep_src"), "left")
+      .withColumn("__n",
+        coalesce(col("__whole"), lit(1L)) +
+          when(col("__thr").isNotNull && h < col("__thr"), 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn("repeat_idx",
+        explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__ep_src", "__whole", "__thr", "__n")
+  }
 }

@@ -81,6 +81,23 @@ object TextQueries {
           array_join(col("benchmarks"), ",").as("benchmarks"))
     }),
 
+    // leakage-safe split: the side is a predicate of the CONTENT
+    // fingerprint, so duplicated texts can never straddle train/test
+    "q_leakage_split" -> ((s, dir) =>
+      graft.plans.Splits.withLeakageSafeLabel(
+        t(s, dir, "documents"), "text", testFraction = 0.3, seed = 7L)
+        .select(col("doc_id"), col("split"))),
+
+    // fractional-epoch repetition schedule (LLaMA-style recipe): s0 x2.45,
+    // s1 x0.6 (subsample), s2 x0 (dropped), s3 absent -> default 1.0
+    "q_repeat_epochs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("s"), (col("doc_id") % 4).cast("string")).as("src"))
+      graft.operators.Mix.repeatEpochs(d, "src", Seq("doc_id"),
+          Map("s0" -> 2.45, "s1" -> 0.6, "s2" -> 0.0))
+        .select(col("doc_id"), col("src"), col("repeat_idx"))
+    }),
+
     // budgeted selection: greedy token-budget fill by a deterministic
     // quality proxy (distinct-token ratio) — the operator's histogram +
     // boundary-bin plan must reproduce the naive global-window cumsum the
@@ -416,6 +433,35 @@ object TextQueries {
        |  FROM c)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_leakage_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5(concat_ws(':', md5($normSql), '7')),
+         |      1, 4))::INTEGER % 1000 < 300
+         |    THEN 'test' ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
+
+    // the epoch arithmetic is written as the SAME expressions Spark folds
+    // (ep - floor(ep), never a pre-folded 0.45 literal) so the 2^60
+    // threshold floors the identical double
+    "q_repeat_epochs" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    's' || CAST(doc_id % 4 AS VARCHAR) AS src FROM documents),
+         |e AS (SELECT doc_id, src,
+         |    CASE src WHEN 's0' THEN 2.45 WHEN 's1' THEN 0.6
+         |      WHEN 's2' THEN 0.0 ELSE NULL END AS ep FROM d),
+         |n AS (SELECT doc_id, src,
+         |    CASE WHEN ep IS NULL THEN 1
+         |      ELSE CAST(floor(ep) AS BIGINT)
+         |        + CASE WHEN ep - floor(ep) > 0.0
+         |            AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 15)
+         |              < lpad(lower(to_hex(CAST(floor((ep - floor(ep))
+         |                  * 1152921504606846976.0) AS BIGINT))), 15, '0')
+         |          THEN 1 ELSE 0 END
+         |    END AS nrep FROM e)
+         |SELECT doc_id, src,
+         |  CAST(unnest(range(0, nrep)) AS BIGINT) AS repeat_idx
+         |FROM n WHERE nrep > 0""".stripMargin,
+
     // naive global-window greedy: cumulative cost in (quantized-priority
     // desc, id) order, kept while <= budget — costs are non-negative so
     // the prefix form and the cumsum filter coincide. The ORDER uses the

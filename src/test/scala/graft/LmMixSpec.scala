@@ -502,6 +502,66 @@ class LmMixSpec extends AnyFunSuite {
     assert(again.select("id").except(sampled.select("id")).count() === 0)
   }
 
+  test("Mix.repeatEpochs: whole+fractional repeats, subsample, drop, " +
+    "default 1.0, unique (id, repeat_idx)") {
+    val df = (1L to 400L).map { i =>
+      (i, s"s${i % 4}", s"payload $i")
+    }.toDF("id", "src", "text")
+    val out = graft.operators.Mix.repeatEpochs(df, "src", Seq("id"),
+      Map("s0" -> 2.45, "s1" -> 0.6, "s2" -> 0.0))
+    val bySrc = out.groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // s0: 100 docs x 2.45 -> every doc >= 2 repeats, ~45 get a third
+    assert(bySrc("s0") >= 200 && bySrc("s0") < 300, s"s0 -> ${bySrc("s0")}")
+    assert(math.abs(bySrc("s0") - 245L) <= 25, s"s0 ~245, got ${bySrc("s0")}")
+    // s1: subsampled to ~60
+    assert(math.abs(bySrc("s1") - 60L) <= 20, s"s1 ~60, got ${bySrc("s1")}")
+    // s2: dropped entirely; s3 absent from the map -> exactly 1.0 epochs
+    assert(!bySrc.contains("s2"))
+    assert(bySrc("s3") === 100L)
+    // (id, repeat_idx) unique; repeat_idx dense from 0 per id
+    assert(out.select($"id", $"repeat_idx").distinct().count() === out.count())
+    val maxIdx = out.filter($"src" === "s0").groupBy($"id")
+      .agg(max($"repeat_idx").as("m"), count(lit(1)).as("n")).collect()
+    maxIdx.foreach(r => assert(r.getLong(1) === r.getLong(2) - 1,
+      "repeat_idx must be dense 0..n-1"))
+    // determinism: same seed -> identical frame
+    val again = graft.operators.Mix.repeatEpochs(df, "src", Seq("id"),
+      Map("s0" -> 2.45, "s1" -> 0.6, "s2" -> 0.0))
+    assert(out.exceptAll(again).count() === 0 &&
+      again.exceptAll(out).count() === 0)
+    // a unit mistake fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Mix.repeatEpochs(df, "src", Seq("id"),
+        Map("s0" -> 2450.0))
+    }
+  }
+
+  test("Splits.leakageSafeSplit: duplicated content never straddles the split") {
+    // case/whitespace variants share a content fingerprint -> same side
+    val docs = Seq(
+      (1L, "The Quick Brown Fox"),
+      (2L, "the quick   brown fox!!"),
+      (3L, "THE QUICK BROWN FOX"),
+      (4L, "a completely different document"),
+      (5L, "yet another one entirely")).toDF("id", "text")
+    val labeled = graft.plans.Splits.withLeakageSafeLabel(
+      docs, "text", testFraction = 0.5, seed = 3L)
+    val sides = labeled.filter($"id" <= 3).select($"split")
+      .distinct().collect().map(_.getString(0))
+    assert(sides.length === 1,
+      s"all three fox variants must land one side, got ${sides.toSeq}")
+    // id-keyed split CAN straddle (the failure mode this API exists for):
+    // demonstrate on a seed where the ids actually split — find one
+    val straddles = (0L to 50L).exists { s =>
+      graft.plans.Splits.withSplitLabel(docs, Seq("id"),
+        testFraction = 0.5, seed = s)
+        .filter($"id" <= 3).select($"split").distinct().count() > 1
+    }
+    assert(straddles, "some id-keyed seed should split the duplicates " +
+      "(otherwise this test proves nothing)")
+  }
+
   test("Mix: T=1 keeps natural proportions (every rate = targetFrac)") {
     val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "source")
     val r = Mix.temperatureRates(df, "source", temperature = 1.0, targetFrac = 0.4)
