@@ -717,6 +717,25 @@ object ScaleRehearsal {
         graft.operators.Retrieval.evalRanking(results,
           qs.select(col("q_id"), col("q_id").as("doc_id")), k = 10).count()
       }),
+      // quality classifier (r10): fit = two bounded-bucket aggregates on
+      // FIXED 1x pos/neg slices, scoring = one zero-shuffle codegen scan
+      // over the Nx corpus — the dsir_select shape with a verdict
+      "quality_classifier" -> (() => {
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.operators.Dsir.classifierFlag(docs, "text", "doc_id",
+          pos = base.filter(col("doc_id") % 17 === 0),
+          neg = base.filter(col("doc_id") % 17 =!= 0),
+          nBuckets = 10000)
+          .filter(col("quality_pred")).count()
+      }),
+      // epoch repetition (r10): one broadcast of the epoch table + one
+      // explode scan — output-row-linear, zero shuffles at any scale
+      "repeat_epochs" -> (() => {
+        val d = docs.withColumn("src",
+          concat(lit("s"), (col("doc_id") % 4).cast("string")))
+        graft.operators.Mix.repeatEpochs(d, "src", Seq("doc_id"),
+          Map("s0" -> 2.45, "s1" -> 0.6, "s2" -> 0.0)).count()
+      }),
       // budgeted selection (r10): one range aggregate + one bins-bounded
       // histogram aggregate + a window over ONLY the boundary bin
       // (corpus/bins rows) — shufW must stay histogram-sized while the

@@ -72,6 +72,13 @@ class QuickstartSpec extends AnyFunSuite {
     assert(Seq("doc_id", "weight_micro", "key_micro", "rank")
       .forall(selected.columns.contains))
 
+    // quality classifier (README block; pos = reference seed, neg = raw)
+    val quality = Dsir.classifierFlag(docs, "text", "doc_id",
+      pos = reference, neg = docs)
+    assert(Seq("doc_id", "score_micro", "n_grams", "quality_pred")
+      .forall(quality.columns.contains))
+    assert(quality.count() === docs.count())
+
     // budgeted selection (README block; fixture-sized budget/cap)
     val scored = TextAnalysis.qualityFeatures(curated, "text")
     val shipped = Budget.selectToBudget(scored, "n_words",
@@ -84,6 +91,19 @@ class QuickstartSpec extends AnyFunSuite {
     val perSource = capped.filter($"kept").groupBy($"source").count()
       .agg(max($"count")).head().getLong(0)
     assert(perSource <= 10, s"cap violated: $perSource per source")
+
+    // epoch recipe + leakage-safe split (README block; fixture sources)
+    val srcs = curated.select($"source").distinct().limit(2)
+      .collect().map(_.getString(0))
+    val epoched = Mix.repeatEpochs(curated, "source", Seq("doc_id"),
+      Map(srcs(0) -> 2.45, srcs(1) -> 0.67))
+    assert(epoched.filter($"source" === srcs(0)).count() >
+      2 * curated.filter($"source" === srcs(0)).count())
+    assert(epoched.select($"doc_id", $"repeat_idx").distinct().count() ===
+      epoched.count())
+    val (trainDocs, testDocs) = graft.plans.Splits.leakageSafeSplit(
+      curated, "text", testFraction = 0.3)
+    assert(trainDocs.count() + testDocs.count() === curated.count())
 
     // BM25 index build + probe (README block; small bucket knob)
     val bm25Dir = java.nio.file.Files.createTempDirectory("graft_qs_bm25").toString
