@@ -405,4 +405,56 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq.sorted
     assert(out === Seq((1L, 1.0), (2L, 3.0)))
   }
+
+  test("quality classifier and epoch recipe run unchanged on a stream, " +
+    "micro-batch results == batch results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ingest-gate shape: fit ONCE offline (bounded state), then score
+    // each arriving micro-batch with the frozen model — classifierFlag's
+    // scan is stateless, so it drops into foreachBatch untouched;
+    // repeatEpochs (broadcast epoch table + explode) likewise
+    val pos = (1L to 10L).map(i => (i, s"alpha beta gamma $i")).toDF("doc_id", "text")
+    val neg = (11L to 20L).map(i => (i, s"zork quux blorp $i")).toDF("doc_id", "text")
+    val batchDocs = (21L to 40L).map(i =>
+      (i, if (i % 2 == 0) s"alpha beta extra $i" else s"zork quux extra $i",
+        s"s${i % 2}")).toDF("doc_id", "text", "src")
+
+    val source = MemoryStream[(Long, String, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long)]()
+    val q = source.toDF().toDF("doc_id", "text", "src").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = graft.operators.Dsir.classifierFlag(
+          b, "text", "doc_id", pos, neg, nBuckets = 1024)
+        val epoched = graft.operators.Mix.repeatEpochs(
+          b, "src", Seq("doc_id"), Map("s0" -> 2.0, "s1" -> 0.5))
+        val reps = epoched.groupBy($"doc_id").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        seen ++= flagged.collect().map(r =>
+          (r.getLong(0), r.getBoolean(3), reps.getOrElse(r.getLong(0), 0L)))
+        ()
+      }.start()
+    try {
+      val rows = batchDocs.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2)))
+      val (a, b) = rows.splitAt(rows.length / 2)
+      source.addData(a.toSeq); q.processAllAvailable()
+      source.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batchFlag = graft.operators.Dsir.classifierFlag(
+        batchDocs, "text", "doc_id", pos, neg, nBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val batchReps = graft.operators.Mix.repeatEpochs(
+        batchDocs, "src", Seq("doc_id"), Map("s0" -> 2.0, "s1" -> 0.5))
+      .groupBy($"doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seen.nonEmpty && seen.size === 20)
+    seen.foreach { case (id, pred, reps) =>
+      assert(pred === batchFlag(id), s"doc $id: stream pred != batch")
+      assert(reps === batchReps.getOrElse(id, 0L), s"doc $id: repeats differ")
+    }
+    // the alpha-vocabulary docs flag true, the zork ones false
+    assert(seen.count(_._2) === 10)
+  }
 }
