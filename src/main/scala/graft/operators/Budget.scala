@@ -113,6 +113,45 @@ object Budget {
     }
   }
 
+  /** Per-group greedy fill — the form data recipes actually state ("at
+    * most 2B tokens of source X"): within each group, keep rows in
+    * (priority desc, id asc) order while the group's running cost stays
+    * within `budgets(group)`; groups absent from the map keep everything.
+    * Null-keyed groups match a null... there is no null map key — null
+    * groups keep everything (no budget named them).
+    *
+    * Plan: ONE window partitioned by the group — already parallel across
+    * groups, no global sort anywhere; unlike the global `selectToBudget`
+    * no histogram trick is needed, because the partition is a single
+    * group's rows, not the corpus. The capPerGroup caveat applies: one
+    * mega-group concentrates its window on one task — if a single group
+    * IS the corpus, use the global form on that group's slice instead.
+    * Output: all columns plus `kept`.
+    */
+  def selectToBudgetPerGroup(df: DataFrame, groupCol: String,
+                             costCol: String, priorityCol: String,
+                             idCol: String,
+                             budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prioMicro = coalesce(
+      round(col(priorityCol).cast(DoubleType) * lit(1000000.0), 0)
+        .cast(LongType), lit(Long.MinValue))
+    val cost = coalesce(col(costCol).cast(LongType), lit(0L))
+    val bTable = broadcast(budgets.toSeq.toDF("__bg_grp", "__bg_budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(prioMicro.desc, col(idCol).asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.join(bTable, col(groupCol) === col("__bg_grp"), "left")
+      .withColumn("__cum", sum(cost).over(w))
+      .withColumn("kept",
+        col("__bg_budget").isNull || col("__cum") <= col("__bg_budget"))
+      .drop("__bg_grp", "__bg_budget", "__cum")
+  }
+
   /** At most `k` rows per group, best-first by (priority desc, id asc) —
     * per-domain/source caps. Bounded: the `minKBy` aggregate carries k
     * struct rows per (group, partition); the join back is on the kept

@@ -113,6 +113,22 @@ object TextQueries {
         .select(col("doc_id"), col("cost"), col("prio"), col("kept"))
     }),
 
+    // per-group token budgets (the recipe form "at most N tokens of
+    // source X"): one group-partitioned window, no global sort; absent
+    // groups keep everything
+    "q_budget_per_group" -> ((s, dir) => {
+      val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("s"), (col("doc_id") % 4).cast("string")).as("src"),
+        size(toks).cast("long").as("cost"),
+        (size(array_distinct(toks)).cast("double") /
+          (size(toks).cast("double") + lit(1.0))).as("prio"))
+      graft.operators.Budget.selectToBudgetPerGroup(scored, "src",
+          "cost", "prio", "doc_id", Map("s0" -> 5000L, "s1" -> 2000L))
+        .select(col("doc_id"), col("src"), col("cost"), col("prio"),
+          col("kept"))
+    }),
+
     // per-group caps: at most 20 best docs per source by the same quality
     // proxy — the minKBy form (k rows per (group, partition) reach the
     // shuffle), oracle = row_number window
@@ -477,6 +493,22 @@ object TextQueries {
          |      ORDER BY CAST(round(prio * 1000000.0) AS BIGINT) DESC, doc_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sc)
          |SELECT doc_id, cost, prio, cum <= 50000 AS kept FROM w""".stripMargin,
+
+    "q_budget_per_group" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |    's' || CAST(doc_id % 4 AS VARCHAR) AS src,
+         |    CAST(len(toks) AS BIGINT) AS cost,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / (CAST(len(toks) AS DOUBLE) + 1.0) AS prio FROM tk),
+         |w AS (SELECT doc_id, src, cost, prio,
+         |    CAST(sum(cost) OVER (PARTITION BY src
+         |      ORDER BY CAST(round(prio * 1000000.0) AS BIGINT) DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sc)
+         |SELECT doc_id, src, cost, prio,
+         |  CASE src WHEN 's0' THEN cum <= 5000
+         |    WHEN 's1' THEN cum <= 2000 ELSE TRUE END AS kept
+         |FROM w""".stripMargin,
 
     "q_cap_per_group" ->
       s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),

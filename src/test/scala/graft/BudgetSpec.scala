@@ -76,6 +76,21 @@ class BudgetSpec extends AnyFunSuite {
       "the everything-fits path must not plan any window")
   }
 
+  test("selectToBudgetPerGroup: independent greedy per group; absent and " +
+    "null groups keep everything") {
+    val df = Seq(
+      ("a", 1L, 10L, 0.9), ("a", 2L, 10L, 0.8), ("a", 3L, 10L, 0.7),
+      ("b", 4L, 5L, 0.9), ("b", 5L, 5L, 0.1),
+      ("c", 6L, 100L, 0.5),       // no budget for c -> kept
+      (null, 7L, 100L, 0.5)       // null group: no budget can name it
+    ).toDF("g", "id", "cost", "prio")
+    val kept = Budget.selectToBudgetPerGroup(df, "g", "cost", "prio", "id",
+        Map("a" -> 20L, "b" -> 5L))
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L, 6L, 7L),
+      s"a keeps its best 2 (20/10), b its best 1 (5/5), c+null all: got $kept")
+  }
+
   test("capPerGroup keeps the k best per group with deterministic ties") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
