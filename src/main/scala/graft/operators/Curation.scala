@@ -95,6 +95,33 @@ object Curation {
     * the verdict frame (global + per-source rows — |sources|+1 rows ever
     * leave the executors). Feed it `sweepFull`'s output.
     */
+  /** Content-addressed corpus MANIFEST — the identity a training run
+    * records next to its config so "which data was this, exactly?" has a
+    * checkable answer: ONE bounded aggregate row
+    * (n_docs, n_tokens, content_hash), where content_hash is the
+    * order-independent 60-bit sum (mod 2^60, exact DECIMAL accumulation)
+    * of per-doc content fingerprints (`Text.contentFingerprint` — case/
+    * whitespace-normalized md5). Two corpora produce the same manifest
+    * iff they hold the same MULTISET of contents and token mass,
+    * regardless of row order, partitioning, or file layout; a single
+    * changed/added/dropped document changes the hash. Zero-shuffle scan +
+    * one aggregate at any corpus size.
+    */
+  def manifest(df: DataFrame, textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val fp60 = conv(substring(Text.contentFingerprint(text), 1, 15), 16, 10)
+      .cast("long")
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(Text.tokens(text))
+          .cast(org.apache.spark.sql.types.LongType)), lit(0L)).as("n_tokens"),
+        coalesce(pmod(sum(fp60.cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(1152921504606846976L)), lit(0L)).cast("long").as("__h"))
+      .select(col("n_docs"), col("n_tokens"),
+        lpad(lower(hex(col("__h"))), 15, "0").as("content_hash"))
+  }
+
   def datasetCard(verdicts: DataFrame, sourceCol: String,
                   title: String = "Dataset card"): String = {
     val stages = Seq("quality_ok", "repetition_ok", "lm_ok", "exact_unique",

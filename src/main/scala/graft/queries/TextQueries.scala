@@ -81,6 +81,11 @@ object TextQueries {
           array_join(col("benchmarks"), ",").as("benchmarks"))
     }),
 
+    // content-addressed manifest: one row identifying the corpus — the
+    // order-independent fingerprint sum must hash-match the SQL replay
+    "q_manifest" -> ((s, dir) =>
+      graft.operators.Curation.manifest(t(s, dir, "documents"), "text")),
+
     // leakage-safe split: the side is a predicate of the CONTENT
     // fingerprint, so duplicated texts can never straddle train/test
     "q_leakage_split" -> ((s, dir) =>
@@ -449,6 +454,17 @@ object TextQueries {
        |  FROM c)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_manifest" ->
+      s"""WITH base AS (SELECT coalesce(text, '') AS text FROM documents),
+         |f AS (SELECT $toksSql AS toks,
+         |    ('0x' || substr(md5($normSql), 1, 15))::BIGINT AS fp60
+         |  FROM base)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens,
+         |  lpad(lower(to_hex(CAST(coalesce(sum(fp60), 0)
+         |    % 1152921504606846976 AS BIGINT))), 15, '0') AS content_hash
+         |FROM f""".stripMargin,
+
     "q_leakage_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN ('0x' || substr(md5(concat_ws(':', md5($normSql), '7')),

@@ -323,4 +323,31 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(isDup === expected, s"vec $id in cell $cid")
     }
   }
+
+  test("Curation.manifest: layout-invariant corpus identity that moves on " +
+    "any content change") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"document body number $i words"))
+      .toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.manifest(df, "text").head()
+    val base = m(docs)
+    // row order, partitioning, and an extra unused column are invisible
+    assert(m(docs.repartition(7)) === base)
+    assert(m(docs.orderBy($"doc_id".desc)) === base)
+    assert(m(docs.withColumn("extra", lit(1))) === base)
+    // whitespace/case variants share the normalized fingerprint
+    assert(m(docs.withColumn("text", upper($"text"))) .getString(2) ===
+      base.getString(2))
+    // one changed doc, one dropped doc, one added doc each move the hash
+    val changed = m(docs.withColumn("text",
+      when($"doc_id" === 7L, lit("tampered")).otherwise($"text")))
+    assert(changed.getString(2) !== base.getString(2))
+    assert(m(docs.filter($"doc_id" =!= 7L)).getString(2) !== base.getString(2))
+    assert(m(docs.union(Seq((999L, "new doc")).toDF("doc_id", "text")))
+      .getString(2) !== base.getString(2))
+    // degenerate: empty corpus has a defined manifest
+    val empty = m(docs.filter(lit(false)))
+    assert(empty.getLong(0) === 0L && empty.getLong(1) === 0L)
+  }
 }
