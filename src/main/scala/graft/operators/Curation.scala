@@ -122,6 +122,19 @@ object Curation {
         lpad(lower(hex(col("__h"))), 15, "0").as("content_hash"))
   }
 
+  /** Manifests are ADDITIVE over disjoint batches: the identity of an
+    * append-accumulated corpus is the field-wise combination of its
+    * ingests' manifests — so a streaming loop keeps a running manifest at
+    * zero extra scans (combine each micro-batch's). Spec-pinned:
+    * manifest(a ∪ b) == combine(manifest(a), manifest(b)).
+    */
+  def combineManifests(a: (Long, Long, String),
+                       b: (Long, Long, String)): (Long, Long, String) = {
+    val h = (java.lang.Long.parseLong(a._3, 16) +
+      java.lang.Long.parseLong(b._3, 16)) % 1152921504606846976L
+    (a._1 + b._1, a._2 + b._2, f"$h%015x")
+  }
+
   def datasetCard(verdicts: DataFrame, sourceCol: String,
                   title: String = "Dataset card"): String = {
     val stages = Seq("quality_ok", "repetition_ok", "lm_ok", "exact_unique",

@@ -349,5 +349,11 @@ class TrainingDataSpec extends AnyFunSuite {
     // degenerate: empty corpus has a defined manifest
     val empty = m(docs.filter(lit(false)))
     assert(empty.getLong(0) === 0L && empty.getLong(1) === 0L)
+    // additive over disjoint batches: the streaming running-manifest law
+    def t3(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2))
+    val (lo, hi) = (docs.filter($"doc_id" <= 100), docs.filter($"doc_id" > 100))
+    assert(graft.operators.Curation.combineManifests(t3(m(lo)), t3(m(hi)))
+      === t3(base))
   }
 }
