@@ -166,6 +166,8 @@ object TextEncoder {
     */
   def transform(df: DataFrame, c: String, provider: EmbeddingProvider,
                 model: TextEncoderModel): DataFrame = {
+    require(!df.columns.contains("__te_value"),
+      "TextEncoder: __te_value is reserved")
     val emb = provider.embed(uniqueValues(df, c))
     val feats = model.pca match {
       case Some(m) => emb.select(col("value"),

@@ -37,6 +37,18 @@ import org.apache.spark.sql.types._
   */
 object Budget {
 
+  /** Sentinel micro-priority for NULL priorities ("sorts last"): a FINITE
+    * value, because the selection arithmetic subtracts and negates
+    * priorities — Long.MinValue would overflow `prio - lo` (ANSI throw)
+    * and `-prio` (silent wrap). ±2^50 micro = ±~1.1e9 raw priority; real
+    * priorities are range-checked against it.
+    */
+  val NullPrioMicro: Long = -(1L << 50)
+
+  private def prioMicroOf(priorityCol: String): Column = coalesce(
+    round(col(priorityCol).cast(DoubleType) * lit(1000000.0), 0)
+      .cast(LongType), lit(NullPrioMicro))
+
   /** Rows kept by greedy priority fill: all columns plus `kept` (the
     * curation-sweep flag convention — callers filter or carry it).
     * A single row larger than the remaining budget is SKIPPED and the
@@ -55,15 +67,21 @@ object Budget {
     val spark = df.sparkSession
     // quantized priority (micro-LONG, 6 dp) — the total order the greedy
     // walk uses; null priority sorts last (lowest), null cost = 0
-    val prioMicro = coalesce(
-      round(col(priorityCol).cast(DoubleType) * lit(1000000.0), 0)
-        .cast(LongType), lit(Long.MinValue))
+    val prioMicro = prioMicroOf(priorityCol)
     val cost = coalesce(col(costCol).cast(LongType), lit(0L))
 
-    // 1. observed priority range (one cheap aggregate)
-    val mm = df.agg(min(prioMicro).as("lo"), max(prioMicro).as("hi")).head()
+    // 1. observed priority range + cost sign (one cheap aggregate)
+    val mm = df.agg(min(prioMicro).as("lo"), max(prioMicro).as("hi"),
+      min(cost).as("minc")).head()
     if (mm.isNullAt(0)) return df.withColumn("kept", lit(false))
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    require(lo >= NullPrioMicro && hi <= -NullPrioMicro,
+      s"selectToBudget: priorities must lie within ±${-NullPrioMicro / 1000000L} " +
+        "(micro-quantized ±2^50) — rescale the priority column")
+    // monotone cumsum is what makes prefix == filter; a negative cost
+    // breaks the greedy semantics themselves, not just this plan
+    require(mm.getLong(2) >= 0L,
+      s"selectToBudget: costs must be non-negative, found ${mm.getLong(2)}")
     // equi-width bin over [lo, hi]; one bin if degenerate
     val width = math.max(1L, (hi - lo) / bins + 1L)
     val binOf = ((prioMicro - lit(lo)) / lit(width)).cast(LongType)
@@ -135,9 +153,7 @@ object Budget {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
-    val prioMicro = coalesce(
-      round(col(priorityCol).cast(DoubleType) * lit(1000000.0), 0)
-        .cast(LongType), lit(Long.MinValue))
+    val prioMicro = prioMicroOf(priorityCol)
     val cost = coalesce(col(costCol).cast(LongType), lit(0L))
     val bTable = broadcast(budgets.toSeq.toDF("__bg_grp", "__bg_budget"))
     val w = org.apache.spark.sql.expressions.Window
@@ -160,9 +176,9 @@ object Budget {
   def capPerGroup(df: DataFrame, groupCol: String, priorityCol: String,
                   idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val prioMicro = coalesce(
-      round(col(priorityCol).cast(DoubleType) * lit(1000000.0), 0)
-        .cast(LongType), lit(Long.MinValue))
+    // finite null sentinel: the struct key NEGATES the priority, and
+    // -Long.MinValue silently wraps
+    val prioMicro = prioMicroOf(priorityCol)
     val keptIds = df
       .select(col(groupCol).as("__g"),
         struct((-prioMicro).as("np"), col(idCol).as("id")).as("__s"))

@@ -76,6 +76,32 @@ class BudgetSpec extends AnyFunSuite {
       "the everything-fits path must not plan any window")
   }
 
+  test("null priorities sort last without overflowing; negative costs and " +
+    "out-of-range priorities refuse loudly") {
+    // null priority: previously a Long.MinValue sentinel that overflowed
+    // (prio - lo in ANSI mode; -prio in capPerGroup's struct key)
+    val df = Seq(
+      (1L, 10L, Some(0.9)), (2L, 10L, Some(0.5)), (3L, 10L, Option.empty[Double])
+    ).toDF("id", "cost", "prio")
+    val kept = Budget.selectToBudget(df, "cost", "prio", "id", 20L)
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L), "the null-priority row must sort last")
+    val capped = Budget.capPerGroup(
+        df.withColumn("g", lit("x")), "g", "prio", "id", k = 2)
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(capped === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Budget.selectToBudget(
+        Seq((1L, -5L, 0.5)).toDF("id", "cost", "prio"),
+        "cost", "prio", "id", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Budget.selectToBudget(
+        Seq((1L, 5L, 2.0e9)).toDF("id", "cost", "prio"),
+        "cost", "prio", "id", 10L)
+    }
+  }
+
   test("selectToBudgetPerGroup: independent greedy per group; absent and " +
     "null groups keep everything") {
     val df = Seq(
