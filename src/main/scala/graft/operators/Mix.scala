@@ -130,6 +130,9 @@ object Mix {
     require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
       "epochs must be in [0, 1000] — a larger factor is almost certainly " +
         "a unit mistake and would explode the corpus")
+    require(!df.columns.contains("repeat_idx"),
+      "repeatEpochs: the input already has a repeat_idx column — repeats " +
+        "of repeats need an explicit rename first")
     val spark = df.sparkSession
     import spark.implicits._
     val eTable = broadcast(
