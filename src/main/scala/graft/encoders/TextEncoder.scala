@@ -63,8 +63,16 @@ final case class TableEmbeddingProvider(lookup: DataFrame, keyCol: String,
     extends EmbeddingProvider {
   def embed(values: DataFrame): DataFrame =
     values.join(
+      // one row per key even if the lookup holds duplicates (a re-run
+      // inference job appending to the same parquet): min() over the
+      // vector resolves deterministically (Spark arrays order
+      // lexicographically), so the provider contract — one output row per
+      // distinct input — holds instead of silently fanning out every
+      // matching corpus row in transform
       lookup.select(col(keyCol).cast(StringType).as("value"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("embedding")),
+          col(vecCol).cast(ArrayType(DoubleType)).as("embedding"))
+        .groupBy(col("value"))
+        .agg(min(col("embedding")).as("embedding")),
       Seq("value"), "left")
 }
 

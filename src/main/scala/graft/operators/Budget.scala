@@ -64,7 +64,6 @@ object Budget {
                      bins: Int = 100000): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(bins >= 2, "need at least 2 bins")
-    val spark = df.sparkSession
     // quantized priority (micro-LONG, 6 dp) — the total order the greedy
     // walk uses; null priority sorts last (lowest), null cost = 0
     val prioMicro = prioMicroOf(priorityCol)
@@ -155,6 +154,12 @@ object Budget {
     import spark.implicits._
     val prioMicro = prioMicroOf(priorityCol)
     val cost = coalesce(col(costCol).cast(LongType), lit(0L))
+    // same monotone-cumsum contract as the global form: a negative cost
+    // would let a lower-priority row sneak back under the budget after an
+    // overflow — refuse loudly (one cheap aggregate)
+    val minc = df.agg(min(cost)).head()
+    require(minc.isNullAt(0) || minc.getLong(0) >= 0L,
+      s"selectToBudgetPerGroup: costs must be non-negative, found ${minc.get(0)}")
     val bTable = broadcast(budgets.toSeq.toDF("__bg_grp", "__bg_budget"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))

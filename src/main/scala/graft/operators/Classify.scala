@@ -99,8 +99,12 @@ object Classify {
     val cents = labs.map { l =>
       val mean = byLab(l).sortBy(_.getInt(1)).map(r => round6(r.getDouble(2)))
       // norm over the ROUNDED means, summed in index order (the oracle
-      // replays list_sum over the same rounded list bit for bit)
-      val norm = math.sqrt(mean.map(x => x * x).sum)
+      // replays list_sum over the same rounded list bit for bit). A class
+      // whose members cancel to the zero vector (opposite unit vectors)
+      // has no direction to normalize — epsilon-clip to 1 and keep the
+      // zero centroid instead of dividing 0/0 into NaN
+      val norm0 = math.sqrt(mean.map(x => x * x).sum)
+      val norm = if (norm0 < 1e-12) 1.0 else norm0
       mean.map(x => round6(x / norm)).toSeq
     }
     CentroidModel(labs, cents)

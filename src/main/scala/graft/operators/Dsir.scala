@@ -135,9 +135,13 @@ object Dsir {
     * ones whose total log-odds clears `minMeanMicro` micro-nats PER GRAM
     * (0 = "more positive-like than negative-like"). The comparison is
     * all-integer (score_micro > minMeanMicro * n_grams — no division), so
-    * the verdict is exactly oracle-reproducible. A 0-gram doc never
-    * clears a non-negative bar (0 > 0 is false) — empty docs read as
-    * low-quality, matching the heuristic gates.
+    * the verdict is exactly oracle-reproducible. Empty/whitespace-only
+    * docs are EXPLICITLY low-quality (a token-count conjunct, not an
+    * assumption about their gram score: the tokenizer's whole-text
+    * fallback gives an empty doc ONE '' gram, whose smoothed unseen-
+    * bucket log-ratio is positive whenever the neg corpus outweighs the
+    * pos seed — the standard small-seed setup — so without the conjunct
+    * empty docs would flag high-quality).
     *
     * Output: (doc_id, score_micro, n_grams, quality_pred). Scale shape =
     * `weights`: two bounded fit aggregates (≤nBuckets rows each) + ONE
@@ -154,9 +158,13 @@ object Dsir {
         graft.functions.VecExprs.gramWeightMicro(text, micro)
           .as("score_micro"),
         size(graft.functions.VecExprs.gramBuckets(text, nBuckets))
-          .cast(LongType).as("n_grams"))
+          .cast(LongType).as("n_grams"),
+        size(graft.functions.Text.tokens(text)).cast(LongType)
+          .as("__n_toks"))
       .withColumn("quality_pred",
-        col("score_micro") > lit(minMeanMicro) * col("n_grams"))
+        col("__n_toks") > 0L &&
+          col("score_micro") > lit(minMeanMicro) * col("n_grams"))
+      .drop("__n_toks")
   }
 
   /** Log importance weight per document as integer micro-nats:

@@ -165,17 +165,22 @@ object TextSearch {
   /** Loud guard against the half-applied-append window: `append` stamps a
     * pending-batch marker before it mutates anything and clears it only
     * after both data appends commit, so any crash inside the window is
-    * DETECTED (by the next append/probe) instead of silently double-
-    * counting stats on a blind retry.
+    * DETECTED by the next MUTATION instead of silently double-counting
+    * stats on a blind retry. Deliberately NOT checked by `probe`: a
+    * pending marker is also what a healthy in-flight append looks like,
+    * and reads must stay available during ingest (search-as-you-ingest) —
+    * a probe under the window sees at worst the documented monotone-
+    * degraded state (batch docs registered in the stats but not yet
+    * retrievable). Only run `repair` when no append is in flight.
     */
   private def requireClean(props: Map[String, String], name: String,
                            what: String): Unit =
     props.get(PendingKey).filter(_.nonEmpty).foreach { b =>
       throw new IllegalStateException(
-        s"TextSearch.$what: index '$name' has a half-applied append " +
-          s"(pending batch '$b' — a prior append crashed between the " +
-          "stats update and the data commits). Do NOT retry the append; " +
-          s"run TextSearch.repair(spark, \"$name\") to resync the stats " +
+        s"TextSearch.$what: index '$name' has a pending append " +
+          s"(batch '$b'). If an append is RUNNING, wait for it; if it " +
+          "CRASHED, do NOT retry it — run " +
+          s"TextSearch.repair(spark, \"$name\") to resync the stats " +
           "from the lens table, or rebuild the index from source.")
     }
 
@@ -290,7 +295,6 @@ object TextSearch {
             queries: DataFrame, qTextCol: String, qIdCol: String,
             k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val props = tblProps(spark, name)
-    requireClean(props, name, "probe")
     val nDocs = props("graft.bm25.nDocs").toLong
     val avgdl = props("graft.bm25.sumDl").toDouble / nDocs.toDouble
     topkOf(scoreMicro(spark.table(postingsTable(name)),

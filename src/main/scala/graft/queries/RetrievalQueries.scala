@@ -279,10 +279,12 @@ object RetrievalQueries {
          |SELECT doc_id, weight_micro FROM wm""".stripMargin,
 
     "q_quality_classifier" ->
-      s"""WITH $qcCtes
+      s"""WITH $qcCtes,
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM tk)
          |SELECT qm.doc_id, qm.score_micro, ng.n_grams,
-         |  qm.score_micro > 0 AS quality_pred
-         |FROM qm JOIN ng ON qm.doc_id = ng.doc_id""".stripMargin,
+         |  nt.n_toks > 0 AND qm.score_micro > 0 AS quality_pred
+         |FROM qm JOIN ng ON qm.doc_id = ng.doc_id
+         |  JOIN nt ON qm.doc_id = nt.doc_id""".stripMargin,
 
     // RRF hybrid fusion: bm25Ctes' top-5 (rk) unioned with the exact
     // cosine top-5 of the same qd workload, 1e6/(60+rank) integer
@@ -397,7 +399,9 @@ object RetrievalQueries {
          |      i -> round(list_sum(list_transform(vs, e -> e[i])) / len(vs), 6)) AS mv
          |  FROM (SELECT lab, list(nv) AS vs FROM v WHERE id % 5 = 0 GROUP BY lab)),
          |cent AS (SELECT lab, list_transform(mv, x -> round(x /
-         |      sqrt(list_sum(list_transform(mv, y -> y * y))), 6)) AS cv
+         |      (CASE WHEN sqrt(list_sum(list_transform(mv, y -> y * y))) < 1e-12
+         |        THEN 1.0
+         |        ELSE sqrt(list_sum(list_transform(mv, y -> y * y))) END), 6)) AS cv
          |  FROM centm),
          |cidt AS (SELECT lab, cv,
          |    row_number() OVER (ORDER BY lab) - 1 AS cid FROM cent),

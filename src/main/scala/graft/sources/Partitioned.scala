@@ -47,7 +47,11 @@ object Partitioned {
     * reach the parquet row groups).
     */
   def scanEvidence(df: DataFrame): ScanEvidence = {
-    df.collect()
+    // execute THIS frame's QueryExecution without materializing rows on
+    // the driver (collect would OOM on a large corpus; a count() would
+    // run a separate QueryExecution and leave this plan's AQE
+    // un-finalized)
+    df.queryExecution.toRdd.foreach(_ => ())
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p

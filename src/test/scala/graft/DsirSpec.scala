@@ -125,8 +125,22 @@ class DsirSpec extends AnyFunSuite {
       s"pos doc $i scored ${byId(i)._1} over ${byId(i)._2} grams"))
     (21L to 40L).foreach(i => assert(!byId(i)._3,
       s"neg doc $i scored ${byId(i)._1}"))
-    // empty doc: 1 fallback gram, decision 0 > 0 is false -> low quality
+    // empty doc: explicitly low-quality via the token-count conjunct
     assert(!byId(99L)._3 && byId(99L)._2 === 1L)
+    // the case the conjunct exists for: pos = tiny seed, neg = big corpus
+    // (the GPT-3 setup) makes the unseen-'' fallback gram's smoothed
+    // log-ratio POSITIVE — without the conjunct empty docs would flag true
+    val bigNeg = (100L to 400L).map(i => (i, s"noise words $i here"))
+      .toDF("doc_id", "text")
+    val tinyPos = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val scored2 = graft.operators.Dsir.classifierFlag(
+      Seq((7L, ""), (8L, "   ")).toDF("doc_id", "text"),
+      "text", "doc_id", tinyPos, bigNeg, nBuckets = 1024)
+    scored2.collect().foreach { r =>
+      assert(!r.getBoolean(3),
+        s"empty/whitespace doc ${r.getLong(0)} flagged high-quality " +
+          s"(score ${r.getLong(1)})")
+    }
   }
 
   test("fit refuses an unbounded bucket count") {

@@ -108,11 +108,14 @@ class TextSearchSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE `graft_bm25_crash_postings` SET TBLPROPERTIES " +
       "('graft.bm25.pendingBatch' = 'deadbeef', " +
       "'graft.bm25.nDocs' = '999999')")
-    val eProbe = intercept[IllegalStateException] {
-      TextSearch.probe(spark, "graft_bm25_crash",
-        queries, "q_text", "q_id", k = 5)
-    }
-    assert(eProbe.getMessage.contains("half-applied"))
+    // reads stay AVAILABLE under the window (a pending marker is also a
+    // healthy in-flight append — search-as-you-ingest must not go dark);
+    // scores are the documented monotone-degraded state, never an error
+    val duringPending = TextSearch.probe(spark, "graft_bm25_crash",
+      queries, "q_text", "q_id", k = 5)
+    assert(duringPending.count() > 0,
+      "probe must keep serving during a pending append window")
+    // MUTATIONS refuse loudly: a blind append retry would double-count
     val eAppend = intercept[IllegalStateException] {
       TextSearch.append(docs.limit(3), "text", "doc_id", "graft_bm25_crash")
     }
