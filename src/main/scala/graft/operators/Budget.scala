@@ -18,22 +18,36 @@ import org.apache.spark.sql.types._
   *     caps) via the bounded `minKBy` aggregate — k rows per (group,
   *     partition) reach the shuffle, never a per-group window sort.
   *
-  * Scale shape of `selectToBudget`: ONE melted aggregate over
-  * priority-histogram bins (`bins` rows of driver state), a driver
-  * cumulative walk to find the boundary bin, then one codegen'd filter
-  * scan: rows strictly above the boundary keep unconditionally, rows
-  * strictly below drop, and only the BOUNDARY BIN's rows (corpus/bins
-  * of them, by construction of an equi-width histogram over the observed
-  * priority range) pay an ordered prefix — computed with a window over
-  * that one bin, whose partition is 1/bins of the corpus, not all of it.
-  * Result: exact greedy semantics, no global sort, bounded driver state —
-  * the same percentile-threshold discipline as `Dsir.selectFraction`.
+  * Scale shape of `selectToBudget`: a RECURSIVE histogram descent. Each
+  * level runs ONE melted aggregate over power-of-two-width key bins
+  * (<= `bins` rows of driver state), a driver cumulative walk finds the
+  * boundary bin (bins strictly before it in walk order keep
+  * unconditionally via a codegen'd predicate; bins after drop), and the
+  * walk recurses INTO the boundary bin with the leftover budget — first
+  * on ever-finer priority ranges, then (when a single priority value
+  * still holds more than `maxBoundaryRows` rows — a binary quality flag,
+  * a coarsely quantized score) on the id tie-break order itself, which
+  * is the exact order the greedy walk uses within a priority tie. Only
+  * when the boundary scope is at most `maxBoundaryRows` rows does the
+  * exact ordered-prefix window run, over that bounded scope, and only
+  * its kept ids (<= `maxBoundaryRows`) are broadcast. Levels are
+  * O(log_bins(key range)) — 3-5 corpus scans worst case — so no global
+  * sort, no single-task window, and no corpus-sized broadcast exist at
+  * ANY priority distribution, including all-tied. Bounded driver state
+  * throughout: `bins` histogram rows per level.
   *
   * Determinism: ties in priority break by ascending id (total order), so
   * the kept set is unique and hash-verifiable. Cost is integer
   * (token/byte counts); priorities are quantized to 6 dp micro-LONGs for
   * binning, which preserves their order exactly at the oracle's own
   * rounding discipline.
+  *
+  * Preconditions (both selectors): `idCol` must be UNIQUE — the kept-id
+  * sets join back on it, so a duplicated id would duplicate rows through
+  * the left join and cross-mark `kept` onto unrelated rows. String ids
+  * compare bytewise (Spark UTF8String order == DuckDB binary collation);
+  * the id-histogram descent bins on byte prefixes, preserving exactly
+  * that order.
   */
 object Budget {
 
@@ -45,25 +59,66 @@ object Budget {
     */
   val NullPrioMicro: Long = -(1L << 50)
 
+  /** Numeric-id descent bound: ids must fit ±2^61 so `id - lo` cannot
+    * overflow a Long during binning.
+    */
+  private val MaxAbsNumericId: Long = 1L << 61
+
   private def prioMicroOf(priorityCol: String): Column = coalesce(
     round(col(priorityCol).cast(DoubleType) * lit(1000000.0), 0)
       .cast(LongType), lit(NullPrioMicro))
 
+  /** Order-preserving signed-Long key for a 7-byte window of the id's
+    * UTF-8 bytes starting at `offset` (0-based). Lexicographic byte order
+    * == unsigned numeric order of the left-aligned zero-padded window ==
+    * signed order here (7 bytes = 56 bits, always non-negative), so
+    * binning on this key bins on the string order itself. Shorter ids
+    * pad with 0x00 and sort first — matching bytewise comparison, where
+    * a proper prefix precedes its extensions.
+    */
+  private def stringPrefixKey(idCol: String, offset: Int): Column =
+    conv(rpad(hex(substring(encode(coalesce(col(idCol), lit("")), "UTF-8"),
+      offset + 1, 7)), 14, "0"), 16, 10).cast(LongType)
+
+  private def requireFree(df: DataFrame, names: String*): Unit = names.foreach { n =>
+    require(!df.columns.contains(n),
+      s"reserved working column '$n' already exists on the input — rename it first")
+  }
+
+  /** Diagnostics from one `selectToBudget` run (test/rehearsal surface):
+    * how many histogram levels the descent took and how many rows the
+    * final exact-prefix window actually saw (0 when no window ran).
+    */
+  private[graft] final case class BudgetDiag(levels: Int, windowRows: Long)
+
   /** Rows kept by greedy priority fill: all columns plus `kept` (the
     * curation-sweep flag convention — callers filter or carry it).
-    * A single row larger than the remaining budget is SKIPPED and the
-    * walk continues (classic greedy knapsack fill, matching the window
-    * formulation "cumsum - cost <= budget - cost" per-row: every row
-    * whose own inclusion fits the remaining budget after all
-    * higher-priority kept rows... see note below), i.e. semantics are
-    * the PREFIX form: keep while cumulative cost <= budget, stop at the
-    * first overflow — the form a SQL window replays exactly.
+    * Semantics are the PREFIX form: walk rows in (priority desc, id asc)
+    * order and keep while the cumulative cost stays <= `budget`; the
+    * first row that would overflow stops the walk, and nothing after it
+    * is kept — exactly what a SQL window `sum(cost) over (order by ...)
+    * <= budget` replays. (No skip-and-continue knapsack behavior: an
+    * oversized row ends the walk.)
+    *
+    * `maxBoundaryRows` bounds the final exact-prefix window and the
+    * kept-id broadcast; the histogram descent recurses until the
+    * boundary scope fits it (see object doc for the scale shape).
     */
   def selectToBudget(df: DataFrame, costCol: String, priorityCol: String,
                      idCol: String, budget: Long,
-                     bins: Int = 100000): DataFrame = {
+                     bins: Int = 100000,
+                     maxBoundaryRows: Long = 1L << 20): DataFrame =
+    selectToBudgetDiag(df, costCol, priorityCol, idCol, budget, bins,
+      maxBoundaryRows)._1
+
+  private[graft] def selectToBudgetDiag(
+      df: DataFrame, costCol: String, priorityCol: String,
+      idCol: String, budget: Long, bins: Int = 100000,
+      maxBoundaryRows: Long = 1L << 20): (DataFrame, BudgetDiag) = {
     require(budget >= 0, "budget must be non-negative")
     require(bins >= 2, "need at least 2 bins")
+    require(maxBoundaryRows >= 1, "maxBoundaryRows must be positive")
+    requireFree(df, "kept", "__kept_boundary")
     // quantized priority (micro-LONG, 6 dp) — the total order the greedy
     // walk uses; null priority sorts last (lowest), null cost = 0
     val prioMicro = prioMicroOf(priorityCol)
@@ -72,62 +127,145 @@ object Budget {
     // 1. observed priority range + cost sign (one cheap aggregate)
     val mm = df.agg(min(prioMicro).as("lo"), max(prioMicro).as("hi"),
       min(cost).as("minc")).head()
-    if (mm.isNullAt(0)) return df.withColumn("kept", lit(false))
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    require(lo >= NullPrioMicro && hi <= -NullPrioMicro,
+    if (mm.isNullAt(0))
+      return (df.withColumn("kept", lit(false)), BudgetDiag(0, 0L))
+    require(mm.getLong(0) >= NullPrioMicro && mm.getLong(1) <= -NullPrioMicro,
       s"selectToBudget: priorities must lie within ±${-NullPrioMicro / 1000000L} " +
         "(micro-quantized ±2^50) — rescale the priority column")
     // monotone cumsum is what makes prefix == filter; a negative cost
     // breaks the greedy semantics themselves, not just this plan
     require(mm.getLong(2) >= 0L,
       s"selectToBudget: costs must be non-negative, found ${mm.getLong(2)}")
-    // equi-width bin over [lo, hi]; one bin if degenerate
-    val width = math.max(1L, (hi - lo) / bins + 1L)
-    val binOf = ((prioMicro - lit(lo)) / lit(width)).cast(LongType)
 
-    // 2. per-bin cost totals — <= bins rows to the driver
-    val hist = df.select(binOf.as("__bin"), cost.as("__c"))
-      .groupBy(col("__bin")).agg(sum(col("__c")).as("__sum"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
-
-    // 3. driver walk, highest bin first: bins fully inside the budget
-    //    keep unconditionally; the first bin that overflows is the
-    //    boundary (its rows pay the exact ordered prefix); below it drop
+    // 2. recursive histogram descent. Level state: the current bin key
+    //    (priority first, then the id tie-break), its observed [lo, hi]
+    //    range, walk direction (priority desc, id asc), the accumulated
+    //    unconditional-keep predicate, and the boundary-scope predicate.
+    val idType = df.schema(idCol).dataType
+    var keyExpr: Column = prioMicro
+    var desc = true
+    var lo = mm.getLong(0)
+    var hi = mm.getLong(1)
+    // -1 = still descending on priority; >= 0 = byte offset of the
+    // string-id window (numeric ids use a single id level, marked 0)
+    var idOffset = -1
+    var keep: Column = lit(false)
+    var scope: Column = lit(true)
     var remaining = budget
-    var boundary = Long.MinValue
-    var boundaryBudget = 0L
-    var exhausted = false
-    hist.foreach { case (b, s) =>
+    var levels = 0
+    var result: DataFrame = null
+    var windowRows = 0L
+
+    // observed key range of the CURRENT scope for a fresh key expression
+    def scopedRange(key: Column): (Long, Long) = {
+      val r = df.filter(scope).agg(min(key), max(key)).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    while (result == null) {
+      levels += 1
+      require(levels <= 64,
+        "selectToBudget: histogram descent exceeded 64 levels — ids share " +
+          "pathologically long prefixes; ensure idCol is unique")
+      // power-of-two bin width: exact integer binning via a right shift,
+      // no float division anywhere near the 2^50+ key range
+      val span = hi - lo // >= 0; priority range <= 2^51, ids guarded <= 2^62
+      var shift = 0
+      while ((span >> shift) + 1L > bins) shift += 1
+      val binOf = shiftright(keyExpr - lit(lo), shift)
+
+      // per-bin cost totals + row counts — <= bins rows to the driver
+      val hist = df.filter(scope)
+        .groupBy(binOf.as("__b"))
+        .agg(sum(cost).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => if (desc) -t._1 else t._1)
+
+      // driver walk in greedy order: bins fully inside the budget keep
+      // unconditionally; the first bin that overflows is the boundary
+      // (prefix semantics: everything after it drops)
+      var boundary = -1L
+      var boundaryRows = 0L
+      var exhausted = false
+      hist.foreach { case (b, s, n) =>
+        if (!exhausted) {
+          if (s <= remaining) remaining -= s
+          else { boundary = b; boundaryRows = n; exhausted = true }
+        }
+      }
+
       if (!exhausted) {
-        if (s <= remaining) remaining -= s
-        else { boundary = b; boundaryBudget = remaining; exhausted = true }
+        // everything in the current scope fits
+        result = df.withColumn("kept", keep || scope)
+      } else {
+        keep = keep ||
+          (scope && (if (desc) binOf > lit(boundary) else binOf < lit(boundary)))
+        scope = scope && (binOf === lit(boundary))
+        val newLo = lo + (boundary << shift)
+        hi = math.min(hi, newLo + (1L << shift) - 1L)
+        lo = newLo
+
+        if (boundaryRows <= maxBoundaryRows) {
+          // 3. bounded exact greedy prefix in (priority desc, id asc)
+          //    over the boundary scope only
+          windowRows = boundaryRows
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("__p").desc, col("__id").asc)
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val boundaryIds = df.filter(scope)
+            .select(col(idCol).as("__id"), prioMicro.as("__p"), cost.as("__c"))
+            .withColumn("__cum", sum(col("__c")).over(w))
+            .filter(col("__cum") <= lit(remaining))
+            .select(col("__id"))
+          result = df
+            .join(broadcast(boundaryIds.withColumnRenamed("__id", idCol)
+              .withColumn("__kept_boundary", lit(true))), Seq(idCol), "left")
+            .withColumn("kept",
+              keep || coalesce(col("__kept_boundary"), lit(false)))
+            .drop("__kept_boundary")
+        } else if (shift == 0) {
+          // a single key value holds more rows than the window bound:
+          // descend to the next component of the greedy sort order
+          if (idOffset < 0) {
+            // priority fully pinned — tie-break order is id ASC
+            desc = false
+            idOffset = 0
+            idType match {
+              case LongType | IntegerType | ShortType | ByteType =>
+                keyExpr = col(idCol).cast(LongType)
+                val (l, h) = scopedRange(keyExpr)
+                require(l >= -MaxAbsNumericId && h <= MaxAbsNumericId,
+                  "selectToBudget: numeric ids must lie within ±2^61 for " +
+                    "the tie-break histogram")
+                lo = l; hi = h
+              case StringType =>
+                keyExpr = stringPrefixKey(idCol, 0)
+                val (l, h) = scopedRange(keyExpr)
+                lo = l; hi = h
+              case other => throw new IllegalArgumentException(
+                s"selectToBudget: ${boundaryRows} rows tie on one priority and " +
+                  s"idCol '$idCol' has unsupported type $other for the " +
+                  "tie-break histogram (need integral or string) — raise " +
+                  "maxBoundaryRows or pre-map the id to a sortable key")
+            }
+          } else if (idType == StringType) {
+            // ids share this 7-byte window exactly — advance to the next
+            idOffset += 7
+            keyExpr = stringPrefixKey(idCol, idOffset)
+            val (l, h) = scopedRange(keyExpr)
+            lo = l; hi = h
+          } else {
+            throw new IllegalArgumentException(
+              s"selectToBudget: ${boundaryRows} rows share BOTH priority and " +
+                s"id — idCol '$idCol' must be unique")
+          }
+        }
+        // else: loop — finer histogram over the narrowed [lo, hi]
       }
     }
-
-    if (!exhausted)
-      // everything fits
-      df.withColumn("kept", lit(true))
-    else {
-      // 4. boundary bin: exact greedy prefix in (priority desc, id asc)
-      //    over ~corpus/bins rows — window partitioned BY THE BIN literal
-      //    via a filtered self-union, so no global sort appears anywhere
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("__p").desc, col("__id").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val boundaryIds = df
-        .filter(binOf === lit(boundary))
-        .select(col(idCol).as("__id"), prioMicro.as("__p"), cost.as("__c"))
-        .withColumn("__cum", sum(col("__c")).over(w))
-        .filter(col("__cum") <= lit(boundaryBudget))
-        .select(col("__id"))
-      df.withColumn("__bin", binOf)
-        .join(broadcast(boundaryIds.withColumnRenamed("__id", idCol)
-          .withColumn("__kept_boundary", lit(true))), Seq(idCol), "left")
-        .withColumn("kept",
-          (col("__bin") > lit(boundary)) ||
-            coalesce(col("__kept_boundary"), lit(false)))
-        .drop("__bin", "__kept_boundary")
-    }
+    (result, BudgetDiag(levels, windowRows))
   }
 
   /** Per-group greedy fill — the form data recipes actually state ("at
@@ -150,6 +288,7 @@ object Budget {
                              idCol: String,
                              budgets: Map[String, Long]): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    requireFree(df, "kept", "__cum", "__bg_grp", "__bg_budget")
     val spark = df.sparkSession
     import spark.implicits._
     val prioMicro = prioMicroOf(priorityCol)
@@ -176,11 +315,14 @@ object Budget {
   /** At most `k` rows per group, best-first by (priority desc, id asc) —
     * per-domain/source caps. Bounded: the `minKBy` aggregate carries k
     * struct rows per (group, partition); the join back is on the kept
-    * ids. Output: all columns plus `kept`.
+    * ids, so `idCol` must be unique (object-doc precondition — a
+    * duplicated id would mark extra rows kept). Output: all columns plus
+    * `kept`.
     */
   def capPerGroup(df: DataFrame, groupCol: String, priorityCol: String,
                   idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    requireFree(df, "kept", "__cap_kept")
     // finite null sentinel: the struct key NEGATES the priority, and
     // -Long.MinValue silently wraps
     val prioMicro = prioMicroOf(priorityCol)

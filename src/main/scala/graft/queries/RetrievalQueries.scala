@@ -123,6 +123,38 @@ object RetrievalQueries {
       graft.operators.Retrieval.rrf(Seq(lex, sem), k = TopK)
     }),
 
+    // hybrid retrieval over STANDING indexes — the 100 TB shape the
+    // one-shot q_rrf_fusion only narrates: both legs probe persisted
+    // bucketed layouts (BM25 postings by term, LSH postings by
+    // (tbl, bkt)), so the corpus-sized work happened at index-build time
+    // and the fusion runs on |queries|·k rows. Hash-verified against the
+    // same naive SQL replay as the one-shot path (probe ≡ topk is pinned
+    // per leg), plan-asserted exchange-free in RetrievalSpec.
+    "q_rrf_fusion_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qd = queryDocs(s, dir)
+      val lexPath = java.nio.file.Files
+        .createTempDirectory("graft_rrf_lex_idx").toString
+      TextSearch.buildIndex(docs, "text", "doc_id", "graft_rrf_lex_idx",
+        lexPath)
+      val lex = TextSearch.probe(s, "graft_rrf_lex_idx",
+          qd, "q_text", "q_id", k = TopK)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val annPath = java.nio.file.Files
+        .createTempDirectory("graft_rrf_ann_idx").toString
+      graft.operators.AnnIndex.write(emb, "embedding", "vec_id",
+        "graft_rrf_ann_idx", annPath, planesPerTable = 4, nTables = 16,
+        numBuckets = 8)
+      val qVecs = emb.join(broadcast(qd.select(col("q_id"))),
+        emb("vec_id") === col("q_id"), "left_semi")
+      val sem = graft.operators.AnnIndex.probe(qVecs, "embedding", "vec_id",
+          "graft_rrf_ann_idx", k = TopK)
+        .select(col("query_id").as("q_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Retrieval.rrf(Seq(lex, sem), k = TopK)
+    }),
+
     // GPT-3-style quality classifier: hashed-NB log-odds between the
     // min-source slice (positive seed) and its complement (negative
     // contrast), scored over the whole corpus — the decision is
@@ -308,6 +340,49 @@ object RetrievalQueries {
          |sem AS (SELECT q_id, doc_id, rank FROM (
          |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
          |      ORDER BY cosine DESC, doc_id ASC) AS rank FROM scored)
+         |  WHERE rank <= $TopK),
+         |uni AS (SELECT q_id, doc_id,
+         |    CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS contrib
+         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+         |fus AS (SELECT q_id, doc_id,
+         |    CAST(sum(contrib) AS BIGINT) AS rrf_micro
+         |  FROM uni GROUP BY q_id, doc_id)
+         |SELECT q_id, doc_id, rrf_micro, rank FROM (
+         |  SELECT q_id, doc_id, rrf_micro, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
+         |  FROM fus) WHERE rank <= $TopK""".stripMargin,
+
+    // indexed hybrid fusion: lexical leg = the bm25 ranking (probe ≡ topk
+    // is pinned), semantic leg = the md5-derived 16x4 LSH bucket
+    // candidates of the SAME qd workload (AnnIndex.probe semantics —
+    // candidates share a (tbl, bkt), self-hits excluded), fused with the
+    // identical integer RRF tail as q_rrf_fusion
+    "q_rrf_fusion_index" ->
+      s"""WITH $bm25Ctes,
+         |rk AS (SELECT q_id, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm),
+         |lex AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= $TopK),
+         |ev AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings),
+         |bb AS (SELECT id, unnest(${graft.functions.Planes
+           .bucketTablesSql("nv", 16, 4)}) AS tb FROM ev),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl,
+         |    struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS doc_id
+         |  FROM bt c JOIN bt q ON q.id IN (SELECT q_id FROM qd)
+         |    AND q.id <> c.id AND c.tbl = q.tbl AND c.bkt = q.bkt),
+         |semsc AS (SELECT cand.q_id, cand.doc_id,
+         |    round(list_sum(list_transform(list_zip(c.nv, q.nv),
+         |      p -> p[1] * p[2])), 6) AS cosine
+         |  FROM cand JOIN ev c ON cand.doc_id = c.id
+         |    JOIN ev q ON cand.q_id = q.id),
+         |sem AS (SELECT q_id, doc_id, rank FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, doc_id ASC) AS rank FROM semsc)
          |  WHERE rank <= $TopK),
          |uni AS (SELECT q_id, doc_id,
          |    CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS contrib

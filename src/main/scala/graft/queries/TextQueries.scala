@@ -118,6 +118,21 @@ object TextQueries {
         .select(col("doc_id"), col("cost"), col("prio"), col("kept"))
     }),
 
+    // the r10 degenerate case made green: a BINARY priority (quality
+    // flag) concentrates the corpus into two histogram bins, and
+    // maxBoundaryRows=32 forces the recursive id-histogram descent —
+    // the kept set must still equal the naive global-window greedy the
+    // oracle replays, with no window ever seeing more than 32 rows
+    "q_token_budget_tied" -> ((s, dir) => {
+      val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("cost"),
+        (col("doc_id") % 3 === 0).cast("double").as("prio"))
+      graft.operators.Budget.selectToBudget(scored, "cost", "prio",
+          "doc_id", budget = 20000L, maxBoundaryRows = 32L)
+        .select(col("doc_id"), col("cost"), col("prio"), col("kept"))
+    }),
+
     // per-group token budgets (the recipe form "at most N tokens of
     // source X"): one group-partitioned window, no global sort; absent
     // groups keep everything
@@ -509,6 +524,18 @@ object TextQueries {
          |      ORDER BY CAST(round(prio * 1000000.0) AS BIGINT) DESC, doc_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sc)
          |SELECT doc_id, cost, prio, cum <= 50000 AS kept FROM w""".stripMargin,
+
+    // binary priority: same window replay — the operator's recursive
+    // descent is an implementation detail the semantics must hide
+    "q_token_budget_tied" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS cost,
+         |    CAST(doc_id % 3 = 0 AS DOUBLE) AS prio FROM tk),
+         |w AS (SELECT doc_id, cost, prio,
+         |    CAST(sum(cost) OVER (
+         |      ORDER BY CAST(round(prio * 1000000.0) AS BIGINT) DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sc)
+         |SELECT doc_id, cost, prio, cum <= 20000 AS kept FROM w""".stripMargin,
 
     "q_budget_per_group" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

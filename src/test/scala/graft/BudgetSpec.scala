@@ -76,6 +76,70 @@ class BudgetSpec extends AnyFunSuite {
       "the everything-fits path must not plan any window")
   }
 
+  test("tied priorities (binary flag) descend to the id histogram: no " +
+    "window larger than maxBoundaryRows, exact greedy result") {
+    // the r10 degenerate case: a binary quality flag concentrates half the
+    // corpus in ONE priority bin. maxBoundaryRows=32 forces the descent —
+    // the final window must see <= 32 rows, never the 600-row tie.
+    val rows = (1L to 1000L).map { i =>
+      val prio = if (i % 5 == 0) 1.0 else 0.0 // 200 hi / 800 lo
+      (i, (i % 7) + 1L, prio)
+    }
+    val df = rows.toDF("id", "cost", "prio")
+    for (budget <- Seq(100L, 700L, 900L, 2500L)) {
+      val (res, diag) = Budget.selectToBudgetDiag(df, "cost", "prio", "id",
+        budget, bins = 100000, maxBoundaryRows = 32L)
+      val got = res.filter(col("kept")).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === naiveGreedy(rows, budget), s"budget=$budget mismatch")
+      assert(diag.windowRows <= 32L,
+        s"budget=$budget: window saw ${diag.windowRows} rows — the tie " +
+          "descent must bound the exact-prefix window")
+      assert(diag.levels >= 2,
+        s"budget=$budget: expected a multi-level descent, got ${diag.levels}")
+    }
+  }
+
+  test("string-id tie-break descends on byte-prefix histograms and matches " +
+    "bytewise id order") {
+    // ALL rows share one priority; ids are strings with a long shared
+    // prefix so the descent must advance the byte window at least once
+    val rows = (1L to 300L).map { i =>
+      (f"doc_prefix_shared_$i%05d", 10L, 0.5)
+    }
+    val df = rows.toDF("id", "cost", "prio")
+    val (res, diag) = Budget.selectToBudgetDiag(df, "cost", "prio", "id",
+      budget = 250L, bins = 100000, maxBoundaryRows = 16L)
+    val got = res.filter(col("kept")).select("id")
+      .collect().map(_.getString(0)).toSet
+    // bytewise asc order == the zero-padded numeric suffix order here
+    val want = rows.map(_._1).sorted.take(25).toSet
+    assert(got === want)
+    assert(diag.windowRows <= 16L, s"window saw ${diag.windowRows} rows")
+  }
+
+  test("duplicate ids beyond maxBoundaryRows refuse loudly; reserved " +
+    "output columns refuse loudly") {
+    val dup = (1L to 20L).map(_ => (7L, 1L, 0.5)).toDF("id", "cost", "prio")
+    val e = intercept[IllegalArgumentException] {
+      Budget.selectToBudget(dup, "cost", "prio", "id", 5L,
+        maxBoundaryRows = 4L)
+    }
+    assert(e.getMessage.contains("unique"))
+    val hasKept = Seq((1L, 1L, 0.5, true)).toDF("id", "cost", "prio", "kept")
+    intercept[IllegalArgumentException] {
+      Budget.selectToBudget(hasKept, "cost", "prio", "id", 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Budget.capPerGroup(hasKept, "prio", "prio", "id", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Budget.selectToBudgetPerGroup(
+        hasKept.withColumn("g", lit("x")), "g", "cost", "prio", "id",
+        Map("x" -> 1L))
+    }
+  }
+
   test("null priorities sort last without overflowing; negative costs and " +
     "out-of-range priorities refuse loudly") {
     // null priority: previously a Long.MinValue sentinel that overflowed

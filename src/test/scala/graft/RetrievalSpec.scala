@@ -33,6 +33,49 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.sortBy(_.toString).toSeq === b.sortBy(_.toString).toSeq)
   }
 
+  test("indexed hybrid fusion: both legs probe standing bucketed layouts " +
+    "with zero corpus-side Exchange") {
+    // the q_rrf_fusion_index shape: BM25 postings bucketed by term, LSH
+    // postings bucketed by (tbl, bkt) — the fused plan must read BOTH
+    // corpus sides as bucketed scans even with broadcast disabled on the
+    // probe (query-side joins are the only exchanges left)
+    val docs = TestSpark.table("documents").limit(300)
+    val emb = TestSpark.table("embeddings").limit(300)
+    val qd = docs.limit(4).select(col("doc_id").as("q_id"),
+      substring(coalesce(col("text"), lit("")), 1, 40).as("q_text"))
+    val lexDir = java.nio.file.Files
+      .createTempDirectory("graft_rrf_spec_lex").toString
+    graft.operators.TextSearch.buildIndex(docs, "text", "doc_id",
+      "graft_rrf_spec_lex", lexDir, numBuckets = 4)
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_rrf_spec_ann").toString
+    graft.operators.AnnIndex.write(emb, "embedding", "vec_id",
+      "graft_rrf_spec_ann", annDir, planesPerTable = 4, nTables = 8,
+      numBuckets = 4)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lex = graft.operators.TextSearch.probe(spark,
+          "graft_rrf_spec_lex", qd, "q_text", "q_id", k = 5)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val sem = graft.operators.AnnIndex.probe(
+          emb.join(qd.select(col("q_id")), emb("vec_id") === col("q_id"),
+            "left_semi"),
+          "embedding", "vec_id", "graft_rrf_spec_ann", k = 5)
+        .select(col("query_id").as("q_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      val fused = Retrieval.rrf(Seq(lex, sem), k = 5)
+      assert(fused.collect().nonEmpty)
+      // >= 2: the BM25 postings scan and the LSH postings scan both come
+      // back bucketed (the lens scan makes it 3 when planned bucketed)
+      assert(graft.sources.Bucketize.bucketedScans(fused) >= 2,
+        fused.queryExecution.executedPlan.toString)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("evalRanking: perfect hit, graded rank, and judged miss") {
     val results = Seq(
       (1L, 10L, 1L), (1L, 11L, 2L),   // q1: rel doc at rank 1
