@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The end-to-end data-recipe composition — the selection family
+  * (classifier gate → leakage-safe split → per-source token budgets →
+  * fractional-epoch repetition → sequence packing) as ONE composed plan
+  * with per-stage verdict columns, the `Curation.sweep` discipline
+  * applied to the stages a training run's RECIPE states (which docs
+  * ship, how often, and in which packed sequence) rather than the
+  * cleaning stages `sweepFull` covers (quality/repetition/dedup/decon).
+  * A user runs the cleaning sweep first, then this recipe on the
+  * survivors; both emit one verdict row per input doc so every drop is
+  * attributable.
+  *
+  * Stages and their verdict columns:
+  *   1. GPT-3-style quality classifier (`Dsir.classifierFlag`) —
+  *      `score_micro`, `quality_ok`. Fit on bounded pos/neg seeds; the
+  *      verdict is a pure codegen scan (zero shuffle).
+  *   2. Leakage-safe split (`Splits.withLeakageSafeLabel`) — `split`.
+  *      A content-fingerprint predicate: duplicated pages cannot
+  *      straddle train/test, and the filter pushes down.
+  *   3. Per-source token budgets (`Budget.selectToBudgetPerGroup`) over
+  *      the quality-passing train pool, priority = classifier score —
+  *      `budget_kept`. One group-partitioned window.
+  *   4. Fractional-epoch repetition (`Mix.repeatEpochs`) on the budget
+  *      survivors — `repeat_idx` (docs from sources with epochs > 1
+  *      appear once per epoch; epoch 0 sources drop). Broadcast epoch
+  *      table + md5 threshold + explode: zero shuffle.
+  *   5. Sequence packing (`Pack.sequences`) of the repeated stream,
+  *      per-source shards in (doc, repeat) order — `pack_id`,
+  *      `pack_tokens`. One group-partitioned window.
+  *
+  * Output: one row per (input doc × repeat) for shipped docs — dropped
+  * docs keep exactly one row with null `repeat_idx`/`pack_id` — with
+  * all verdict columns and `kept = repeat_idx IS NOT NULL`.
+  *
+  * 100 TB shape: stages 1, 2, 4 are pure scans (bounded fit state
+  * broadcast); stages 3 and 5 are one source-partitioned window each
+  * (parallel across sources — the per-group Budget caveat applies: a
+  * single mega-source should use the global histogram form on its
+  * slice). The verdict frame feeds two consumers (the survivor path and
+  * the output join), so it materializes ONCE — to parquet under
+  * `checkpointDir` (the recoverable phase discipline) or via
+  * localCheckpoint as the single-session fallback — exactly the
+  * `Curation.sweepFull` rhythm.
+  *
+  * Reference shape: skrub has no training-recipe surface; the stage
+  * list follows the published recipes this family already mirrors
+  * piecewise (GPT-3 quality filtering, LLaMA fractional epochs).
+  */
+object Recipe {
+
+  def compose(docs: DataFrame, textCol: String, idCol: String,
+              sourceCol: String, pos: DataFrame, neg: DataFrame,
+              budgets: Map[String, Long], epochs: Map[String, Double],
+              nBuckets: Int = 10000, minMeanMicro: Long = 0L,
+              testFraction: Double = 0.3,
+              splitSeed: Long = 7L, epochSeed: Long = 42L,
+              packBudget: Long = 256L,
+              checkpointDir: String = ""): DataFrame = {
+    val reserved = Seq("score_micro", "quality_ok", "split", "n_toks",
+      "budget_kept", "repeat_idx", "pack_id", "pack_tokens", "kept")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"Recipe.compose: input already has ${clash.mkString(", ")} — rename first")
+
+    // stage 1+2: classifier verdict and split label — two scan-shaped
+    // stages joined on the id (the classifier's fit state is bounded)
+    val qc = Dsir.classifierFlag(docs, textCol, idCol, pos, neg, nBuckets,
+        minMeanMicro)
+      .withColumnRenamed("doc_id", idCol)
+      .select(col(idCol), col("score_micro"),
+        col("quality_pred").as("quality_ok"))
+    val base = graft.plans.Splits.withLeakageSafeLabel(
+        docs.select(col(idCol), col(sourceCol), col(textCol)),
+        textCol, testFraction, splitSeed)
+      .withColumn("n_toks", size(graft.functions.Text.tokens(
+        coalesce(col(textCol), lit("")))).cast(LongType))
+      .drop(textCol)
+      .join(qc, Seq(idCol))
+
+    // stage 3: per-source token budgets over the quality-passing train
+    // pool, best classifier scores first
+    val trainPool = base
+      .filter(col("quality_ok") && col("split") === "train")
+      .select(col(idCol), col(sourceCol), col("n_toks"), col("score_micro"))
+    val budgeted = Budget.selectToBudgetPerGroup(trainPool, sourceCol,
+      "n_toks", "score_micro", idCol, budgets)
+    val verdictPlan = base
+      .join(budgeted.filter(col("kept")).select(col(idCol))
+        .withColumn("__bk", lit(true)), Seq(idCol), "left")
+      .withColumn("budget_kept", coalesce(col("__bk"), lit(false)))
+      .drop("__bk")
+
+    // the verdict frame feeds the survivor path AND the output join —
+    // materialize once (sweepFull's checkpoint discipline)
+    val verdict =
+      if (checkpointDir.nonEmpty) {
+        val path = s"${checkpointDir.stripSuffix("/")}/recipe_verdicts.parquet"
+        verdictPlan.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      } else verdictPlan.localCheckpoint(true)
+
+    // stage 4+5: repeat the survivors per the epoch schedule, then pack
+    // per-source shards in (doc, repeat) order. repeat_idx < 1024 by the
+    // epochs <= 1000 contract, so the composite sequence key is exact.
+    val survivors = verdict.filter(col("budget_kept"))
+      .select(col(idCol), col(sourceCol), col("n_toks"))
+    val repeated = Mix.repeatEpochs(survivors, sourceCol, Seq(idCol),
+      epochs, epochSeed)
+    val packed = Pack.sequences(
+        repeated.withColumn("__seq",
+          col(idCol).cast(LongType) * lit(1024L) + col("repeat_idx")),
+        "n_toks", packBudget, sourceCol, "__seq")
+      .select(col(idCol), col("repeat_idx"), col("pack_id"),
+        col("pack_tokens"))
+
+    verdict.join(packed, Seq(idCol), "left")
+      .withColumn("kept", col("repeat_idx").isNotNull)
+      .select(col(idCol), col(sourceCol), col("n_toks"), col("score_micro"),
+        col("quality_ok"), col("split"), col("budget_kept"),
+        col("repeat_idx"), col("pack_id"), col("pack_tokens"), col("kept"))
+  }
+}

@@ -233,6 +233,15 @@ object TextSearch {
     * next append/probe instead of silently double-counting on a blind
     * retry. Recovery: `repair` (resync stats from the lens table) or a
     * rebuild from source.
+    *
+    * Concurrency: appends are SINGLE-WRITER. Metastore property updates
+    * are last-write-wins, so two interleaved appends could double-count
+    * nDocs/sumDl without either marker firing; the stamp-then-verify
+    * check below detects the common interleaving (both passed the clean
+    * check, one stamp overwrote the other) and aborts the loser before
+    * any data lands, but a fully adversarial schedule can still slip
+    * through — serialize appends (one ingest driver per index) for the
+    * hard guarantee.
     */
   def append(df: DataFrame, textCol: String, idCol: String,
              name: String): Unit = {
@@ -249,6 +258,24 @@ object TextSearch {
         s"'$PendingKey' = '$batchTag', " +
         s"'graft.bm25.nDocs' = '${props("graft.bm25.nDocs").toLong + bN}', " +
         s"'graft.bm25.sumDl' = '${props("graft.bm25.sumDl").toLong + bSum}')")
+    // stamp-then-verify: appends are SINGLE-WRITER by contract (metastore
+    // property updates are last-write-wins, not CAS), but two appends that
+    // both passed requireClean are best-effort DETECTED here — whichever
+    // stamp lost re-reads a foreign batch tag and aborts BEFORE writing
+    // any data, leaving the winner's stats consistent with the winner's
+    // own pending append. This shrinks (not closes — see scaladoc) the
+    // interleaving window; serialize appends for a hard guarantee.
+    val won = tblProps(spark, name).get(PendingKey).contains(batchTag)
+    if (!won) {
+      docLens.unpersist()
+      throw new IllegalStateException(
+        s"TextSearch.append: concurrent append detected on '$name' — " +
+          "another batch stamped the pending marker between this append's " +
+          "clean-check and its stamp. This append aborted before writing " +
+          "data (its stats update was overwritten by the winner's); retry " +
+          "it after the in-flight append completes. Appends are " +
+          "single-writer by contract.")
+    }
     graft.sources.Bucketize.appendBucketed(docLens, lensTable(name),
       Seq("doc_id"))
     graft.sources.Bucketize.appendBucketed(post, postingsTable(name),
@@ -290,13 +317,36 @@ object TextSearch {
   /** Probe a persisted index built by `buildIndex` — the same scorer as
     * `topk`, with corpus stats from the index's own table properties, so a
     * probe cannot desynchronize from the layout it scores against.
+    *
+    * Consistency check (`verifyStats = true`): when NO append is in
+    * flight (pending marker clear), the lens-table row count must equal
+    * the `nDocs` property — every committed doc writes exactly one lens
+    * row, so a mismatch means a torn append whose marker was cleared
+    * without `repair` (or a corrupted layout), and the probe refuses with
+    * the recovery path instead of silently mis-scoring idf/avgdl. A SET
+    * marker skips the check: registered-but-not-yet-retrievable batch
+    * docs are the documented monotone in-flight state, and reads stay
+    * available during ingest. The count is one metadata-bounded job over
+    * the two-column lens table; pass `verifyStats = false` on hot probe
+    * loops that re-probe an unchanged index.
     */
   def probe(spark: SparkSession, name: String,
             queries: DataFrame, qTextCol: String, qIdCol: String,
-            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+            k: Int, k1: Double = 1.2, b: Double = 0.75,
+            verifyStats: Boolean = true): DataFrame = {
     val props = tblProps(spark, name)
     val nDocs = props("graft.bm25.nDocs").toLong
     val avgdl = props("graft.bm25.sumDl").toDouble / nDocs.toDouble
+    if (verifyStats && !props.get(PendingKey).exists(_.nonEmpty)) {
+      val lensN = spark.table(lensTable(name)).count()
+      if (lensN != nDocs) throw new IllegalStateException(
+        s"TextSearch.probe: index '$name' is INCONSISTENT — lens table " +
+          s"has $lensN rows but the nDocs property says $nDocs, with no " +
+          "append in flight. This is a torn append whose pending marker " +
+          "was cleared without resyncing (or a corrupted layout): run " +
+          s"TextSearch.repair(spark, \"$name\") to resync the stats from " +
+          "the lens table, or rebuild the index from source.")
+    }
     topkOf(scoreMicro(spark.table(postingsTable(name)),
       spark.table(lensTable(name)), nDocs, avgdl,
       queries, qTextCol, qIdCol, k1, b), k)

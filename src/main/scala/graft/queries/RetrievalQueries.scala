@@ -22,6 +22,7 @@ object RetrievalQueries {
   private val DsirBuckets = 10000
   private val DsirK = 20
   private val DsirKlK = 100
+  private val RecipeMeanMicro = -1300000L
 
   /** Deterministic query workload: 8 md5-selected documents, each queried
     * by its first 6 normalized tokens (shared by q_bm25_scores/_topk).
@@ -166,6 +167,28 @@ object RetrievalQueries {
         pos = docs.filter(col("source") === minSrc),
         neg = docs.filter(col("source") =!= minSrc),
         nBuckets = DsirBuckets)
+    }),
+
+    // the end-to-end data recipe as ONE plan with per-stage verdicts:
+    // classifier gate -> leakage-safe split -> per-source token budgets
+    // -> fractional-epoch repetition -> packing (q_curation_full's
+    // discipline applied to the selection family). One row per
+    // (doc x repeat) for shipped docs, one null-packed row per drop.
+    "q_recipe_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val minSrc = docs.agg(min(col("source"))).head().getString(0)
+      graft.operators.Recipe.compose(docs, "text", "doc_id", "source",
+        pos = docs.filter(col("source") === minSrc),
+        neg = docs.filter(col("source") =!= minSrc),
+        budgets = Map("src0" -> 400L, "src1" -> 250L),
+        epochs = Map("src0" -> 2.45, "src1" -> 0.6, "src3" -> 0.0),
+        nBuckets = DsirBuckets,
+        // the fixture's random 30-word vocabulary makes every NB score
+        // negative (a 25-doc pos seed loses to smoothing everywhere), so
+        // the gate is on the MEAN per-gram log-odds near the corpus
+        // median — half the docs pass, and every later stage has real
+        // work on both sides of its verdict
+        minMeanMicro = RecipeMeanMicro)
     }),
 
     // nearest-centroid domain tagging: fit on the vec_id % 5 == 0 labeled
@@ -488,6 +511,72 @@ object RetrievalQueries {
          |SELECT id, label_pred,
          |  round(list_sum(list_transform(list_zip(nv, cv), p -> p[1] * p[2])), 6) AS cosine
          |FROM asg""".stripMargin,
+
+    // recipe composition: qcCtes' classifier verdict, the leakage-split
+    // bucket predicate (seed 7, 30%), the per-source budget window
+    // (priority = classifier score), the epoch threshold (seed 42), and
+    // the 256-token pack window in (doc*1024 + repeat) order — each CTE
+    // the same replay its standalone oracle uses
+    "q_recipe_full" ->
+      s"""WITH $qcCtes,
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM tk),
+         |qc AS (SELECT qm.doc_id, qm.score_micro, nt.n_toks,
+         |    nt.n_toks > 0
+         |      AND qm.score_micro > $RecipeMeanMicro * ng.n_grams
+         |      AS quality_ok
+         |  FROM qm JOIN nt ON qm.doc_id = nt.doc_id
+         |    JOIN ng ON qm.doc_id = ng.doc_id),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(concat_ws(':',
+         |        md5(${TextQueries.normSql}), '7')), 1, 4))::INTEGER
+         |        % 1000 < 300
+         |      THEN 'test' ELSE 'train' END AS split FROM documents),
+         |b0 AS (SELECT d.doc_id, d.source, qc.n_toks, qc.score_micro,
+         |    qc.quality_ok, sp.split
+         |  FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+         |    JOIN sp ON d.doc_id = sp.doc_id),
+         |bw AS (SELECT doc_id, source, n_toks,
+         |    CAST(sum(n_toks) OVER (PARTITION BY source
+         |      ORDER BY CAST(round(CAST(score_micro AS DOUBLE) * 1000000.0)
+         |        AS BIGINT) DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM b0 WHERE quality_ok AND split = 'train'),
+         |bk AS (SELECT doc_id,
+         |    CASE source WHEN 'src0' THEN cum <= 400
+         |      WHEN 'src1' THEN cum <= 250 ELSE TRUE END AS bkept
+         |  FROM bw),
+         |sv AS (SELECT b0.doc_id, b0.source, b0.n_toks FROM b0
+         |  JOIN bk ON b0.doc_id = bk.doc_id WHERE bk.bkept),
+         |e AS (SELECT doc_id, source, n_toks,
+         |    CASE source WHEN 'src0' THEN 2.45 WHEN 'src1' THEN 0.6
+         |      WHEN 'src3' THEN 0.0 ELSE NULL END AS ep FROM sv),
+         |rn AS (SELECT doc_id, source, n_toks,
+         |    CASE WHEN ep IS NULL THEN 1
+         |      ELSE CAST(floor(ep) AS BIGINT)
+         |        + CASE WHEN ep - floor(ep) > 0.0
+         |            AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
+         |                1, 15)
+         |              < lpad(lower(to_hex(CAST(floor((ep - floor(ep))
+         |                  * 1152921504606846976.0) AS BIGINT))), 15, '0')
+         |          THEN 1 ELSE 0 END
+         |    END AS nrep FROM e),
+         |r AS (SELECT doc_id, source, n_toks,
+         |    CAST(unnest(range(0, nrep)) AS BIGINT) AS repeat_idx
+         |  FROM rn WHERE nrep > 0),
+         |pc AS (SELECT doc_id, source, repeat_idx,
+         |    least(n_toks, 256) AS pack_tokens,
+         |    sum(least(n_toks, 256)) OVER (PARTITION BY source
+         |      ORDER BY doc_id * 1024 + repeat_idx) AS cum FROM r),
+         |pk AS (SELECT doc_id, repeat_idx,
+         |    CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
+         |    pack_tokens FROM pc)
+         |SELECT b0.doc_id, b0.source, b0.n_toks, b0.score_micro,
+         |  b0.quality_ok, b0.split,
+         |  coalesce(bk.bkept, FALSE) AS budget_kept,
+         |  pk.repeat_idx, pk.pack_id, pk.pack_tokens,
+         |  pk.repeat_idx IS NOT NULL AS kept
+         |FROM b0 LEFT JOIN bk ON b0.doc_id = bk.doc_id
+         |  LEFT JOIN pk ON b0.doc_id = pk.doc_id""".stripMargin,
 
     "q_dsir_resample" ->
       s"""WITH $dsirCtes,

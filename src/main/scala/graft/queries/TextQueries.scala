@@ -21,7 +21,7 @@ object TextQueries {
           .cast(org.apache.spark.sql.types.LongType)),
       "n_toks", budget = 256L, groupCol = "source", idCol = "doc_id")
 
-  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private[queries] val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private[queries] val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -763,6 +763,39 @@ object ScaleRehearsal {
         graft.operators.Dsir.resample(docs, "text", "doc_id", m,
           k = 1000).count()
       }),
+      // budgeted selection under TIED priorities (r11): a binary flag
+      // concentrates half the corpus in ONE histogram bin — the recursive
+      // id-histogram descent must keep the exact-prefix window bounded
+      // (maxBoundaryRows) and shufW histogram-sized at any corpus size;
+      // before the r11 fix this shape was a single-task global-sort
+      // window plus a corpus-sized broadcast
+      "token_budget_tied" -> (() => {
+        val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+        val scored = docs.select(col("doc_id"),
+          size(toks).cast("long").as("cost"),
+          (col("doc_id") % 3 === 0).cast("double").as("prio"))
+        graft.operators.Budget.selectToBudget(scored, "cost", "prio",
+            "doc_id", budget = 50000L, maxBoundaryRows = 4096L)
+          .filter(col("kept")).count()
+      }),
+      // the full data recipe (r11): classifier gate -> leakage split ->
+      // per-source budgets -> epoch repetition -> packing as ONE plan.
+      // Stages 1/2/4 are scans (bounded broadcast state), stages 3/5 one
+      // source-partitioned window each, plus one verdict checkpoint —
+      // shufW must track the train-pool size (window inputs), never
+      // explode, and wall must track the corpus scans
+      "recipe_full" -> (() => {
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        val d = docs.withColumn("src",
+          concat(lit("s"), (col("doc_id") % 4).cast("string")))
+        graft.operators.Recipe.compose(d, "text", "doc_id", "src",
+            pos = base.filter(col("doc_id") % 17 === 0),
+            neg = base.filter(col("doc_id") % 17 =!= 0),
+            budgets = Map("s0" -> 100000L, "s1" -> 50000L),
+            epochs = Map("s0" -> 2.45, "s1" -> 0.6, "s3" -> 0.0),
+            nBuckets = 10000, minMeanMicro = -1300000L)
+          .filter(col("kept")).count()
+      }),
       // nearest-centroid tagging (r9): fit on a FIXED 1x labeled seed
       // (|labels|*dim bounded state), classify = pure zero-shuffle scan —
       // wall ~linear, shufW only the tiny fit aggregate. The filter

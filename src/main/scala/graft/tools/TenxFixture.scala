@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Materialize a deterministic Nx fixture directory with the EXACT
+  * fixture table names and FULL schemas, so both `graft.Bench`
+  * (SPARK_GRAFT_SF_DIR=<outDir>) and `tools/bench_oracle.py <outDir>`
+  * run the same registered queries at Nx scale — the per-query
+  * Spark-vs-DuckDB ratio measured where the constants have amortized
+  * (VERDICT r10 task 3), instead of argued from fixture-sized walls.
+  *
+  * Same key-shift/perturbation discipline as `ScaleRehearsal`'s corpus
+  * (copy-token'd documents, jittered embeddings, key-shifted orders with
+  * the FK shift applied to BOTH sides so join selectivity is preserved),
+  * but keeping every column of every table.
+  *
+  * Usage: runMain graft.tools.TenxFixture <outDir> [copies=10]
+  *        (reads SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1)
+  */
+object TenxFixture {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft-sf10x")
+    val nCopies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val copies = explode(sequence(lit(0), lit(nCopies - 1))).as("copy")
+
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("*"), copies)
+      .withColumn("doc_id", col("doc_id") + col("copy") * lit(1000000L))
+      .withColumn("text",
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" copytoken"), col("copy"))))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("*"), copies)
+      .withColumn("vec_id", col("vec_id") + col("copy") * lit(1000000L))
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 0, x + col("copy").cast("float") / 1000.0f)
+          .otherwise(x)))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // FK pair shifts together: every copy's orders point at that copy's
+    // customers, so inclusion/jaccard and join fan-outs match the 1x shape
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("*"), copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy") * lit(100000000L))
+      .withColumn("o_custkey", col("o_custkey") + col("copy") * lit(10000000L))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("*"), copies)
+      .withColumn("c_custkey", col("c_custkey") + col("copy") * lit(10000000L))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    println(s"[tenx] wrote ${nCopies}x documents/embeddings/orders/customer to $outDir")
+    spark.stop()
+  }
+}

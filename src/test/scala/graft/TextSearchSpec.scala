@@ -131,6 +131,35 @@ class TextSearchSpec extends AnyFunSuite {
       "repair must restore the committed-corpus stats exactly")
   }
 
+  test("a torn append with a cleared marker is detected by probe after " +
+    "the fact; repair restores service") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25t").toString
+    TextSearch.buildIndex(docs, "text", "doc_id", "graft_bm25_torn", dir,
+      numBuckets = 4)
+    val before = TextSearch.probe(spark, "graft_bm25_torn",
+      queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
+      .collect().map(_.toSeq)
+    // simulate a torn append whose marker got cleared WITHOUT repair
+    // (blind manual UNSET after a crash): stats no longer match the lens
+    // table, and no pending marker excuses the mismatch
+    spark.sql("ALTER TABLE `graft_bm25_torn_postings` SET TBLPROPERTIES " +
+      "('graft.bm25.nDocs' = '424242')")
+    val e = intercept[IllegalStateException] {
+      TextSearch.probe(spark, "graft_bm25_torn",
+        queries, "q_text", "q_id", k = 5)
+    }
+    assert(e.getMessage.contains("repair"),
+      "the refusal must name the recovery path")
+    // the escape hatch for hot loops that accept the risk stays open
+    assert(TextSearch.probe(spark, "graft_bm25_torn", queries, "q_text",
+      "q_id", k = 5, verifyStats = false).count() > 0)
+    TextSearch.repair(spark, "graft_bm25_torn")
+    val after = TextSearch.probe(spark, "graft_bm25_torn",
+      queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
+      .collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq)
+  }
+
   test("one-shot scores/topk leave no persisted frame behind") {
     // the index builders own (and release) the lens cache; the one-shot
     // forms must not pin storage the caller has no handle to release
