@@ -19,9 +19,13 @@ object Text {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
-  /** Whitespace tokens of the normalized text (array<string>, no empties). */
-  def tokens(c: Column): Column =
-    filter(split(normalize(c), " "), t => length(t) > 0)
+  /** Whitespace tokens of the normalized text (array<string>, no empties).
+    * Codegen loop (VecExprs.AsciiTokens) — bit-identical to
+    * `filter(split(normalize(c), " "), len > 0)` (ExprLawsSpec pins the
+    * equivalence) without the two regex passes and the interpreted HOF
+    * filter; this is the innermost scan of every text operator.
+    */
+  def tokens(c: Column): Column = VecExprs.asciiTokens(c)
 
   /** Word n-gram shingles: array of space-joined n-token windows.
     * Texts shorter than n tokens yield a single shingle of the whole text,

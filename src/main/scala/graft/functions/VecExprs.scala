@@ -60,6 +60,123 @@ object VecExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** L2-normalize a numeric array in ONE pass per stage: cast to double,
+    * norm = sqrt of the sequential (left-associated) sum of squares,
+    * output = element / norm. Bit-identical to the HOF formulation
+    * `transform(v, x -> x / sqrt(aggregate(...)))` it replaces for every
+    * nonzero vector — same cast-widen, same association order — and a
+    * null ELEMENT nulls every output element (null norm), but codegen'd:
+    * the HOF form evaluates interpreted with per-element lambda binding
+    * AND re-evaluates the norm aggregate once per output element (64x64
+    * boxed steps per 64-dim row — measured 6.2 s for a 4,000-row fit
+    * stage at the 10x rehearsal; this loop: milliseconds).
+    *
+    * Zero-norm convention: a zero vector NORMALIZES TO ITSELF (divisor
+    * clipped to 1 at exactly 0.0) — the sklearn `normalize` convention
+    * and the same clip `Classify.fitCentroids` applies to centroids. The
+    * HOF form instead THREW under ANSI (double div-by-zero), one bad
+    * corpus row killing the job; and letting IEEE NaN through would rank
+    * FIRST in a descending cosine top-k (NaN sorts greatest). Zero
+    * cosine ranks last, which is what "no direction" means.
+    */
+  case class L2Normalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected array<float|double>, got $other")
+    }
+    @transient private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      compute(a.asInstanceOf[ArrayData])
+
+    def compute(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) // null element -> null norm -> all-null output
+          return new GenericArrayData(new Array[Any](n))
+        x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        i += 1
+      }
+      var s = 0.0
+      i = 0
+      while (i < n) { s += x(i) * x(i); i += 1 }
+      val norm0 = math.sqrt(s)
+      val norm = if (norm0 == 0.0) 1.0 else norm0
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) { out(i) = x(i) / norm; i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("l2nExpr", this, classOf[L2Normalize].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Normalized tokens in ONE codegen loop: lowercase (UTF8String
+    * semantics, same as the `lower` built-in), then emit the maximal runs
+    * of [a-z0-9] BYTES. Byte-level run splitting is exactly the
+    * `filter(split(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")),
+    * " "), len > 0)` chain it replaces: every non-alnum-ASCII byte —
+    * including every byte of a multi-byte codepoint — is a separator in
+    * both formulations, and tokens consist only of ASCII alnum bytes in
+    * both. Replaces two regex passes + an interpreted HOF filter per
+    * corpus scan (the tokenizer is under every text operator — BM25,
+    * dedup shingles, DSIR grams, langid; measured 2.0 s/scan at the 10x
+    * rehearsal before, ~0.6 s after).
+    */
+  case class AsciiTokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected string, got $other")
+    }
+
+    override protected def nullSafeEval(s: Any): Any =
+      compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val b = s.toLowerCase.getBytes
+      val out = new java.util.ArrayList[AnyRef]
+      var i = 0
+      var start = -1
+      while (i <= b.length) {
+        val alnum = i < b.length && {
+          val c = b(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }
+        if (alnum) { if (start < 0) start = i }
+        else if (start >= 0) {
+          out.add(UTF8String.fromBytes(b, start, i - start))
+          start = -1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokExpr", this, classOf[AsciiTokens].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Multi-table hyperplane LSH bucket ids for a normalized double-array
     * vector: element t of the output is the sign-bucket of the vector under
     * plane family t (planes `t*planesPerTable .. (t+1)*planesPerTable-1`,
@@ -1188,6 +1305,13 @@ object VecExprs {
   }
 
   /** Column wrappers. */
+  def asciiTokens(c: Column): Column =
+    GraftBridge.column(AsciiTokens(GraftBridge.expression(
+      c.cast(org.apache.spark.sql.types.StringType))))
+
+  def l2normalize(v: Column): Column =
+    GraftBridge.column(L2Normalize(GraftBridge.expression(v)))
+
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a),
       GraftBridge.expression(b)))

@@ -725,11 +725,13 @@ object Dedup {
   }
 
   /** L2-normalize a float array column (double arithmetic). */
-  def normalized(vec: Column): Column = {
-    val d = transform(vec, x => x.cast(DoubleType))
-    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-    transform(d, x => x / norm)
-  }
+  def normalized(vec: Column): Column =
+    // codegen'd one-pass loop (VecExprs.L2Normalize) — bit-identical to
+    // the HOF form `transform(d, x => x / sqrt(aggregate(d, ...)))` but
+    // without its interpreted per-element lambda evaluation and per-
+    // element norm recomputation (the r11 profile: 6.2 s -> ms on the
+    // classify fit stage)
+    graft.functions.VecExprs.l2normalize(vec)
 
   /** Dot product of two equal-length double arrays (sequential fold — the
     * same association order as the oracle's list_sum for bit-stable results).

@@ -44,22 +44,20 @@ object TextSearch {
       .withColumn("dl", size(col("toks")).cast(LongType))
 
   /** Postings (term, doc_id, tf) + per-doc lengths (doc_id, dl) from a
-    * corpus. One corpus-token shuffle; tf combines map-side.
-    *
-    * `cache = true`: the lens frame comes back PERSISTED (two thin
-    * columns) — the index builders use this because they consume it twice
-    * (stats job + bucketed write) and OWN the handle: they unpersist it
-    * before returning. `cache = false` (the one-shot `scores`/`topk`
-    * path): the lens frame stays lazy, costing one extra tokenize pass at
-    * materialization but never pinning a storage-lifetime frame the
-    * caller has no handle to release (the `Drift.withRefCounts` one-shot
-    * discipline).
+    * corpus, for the INDEX BUILDERS. One corpus-token shuffle; tf
+    * combines map-side. The lens frame comes back PERSISTED (two thin
+    * columns) because the builders consume it twice (stats job + bucketed
+    * write) and OWN the handle: they unpersist it before returning. The
+    * lens frame here includes EMPTY docs (dl = 0) — the persisted lens
+    * table is the nDocs ground truth `repair`/`probe` consistency checks
+    * rely on, so it must carry one row per corpus doc. (The one-shot
+    * `scores` path instead derives candidate lens from the postings and
+    * never persists — see there.)
     */
-  def postings(df: DataFrame, textCol: String, idCol: String,
-               cache: Boolean = true): (DataFrame, DataFrame) = {
+  def postings(df: DataFrame, textCol: String,
+               idCol: String): (DataFrame, DataFrame) = {
     val tk = tokenized(df, textCol, idCol)
-    val lens0 = tk.select(col("doc_id"), col("dl"))
-    val docLens = if (cache) lens0.persist() else lens0
+    val docLens = tk.select(col("doc_id"), col("dl")).persist()
     val post = tk.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
@@ -136,11 +134,25 @@ object TextSearch {
   def scores(df: DataFrame, textCol: String, idCol: String,
              queries: DataFrame, qTextCol: String, qIdCol: String,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // cache = false: the returned plan is lazy, so a persist here would
-    // outlive this call with no handle to release it — the one-shot form
-    // pays one extra tokenize scan instead of leaking a cached frame
-    val (post, docLens) = postings(df, textCol, idCol, cache = false)
-    val (nDocs, sumDl) = corpusStats(docLens)
+    // One-shot plan shape (r11): the corpus tokenizes ONCE — the lens
+    // frame is DERIVED from the postings (sum(tf) over a doc's terms IS
+    // its token count), so every consumer in the final plan hangs off the
+    // single postings Exchange (reused), instead of re-tokenizing for the
+    // lens join. Empty docs have no postings — and can never be
+    // candidates (no shared term) — so deriving lens loses nothing the
+    // scorer reads; they still count in nDocs/avgdl via the stats pass
+    // below (one eager aggregate, the only other corpus scan). No persist
+    // anywhere: nothing outlives the call (the Drift.withRefCounts
+    // one-shot discipline).
+    val tk = tokenized(df, textCol, idCol)
+    val st = tk.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "TextSearch: empty corpus")
+    val sumDl = st.getLong(1)
+    val post = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val docLens = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     scoreMicro(post, docLens, nDocs, sumDl.toDouble / nDocs.toDouble,
       queries, qTextCol, qIdCol, k1, b)
   }

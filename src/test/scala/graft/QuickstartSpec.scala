@@ -143,6 +143,37 @@ class QuickstartSpec extends AnyFunSuite {
         starts.foreach(st => assert(st.asInstanceOf[Long] < 64L))
     }
 
+    // the whole-recipe form (README block; fixture-sized knobs): one plan,
+    // per-stage verdicts, kept = shipped rows
+    val recipe = graft.operators.Recipe.compose(docs, "text", "doc_id",
+      "source",
+      pos = docs.filter($"source" === srcs(0)),
+      neg = docs.filter($"source" =!= srcs(0)),
+      budgets = Map(srcs(1) -> 500L),
+      epochs = Map(srcs(0) -> 2.45, srcs(1) -> 0.67),
+      minMeanMicro = -1300000L)
+    assert(Seq("quality_ok", "split", "budget_kept", "repeat_idx",
+      "pack_id", "kept").forall(recipe.columns.contains),
+      s"recipe surface changed: ${recipe.columns.mkString(", ")}")
+    assert(recipe.filter($"kept").count() > 0)
+    assert(recipe.filter(!$"kept").count() > 0)
+
+    // TextEncoder offline-inference loop (README block): land a
+    // (value, embedding) lookup parquet, encode through it — the
+    // bit-parity assert lives in tools/table_provider_quickstart.sh
+    val lookupPath = java.nio.file.Files
+      .createTempDirectory("graft_qs_lookup").toString + "/lookup.parquet"
+    val hashProv = graft.encoders.HashEmbeddingProvider(16)
+    hashProv.embed(docs.select(
+        coalesce($"text".cast("string"), lit("")).as("value")).distinct())
+      .write.mode("overwrite").parquet(lookupPath)
+    val encoded = graft.encoders.TextEncoder.encode(curated, "text",
+      graft.encoders.TableEmbeddingProvider(
+        spark.read.parquet(lookupPath), "value", "embedding", dim = 16),
+      nComponents = Some(4))
+    assert((0 until 4).forall(i => encoded.columns.contains(s"text_$i")))
+    assert(encoded.count() === curated.count())
+
     // monitoring station: freeze distributions once, score future
     // snapshots against the frozen reference (README drift block)
     val nextCrawl = docs
