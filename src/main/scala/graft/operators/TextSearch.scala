@@ -82,7 +82,7 @@ object TextSearch {
     * to the query terms first (identical values, vocab-bounded work; over
     * a term-bucketed postings table it is also exchange-free).
     */
-  private def scoreMicro(post: DataFrame, docLens: DataFrame,
+  private def scoreMicro(post: DataFrame, docLens: Option[DataFrame],
                          nDocs: Long, avgdl: Double,
                          queries: DataFrame, qTextCol: String, qIdCol: String,
                          k1: Double, b: Double): DataFrame = {
@@ -101,10 +101,14 @@ object TextSearch {
     val tfn = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl))))
 
-    post
+    val candidates = post
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(df_.withColumn("idf", idf).drop("df")), Seq("term"))
-      .join(docLens, Seq("doc_id"))
+    // Some(lens): the persisted-index path joins its bucketed lens table.
+    // None: `post` already CARRIES dl on every row — the one-shot path
+    // rides dl through the single postings exchange instead of paying a
+    // second lens branch and a join.
+    docLens.fold(candidates)(l => candidates.join(l, Seq("doc_id")))
       .withColumn("contrib", round(col("idf") * tfn, 6).cast(DecimalType(28, 6)))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("s"))
@@ -134,26 +138,25 @@ object TextSearch {
   def scores(df: DataFrame, textCol: String, idCol: String,
              queries: DataFrame, qTextCol: String, qIdCol: String,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // One-shot plan shape (r11): the corpus tokenizes ONCE — the lens
-    // frame is DERIVED from the postings (sum(tf) over a doc's terms IS
-    // its token count), so every consumer in the final plan hangs off the
-    // single postings Exchange (reused), instead of re-tokenizing for the
-    // lens join. Empty docs have no postings — and can never be
-    // candidates (no shared term) — so deriving lens loses nothing the
-    // scorer reads; they still count in nDocs/avgdl via the stats pass
-    // below (one eager aggregate, the only other corpus scan). No persist
-    // anywhere: nothing outlives the call (the Drift.withRefCounts
-    // one-shot discipline).
+    // One-shot plan shape (r11): dl RIDES the postings rows through the
+    // one corpus-token exchange (+8 bytes per posting), so there is no
+    // lens branch and no lens join at all — the scorer reads dl off the
+    // candidate rows. Empty docs have no postings — and can never be
+    // candidates (no shared term) — so nothing the scorer reads is lost;
+    // they still count in nDocs/avgdl via the stats pass below (one eager
+    // aggregate, the only other corpus scan). No persist anywhere:
+    // nothing outlives the call (the Drift.withRefCounts one-shot
+    // discipline).
     val tk = tokenized(df, textCol, idCol)
     val st = tk.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     val nDocs = st.getLong(0)
     require(nDocs > 0, "TextSearch: empty corpus")
     val sumDl = st.getLong(1)
-    val post = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+    val post = tk
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    val docLens = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    scoreMicro(post, docLens, nDocs, sumDl.toDouble / nDocs.toDouble,
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    scoreMicro(post, None, nDocs, sumDl.toDouble / nDocs.toDouble,
       queries, qTextCol, qIdCol, k1, b)
   }
 
@@ -360,7 +363,7 @@ object TextSearch {
           "the lens table, or rebuild the index from source.")
     }
     topkOf(scoreMicro(spark.table(postingsTable(name)),
-      spark.table(lensTable(name)), nDocs, avgdl,
+      Some(spark.table(lensTable(name))), nDocs, avgdl,
       queries, qTextCol, qIdCol, k1, b), k)
   }
 
