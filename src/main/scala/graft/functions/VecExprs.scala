@@ -81,14 +81,16 @@ object VecExprs {
     */
   case class L2Normalize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    // every numeric element type the HOF form's per-element cast accepted
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                     ShortType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"expected array<float|double>, got $other")
+        s"expected a numeric array, got $other")
     }
-    @transient private lazy val isFloat = child.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
+    @transient private lazy val elemType: DataType = child.dataType match {
+      case ArrayType(et, _) => et
+      case _                => DoubleType
     }
 
     override protected def nullSafeEval(a: Any): Any =
@@ -101,7 +103,14 @@ object VecExprs {
       while (i < n) {
         if (a.isNullAt(i)) // null element -> null norm -> all-null output
           return new GenericArrayData(new Array[Any](n))
-        x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        x(i) = elemType match {
+          case DoubleType => a.getDouble(i)
+          case FloatType  => a.getFloat(i).toDouble
+          case LongType   => a.getLong(i).toDouble
+          case IntegerType => a.getInt(i).toDouble
+          case ShortType  => a.getShort(i).toDouble
+          case _          => a.getByte(i).toDouble
+        }
         i += 1
       }
       var s = 0.0

@@ -42,7 +42,8 @@ import org.apache.spark.sql.types._
   * binning, which preserves their order exactly at the oracle's own
   * rounding discipline.
   *
-  * Preconditions (both selectors): `idCol` must be UNIQUE — the kept-id
+  * Preconditions (both selectors): `idCol` must be UNIQUE and NON-NULL
+  * (selectToBudget asserts non-null in its first aggregate) — the kept-id
   * sets join back on it, so a duplicated id would duplicate rows through
   * the left join and cross-mark `kept` onto unrelated rows. String ids
   * compare bytewise (Spark UTF8String order == DuckDB binary collation);
@@ -124,11 +125,19 @@ object Budget {
     val prioMicro = prioMicroOf(priorityCol)
     val cost = coalesce(col(costCol).cast(LongType), lit(0L))
 
-    // 1. observed priority range + cost sign (one cheap aggregate)
+    // 1. observed priority range + cost sign + id nullability, ONE cheap
+    //    aggregate (a null id would silently drop its kept flag at the
+    //    boundary join-back — null never equi-joins — while its cost
+    //    still consumed budget: neither the window replay nor any prefix)
     val mm = df.agg(min(prioMicro).as("lo"), max(prioMicro).as("hi"),
-      min(cost).as("minc")).head()
+      min(cost).as("minc"), count(lit(1)).as("n"),
+      count(col(idCol)).as("nid")).head()
     if (mm.isNullAt(0))
       return (df.withColumn("kept", lit(false)), BudgetDiag(0, 0L))
+    require(mm.getLong(3) == mm.getLong(4),
+      s"selectToBudget: idCol '$idCol' has ${mm.getLong(3) - mm.getLong(4)} " +
+        "null ids — ids must be non-null (and unique) for the kept-id " +
+        "join-back")
     require(mm.getLong(0) >= NullPrioMicro && mm.getLong(1) <= -NullPrioMicro,
       s"selectToBudget: priorities must lie within ±${-NullPrioMicro / 1000000L} " +
         "(micro-quantized ±2^50) — rescale the priority column")
@@ -315,9 +324,10 @@ object Budget {
   /** At most `k` rows per group, best-first by (priority desc, id asc) —
     * per-domain/source caps. Bounded: the `minKBy` aggregate carries k
     * struct rows per (group, partition); the join back is on the kept
-    * ids, so `idCol` must be unique (object-doc precondition — a
-    * duplicated id would mark extra rows kept). Output: all columns plus
-    * `kept`.
+    * ids, so `idCol` must be UNIQUE AND NON-NULL (object-doc
+    * precondition — a duplicated id would mark extra rows kept, and a
+    * null id can win a slot but never joins its flag back). Output: all
+    * columns plus `kept`.
     */
   def capPerGroup(df: DataFrame, groupCol: String, priorityCol: String,
                   idCol: String, k: Int): DataFrame = {

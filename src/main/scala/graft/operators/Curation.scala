@@ -195,7 +195,11 @@ object Curation {
     // unrecoverable if an executor dies.
     val curated =
       if (checkpointDir.nonEmpty) {
-        val path = s"${checkpointDir.stripSuffix("/")}/curation_verdicts.parquet"
+        // per-run unique leaf (the Recipe.compose discipline): concurrent
+        // or retried sweeps sharing a checkpointDir must not clobber each
+        // other's verdict parquet mid-read
+        val path = s"${checkpointDir.stripSuffix("/")}/curation_verdicts_" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
         curatedPlan.write.mode("overwrite").parquet(path)
         docs.sparkSession.read.parquet(path)
       } else curatedPlan.localCheckpoint(true)

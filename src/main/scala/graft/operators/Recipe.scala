@@ -66,6 +66,18 @@ object Recipe {
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"Recipe.compose: input already has ${clash.mkString(", ")} — rename first")
+    // the pack sequence key is idCol*1024 + repeat_idx: a non-integral id
+    // would cast to NULL and silently randomize pack assignment
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"Recipe.compose: idCol '$idCol' must be integral for the pack " +
+          s"sequence key, got $other — pre-map ids to a dense numeric id " +
+          "(string ids would cast to null and randomize packing)")
+    }
 
     // stage 1+2: classifier verdict and split label — two scan-shaped
     // stages joined on the id (the classifier's fit state is bounded)
@@ -99,7 +111,10 @@ object Recipe {
     // materialize once (sweepFull's checkpoint discipline)
     val verdict =
       if (checkpointDir.nonEmpty) {
-        val path = s"${checkpointDir.stripSuffix("/")}/recipe_verdicts.parquet"
+        // per-run unique leaf: two composes sharing a checkpointDir must
+        // not clobber each other's verdict parquet mid-read
+        val path = s"${checkpointDir.stripSuffix("/")}/recipe_verdicts_" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
         verdictPlan.write.mode("overwrite").parquet(path)
         docs.sparkSession.read.parquet(path)
       } else verdictPlan.localCheckpoint(true)

@@ -63,14 +63,20 @@ object TableProviderQuickstart {
     val direct = TextEncoder.encode(docs, "text", provider,
       nComponents = Some(8))
 
-    // ---- stage 3: bit-identical check (order-free row-hash comparison)
-    def digest(df: org.apache.spark.sql.DataFrame): String = df
-      .select(md5(concat_ws("",
-        df.columns.sorted.map(c => col(c).cast(StringType)): _*)).as("h"))
-      .agg(sum(conv(substring(col("h"), 1, 12), 16, 10).cast("decimal(38,0)")))
-      .head().get(0).toString
-    val (dTable, dDirect) = (digest(viaTable), digest(direct))
-    println(s"[quickstart] stage 2/3: viaTable=$dTable direct=$dDirect rows=${viaTable.count()}")
+    // ---- stage 3: bit-identical check (order-free row-hash comparison;
+    // hash and row count come from ONE aggregate so each encode pipeline
+    // executes exactly once)
+    def digest(df: org.apache.spark.sql.DataFrame): (String, Long) = {
+      val r = df
+        .select(md5(concat_ws("",
+          df.columns.sorted.map(c => col(c).cast(StringType)): _*)).as("h"))
+        .agg(sum(conv(substring(col("h"), 1, 12), 16, 10)
+          .cast("decimal(38,0)")), count(lit(1)))
+        .head()
+      (r.get(0).toString, r.getLong(1))
+    }
+    val ((dTable, nRows), (dDirect, _)) = (digest(viaTable), digest(direct))
+    println(s"[quickstart] stage 2/3: viaTable=$dTable direct=$dDirect rows=$nRows")
     if (dTable != dDirect) {
       System.err.println("[quickstart] FAIL: lookup-table encoding diverged " +
         "from the direct provider path")

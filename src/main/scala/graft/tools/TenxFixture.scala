@@ -34,6 +34,23 @@ object TenxFixture {
     spark.sparkContext.setLogLevel("WARN")
     val copies = explode(sequence(lit(0), lit(nCopies - 1))).as("copy")
 
+    // the key shifts assume the base fixture's id ranges — a larger base
+    // would silently collide copy 0's high keys with copy 1's low ones,
+    // corrupting join fan-out and the id-uniqueness preconditions the
+    // benchmarks exercise. Refuse loudly instead (one tiny agg per table).
+    def assertShift(table: String, idCol: String, shift: Long): Unit = {
+      val mx = spark.read.parquet(s"$sfDir/$table.parquet")
+        .agg(max(col(idCol))).head().getLong(0)
+      require(mx < shift,
+        s"TenxFixture: $table.$idCol max $mx >= copy shift $shift — " +
+          "raise the shift constant for this base fixture")
+    }
+    assertShift("documents", "doc_id", 1000000L)
+    assertShift("embeddings", "vec_id", 1000000L)
+    assertShift("orders", "o_orderkey", 100000000L)
+    assertShift("orders", "o_custkey", 10000000L)
+    assertShift("customer", "c_custkey", 10000000L)
+
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("*"), copies)
       .withColumn("doc_id", col("doc_id") + col("copy") * lit(1000000L))

@@ -126,6 +126,14 @@ class BudgetSpec extends AnyFunSuite {
         maxBoundaryRows = 4L)
     }
     assert(e.getMessage.contains("unique"))
+    // a null id would silently lose its kept flag at the join-back while
+    // its cost still consumed budget — refuse loudly instead
+    val nullId = Seq((Some(1L), 1L, 0.5), (Option.empty[Long], 1L, 0.5))
+      .toDF("id", "cost", "prio")
+    val eNull = intercept[IllegalArgumentException] {
+      Budget.selectToBudget(nullId, "cost", "prio", "id", 5L)
+    }
+    assert(eNull.getMessage.contains("null ids"))
     val hasKept = Seq((1L, 1L, 0.5, true)).toDF("id", "cost", "prio", "kept")
     intercept[IllegalArgumentException] {
       Budget.selectToBudget(hasKept, "cost", "prio", "id", 5L)
