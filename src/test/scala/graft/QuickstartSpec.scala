@@ -41,7 +41,10 @@ class QuickstartSpec extends AnyFunSuite {
     val fullCkpt = Curation.sweepFull(docs, bench, "text", "doc_id", "source",
       lmMaxNll = 7.0, mixTemperature = 2.0, mixTargetFrac = 0.5,
       checkpointDir = ckptDir)
-    assert(new java.io.File(s"$ckptDir/curation_verdicts.parquet").exists)
+    // the leaf carries a per-run unique suffix (r11: concurrent sweeps
+    // sharing a checkpointDir must not clobber each other)
+    assert(new java.io.File(ckptDir).listFiles()
+      .exists(_.getName.startsWith("curation_verdicts_")))
     assert(fullCkpt.orderBy("doc_id").collect().toSeq ===
       full.orderBy("doc_id").collect().toSeq)
 
