@@ -285,18 +285,40 @@ object Budget {
     * groups keep everything (no budget named them).
     *
     * Plan: ONE window partitioned by the group — already parallel across
-    * groups, no global sort anywhere; unlike the global `selectToBudget`
-    * no histogram trick is needed, because the partition is a single
-    * group's rows, not the corpus. The capPerGroup caveat applies: one
-    * mega-group concentrates its window on one task — if a single group
-    * IS the corpus, use the global form on that group's slice instead.
+    * groups, no global sort anywhere; the partition is a single group's
+    * rows, not the corpus. The realistic failure mode is the MEGA-GROUP:
+    * the dominant source of a web-crawl corpus (60-90% of the rows) would
+    * concentrate its window sort on one task. So the selector AUTO-ROUTES:
+    * one bounded probe aggregate (<= |budgets| driver rows) measures each
+    * budgeted group, and any group above `maxGroupRows` runs the global
+    * histogram descent (`selectToBudget`) scoped to that group — identical
+    * greedy semantics (both are the monotone-cumsum prefix in
+    * (priority desc, id asc) order; BudgetSpec pins the equivalence), no
+    * single-task sort at ANY skew. Groups at or under the bound keep the
+    * one-window plan (cheaper constants; the probe is the only extra
+    * cost). The descent path inherits `selectToBudget`'s stricter
+    * preconditions (non-null unique ids, ±2^50 priorities) — which the
+    * kept-id join-back already required of every caller (object doc).
     * Output: all columns plus `kept`.
     */
   def selectToBudgetPerGroup(df: DataFrame, groupCol: String,
                              costCol: String, priorityCol: String,
                              idCol: String,
-                             budgets: Map[String, Long]): DataFrame = {
+                             budgets: Map[String, Long],
+                             maxGroupRows: Long = 1L << 22): DataFrame =
+    selectToBudgetPerGroupDiag(df, groupCol, costCol, priorityCol, idCol,
+      budgets, maxGroupRows)._1
+
+  /** Diag twin (test/rehearsal surface): also returns the per-group
+    * descent diagnostics of every group that routed away from the window
+    * (empty map = the pure one-window plan ran).
+    */
+  private[graft] def selectToBudgetPerGroupDiag(
+      df: DataFrame, groupCol: String, costCol: String, priorityCol: String,
+      idCol: String, budgets: Map[String, Long],
+      maxGroupRows: Long = 1L << 22): (DataFrame, Map[String, BudgetDiag]) = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(maxGroupRows >= 1, "maxGroupRows must be positive")
     requireFree(df, "kept", "__cum", "__bg_grp", "__bg_budget")
     val spark = df.sparkSession
     import spark.implicits._
@@ -308,17 +330,41 @@ object Budget {
     val minc = df.agg(min(cost)).head()
     require(minc.isNullAt(0) || minc.getLong(0) >= 0L,
       s"selectToBudgetPerGroup: costs must be non-negative, found ${minc.get(0)}")
-    val bTable = broadcast(budgets.toSeq.toDF("__bg_grp", "__bg_budget"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(prioMicro.desc, col(idCol).asc)
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.join(bTable, col(groupCol) === col("__bg_grp"), "left")
-      .withColumn("__cum", sum(cost).over(w))
-      .withColumn("kept",
-        col("__bg_budget").isNull || col("__cum") <= col("__bg_budget"))
-      .drop("__bg_grp", "__bg_budget", "__cum")
+    // mega-group probe: sizes of the BUDGETED groups only (unbudgeted
+    // groups never enter a window — see below), <= |budgets| driver rows
+    val oversized: Seq[String] =
+      if (budgets.isEmpty) Seq.empty
+      else df.filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+        .groupBy(col(groupCol).cast(org.apache.spark.sql.types.StringType)
+          .as("__g"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .filter(_.getLong(1) > maxGroupRows).map(_.getString(0)).toSeq
+    def windowPlan(in: DataFrame): DataFrame = {
+      val bTable = broadcast(budgets.toSeq.toDF("__bg_grp", "__bg_budget"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(prioMicro.desc, col(idCol).asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      in.join(bTable, col(groupCol) === col("__bg_grp"), "left")
+        .withColumn("__cum", sum(cost).over(w))
+        .withColumn("kept",
+          col("__bg_budget").isNull || col("__cum") <= col("__bg_budget"))
+        .drop("__bg_grp", "__bg_budget", "__cum")
+    }
+    if (oversized.isEmpty) (windowPlan(df), Map.empty)
+    else {
+      // null-safe carve-out: isin is NULL on null groups, and null groups
+      // belong on the window side (they keep everything there)
+      val isOver = coalesce(col(groupCol).isin(oversized: _*), lit(false))
+      val routed = oversized.map { g =>
+        val (res, diag) = selectToBudgetDiag(df.filter(col(groupCol) === g),
+          costCol, priorityCol, idCol, budgets(g))
+        (res, g -> diag)
+      }
+      (routed.map(_._1).foldLeft(windowPlan(df.filter(!isOver)))(
+        _ unionByName _), routed.map(_._2).toMap)
+    }
   }
 
   /** At most `k` rows per group, best-first by (priority desc, id asc) —

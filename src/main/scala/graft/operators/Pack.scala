@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.LongType
   * shards and nothing globally orders the corpus (a no-partition window
   * would single-task it; shard-local packing is also what real pipelines
   * do — within a crawl dump or source shard, not across the corpus).
-  * Skew bound = the largest single shard, same as every per-shard job.
+  * Skew bound = the largest single shard / `subShards` — pass
+  * `subShards > 1` when one source dominates the corpus (see
+  * `sequences`).
   */
 object Pack {
 
@@ -40,22 +42,58 @@ object Pack {
     * the pack window already pays — no extra pass), same md5 contract as
     * the library's other seeded orderings, so the packing stays
     * hash-reproducible in SQL. idCol tie-breaks for a total order.
+    *
+    * `subShards`: the MEGA-SHARD policy variant. The window partitions by
+    * `groupCol`, so one dominant source (a web crawl at 60-90% of the
+    * corpus) would sort most of the corpus on ONE task. Pack assignment
+    * is POLICY, not fixed semantics — real packers shard a source's
+    * stream — so `subShards > 1` deterministically splits each shard into
+    * that many sub-streams (md5(id:"shard") mod subShards — stable under
+    * reordering/re-ingest, independent of `shuffleSeed`) and packs each
+    * independently; pack ids are namespaced collision-free as
+    * `local_pack * subShards + sub_shard`. Each sub-stream keeps the exact
+    * boundary-aligned semantics; only the doc→pack grouping differs from
+    * subShards = 1 (up to subShards straddling tails per shard instead of
+    * one). Size it so shardRows / subShards fits one task comfortably.
     */
   def sequences(docs: DataFrame, tokenCol: String, budget: Long,
                 groupCol: String, idCol: String,
-                shuffleSeed: Option[Long] = None): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    val reserved = Seq("__cum", "pack_tokens", "pack_id")
-    val clash = docs.columns.filter(reserved.contains)
-    require(clash.isEmpty, // silent withColumn overwrite = mixed-provenance output
-      s"input already has ${clash.mkString(", ")} — rename before packing")
+                shuffleSeed: Option[Long] = None,
+                subShards: Int = 1): DataFrame = {
     val order = shuffleSeed match {
       case Some(seed) => Seq(
         md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))),
         col(idCol))
       case None => Seq(col(idCol))
     }
-    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    packCore(docs, tokenCol, budget, groupCol, order,
+      col(idCol).cast("string"), subShards)
+  }
+
+  /** `sequences` with a COMPOSITE stream order — the (doc, repeat) keys a
+    * recipe's repeated stream needs, or any id that only totals under a
+    * column list (string doc id + repeat index). Documents stream through
+    * each shard in ascending `orderCols` order (the caller guarantees the
+    * tuple is unique per shard); the sub-shard hash salts on the same
+    * composite key.
+    */
+  def sequencesBy(docs: DataFrame, tokenCol: String, budget: Long,
+                  groupCol: String, orderCols: Seq[String],
+                  subShards: Int = 1): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    packCore(docs, tokenCol, budget, groupCol, orderCols.map(col),
+      concat_ws(":", orderCols.map(col(_).cast("string")): _*), subShards)
+  }
+
+  private def packCore(docs: DataFrame, tokenCol: String, budget: Long,
+                       groupCol: String, order: Seq[Column],
+                       subKey: Column, subShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(subShards >= 1, "subShards must be positive")
+    val reserved = Seq("__cum", "__sub", "pack_tokens", "pack_id")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty, // silent withColumn overwrite = mixed-provenance output
+      s"input already has ${clash.mkString(", ")} — rename before packing")
     // degenerate counts read as 0, explicitly: Spark's least() SKIPS nulls
     // (a null-token doc would silently clamp to the FULL budget, consume a
     // whole pack, and shift every later boundary in its shard — and
@@ -65,12 +103,29 @@ object Pack {
     val clamped = least(
       greatest(coalesce(col(tokenCol).cast(LongType), lit(0L)), lit(0L)),
       lit(budget))
-    docs
-      .withColumn("__cum", sum(clamped).over(w))
-      .withColumn("pack_tokens", clamped)
-      .withColumn("pack_id",
-        floor((col("__cum") - col("pack_tokens")) / budget).cast(LongType))
-      .drop("__cum")
+    if (subShards == 1) {
+      val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      docs
+        .withColumn("__cum", sum(clamped).over(w))
+        .withColumn("pack_tokens", clamped)
+        .withColumn("pack_id",
+          floor((col("__cum") - col("pack_tokens")) / budget).cast(LongType))
+        .drop("__cum")
+    } else {
+      // 60-bit md5 prefix mod subShards — the library's deterministic
+      // fraction contract; ":shard" salts it apart from shuffleSeed keys
+      val sub = pmod(conv(substring(md5(concat_ws(":", subKey, lit("shard"))),
+        1, 15), 16, 10).cast(LongType), lit(subShards.toLong))
+      val w = Window.partitionBy(col(groupCol), col("__sub")).orderBy(order: _*)
+      docs
+        .withColumn("__sub", sub)
+        .withColumn("__cum", sum(clamped).over(w))
+        .withColumn("pack_tokens", clamped)
+        .withColumn("pack_id",
+          (floor((col("__cum") - col("pack_tokens")) / budget).cast(LongType)
+            * subShards + col("__sub")).cast(LongType))
+        .drop("__cum", "__sub")
+    }
   }
 
   /** Pack-level summary: docs per pack and token fill (utilization). */

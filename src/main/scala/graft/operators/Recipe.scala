@@ -38,14 +38,21 @@ import org.apache.spark.sql.types.LongType
   * all verdict columns and `kept = repeat_idx IS NOT NULL`.
   *
   * 100 TB shape: stages 1, 2, 4 are pure scans (bounded fit state
-  * broadcast); stages 3 and 5 are one source-partitioned window each
-  * (parallel across sources — the per-group Budget caveat applies: a
-  * single mega-source should use the global histogram form on its
-  * slice). The verdict frame feeds two consumers (the survivor path and
-  * the output join), so it materializes ONCE — to parquet under
-  * `checkpointDir` (the recoverable phase discipline) or via
-  * localCheckpoint as the single-session fallback — exactly the
-  * `Curation.sweepFull` rhythm.
+  * broadcast); stages 3 and 5 are one source-partitioned window each —
+  * and BOTH are mega-source-proof: stage 3 auto-routes any source above
+  * `maxGroupRows` through the global histogram descent scoped to that
+  * source (identical greedy semantics, no single-task sort at any skew —
+  * `Budget.selectToBudgetPerGroup`'s routing), and stage 5 accepts
+  * `packSubShards > 1` to split each source's pack stream into
+  * deterministic sub-shards (`Pack.sequences` policy variant; pack ids
+  * namespaced per sub-shard). The verdict frame feeds two consumers (the
+  * survivor path and the output join), so it materializes ONCE — to
+  * parquet under `checkpointDir` (the recoverable phase discipline) or
+  * via localCheckpoint as the single-session fallback — exactly the
+  * `Curation.sweepFull` rhythm. Retention: the per-run
+  * `recipe_verdicts_*` leaf under `checkpointDir` must outlive every
+  * consumer of the RETURNED frame (reads are lazy), so it is never
+  * auto-deleted — prune the directory between runs.
   *
   * Reference shape: skrub has no training-recipe surface; the stage
   * list follows the published recipes this family already mirrors
@@ -60,24 +67,14 @@ object Recipe {
               testFraction: Double = 0.3,
               splitSeed: Long = 7L, epochSeed: Long = 42L,
               packBudget: Long = 256L,
-              checkpointDir: String = ""): DataFrame = {
+              checkpointDir: String = "",
+              maxGroupRows: Long = 1L << 22,
+              packSubShards: Int = 1): DataFrame = {
     val reserved = Seq("score_micro", "quality_ok", "split", "n_toks",
       "budget_kept", "repeat_idx", "pack_id", "pack_tokens", "kept")
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"Recipe.compose: input already has ${clash.mkString(", ")} — rename first")
-    // the pack sequence key is idCol*1024 + repeat_idx: a non-integral id
-    // would cast to NULL and silently randomize pack assignment
-    docs.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => ()
-      case other => throw new IllegalArgumentException(
-        s"Recipe.compose: idCol '$idCol' must be integral for the pack " +
-          s"sequence key, got $other — pre-map ids to a dense numeric id " +
-          "(string ids would cast to null and randomize packing)")
-    }
 
     // stage 1+2: classifier verdict and split label — two scan-shaped
     // stages joined on the id (the classifier's fit state is bounded)
@@ -100,7 +97,7 @@ object Recipe {
       .filter(col("quality_ok") && col("split") === "train")
       .select(col(idCol), col(sourceCol), col("n_toks"), col("score_micro"))
     val budgeted = Budget.selectToBudgetPerGroup(trainPool, sourceCol,
-      "n_toks", "score_micro", idCol, budgets)
+      "n_toks", "score_micro", idCol, budgets, maxGroupRows)
     val verdictPlan = base
       .join(budgeted.filter(col("kept")).select(col(idCol))
         .withColumn("__bk", lit(true)), Seq(idCol), "left")
@@ -120,16 +117,15 @@ object Recipe {
       } else verdictPlan.localCheckpoint(true)
 
     // stage 4+5: repeat the survivors per the epoch schedule, then pack
-    // per-source shards in (doc, repeat) order. repeat_idx < 1024 by the
-    // epochs <= 1000 contract, so the composite sequence key is exact.
+    // per-source shards in (doc, repeat) composite order — id-type
+    // agnostic (string URLs/UUIDs pack as naturally as dense numerics;
+    // ids compare bytewise)
     val survivors = verdict.filter(col("budget_kept"))
       .select(col(idCol), col(sourceCol), col("n_toks"))
     val repeated = Mix.repeatEpochs(survivors, sourceCol, Seq(idCol),
       epochs, epochSeed)
-    val packed = Pack.sequences(
-        repeated.withColumn("__seq",
-          col(idCol).cast(LongType) * lit(1024L) + col("repeat_idx")),
-        "n_toks", packBudget, sourceCol, "__seq")
+    val packed = Pack.sequencesBy(repeated, "n_toks", packBudget, sourceCol,
+        Seq(idCol, "repeat_idx"), subShards = packSubShards)
       .select(col(idCol), col("repeat_idx"), col("pack_id"),
         col("pack_tokens"))
 

@@ -24,6 +24,24 @@ object RetrievalQueries {
   private val DsirKlK = 100
   private val RecipeMeanMicro = -1300000L
 
+  /** ONE fixed layout dir per index-building query, wiped before each
+    * build (the q_lm_score_index pattern): repeated bench/warmup
+    * invocations overwrite instead of accumulating orphaned
+    * createTempDirectory layouts, and the fixed metastore table name
+    * always points at the most recent layout. Single-session by design —
+    * concurrent sessions sharing a metastore would race on the table
+    * names either way (documented; Verify/Bench are single-session).
+    */
+  private def fixedLayoutDir(leaf: String): String = {
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), leaf)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    if (path.toFile.exists()) wipe(path.toFile)
+    path.toString
+  }
+
   /** Deterministic query workload: 8 md5-selected documents, each queried
     * by its first 6 normalized tokens (shared by q_bm25_scores/_topk).
     */
@@ -96,14 +114,37 @@ object RetrievalQueries {
     // in new per-bucket files)
     "q_bm25_index" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q_bm25_idx").toString
+      val path = fixedLayoutDir("graft_q_bm25_idx")
       TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
         "text", "doc_id", "graft_q_bm25_idx", path)
       TextSearch.append(docs.filter(col("doc_id") % 2 === 1),
         "text", "doc_id", "graft_q_bm25_idx")
       TextSearch.probe(s, "graft_q_bm25_idx",
         queryDocs(s, dir), "q_text", "q_id", k = TopK)
+    }),
+
+    // the STANDING-INDEX probe — what a deployed retrieval system pays
+    // per query batch against an accumulated corpus. The index is built
+    // ONCE per (session, corpus dir) and REUSED across invocations (a
+    // corpus-dir table property guards staleness), so Bench's untimed
+    // warmup pass absorbs the build and the timed pass measures the probe
+    // alone: broadcast query terms against the term-bucketed postings
+    // scan, zero corpus-side Exchange. Hash-pinned to the one-shot
+    // ranking (probe ≡ topk — the same scorer).
+    "q_bm25_probe" -> ((s, dir) => {
+      val name = "graft_q_bm25_probe"
+      val pt = TextSearch.postingsTable(name)
+      val dirProp = "graft.bm25.corpusDir"
+      val standing = s.catalog.tableExists(pt) &&
+        s.sql(s"SHOW TBLPROPERTIES `$pt`").collect()
+          .exists(r => r.getString(0) == dirProp && r.getString(1) == dir)
+      if (!standing) {
+        TextSearch.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          name, fixedLayoutDir("graft_q_bm25_probe_idx"))
+        s.sql(s"ALTER TABLE `$pt` SET TBLPROPERTIES ('$dirProp' = '$dir')")
+      }
+      TextSearch.probe(s, name, queryDocs(s, dir), "q_text", "q_id",
+        k = TopK)
     }),
 
     // hybrid retrieval: RRF-fuse the BM25 lexical top-5 with the exact
@@ -135,15 +176,13 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val qd = queryDocs(s, dir)
-      val lexPath = java.nio.file.Files
-        .createTempDirectory("graft_rrf_lex_idx").toString
+      val lexPath = fixedLayoutDir("graft_rrf_lex_idx")
       TextSearch.buildIndex(docs, "text", "doc_id", "graft_rrf_lex_idx",
         lexPath)
       val lex = TextSearch.probe(s, "graft_rrf_lex_idx",
           qd, "q_text", "q_id", k = TopK)
         .select(col("q_id"), col("doc_id"), col("rank"))
-      val annPath = java.nio.file.Files
-        .createTempDirectory("graft_rrf_ann_idx").toString
+      val annPath = fixedLayoutDir("graft_rrf_ann_idx")
       graft.operators.AnnIndex.write(emb, "embedding", "vec_id",
         "graft_rrf_ann_idx", annPath, planesPerTable = 4, nTables = 16,
         numBuckets = 8)
@@ -188,6 +227,23 @@ object RetrievalQueries {
         // the gate is on the MEAN per-gram log-odds near the corpus
         // median — half the docs pass, and every later stage has real
         // work on both sides of its verdict
+        minMeanMicro = RecipeMeanMicro)
+    }),
+
+    // the SAME recipe over string doc ids ('d' || id — URLs/UUIDs in
+    // production corpora): every stage keys, orders, and packs on the
+    // varchar directly (composite (id, repeat) pack order, bytewise id
+    // comparison), no dense-id pre-mapping stage anywhere
+    "q_recipe_string_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("doc_id", concat(lit("d"), col("doc_id").cast(StringType)))
+      val minSrc = docs.agg(min(col("source"))).head().getString(0)
+      graft.operators.Recipe.compose(docs, "text", "doc_id", "source",
+        pos = docs.filter(col("source") === minSrc),
+        neg = docs.filter(col("source") =!= minSrc),
+        budgets = Map("src0" -> 400L, "src1" -> 250L),
+        epochs = Map("src0" -> 2.45, "src1" -> 0.6, "src3" -> 0.0),
+        nBuckets = DsirBuckets,
         minMeanMicro = RecipeMeanMicro)
     }),
 
@@ -276,41 +332,118 @@ object RetrievalQueries {
 
   /** dsirCtes' classifier twin: positive = the min-source slice, negative
     * = its complement (NOT the whole corpus), scored over every doc, with
-    * per-doc gram counts for the integer decision.
+    * per-doc gram counts for the integer decision. Parametric over the
+    * corpus relation (a table or an earlier CTE with (doc_id, source,
+    * text)) and a CTE-name prefix `p`, so two chains can share one WITH
+    * clause (the pipeline oracle runs this AFTER the curation chain).
     */
-  private def qcCtes: String =
-    s"""tk AS (SELECT doc_id, source, $toksSql AS toks
+  private[queries] def qcCtes(p: String, corpus: String): String =
+    s"""${p}tk AS (SELECT doc_id, source, $toksSql AS toks
        |  FROM (SELECT doc_id, source, coalesce(text, '') AS text
-       |        FROM documents)),
-       |gr AS (SELECT doc_id, source,
+       |        FROM $corpus)),
+       |${p}gr AS (SELECT doc_id, source,
        |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
        |         ELSE list_transform(range(1, len(toks)),
        |           i -> toks[i] || ' ' || toks[i + 1]) END AS grams
-       |  FROM tk),
-       |pb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
-       |  FROM (SELECT unnest(grams) AS g FROM gr
-       |        WHERE source = (SELECT min(source) FROM documents))),
-       |nb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
-       |  FROM (SELECT unnest(grams) AS g FROM gr
-       |        WHERE source != (SELECT min(source) FROM documents))),
-       |cp AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM pb GROUP BY b),
-       |cn AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM nb GROUP BY b),
-       |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pb) AS np,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM nb) AS nn),
-       |db AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
-       |  FROM (SELECT doc_id, unnest(grams) AS g FROM gr)),
-       |lrs AS (SELECT db.doc_id,
+       |  FROM ${p}tk),
+       |${p}pb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT unnest(grams) AS g FROM ${p}gr
+       |        WHERE source = (SELECT min(source) FROM $corpus))),
+       |${p}nb AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT unnest(grams) AS g FROM ${p}gr
+       |        WHERE source != (SELECT min(source) FROM $corpus))),
+       |${p}cp AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ${p}pb GROUP BY b),
+       |${p}cn AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ${p}nb GROUP BY b),
+       |${p}tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ${p}pb) AS np,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}nb) AS nn),
+       |${p}db AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, unnest(grams) AS g FROM ${p}gr)),
+       |${p}lrs AS (SELECT ${p}db.doc_id,
        |    CAST(round(ln(
-       |      ((CAST(coalesce(cp.c, 0) AS DOUBLE) + 0.5)
-       |        / (CAST(tot.np AS DOUBLE) + 0.5 * $DsirBuckets))
-       |      / ((CAST(coalesce(cn.c, 0) AS DOUBLE) + 0.5)
-       |        / (CAST(tot.nn AS DOUBLE) + 0.5 * $DsirBuckets))), 6)
+       |      ((CAST(coalesce(${p}cp.c, 0) AS DOUBLE) + 0.5)
+       |        / (CAST(${p}tot.np AS DOUBLE) + 0.5 * $DsirBuckets))
+       |      / ((CAST(coalesce(${p}cn.c, 0) AS DOUBLE) + 0.5)
+       |        / (CAST(${p}tot.nn AS DOUBLE) + 0.5 * $DsirBuckets))), 6)
        |      AS DECIMAL(28,6)) AS lr
-       |  FROM db LEFT JOIN cp ON db.b = cp.b LEFT JOIN cn ON db.b = cn.b
-       |  CROSS JOIN tot),
-       |qm AS (SELECT doc_id, CAST(sum(lr) * 1000000 AS BIGINT) AS score_micro
-       |  FROM lrs GROUP BY doc_id),
-       |ng AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM gr)""".stripMargin
+       |  FROM ${p}db LEFT JOIN ${p}cp ON ${p}db.b = ${p}cp.b
+       |  LEFT JOIN ${p}cn ON ${p}db.b = ${p}cn.b
+       |  CROSS JOIN ${p}tot),
+       |${p}qm AS (SELECT doc_id, CAST(sum(lr) * 1000000 AS BIGINT) AS score_micro
+       |  FROM ${p}lrs GROUP BY doc_id),
+       |${p}ng AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams
+       |  FROM ${p}gr)""".stripMargin
+
+  /** The FULL recipe verdict chain over `corpus` (doc_id, source, text) —
+    * qcCtes' classifier gate, the leakage-split bucket predicate (seed 7,
+    * 30%), the per-source budget window (priority = classifier score, the
+    * registered 400/250 budgets), the epoch thresholds (seed 42, the
+    * registered 2.45/0.6/0.0 schedule), and the 256-token pack window in
+    * (doc, repeat) composite order — ending at `${p}rv`: one verdict row
+    * per (doc × repeat) for shipped docs, one null-packed row per drop.
+    * Every CTE is the same replay its standalone oracle uses; id-type
+    * agnostic (string doc ids order bytewise — DuckDB binary collation ==
+    * Spark UTF8String order).
+    */
+  private[queries] def recipeChainCtes(p: String, corpus: String): String =
+    s"""${qcCtes(p, corpus)},
+       |${p}nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM ${p}tk),
+       |${p}qc AS (SELECT ${p}qm.doc_id, ${p}qm.score_micro, ${p}nt.n_toks,
+       |    ${p}nt.n_toks > 0
+       |      AND ${p}qm.score_micro > $RecipeMeanMicro * ${p}ng.n_grams
+       |      AS quality_ok
+       |  FROM ${p}qm JOIN ${p}nt ON ${p}qm.doc_id = ${p}nt.doc_id
+       |    JOIN ${p}ng ON ${p}qm.doc_id = ${p}ng.doc_id),
+       |${p}sp AS (SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5(concat_ws(':',
+       |        md5(${TextQueries.normSql}), '7')), 1, 4))::INTEGER
+       |        % 1000 < 300
+       |      THEN 'test' ELSE 'train' END AS split FROM $corpus),
+       |${p}b0 AS (SELECT d.doc_id, d.source, ${p}qc.n_toks, ${p}qc.score_micro,
+       |    ${p}qc.quality_ok, ${p}sp.split
+       |  FROM $corpus d JOIN ${p}qc ON d.doc_id = ${p}qc.doc_id
+       |    JOIN ${p}sp ON d.doc_id = ${p}sp.doc_id),
+       |${p}bw AS (SELECT doc_id, source, n_toks,
+       |    CAST(sum(n_toks) OVER (PARTITION BY source
+       |      ORDER BY CAST(round(CAST(score_micro AS DOUBLE) * 1000000.0)
+       |        AS BIGINT) DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM ${p}b0 WHERE quality_ok AND split = 'train'),
+       |${p}bk AS (SELECT doc_id,
+       |    CASE source WHEN 'src0' THEN cum <= 400
+       |      WHEN 'src1' THEN cum <= 250 ELSE TRUE END AS bkept
+       |  FROM ${p}bw),
+       |${p}sv AS (SELECT ${p}b0.doc_id, ${p}b0.source, ${p}b0.n_toks FROM ${p}b0
+       |  JOIN ${p}bk ON ${p}b0.doc_id = ${p}bk.doc_id WHERE ${p}bk.bkept),
+       |${p}e AS (SELECT doc_id, source, n_toks,
+       |    CASE source WHEN 'src0' THEN 2.45 WHEN 'src1' THEN 0.6
+       |      WHEN 'src3' THEN 0.0 ELSE NULL END AS ep FROM ${p}sv),
+       |${p}rn AS (SELECT doc_id, source, n_toks,
+       |    CASE WHEN ep IS NULL THEN 1
+       |      ELSE CAST(floor(ep) AS BIGINT)
+       |        + CASE WHEN ep - floor(ep) > 0.0
+       |            AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
+       |                1, 15)
+       |              < lpad(lower(to_hex(CAST(floor((ep - floor(ep))
+       |                  * 1152921504606846976.0) AS BIGINT))), 15, '0')
+       |          THEN 1 ELSE 0 END
+       |    END AS nrep FROM ${p}e),
+       |${p}r AS (SELECT doc_id, source, n_toks,
+       |    CAST(unnest(range(0, nrep)) AS BIGINT) AS repeat_idx
+       |  FROM ${p}rn WHERE nrep > 0),
+       |${p}pc AS (SELECT doc_id, source, repeat_idx,
+       |    least(n_toks, 256) AS pack_tokens,
+       |    sum(least(n_toks, 256)) OVER (PARTITION BY source
+       |      ORDER BY doc_id, repeat_idx) AS cum FROM ${p}r),
+       |${p}pk AS (SELECT doc_id, repeat_idx,
+       |    CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
+       |    pack_tokens FROM ${p}pc),
+       |${p}rv AS (SELECT ${p}b0.doc_id, ${p}b0.source, ${p}b0.n_toks,
+       |    ${p}b0.score_micro, ${p}b0.quality_ok, ${p}b0.split,
+       |    coalesce(${p}bk.bkept, FALSE) AS budget_kept,
+       |    ${p}pk.repeat_idx, ${p}pk.pack_id, ${p}pk.pack_tokens,
+       |    ${p}pk.repeat_idx IS NOT NULL AS kept
+       |  FROM ${p}b0 LEFT JOIN ${p}bk ON ${p}b0.doc_id = ${p}bk.doc_id
+       |    LEFT JOIN ${p}pk ON ${p}b0.doc_id = ${p}pk.doc_id)""".stripMargin
 
   private def bm25TopkSql: String =
     s"""WITH $bm25Ctes,
@@ -329,12 +462,16 @@ object RetrievalQueries {
     // the build-half + append-half probe must equal the one-shot ranking
     "q_bm25_index" -> bm25TopkSql,
 
+    // the standing-index probe must ALSO equal the one-shot ranking —
+    // probe ≡ topk (same scorer), whatever layout serves the postings
+    "q_bm25_probe" -> bm25TopkSql,
+
     "q_dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, weight_micro FROM wm""".stripMargin,
 
     "q_quality_classifier" ->
-      s"""WITH $qcCtes,
+      s"""WITH ${qcCtes("", "documents")},
          |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM tk)
          |SELECT qm.doc_id, qm.score_micro, ng.n_grams,
          |  nt.n_toks > 0 AND qm.score_micro > 0 AS quality_pred
@@ -515,68 +652,25 @@ object RetrievalQueries {
     // recipe composition: qcCtes' classifier verdict, the leakage-split
     // bucket predicate (seed 7, 30%), the per-source budget window
     // (priority = classifier score), the epoch threshold (seed 42), and
-    // the 256-token pack window in (doc*1024 + repeat) order — each CTE
-    // the same replay its standalone oracle uses
+    // the 256-token pack window in (doc, repeat) composite order — each
+    // CTE the same replay its standalone oracle uses
     "q_recipe_full" ->
-      s"""WITH $qcCtes,
-         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM tk),
-         |qc AS (SELECT qm.doc_id, qm.score_micro, nt.n_toks,
-         |    nt.n_toks > 0
-         |      AND qm.score_micro > $RecipeMeanMicro * ng.n_grams
-         |      AS quality_ok
-         |  FROM qm JOIN nt ON qm.doc_id = nt.doc_id
-         |    JOIN ng ON qm.doc_id = ng.doc_id),
-         |sp AS (SELECT doc_id,
-         |    CASE WHEN ('0x' || substr(md5(concat_ws(':',
-         |        md5(${TextQueries.normSql}), '7')), 1, 4))::INTEGER
-         |        % 1000 < 300
-         |      THEN 'test' ELSE 'train' END AS split FROM documents),
-         |b0 AS (SELECT d.doc_id, d.source, qc.n_toks, qc.score_micro,
-         |    qc.quality_ok, sp.split
-         |  FROM documents d JOIN qc ON d.doc_id = qc.doc_id
-         |    JOIN sp ON d.doc_id = sp.doc_id),
-         |bw AS (SELECT doc_id, source, n_toks,
-         |    CAST(sum(n_toks) OVER (PARTITION BY source
-         |      ORDER BY CAST(round(CAST(score_micro AS DOUBLE) * 1000000.0)
-         |        AS BIGINT) DESC, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-         |  FROM b0 WHERE quality_ok AND split = 'train'),
-         |bk AS (SELECT doc_id,
-         |    CASE source WHEN 'src0' THEN cum <= 400
-         |      WHEN 'src1' THEN cum <= 250 ELSE TRUE END AS bkept
-         |  FROM bw),
-         |sv AS (SELECT b0.doc_id, b0.source, b0.n_toks FROM b0
-         |  JOIN bk ON b0.doc_id = bk.doc_id WHERE bk.bkept),
-         |e AS (SELECT doc_id, source, n_toks,
-         |    CASE source WHEN 'src0' THEN 2.45 WHEN 'src1' THEN 0.6
-         |      WHEN 'src3' THEN 0.0 ELSE NULL END AS ep FROM sv),
-         |rn AS (SELECT doc_id, source, n_toks,
-         |    CASE WHEN ep IS NULL THEN 1
-         |      ELSE CAST(floor(ep) AS BIGINT)
-         |        + CASE WHEN ep - floor(ep) > 0.0
-         |            AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
-         |                1, 15)
-         |              < lpad(lower(to_hex(CAST(floor((ep - floor(ep))
-         |                  * 1152921504606846976.0) AS BIGINT))), 15, '0')
-         |          THEN 1 ELSE 0 END
-         |    END AS nrep FROM e),
-         |r AS (SELECT doc_id, source, n_toks,
-         |    CAST(unnest(range(0, nrep)) AS BIGINT) AS repeat_idx
-         |  FROM rn WHERE nrep > 0),
-         |pc AS (SELECT doc_id, source, repeat_idx,
-         |    least(n_toks, 256) AS pack_tokens,
-         |    sum(least(n_toks, 256)) OVER (PARTITION BY source
-         |      ORDER BY doc_id * 1024 + repeat_idx) AS cum FROM r),
-         |pk AS (SELECT doc_id, repeat_idx,
-         |    CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) AS pack_id,
-         |    pack_tokens FROM pc)
-         |SELECT b0.doc_id, b0.source, b0.n_toks, b0.score_micro,
-         |  b0.quality_ok, b0.split,
-         |  coalesce(bk.bkept, FALSE) AS budget_kept,
-         |  pk.repeat_idx, pk.pack_id, pk.pack_tokens,
-         |  pk.repeat_idx IS NOT NULL AS kept
-         |FROM b0 LEFT JOIN bk ON b0.doc_id = bk.doc_id
-         |  LEFT JOIN pk ON b0.doc_id = pk.doc_id""".stripMargin,
+      s"""WITH ${recipeChainCtes("", "documents")}
+         |SELECT doc_id, source, n_toks, score_micro, quality_ok, split,
+         |  budget_kept, repeat_idx, pack_id, pack_tokens, kept
+         |FROM rv""".stripMargin,
+
+    // the same recipe chain over STRING doc ids ('d' || id — URLs/UUIDs
+    // in production): every stage keys, orders, and hashes on the varchar
+    // directly (bytewise order both engines; md5 thresholds on the raw
+    // string), no dense-id pre-mapping anywhere
+    "q_recipe_string_ids" ->
+      s"""WITH docs_s AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc_id,
+         |    source, text FROM documents),
+         |${recipeChainCtes("", "docs_s")}
+         |SELECT doc_id, source, n_toks, score_micro, quality_ok, split,
+         |  budget_kept, repeat_idx, pack_id, pack_tokens, kept
+         |FROM rv""".stripMargin,
 
     "q_dsir_resample" ->
       s"""WITH $dsirCtes,

@@ -205,6 +205,20 @@ object TextQueries {
           md5(array_join(col("input_ids"), " ")).as("seq_fp"))
     }),
 
+    // the sub-sharded MEGA-SHARD variant: each source's stream split into
+    // 4 deterministic md5 sub-shards packed independently (pack ids
+    // namespaced local*4 + sub) — the policy that keeps one dominant
+    // source from single-tasking the pack window
+    "q_pack_sharded" -> ((s, dir) =>
+      graft.operators.Pack.sequences(
+        t(s, dir, "documents").withColumn("n_toks",
+          size(graft.functions.Text.tokens(col("text")))
+            .cast(org.apache.spark.sql.types.LongType)),
+        "n_toks", budget = 256L, groupCol = "source", idCol = "doc_id",
+        subShards = 4)
+        .select(col("doc_id"), col("source"), col("pack_id"),
+          col("pack_tokens"))),
+
     // the shuffled-pack variant: same window, md5(id:seed)-ordered stream
     // per shard — packs must not reproduce ingest adjacency
     "q_pack_shuffled" -> ((s, dir) =>
@@ -725,6 +739,25 @@ object TextQueries {
          |  doc_ids, doc_starts,
          |  md5(array_to_string(seq[1:256], ' ')) AS seq_fp
          |FROM g""".stripMargin,
+
+    // same packing math per (source, md5-sub-shard) stream; pack ids
+    // namespaced local * 4 + sub
+    "q_pack_sharded" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'shard'),
+         |      1, 15))::BIGINT % 4 AS sub
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, sub, least(n_toks, 256) AS pack_tokens,
+         |    sum(least(n_toks, 256)) OVER (
+         |      PARTITION BY source, sub ORDER BY doc_id) AS cum
+         |  FROM tk)
+         |SELECT doc_id, source,
+         |  CAST(floor((cum - pack_tokens) / 256.0) AS BIGINT) * 4 + sub
+         |    AS pack_id,
+         |  pack_tokens
+         |FROM c""".stripMargin,
 
     // same packing math, md5(id:42)-ordered stream per shard
     "q_pack_shuffled" ->

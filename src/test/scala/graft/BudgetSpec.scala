@@ -189,6 +189,35 @@ class BudgetSpec extends AnyFunSuite {
       s"a keeps its best 2 (20/10), b its best 1 (5/5), c+null all: got $kept")
   }
 
+  test("selectToBudgetPerGroup auto-routes a mega-group through the " +
+    "histogram descent: identical kept set, bounded window, small and " +
+    "unbudgeted groups untouched") {
+    // 90%-one-source skew: group "big" holds 900 of 1000 rows — the
+    // realistic dominant-web-crawl shape the one-window plan single-tasks
+    val rows = (1L to 1000L).map { i =>
+      val g = if (i <= 900L) "big" else if (i <= 950L) "small" else "free"
+      (g, i, (i % 7) + 1L, (i % 13).toDouble)
+    }
+    val df = rows.toDF("g", "id", "cost", "prio")
+    val budgets = Map("big" -> 1500L, "small" -> 60L)
+    // reference semantics: the pure one-window plan (bound high enough
+    // that nothing routes)
+    val want = Budget.selectToBudgetPerGroup(df, "g", "cost", "prio", "id",
+        budgets, maxGroupRows = 1L << 22)
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    // forced routing: "big" (900 rows) exceeds 128, "small" (50) does not
+    val (res, diags) = Budget.selectToBudgetPerGroupDiag(df, "g", "cost",
+      "prio", "id", budgets, maxGroupRows = 128L)
+    val got = res.filter(col("kept")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want, "routing must not change the kept set")
+    assert(diags.keySet === Set("big"), s"only the mega-group routes: $diags")
+    assert(diags("big").windowRows <= (1L << 20),
+      "the descent bounds the boundary window")
+    // the free group (no budget) keeps everything on both plans
+    assert((951L to 1000L).forall(got.contains))
+  }
+
   test("capPerGroup keeps the k best per group with deterministic ties") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),

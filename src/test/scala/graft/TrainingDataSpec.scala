@@ -173,6 +173,60 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(stats(("b", 0L)) === (1L, 10L))
   }
 
+  test("Pack.sequences subShards: per-sub-stream boundary alignment equals " +
+    "packing each sub-slice alone; pack ids namespaced collision-free") {
+    val docs = (1L to 200L).map(i => ("a", i, (i % 9) + 1L))
+      .toDF("src", "doc_id", "toks")
+    val n = 4
+    val out = graft.operators.Pack.sequences(docs, "toks", budget = 20L,
+        groupCol = "src", idCol = "doc_id", subShards = n)
+      .select($"doc_id", $"pack_id", $"pack_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the deterministic sub-shard of each id (the md5(id:"shard") contract)
+    val subOf = docs.select($"doc_id",
+        pmod(conv(substring(md5(concat_ws(":", $"doc_id".cast("string"),
+          lit("shard"))), 1, 15), 16, 10).cast("long"), lit(n.toLong)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subOf.values.toSet.size > 1, "the split must actually spread")
+    // namespacing: pack_id mod subShards recovers the sub-shard
+    out.foreach { case (id, (pid, _)) =>
+      assert(pid % n === subOf(id), s"doc $id pack $pid wrong namespace")
+    }
+    // each sub-stream's packing == packing that slice alone (policy
+    // equivalence: sub-sharding only re-scopes the stream)
+    (0 until n).foreach { s =>
+      val slice = docs.filter(
+        pmod(conv(substring(md5(concat_ws(":", $"doc_id".cast("string"),
+          lit("shard"))), 1, 15), 16, 10).cast("long"), lit(n.toLong)) === s)
+      val alone = graft.operators.Pack.sequences(slice, "toks", 20L, "src",
+          "doc_id")
+        .select($"doc_id", $"pack_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      alone.foreach { case (id, local) =>
+        assert(out(id)._1 === local * n + s,
+          s"doc $id: sub-stream $s must pack independently")
+      }
+    }
+  }
+
+  test("Pack.sequencesBy: composite (id, repeat) order with string ids — " +
+    "bytewise stream order, repeats pack adjacently") {
+    val docs = Seq(
+      // bytewise id order: d1 < d10 < d2 — the string-id contract
+      ("a", "d1", 0L, 6L), ("a", "d1", 1L, 6L),
+      ("a", "d10", 0L, 6L), ("a", "d2", 0L, 6L)
+    ).toDF("src", "doc_id", "repeat_idx", "toks")
+    val out = graft.operators.Pack.sequencesBy(docs, "toks", budget = 10L,
+        groupCol = "src", orderCols = Seq("doc_id", "repeat_idx"))
+      .select($"doc_id", $"repeat_idx", $"pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // stream: (d1,0) (d1,1) (d10,0) (d2,0) with starts 0,6,12,18
+    assert(out(("d1", 0L)) === 0L)
+    assert(out(("d1", 1L)) === 0L)
+    assert(out(("d10", 0L)) === 1L)
+    assert(out(("d2", 0L)) === 1L)
+  }
+
   test("Pack.toTrainingRows: pack-ordered concat, start offsets, tail truncation") {
     // shard a, budget 10: docs of 6,6,6 tokens -> pack 0 = {1,2} (12
     // tokens, straddle overflow), pack 1 = {3}
