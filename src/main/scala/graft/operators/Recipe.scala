@@ -135,4 +135,66 @@ object Recipe {
         col("quality_ok"), col("split"), col("budget_kept"),
         col("repeat_idx"), col("pack_id"), col("pack_tokens"), col("kept"))
   }
+
+  /** The ELEVEN-STAGE end-to-end: `Curation.sweepFull`'s six cleaning
+    * gates (quality → repetition → LM-perplexity → exact dedup →
+    * decontamination → temperature mixing) feeding `compose`'s five
+    * selection stages (classifier → leakage split → per-source budgets →
+    * epochs → packing) as ONE composed plan — the full raw-crawl →
+    * training-packs path with EVERY stage verdict surviving to the
+    * output. One row per input doc; docs the sweep drops carry null
+    * recipe columns; docs the recipe ships multiply per repeat.
+    *
+    * The recipe's classifier seeds come from the SURVIVOR pool itself
+    * (positive = the survivors' minimum source, negative = the rest) so
+    * the second half is self-contained on its input, exactly like a
+    * standalone `compose` call.
+    *
+    * Columns: the sweep verdicts (`quality_ok repetition_ok lm_ok
+    * exact_unique contaminated avg_nll rate mix_sampled sweep_kept`) +
+    * the recipe verdicts (`n_toks score_micro clf_ok split budget_kept
+    * repeat_idx pack_id pack_tokens`) + final `kept`
+    * (= shipped in some pack).
+    *
+    * Checkpoint discipline: exactly TWO materializations — `sweepFull`'s
+    * verdict frame and `compose`'s — each feeding its own two consumers;
+    * everything between is narrow joins over those checkpoints plus
+    * re-scans of the raw input (the same class of cost a standalone
+    * `compose` pays on its input table). Same `checkpointDir` retention
+    * note as `compose`: per-run leaves persist, prune between runs.
+    */
+  def pipelineFull(docs: DataFrame, bench: DataFrame, textCol: String,
+                   idCol: String, sourceCol: String,
+                   budgets: Map[String, Long], epochs: Map[String, Double],
+                   decontaminateN: Int = 8, lmVocabSize: Int = 20000,
+                   lmMinCount: Long = 2L, lmMaxBigrams: Int = 1000000,
+                   lmMaxNll: Double = 7.0, mixTemperature: Double = 2.0,
+                   mixTargetFrac: Double = 0.5, mixSeed: Long = 42L,
+                   nBuckets: Int = 10000, minMeanMicro: Long = 0L,
+                   testFraction: Double = 0.3, splitSeed: Long = 7L,
+                   epochSeed: Long = 42L, packBudget: Long = 256L,
+                   checkpointDir: String = "",
+                   maxGroupRows: Long = 1L << 22,
+                   packSubShards: Int = 1): DataFrame = {
+    val sweepV = Curation.sweepFull(docs, bench, textCol, idCol, sourceCol,
+        decontaminateN, lmVocabSize, lmMinCount, lmMaxBigrams, lmMaxNll,
+        mixTemperature, mixTargetFrac, mixSeed, checkpointDir)
+      .withColumnRenamed("kept", "sweep_kept")
+    val survivors = docs.select(col(idCol), col(sourceCol), col(textCol))
+      .join(sweepV.filter(col("sweep_kept")).select(col(idCol)), Seq(idCol))
+    val minSrcRow = survivors.agg(min(col(sourceCol))).head()
+    require(!minSrcRow.isNullAt(0),
+      "Recipe.pipelineFull: the curation sweep kept no documents — " +
+        "nothing to seed the recipe classifier with; relax the sweep gates")
+    val minSrc = minSrcRow.getString(0)
+    val recipeV = compose(survivors, textCol, idCol, sourceCol,
+        pos = survivors.filter(col(sourceCol) === minSrc),
+        neg = survivors.filter(col(sourceCol) =!= minSrc),
+        budgets, epochs, nBuckets, minMeanMicro, testFraction, splitSeed,
+        epochSeed, packBudget, checkpointDir, maxGroupRows, packSubShards)
+      .withColumnRenamed("quality_ok", "clf_ok")
+      .drop(sourceCol, "kept")
+    sweepV.join(recipeV, Seq(idCol), "left")
+      .withColumn("kept", col("repeat_idx").isNotNull)
+  }
 }

@@ -97,6 +97,23 @@ object LmQueries {
         lmVocabSize = VocabSize, lmMinCount = MinCount,
         lmMaxBigrams = MaxBigrams, lmMaxNll = LmMaxNll,
         mixTemperature = 2.0, mixTargetFrac = 0.5, seed = 42L)
+    }),
+
+    // the ELEVEN-STAGE end-to-end: q_curation_full's six cleaning gates
+    // feeding q_recipe_full's five selection stages as ONE plan — the
+    // full raw-crawl -> training-packs path with every stage verdict
+    // surviving to the output (previously proven only piecewise)
+    "q_pipeline_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Recipe.pipelineFull(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", "source",
+        budgets = RetrievalQueries.PipelineBudgets,
+        epochs = RetrievalQueries.RecipeEpochs,
+        decontaminateN = 4, lmVocabSize = VocabSize, lmMinCount = MinCount,
+        lmMaxBigrams = MaxBigrams, lmMaxNll = LmMaxNll,
+        minMeanMicro = RetrievalQueries.RecipeMeanMicro)
     })
   )
 
@@ -201,8 +218,13 @@ object LmQueries {
        |  substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 15) < th.thr AS sampled
        |FROM documents d JOIN mixth th ON d.source IS NOT DISTINCT FROM th.source""".stripMargin
 
-  private val curationFullSql =
-    s"""WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+  /** The six-stage curation CTE chain over `tr` (docs with doc_id % 17
+    * != 0; the %17 == 0 slice plays the decontamination benchmark) —
+    * everything up to the per-doc `mix` verdict; shared by
+    * q_curation_full and the eleven-stage q_pipeline_full.
+    */
+  private[queries] val curationChainCtes =
+    s"""tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
        |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
        |${TextQueries.curationVerdictCtes},
        |${lmCtes("tk", "tk")},
@@ -225,12 +247,41 @@ object LmQueries {
        |mix AS (SELECT basev.doc_id AS doc_id, mixth.rate,
        |    substr(md5(CAST(basev.doc_id AS VARCHAR) || ':' || '42'), 1, 15) < mixth.thr AS sampled
        |  FROM basev JOIN tr USING (doc_id) JOIN mixth ON tr.source IS NOT DISTINCT FROM mixth.source
-       |  WHERE basev.curated)
+       |  WHERE basev.curated)""".stripMargin
+
+  private val curationFullSql =
+    s"""WITH $curationChainCtes
        |SELECT basev.doc_id, tr.source, basev.quality_ok, basev.repetition_ok,
        |  basev.lm_ok, basev.exact_unique, basev.contaminated, basev.avg_nll,
        |  mix.rate, coalesce(mix.sampled, false) AS mix_sampled,
        |  (basev.curated AND coalesce(mix.sampled, false)) AS kept
        |FROM basev JOIN tr USING (doc_id) LEFT JOIN mix USING (doc_id)""".stripMargin
+
+  /** The eleven-stage replay: the curation chain's sweep verdict (sw),
+    * its survivors (surv), then the full recipe chain — prefixed `r_` so
+    * both chains share one WITH clause — LEFT JOINed back so sweep-dropped
+    * docs carry null recipe columns.
+    */
+  private val pipelineFullSql =
+    s"""WITH $curationChainCtes,
+       |sw AS (SELECT basev.doc_id, tr.source, basev.quality_ok,
+       |    basev.repetition_ok, basev.lm_ok, basev.exact_unique,
+       |    basev.contaminated, basev.avg_nll, mix.rate,
+       |    coalesce(mix.sampled, false) AS mix_sampled,
+       |    (basev.curated AND coalesce(mix.sampled, false)) AS sweep_kept
+       |  FROM basev JOIN tr USING (doc_id) LEFT JOIN mix USING (doc_id)),
+       |surv AS (SELECT tr.doc_id, tr.source, tr.text
+       |  FROM tr JOIN sw USING (doc_id) WHERE sw.sweep_kept),
+       |${RetrievalQueries.recipeChainCtes("r_", "surv",
+         RetrievalQueries.PipelineBudgets, RetrievalQueries.RecipeEpochs)}
+       |SELECT sw.doc_id, sw.source, sw.quality_ok, sw.repetition_ok,
+       |  sw.lm_ok, sw.exact_unique, sw.contaminated, sw.avg_nll, sw.rate,
+       |  sw.mix_sampled, sw.sweep_kept,
+       |  r_rv.n_toks, r_rv.score_micro, r_rv.quality_ok AS clf_ok,
+       |  r_rv.split, r_rv.budget_kept, r_rv.repeat_idx, r_rv.pack_id,
+       |  r_rv.pack_tokens,
+       |  r_rv.repeat_idx IS NOT NULL AS kept
+       |FROM sw LEFT JOIN r_rv ON sw.doc_id = r_rv.doc_id""".stripMargin
 
   private val lmCrossSql =
     s"""WITH tka AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -248,6 +299,7 @@ object LmQueries {
     "q_lm_cross" -> lmCrossSql,
     "q_mix_sources" -> mixSourcesSql,
     "q_mix_tokens" -> mixTokensSql,
-    "q_curation_full" -> curationFullSql
+    "q_curation_full" -> curationFullSql,
+    "q_pipeline_full" -> pipelineFullSql
   )
 }

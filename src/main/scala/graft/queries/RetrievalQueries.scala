@@ -22,7 +22,13 @@ object RetrievalQueries {
   private val DsirBuckets = 10000
   private val DsirK = 20
   private val DsirKlK = 100
-  private val RecipeMeanMicro = -1300000L
+  private[queries] val RecipeMeanMicro = -1300000L
+  private[queries] val RecipeBudgets = Map("src0" -> 400L, "src1" -> 250L)
+  private[queries] val RecipeEpochs =
+    Map("src0" -> 2.45, "src1" -> 0.6, "src3" -> 0.0)
+  // the pipeline's tighter src0 budget: the eleven-stage survivor pool is
+  // much smaller than the raw corpus, and the budget gate must BIND there
+  private[queries] val PipelineBudgets = Map("src0" -> 150L, "src1" -> 250L)
 
   /** ONE fixed layout dir per index-building query, wiped before each
     * build (the q_lm_score_index pattern): repeated bench/warmup
@@ -219,8 +225,8 @@ object RetrievalQueries {
       graft.operators.Recipe.compose(docs, "text", "doc_id", "source",
         pos = docs.filter(col("source") === minSrc),
         neg = docs.filter(col("source") =!= minSrc),
-        budgets = Map("src0" -> 400L, "src1" -> 250L),
-        epochs = Map("src0" -> 2.45, "src1" -> 0.6, "src3" -> 0.0),
+        budgets = RecipeBudgets,
+        epochs = RecipeEpochs,
         nBuckets = DsirBuckets,
         // the fixture's random 30-word vocabulary makes every NB score
         // negative (a 25-doc pos seed loses to smoothing everywhere), so
@@ -241,8 +247,8 @@ object RetrievalQueries {
       graft.operators.Recipe.compose(docs, "text", "doc_id", "source",
         pos = docs.filter(col("source") === minSrc),
         neg = docs.filter(col("source") =!= minSrc),
-        budgets = Map("src0" -> 400L, "src1" -> 250L),
-        epochs = Map("src0" -> 2.45, "src1" -> 0.6, "src3" -> 0.0),
+        budgets = RecipeBudgets,
+        epochs = RecipeEpochs,
         nBuckets = DsirBuckets,
         minMeanMicro = RecipeMeanMicro)
     }),
@@ -382,9 +388,16 @@ object RetrievalQueries {
     * per (doc × repeat) for shipped docs, one null-packed row per drop.
     * Every CTE is the same replay its standalone oracle uses; id-type
     * agnostic (string doc ids order bytewise — DuckDB binary collation ==
-    * Spark UTF8String order).
+    * Spark UTF8String order). The budget/epoch CASEs are GENERATED from
+    * the same maps the Spark side passes, so the two sides cannot drift.
     */
-  private[queries] def recipeChainCtes(p: String, corpus: String): String =
+  private[queries] def recipeChainCtes(p: String, corpus: String,
+      budgets: Map[String, Long] = RecipeBudgets,
+      epochs: Map[String, Double] = RecipeEpochs): String = {
+    val budgetCase = budgets.toSeq.sorted
+      .map { case (s, b) => s"WHEN '$s' THEN cum <= $b" }.mkString(" ")
+    val epochCase = epochs.toSeq.sortBy(_._1)
+      .map { case (s, e) => s"WHEN '$s' THEN $e" }.mkString(" ")
     s"""${qcCtes(p, corpus)},
        |${p}nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM ${p}tk),
        |${p}qc AS (SELECT ${p}qm.doc_id, ${p}qm.score_micro, ${p}nt.n_toks,
@@ -409,14 +422,12 @@ object RetrievalQueries {
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM ${p}b0 WHERE quality_ok AND split = 'train'),
        |${p}bk AS (SELECT doc_id,
-       |    CASE source WHEN 'src0' THEN cum <= 400
-       |      WHEN 'src1' THEN cum <= 250 ELSE TRUE END AS bkept
+       |    CASE source $budgetCase ELSE TRUE END AS bkept
        |  FROM ${p}bw),
        |${p}sv AS (SELECT ${p}b0.doc_id, ${p}b0.source, ${p}b0.n_toks FROM ${p}b0
        |  JOIN ${p}bk ON ${p}b0.doc_id = ${p}bk.doc_id WHERE ${p}bk.bkept),
        |${p}e AS (SELECT doc_id, source, n_toks,
-       |    CASE source WHEN 'src0' THEN 2.45 WHEN 'src1' THEN 0.6
-       |      WHEN 'src3' THEN 0.0 ELSE NULL END AS ep FROM ${p}sv),
+       |    CASE source $epochCase ELSE NULL END AS ep FROM ${p}sv),
        |${p}rn AS (SELECT doc_id, source, n_toks,
        |    CASE WHEN ep IS NULL THEN 1
        |      ELSE CAST(floor(ep) AS BIGINT)
@@ -444,6 +455,7 @@ object RetrievalQueries {
        |    ${p}pk.repeat_idx IS NOT NULL AS kept
        |  FROM ${p}b0 LEFT JOIN ${p}bk ON ${p}b0.doc_id = ${p}bk.doc_id
        |    LEFT JOIN ${p}pk ON ${p}b0.doc_id = ${p}pk.doc_id)""".stripMargin
+  }
 
   private def bm25TopkSql: String =
     s"""WITH $bm25Ctes,
