@@ -41,8 +41,17 @@ object Bench {
     // A failed query must never read as a fast time: it is emitted as null
     // in `queries` (consumers summing timings skip it) and its error surfaces
     // in `errors` + a nonzero exit.
+    //
+    // SPARK_GRAFT_BENCH_PASSES > 1 (the round-close discipline) times every
+    // query that many times and reports the PER-QUERY MEDIAN: this host's
+    // walls swing ±8% run-to-run on identical code, and medianing only the
+    // total (the r10/r11 close rule) left per-query diffs noisy enough to
+    // raise three rounds of false drift alarms on the dedup family. The
+    // default (driver runs) stays 1 pass.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = ordered.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
       // Queries are independent: drop any cached plans or persisted blocks a
       // previous query left behind and let a GC cycle run, all OUTSIDE the
       // timed section, so the previous query's storage/heap debt is not
@@ -62,6 +71,20 @@ object Bench {
           System.err.println(s"[bench] FAILED $name: $msg")
           name -> None
       }
+    }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val allPasses = (1 to passes).map(_ => timedPass())
+    val results: Seq[(String, Option[Double])] = ordered.map { case (name, _) =>
+      val ok = allPasses.flatMap(_.collectFirst {
+        case (`name`, Some(t)) => t
+      })
+      // a query that failed EVERY pass stays null (error already surfaced);
+      // partial failures report the median of the successful passes
+      name -> (if (ok.isEmpty) None else Some(median(ok)))
     }
     // The driver keeps only the LAST 2000 chars of stdout, which must also
     // hold sbt's "[info] " line prefix and "[success] Total time: ..."
@@ -94,7 +117,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${queryJson(results, _.toString)},"errors":$errJson,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":${queryJson(results, _.toString)},"errors":$errJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     // "errors" appears only when non-empty — a failed query still surfaces
     // (null time + this field + nonzero exit), and the common all-green line

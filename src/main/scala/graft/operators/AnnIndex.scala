@@ -90,6 +90,12 @@ object AnnIndex {
     * table properties, so appended postings are laid out exactly like the
     * original build; appended rows land in new per-bucket files and probes
     * stay exchange-free on the index side.
+    *
+    * Concurrency: an append mutates NO table properties (geometry and
+    * quantization are static; no corpus-stat counters), so concurrent
+    * appends of DISJOINT batches are data-appends only and cannot corrupt
+    * the geometry — no `TextSearch.append`-style stamp is needed
+    * (spec-pinned in AnnIndexSpec).
     */
   def append(corpus: DataFrame, vecCol: String, idCol: String,
              name: String): Unit = {

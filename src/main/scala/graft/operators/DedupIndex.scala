@@ -78,6 +78,13 @@ object DedupIndex {
     * new per-bucket files: probes stay exchange-free on the index side.
     * The caller is responsible for id uniqueness across ingests (probe +
     * route-away gives it naturally).
+    *
+    * Concurrency: unlike `TextSearch.append`, an append here mutates NO
+    * table properties — the shingle/band geometry is static and there are
+    * no corpus-stat counters — so concurrent appends of DISJOINT batches
+    * are data-appends only and cannot corrupt the geometry (spec-pinned
+    * in DedupIndexSpec). Serializing appends is still the sane ingest
+    * shape, but nothing here depends on it for correctness.
     */
   def append(df: DataFrame, textCol: String, idCol: String,
              name: String): Unit = {

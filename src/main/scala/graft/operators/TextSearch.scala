@@ -277,8 +277,11 @@ object TextSearch {
     // property updates are last-write-wins, not CAS), but two appends that
     // both passed requireClean are best-effort DETECTED here — whichever
     // stamp lost re-reads a foreign batch tag and aborts BEFORE writing
-    // any data, leaving the winner's stats consistent with the winner's
-    // own pending append. This shrinks (not closes — see scaladoc) the
+    // any data. NOTE the surviving stats are NOT guaranteed consistent in
+    // either direction: depending on which ALTER landed first, the
+    // winner's properties may or may not include the aborted batch's
+    // counts (probe's lens-count check catches the mismatch once the
+    // marker clears). This shrinks (not closes — see scaladoc) the
     // interleaving window; serialize appends for a hard guarantee.
     val won = tblProps(spark, name).get(PendingKey).contains(batchTag)
     if (!won) {
@@ -287,9 +290,11 @@ object TextSearch {
         s"TextSearch.append: concurrent append detected on '$name' — " +
           "another batch stamped the pending marker between this append's " +
           "clean-check and its stamp. This append aborted before writing " +
-          "data (its stats update was overwritten by the winner's); retry " +
-          "it after the in-flight append completes. Appends are " +
-          "single-writer by contract.")
+          "data, but the surviving stats may be inconsistent EITHER way " +
+          "(last-write-wins property updates): after the in-flight append " +
+          s"completes, run TextSearch.repair(spark, \"$name\") to resync " +
+          "the stats from the lens table, then retry this batch. Appends " +
+          "are single-writer by contract.")
     }
     graft.sources.Bucketize.appendBucketed(docLens, lensTable(name),
       Seq("doc_id"))

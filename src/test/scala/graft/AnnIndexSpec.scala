@@ -279,4 +279,33 @@ class AnnIndexSpec extends AnyFunSuite {
         s"its own appended posting at rank 1, found $m")
     }
   }
+
+  test("append mutates NO table properties: geometry/quantization are " +
+    "immutable across appends — concurrent disjoint appends cannot corrupt them") {
+    val emb = TestSpark.table("embeddings").limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.write(emb.filter(col("vec_id") % 4 === 0), "embedding", "vec_id",
+      "graft_annidx_props", dir, planesPerTable = 4, nTables = 8,
+      numBuckets = 4)
+    def props() = spark.sql(
+        s"SHOW TBLPROPERTIES `${AnnIndex.postingsTable("graft_annidx_props")}`")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+    val before = props()
+    assert(before.nonEmpty, "geometry must live in the properties")
+    AnnIndex.append(emb.filter(col("vec_id") % 4 === 1), "embedding",
+      "vec_id", "graft_annidx_props")
+    AnnIndex.append(emb.filter(col("vec_id") % 4 === 2), "embedding",
+      "vec_id", "graft_annidx_props")
+    assert(props() === before,
+      "append must not touch the persisted geometry/quantization")
+    assert(AnnIndex.geometry(spark, "graft_annidx_props") === ((4, 8)))
+    // appended postings are live under the same geometry: every appended
+    // id appears in the postings table
+    val ids = spark.table(AnnIndex.postingsTable("graft_annidx_props"))
+      .select(col("corpus_id")).distinct().count()
+    assert(ids === emb.filter(col("vec_id") % 4 =!= 3)
+      .filter(col("embedding").isNotNull).count())
+  }
 }

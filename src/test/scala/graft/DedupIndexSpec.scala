@@ -170,4 +170,36 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(DedupIndex.geometry(spark, "graft_didx_ap_inc") === ((3, 2, 8)))
     assert(run("graft_didx_ap_inc").toSeq === full.toSeq)
   }
+
+  test("append mutates NO table properties: geometry is immutable across " +
+    "appends — the reason concurrent disjoint appends cannot corrupt it") {
+    // TextSearch.append must update corpus-stat counters (nDocs/sumDl), so
+    // interleaved appends can double-count and need the stamp-then-verify
+    // discipline. THIS index has no counters: geometry is written once and
+    // append only lands data files — property state is untouched by any
+    // interleaving of appends, which this pins by asserting bit-identical
+    // graft.* properties across repeated disjoint appends.
+    val docs = TestSpark.table("documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    DedupIndex.write(docs.filter(col("doc_id") % 4 === 0), "text", "doc_id",
+      "graft_didx_props", dir, numBuckets = 4)
+    def props(t: String) = spark.sql(s"SHOW TBLPROPERTIES `$t`").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+    val bandsBefore = props(DedupIndex.bandsTable("graft_didx_props"))
+    val docsBefore = props(DedupIndex.docsTable("graft_didx_props"))
+    assert(bandsBefore.nonEmpty, "geometry must live in the properties")
+    val n0 = spark.table(DedupIndex.docsTable("graft_didx_props")).count()
+    DedupIndex.append(docs.filter(col("doc_id") % 4 === 1), "text", "doc_id",
+      "graft_didx_props")
+    DedupIndex.append(docs.filter(col("doc_id") % 4 === 2), "text", "doc_id",
+      "graft_didx_props")
+    assert(props(DedupIndex.bandsTable("graft_didx_props")) === bandsBefore)
+    assert(props(DedupIndex.docsTable("graft_didx_props")) === docsBefore)
+    // both batches landed and are probe-visible under the SAME geometry
+    val nAll = spark.table(DedupIndex.docsTable("graft_didx_props")).count()
+    assert(nAll === docs.filter(col("doc_id") % 4 =!= 3).count(),
+      s"both appended batches must land (docs table went $n0 -> $nAll)")
+  }
 }
