@@ -193,6 +193,14 @@ object Curation {
     // not pinned in executor storage memory); without one it falls back to
     // localCheckpoint — fine single-session, but storage-pinned and
     // unrecoverable if an executor dies.
+    //
+    // RETENTION: the per-run leaf is NEVER auto-deleted — the returned
+    // frame reads it lazily for its whole lifetime, so deleting after this
+    // call would corrupt every downstream consumer. Repeated sweeps
+    // sharing a checkpointDir therefore accumulate one verdict frame per
+    // run; prune the directory between runs (each leaf is one narrow row
+    // per doc, and the UUID naming makes pruning safe while a run is
+    // live).
     val curated =
       if (checkpointDir.nonEmpty) {
         // per-run unique leaf (the Recipe.compose discipline): concurrent
