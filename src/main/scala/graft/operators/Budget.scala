@@ -324,21 +324,27 @@ object Budget {
     import spark.implicits._
     val prioMicro = prioMicroOf(priorityCol)
     val cost = coalesce(col(costCol).cast(LongType), lit(0L))
-    // same monotone-cumsum contract as the global form: a negative cost
-    // would let a lower-priority row sneak back under the budget after an
-    // overflow — refuse loudly (one cheap aggregate)
-    val minc = df.agg(min(cost)).head()
-    require(minc.isNullAt(0) || minc.getLong(0) >= 0L,
-      s"selectToBudgetPerGroup: costs must be non-negative, found ${minc.get(0)}")
-    // mega-group probe: sizes of the BUDGETED groups only (unbudgeted
-    // groups never enter a window — see below), <= |budgets| driver rows
-    val oversized: Seq[String] =
-      if (budgets.isEmpty) Seq.empty
-      else df.filter(col(groupCol).isin(budgets.keys.toSeq: _*))
-        .groupBy(col(groupCol).cast(org.apache.spark.sql.types.StringType)
-          .as("__g"))
-        .agg(count(lit(1)).as("__n")).collect()
-        .filter(_.getLong(1) > maxGroupRows).map(_.getString(0)).toSeq
+    // ONE probe aggregate does both pre-checks (the input plan may be an
+    // expensive uncached pipeline — every extra action re-runs it): the
+    // cost-sign check (a negative cost would let a lower-priority row
+    // sneak back under the budget after an overflow — the monotone-cumsum
+    // contract, refused loudly) and the mega-group sizes of the BUDGETED
+    // groups (unbudgeted groups never enter a window). Driver state
+    // <= |budgets| + 1 rows.
+    val budgeted = budgets.keys.toSeq
+    val groupKey =
+      if (budgeted.isEmpty) lit(null).cast(org.apache.spark.sql.types.StringType)
+      else when(col(groupCol).isin(budgeted: _*),
+        col(groupCol).cast(org.apache.spark.sql.types.StringType))
+    val probe = df.groupBy(groupKey.as("__g"))
+      .agg(min(cost).as("__minc"), count(lit(1)).as("__n")).collect()
+    probe.foreach { r =>
+      require(r.isNullAt(1) || r.getLong(1) >= 0L,
+        s"selectToBudgetPerGroup: costs must be non-negative, found ${r.get(1)}")
+    }
+    val oversized: Seq[String] = probe
+      .filter(r => !r.isNullAt(0) && r.getLong(2) > maxGroupRows)
+      .map(_.getString(0)).toSeq
     def windowPlan(in: DataFrame): DataFrame = {
       val bTable = broadcast(budgets.toSeq.toDF("__bg_grp", "__bg_budget"))
       val w = org.apache.spark.sql.expressions.Window

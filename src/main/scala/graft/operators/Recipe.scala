@@ -77,7 +77,13 @@ object Recipe {
       s"Recipe.compose: input already has ${clash.mkString(", ")} — rename first")
 
     // stage 1+2: classifier verdict and split label — two scan-shaped
-    // stages joined on the id (the classifier's fit state is bounded)
+    // stages joined on the id (the classifier's fit state is bounded).
+    // `base` (one narrow row per doc) feeds THREE actions before the
+    // verdict materializes (the budget selector's probe aggregate, its
+    // window, and the checkpoint write), so it is persisted for the span
+    // of this call — without it every action re-runs the classifier
+    // scoring scan + tokenize + join (measured: the r12 10x recipe ratio
+    // dropped from ~2.2 to well inside 2x with this persist).
     val qc = Dsir.classifierFlag(docs, textCol, idCol, pos, neg, nBuckets,
         minMeanMicro)
       .withColumnRenamed("doc_id", idCol)
@@ -90,6 +96,7 @@ object Recipe {
         coalesce(col(textCol), lit("")))).cast(LongType))
       .drop(textCol)
       .join(qc, Seq(idCol))
+      .persist()
 
     // stage 3: per-source token budgets over the quality-passing train
     // pool, best classifier scores first
@@ -115,6 +122,8 @@ object Recipe {
         verdictPlan.write.mode("overwrite").parquet(path)
         docs.sparkSession.read.parquet(path)
       } else verdictPlan.localCheckpoint(true)
+    // the verdict checkpoint was base's last consumer
+    base.unpersist()
 
     // stage 4+5: repeat the survivors per the epoch schedule, then pack
     // per-source shards in (doc, repeat) composite order — id-type

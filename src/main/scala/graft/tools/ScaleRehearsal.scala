@@ -808,6 +808,79 @@ object ScaleRehearsal {
         graft.operators.Classify.classify(emb, "embedding", "vec_id", m)
           .filter(col("cosine") > -2.0 && col("label_pred").isNotNull)
           .count()
+      }),
+      // r12: per-group budget on a 90%-ONE-SOURCE pool — the dominant
+      // web-crawl shape. The routed form (maxGroupRows=4096) MUST send the
+      // mega-group through the histogram descent (require-asserted, with
+      // the final exact window bounded); the _window twin runs the same
+      // pool through the pure one-window plan for the measured contrast
+      // (identical kept count by the spec-pinned equivalence — at
+      // local[32] walls are similar, the difference is one task sorting
+      // 90% of the pool vs bins-bounded scans, which is what matters at
+      // 1000 executors)
+      "budget_group_skew" -> (() => {
+        val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+        val pool = docs.select(col("doc_id"),
+          when(col("doc_id") % 10 < 9, lit("s0")).otherwise(lit("s1"))
+            .as("src"),
+          size(toks).cast("long").as("cost"),
+          (size(array_distinct(toks)).cast("double") /
+            (size(toks).cast("double") + lit(1.0))).as("prio"))
+        val (res, diags) = graft.operators.Budget.selectToBudgetPerGroupDiag(
+          pool, "src", "cost", "prio", "doc_id",
+          Map("s0" -> 100000L, "s1" -> 20000L), maxGroupRows = 4096L)
+        val n = res.filter(col("kept")).count()
+        require(diags.contains("s0"),
+          s"the 90% source must route through the descent, got $diags")
+        require(diags.values.forall(_.windowRows <= (1L << 20)),
+          s"descent window must stay bounded, got $diags")
+        n
+      }),
+      "budget_group_skew_window" -> (() => {
+        val toks = graft.functions.Text.tokens(coalesce(col("text"), lit("")))
+        val pool = docs.select(col("doc_id"),
+          when(col("doc_id") % 10 < 9, lit("s0")).otherwise(lit("s1"))
+            .as("src"),
+          size(toks).cast("long").as("cost"),
+          (size(array_distinct(toks)).cast("double") /
+            (size(toks).cast("double") + lit(1.0))).as("prio"))
+        graft.operators.Budget.selectToBudgetPerGroup(
+            pool, "src", "cost", "prio", "doc_id",
+            Map("s0" -> 100000L, "s1" -> 20000L), maxGroupRows = Long.MaxValue)
+          .filter(col("kept")).count()
+      }),
+      // r12: the full recipe on the same 90/10 skew with BOTH mega-source
+      // defenses on (stage 3 auto-route at 4096, stage 5 packSubShards=8)
+      // — shufW must track the train pool and wall the corpus scans, with
+      // no single-task stage anywhere
+      "recipe_skew" -> (() => {
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        val d = docs.withColumn("src",
+          when(col("doc_id") % 10 < 9, lit("s0")).otherwise(lit("s1")))
+        graft.operators.Recipe.compose(d, "text", "doc_id", "src",
+            pos = base.filter(col("doc_id") % 17 === 0),
+            neg = base.filter(col("doc_id") % 17 =!= 0),
+            budgets = Map("s0" -> 100000L, "s1" -> 20000L),
+            epochs = Map("s0" -> 1.45, "s1" -> 0.6),
+            nBuckets = 10000, minMeanMicro = -1300000L,
+            maxGroupRows = 4096L, packSubShards = 8)
+          .filter(col("kept")).count()
+      }),
+      // r12: the ELEVEN-STAGE pipeline (sweepFull -> compose) as one run —
+      // two checkpointed materializations, shufW = the curation shuffles
+      // (fingerprint window, decon aggregate, id joins) + the train-pool
+      // windows, never a corpus blowup
+      "pipeline_full" -> (() => {
+        val d = docs.withColumn("src",
+          concat(lit("s"), (col("doc_id") % 4).cast("string")))
+        graft.operators.Recipe.pipelineFull(
+            d.filter(col("doc_id") % 17 =!= 0),
+            d.filter(col("doc_id") % 17 === 0),
+            "text", "doc_id", "src",
+            budgets = Map("s0" -> 100000L, "s1" -> 50000L),
+            epochs = Map("s0" -> 2.45, "s1" -> 0.6, "s3" -> 0.0),
+            decontaminateN = 4, minMeanMicro = -1300000L)
+          .filter(col("kept")).count()
       })
     )
 
