@@ -392,6 +392,63 @@ object VecExprs {
       copy(child = newChild)
   }
 
+  /** Rebuild a document's normalized token stream with the tokens at the
+    * given positions excised — the apply step of exact-substring span
+    * removal (`DupSpans.remove`): the duplicated-window coverage math
+    * happens in a duplication-bounded aggregate upstream, and this
+    * expression turns each (text, removed-position array) row back into
+    * text in ONE codegen scan. A merge walk over the sorted position
+    * array keeps it O(tokens + removed log removed) per row — no
+    * corpus-token-level shuffle, no O(tokens x removed) membership
+    * probes (`array_contains` per token would be quadratic on a
+    * whole-doc duplicate). Out-of-range and duplicate positions are
+    * ignored defensively; empty/fully-removed docs yield "".
+    */
+  case class RemoveTokenPositions(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expected (string, array<int>), got $l, $r")
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[ArrayData])
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String,
+                rm: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+      val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
+      val pos = rm.toIntArray()
+      java.util.Arrays.sort(pos)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      var j = 0
+      while (i < toks.length) {
+        while (j < pos.length && pos(j) < i) j += 1
+        if (!(j < pos.length && pos(j) == i)) {
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(toks(i))
+        }
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rtpExpr", this,
+        classOf[RemoveTokenPositions].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Unicode NFC normalization (canonical composition) — the
     * encoding-repair stage of corpus cleaning: combining sequences
     * compose to their precomposed forms so byte-level dedup/fingerprints
@@ -1346,6 +1403,10 @@ object VecExprs {
 
   def tokenWindowHashes(c: Column, n: Int): Column =
     GraftBridge.column(TokenWindowHashes(GraftBridge.expression(c), n))
+
+  def removeTokenPositions(text: Column, removed: Column): Column =
+    GraftBridge.column(RemoveTokenPositions(GraftBridge.expression(text),
+      GraftBridge.expression(removed)))
 
   def centerProject(c: Column, mean: Array[Double],
                     basis: Array[Array[Double]]): Column =

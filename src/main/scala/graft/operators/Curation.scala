@@ -135,6 +135,39 @@ object Curation {
     (a._1 + b._1, a._2 + b._2, f"$h%015x")
   }
 
+  /** Content-addressed diff of two corpus snapshots — the dataset-
+    * versioning primitive next to `manifest`: which docs were added,
+    * removed, or changed between yesterday's corpus and today's. Matching
+    * is by `idCol`; change detection uses the same normalized content
+    * fingerprint the manifest sums (`Text.contentFingerprint`), so
+    * formatting-only edits that normalize away count as `unchanged` —
+    * exactly the identity the dedup/decontamination stages key on. Null
+    * text fingerprints as the empty string (the manifest's rule).
+    *
+    * Returns one row per id present in EITHER snapshot:
+    * (idCol, status in {added, removed, changed, unchanged}, old_fp,
+    * new_fp). Counts per status are one groupBy away; a per-source
+    * breakdown rides along if the caller selects source into `idCol`'s
+    * frame first.
+    *
+    * Scale shape: one fingerprint scan per side (nothing doc-text-sized
+    * survives past the scan — the join carries 32-hex fingerprints), then
+    * ONE id-keyed full outer join (AQE handles skew; ids are unique per
+    * side so no fan-out). No windows, no driver state.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) = df.select(col(idCol).as("__id"),
+      Text.contentFingerprint(coalesce(col(textCol), lit(""))).as(out))
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   def datasetCard(verdicts: DataFrame, sourceCol: String,
                   title: String = "Dataset card"): String = {
     val stages = Seq("quality_ok", "repetition_ok", "lm_ok", "exact_unique",

@@ -66,4 +66,70 @@ object DupSpans {
           greatest(col("n_tokens"), lit(1L)).cast(DoubleType), 6)
           .as("dup_span_frac"))
   }
+
+  /** Excise cross-document duplicated spans — the REMOVAL step of Lee et
+    * al. 2022's ExactSubstr dedup (the paper cuts on the signal `stats`
+    * measures, then removes the duplicated substrings), composed from the
+    * same window fingerprints. Policies:
+    *
+    *   - `keepFirst = false` (default): EVERY occurrence of an n-token
+    *     window shared by >= 2 distinct docs is removed — the paper's
+    *     "drop all copies" variant.
+    *   - `keepFirst = true`: the globally-first occurrence of each
+    *     duplicated window (smallest (id, pos) — ids must be orderable)
+    *     survives; all other occurrences are removed. A token covered by
+    *     BOTH a surviving canonical window and some other removed window
+    *     is removed (removal wins) — the deterministic overlap rule the
+    *     oracle replays.
+    *
+    * Output per input doc: (idCol, n_tokens, n_removed, clean_text) —
+    * the NORMALIZED token stream (the same `NgramVec.normalize` stream
+    * the fingerprints hash; removal is defined on tokens, so the rebuilt
+    * text is token-joined by construction) with removed positions
+    * excised.
+    *
+    * Scale shape: `stats`'s plan (two fingerprint scans, skew-proof
+    * pre-collapsed dup-hash aggregate, duplication-bounded coverage
+    * explode) plus ONE duplication-bounded `collect_set` per AFFECTED
+    * doc (state <= doc length, rows <= docs with any duplication) and an
+    * id-keyed join back that AQE broadcasts when duplication is sparse.
+    * The rebuild itself is one whole-stage-codegen scan
+    * (`VecExprs.removeTokenPositions`, a merge walk over the sorted
+    * position array) — no corpus-token-level shuffle anywhere. The
+    * keepFirst canonical aggregate is per-hash min — bounded state,
+    * map-side combined, same skew bound as the dup-hash count.
+    */
+  def remove(df: DataFrame, textCol: String, idCol: String,
+             n: Int = 32, keepFirst: Boolean = false): DataFrame = {
+    val windows = df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.VecExprs.tokenWindowHashes(col(textCol), n))
+          .as(Seq("__pos", "__h")))
+    val dupHashes = windows.select(col("__h"), col("__id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2).select(col("__h"))
+    val dupWindows = windows.join(dupHashes, Seq("__h"), "leftsemi")
+    val removalWindows =
+      if (!keepFirst) dupWindows
+      else {
+        val canon = dupWindows.groupBy(col("__h"))
+          .agg(min(struct(col("__id"), col("__pos"))).as("__c"))
+        dupWindows.join(canon, Seq("__h"))
+          .filter(!(col("__c.__id") === col("__id") &&
+            col("__c.__pos") === col("__pos")))
+          .select(col("__id"), col("__pos"))
+      }
+    val removed = removalWindows
+      .select(col("__id"), explode(sequence(col("__pos"),
+        col("__pos") + lit(n - 1))).as("__t"))
+      .groupBy(col("__id")).agg(collect_set(col("__t")).as("__rm"))
+    val emptyPos = array().cast(ArrayType(IntegerType, containsNull = false))
+    df.select(col(idCol), col(textCol))
+      .join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        size(graft.functions.Text.tokens(col(textCol))).cast(LongType)
+          .as("n_tokens"),
+        coalesce(size(col("__rm")), lit(0)).cast(LongType).as("n_removed"),
+        graft.functions.VecExprs.removeTokenPositions(col(textCol),
+          coalesce(col("__rm"), emptyPos)).as("clean_text"))
+  }
 }

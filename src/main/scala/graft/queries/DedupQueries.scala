@@ -255,6 +255,20 @@ object DedupQueries {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2)),
 
+    // representative selection (r12): cluster the minhash-LSH verified
+    // pairs and keep the LONGEST member per cluster (ties -> smallest
+    // id) — the quality-aware alternative to min-id dedup; the verdict
+    // covers every doc (singletons ride the kept=true fast path)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text")))
+          .cast(org.apache.spark.sql.types.LongType).as("score"))
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2)
+      Dedup.keepBest(scored, pairs, "doc_id", "score")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
 
@@ -586,6 +600,50 @@ object DedupQueries {
          |  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
          |FROM verif
          |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2""".stripMargin,
+
+    // keepBest over the q_dedup_minhash_lsh pair graph: recursive
+    // min-label components, then argmax(score) tie-broken toward the
+    // smallest id; docs outside the pair graph are singleton keeps
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |docs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tok),
+         |sigs AS (
+         |  SELECT id, sh, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM docs),
+         |bands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
+         |verif AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(x.sh, y.sh)) AS n_common,
+         |    len(x.sh) AS n_a, len(y.sh) AS n_b
+         |  FROM cand JOIN docs x ON cand.id_a = x.id JOIN docs y ON cand.id_b = y.id),
+         |pairs AS (SELECT id_a, id_b FROM verif
+         |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |touched AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM touched
+         |  UNION
+         |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |sc AS (SELECT id, CAST(len(toks) AS BIGINT) AS score FROM tok),
+         |cl AS (SELECT sc.id, sc.score, l.label FROM sc JOIN labels l USING (id)),
+         |verd AS (SELECT id, score,
+         |    CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size,
+         |    (row_number() OVER (PARTITION BY label
+         |      ORDER BY score DESC, id ASC) = 1) AS kept
+         |  FROM cl)
+         |SELECT id AS doc_id, score, cluster_size, kept FROM verd
+         |UNION ALL
+         |SELECT id, score, CAST(1 AS BIGINT), TRUE FROM sc
+         |WHERE id NOT IN (SELECT id FROM labels)""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
 

@@ -24,6 +24,46 @@ object TextQueries {
   private[queries] val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private[queries] val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
 
+  // DupSpans.remove oracle: the q_dup_spans window-fingerprint CTEs, a
+  // policy-dependent removal set, then token-level rebuild — string_agg
+  // of surviving tokens in position order
+  private def dupSpansRemoveSql(keepFirst: Boolean): String = {
+    val rm =
+      if (!keepFirst)
+        "SELECT wd.doc_id AS doc_id, wd.pos AS pos FROM wd JOIN dh USING (h)"
+      else
+        """SELECT doc_id, pos FROM (
+          |  SELECT wd.doc_id AS doc_id, wd.pos AS pos,
+          |    row_number() OVER (PARTITION BY wd.h
+          |      ORDER BY wd.doc_id, wd.pos) AS rn
+          |  FROM wd JOIN dh USING (h)) WHERE rn > 1""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |wd AS (SELECT doc_id, pr.pos AS pos, pr.h AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 15, 0)),
+       |    i -> struct_pack(pos := i,
+       |      h := md5(array_to_string(list_slice(toks, i + 1, i + 16), ' '))))) AS pr
+       |  FROM tk)),
+       |dh AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wd)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |rm AS ($rm),
+       |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 16)) AS tokpos
+       |  FROM rm),
+       |tok AS (SELECT doc_id, pr.p AS p, pr.t AS t FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+       |    i -> struct_pack(p := i, t := toks[i + 1]))) AS pr FROM tk)),
+       |fl AS (SELECT tok.doc_id AS doc_id, tok.p AS p, tok.t AS t,
+       |    (cov.tokpos IS NOT NULL) AS rmv
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.tokpos),
+       |rb AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN rmv THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    string_agg(CASE WHEN NOT rmv THEN t END, ' ' ORDER BY p) AS clean_text
+       |  FROM fl GROUP BY doc_id)
+       |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       |  coalesce(rb.n_removed, 0) AS n_removed,
+       |  coalesce(rb.clean_text, '') AS clean_text
+       |FROM tk LEFT JOIN rb USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -264,6 +304,36 @@ object TextQueries {
     "q_dup_spans" -> ((s, dir) =>
       graft.operators.DupSpans.stats(t(s, dir, "documents"), "text",
         "doc_id", n = 16)),
+
+    // span REMOVAL (the Lee et al. ExactSubstr apply step): every
+    // occurrence of a >=2-distinct-doc 16-token window is excised and
+    // clean_text rebuilt from the surviving normalized tokens in one
+    // codegen merge walk — the same 835 dup windows as q_dup_spans
+    "q_dup_spans_remove" -> ((s, dir) =>
+      graft.operators.DupSpans.remove(t(s, dir, "documents"), "text",
+        "doc_id", n = 16)),
+
+    // keep-first policy: the globally-smallest (id, pos) occurrence of
+    // each duplicated window survives; overlap resolves removal-wins
+    "q_dup_spans_keepfirst" -> ((s, dir) =>
+      graft.operators.DupSpans.remove(t(s, dir, "documents"), "text",
+        "doc_id", n = 16, keepFirst = true)),
+
+    // snapshot diff: "old" = the corpus; "new" = corpus with every 17th
+    // doc dropped (removed), every 13th survivor's text edited (changed),
+    // and a disjoint id range appended (added) — statuses must label
+    // exactly those constructions, content-fingerprint matched
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val neu = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      graft.operators.Curation.snapshotDiff(docs, neu, "doc_id", "text")
+    }),
 
     // line-level boilerplate removal: the corpus is single-line, so the
     // query manufactures line structure (8-token windows joined by \n)
@@ -616,6 +686,34 @@ object TextQueries {
          |  round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
          |    / CAST(greatest(len(tk.toks), 1) AS DOUBLE), 6) AS dup_span_frac
          |FROM tk LEFT JOIN ndw USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // remove-all policy: rm = every dup-window occurrence; keep-first:
+    // rm = occurrences past the (doc_id, pos)-smallest one per hash
+    "q_dup_spans_remove" -> dupSpansRemoveSql(keepFirst = false),
+    "q_dup_spans_keepfirst" -> dupSpansRemoveSql(keepFirst = true),
+
+    // same corpus constructions as the Spark side, then a fingerprint
+    // full outer join — the status CASE is the operator's contract
+    "q_snapshot_diff" -> {
+      def fpSql(c: String) =
+        s"md5(trim(regexp_replace(lower(coalesce($c, '')), '[^a-z0-9]+', ' ', 'g')))"
+      s"""WITH neu AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text || ' fresh'
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |o AS (SELECT doc_id, ${fpSql("text")} AS old_fp FROM documents),
+         |nw AS (SELECT doc_id, ${fpSql("text")} AS new_fp FROM neu)
+         |SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+         |  CASE WHEN o.old_fp IS NULL THEN 'added'
+         |       WHEN nw.new_fp IS NULL THEN 'removed'
+         |       WHEN o.old_fp = nw.new_fp THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.old_fp, nw.new_fp
+         |FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id""".stripMargin
+    },
 
     // same multiline construction (8-token windows, injected per-source
     // header), then the frequent-line rule: drop lines in >= 5 distinct

@@ -32,6 +32,21 @@ class DedupSpec extends AnyFunSuite {
     assert(labels === Array("01"))
   }
 
+  test("keepBest keeps the max-score member per cluster, ties -> smallest id") {
+    val df = Seq(("1", 5L), ("2", 9L), ("3", 9L), ("4", 1L), ("5", 2L))
+      .toDF("id", "score")
+    val pairs = Seq(("1", "2"), ("2", "3")).toDF("id_a", "id_b")
+    val r = Dedup.keepBest(df, pairs, "id", "score").collect()
+      .map(x => x.getString(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    // cluster {1,2,3}: max score 9 tied between 2 and 3 -> 2 kept
+    assert(r("1") === ((3L, false)))
+    assert(r("2") === ((3L, true)))
+    assert(r("3") === ((3L, false)))
+    // docs outside the pair graph are singleton keeps
+    assert(r("4") === ((1L, true)))
+    assert(r("5") === ((1L, true)))
+  }
+
   test("deduplicate maps variants to the most frequent member") {
     val docs = (Seq.fill(3)("the quick brown fox jumps high") ++
       Seq("the quick brown fox jumps higher") ++

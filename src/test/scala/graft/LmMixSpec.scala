@@ -355,6 +355,50 @@ class LmMixSpec extends AnyFunSuite {
     assert(self.getAs[Long]("n_dup_windows") === 0L)
   }
 
+  test("DupSpans.remove hand cases: remove-all vs keep-first policies") {
+    import graft.operators.DupSpans
+    val df = Seq(
+      (1L, "a b c d e f"),      // windows [abc][bcd][cde][def]
+      (2L, "x y a b c d z"),    // shares [abc] (pos 2) and [bcd] (pos 3)
+      (3L, "q r s")             // untouched
+    ).toDF("doc_id", "text")
+    // remove-all: doc1 loses coverage [0,4) -> "e f"; doc2 loses [2,6)
+    val all = DupSpans.remove(df, "text", "doc_id", n = 3)
+      .orderBy($"doc_id").collect()
+    assert(all(0).getAs[Long]("n_tokens") === 6L)
+    assert(all(0).getAs[Long]("n_removed") === 4L)
+    assert(all(0).getAs[String]("clean_text") === "e f")
+    assert(all(1).getAs[String]("clean_text") === "x y z")
+    assert(all(2).getAs[Long]("n_removed") === 0L)
+    assert(all(2).getAs[String]("clean_text") === "q r s")
+    // keep-first: doc1 holds the canonical (smallest (id, pos))
+    // occurrences, so it survives intact; doc2's copies still go
+    val kf = DupSpans.remove(df, "text", "doc_id", n = 3, keepFirst = true)
+      .orderBy($"doc_id").collect()
+    assert(kf(0).getAs[Long]("n_removed") === 0L)
+    assert(kf(0).getAs[String]("clean_text") === "a b c d e f")
+    assert(kf(1).getAs[String]("clean_text") === "x y z")
+  }
+
+  test("DupSpans.remove keep-first overlap rule: removal wins") {
+    import graft.operators.DupSpans
+    // [bcd] canonical at (0,0); [abc] canonical at (1,0). doc1's [bcd]@1
+    // is non-canonical -> removes pos 1..3 even though the SURVIVING
+    // canonical [abc] covers pos 0..2: removal wins on overlap.
+    val df = Seq(
+      (0L, "b c d x"),
+      (1L, "a b c d"),
+      (2L, "a b c y")
+    ).toDF("doc_id", "text")
+    val r = DupSpans.remove(df, "text", "doc_id", n = 3, keepFirst = true)
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[String]("clean_text") === "b c d x")
+    assert(r(1).getAs[String]("clean_text") === "a")
+    assert(r(1).getAs[Long]("n_removed") === 3L)
+    // doc2's [abc]@0 is non-canonical -> only the unshared tail survives
+    assert(r(2).getAs[String]("clean_text") === "y")
+  }
+
   test("Bpe.fit hand case: weighted pair counts, chained merges, tie-break") {
     import graft.operators.Bpe
     // words: aa x2, ab x1 -> pairs (a,a):2 (a,b):1 -> merge1 (a,a);

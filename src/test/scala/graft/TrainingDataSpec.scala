@@ -410,4 +410,19 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(graft.operators.Curation.combineManifests(t3(m(lo)), t3(m(hi)))
       === t3(base))
   }
+
+  test("Curation.snapshotDiff labels added/removed/changed/unchanged by " +
+    "content fingerprint") {
+    import spark.implicits._
+    val old = Seq((1L, "Hello World"), (2L, "b"), (3L, "c"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val neu = Seq((1L, "hello, world!"), (2L, "B2"), (4L, "d"), (5L, ""))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Curation.snapshotDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // normalization-equal edits are unchanged — the same fingerprint the
+    // manifest/dedup stages key on; null fingerprints as empty string
+    assert(m === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
 }
