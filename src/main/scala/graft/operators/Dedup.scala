@@ -37,6 +37,23 @@ object Dedup {
       .groupBy(col("__fp").as("fingerprint"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the BEST-scored copy per content group instead of
+    * the smallest id (ties -> smallest id) — the fingerprint-level twin of
+    * `keepBest` for the by-far-most-common dedup stage: when byte-equal
+    * pages differ in sidecar quality metadata (crawl freshness, source
+    * trust, parse confidence), production pipelines keep the best copy.
+    * Same single map-side-combined aggregate shape as `exact` (`min_by`
+    * over a (negated score, id) struct is partial-aggregable), so the
+    * corpus is hashed once and moves through one exchange; `scoreCol`
+    * must be numeric and non-null.
+    */
+  def exactKeepBest(df: DataFrame, textCol: String, idCol: String,
+                    scoreCol: String): DataFrame =
+    df.withColumn("__fp", Text.contentFingerprint(col(textCol)))
+      .groupBy(col("__fp").as("fingerprint"))
+      .agg(min_by(col(idCol), struct(negate(col(scoreCol)), col(idCol)))
+        .as(idCol), count(lit(1)).as("n_dups"))
+
   /** SOFT exact dedup: keep every copy, weight each 1/cluster-size — the
     * alternative several corpus pipelines prefer to hard dropping (total
     * per-content mass stays 1, so duplicated pages aren't over-trained on

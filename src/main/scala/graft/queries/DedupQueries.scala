@@ -227,6 +227,15 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    // exact dedup keeping the BEST-scored copy (longest here) per content
+    // group instead of the smallest id — same one-aggregate shape
+    "q_dedup_exact_best" -> ((s, dir) =>
+      Dedup.exactKeepBest(
+        t(s, dir, "documents").withColumn("score",
+          size(graft.functions.Text.tokens(col("text")))
+            .cast(org.apache.spark.sql.types.LongType)),
+        "text", "doc_id", "score")),
+
     // semantic decontamination (r9): corpus items within cosine 0.4 of a
     // benchmark embedding among LSH-bucket candidates — the paraphrase-
     // level leakage the n-gram rule cannot see. Synthetic split: vec_id
@@ -524,6 +533,20 @@ object DedupQueries {
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS doc_id,
          |  count(*) AS n_dups
          |FROM documents GROUP BY md5($normSql)""".stripMargin,
+
+    // argmax(score) per content group, ties -> smallest id; byte-equal
+    // texts normalize equal so score ties are the common case and the
+    // id tie-break must match the Spark min_by struct order
+    "q_dedup_exact_best" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint,
+         |    CAST(len($toksSql) AS BIGINT) AS score FROM documents),
+         |r AS (SELECT fingerprint, doc_id,
+         |    row_number() OVER (PARTITION BY fingerprint
+         |      ORDER BY score DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY fingerprint) AS n_dups
+         |  FROM f)
+         |SELECT fingerprint, doc_id, CAST(n_dups AS BIGINT) AS n_dups
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "q_decontaminate_semantic" ->
       s"""WITH v AS ($normVSql),

@@ -32,6 +32,17 @@ class DedupSpec extends AnyFunSuite {
     assert(labels === Array("01"))
   }
 
+  test("exactKeepBest keeps the max-score copy per content group") {
+    val df = Seq(
+      ("a", "Hello World", 1L), ("b", "hello, world!", 9L), // same fingerprint
+      ("c", "hello world", 9L),                             // tie -> min id "b"
+      ("d", "other", 2L)
+    ).toDF("id", "text", "score")
+    val r = Dedup.exactKeepBest(df, "text", "id", "score").collect()
+      .map(x => x.getAs[String]("id") -> x.getAs[Long]("n_dups")).toMap
+    assert(r === Map("b" -> 3L, "d" -> 1L))
+  }
+
   test("keepBest keeps the max-score member per cluster, ties -> smallest id") {
     val df = Seq(("1", 5L), ("2", 9L), ("3", 9L), ("4", 1L), ("5", 2L))
       .toDF("id", "score")
