@@ -142,6 +142,40 @@ object Decontaminate {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** SPAN-level decontamination (r12): excise the LEAKING SPANS instead of
+    * dropping whole documents — the surgical policy for long training docs
+    * that quote an eval item in passing (dropping a 50k-token page over
+    * one leaked question wastes the page; keeping it verbatim leaks). A
+    * corpus token is removed iff it sits inside an n-token window whose
+    * exact normalized content also occurs in the benchmark; coverage is
+    * the union over all matching windows, and `clean_text` is rebuilt from
+    * the surviving tokens (the `DupSpans.remove` machinery — same
+    * codegen merge-walk rebuild, same output contract:
+    * (idCol, n_tokens, n_removed, clean_text)).
+    *
+    * Window-exact by construction: benchmark items SHORTER than n tokens
+    * produce no n-token window and are invisible to the scrub — they
+    * remain `flag`/`clean` territory (whole-doc policy). The two compose:
+    * scrub first, then flag what still overlaps at the whole-doc rule.
+    *
+    * Scale shape: the benchmark window-hash set is eval-sized (AQE
+    * broadcasts it — same no-forced-hint discipline as `flagAgainst`);
+    * the corpus pays ONE window-fingerprint scan and a semi-join; the
+    * coverage aggregate is contamination-bounded; the rebuild join is
+    * id-keyed. Zero corpus-sized shuffles.
+    */
+  def scrubSpans(train: DataFrame, bench: DataFrame, textCol: String,
+                 idCol: String, n: Int = 8): DataFrame = {
+    val benchH = bench.select(explode(
+        VecExprs.tokenWindowHashes(col(textCol), n)).as("__h")).distinct()
+    val hits = train.select(col(idCol).as("__id"),
+        posexplode(VecExprs.tokenWindowHashes(col(textCol), n))
+          .as(Seq("__pos", "__h")))
+      .join(benchH, Seq("__h"), "leftsemi")
+      .select(col("__id"), col("__pos"))
+    DupSpans.rebuildWithout(train, textCol, idCol, hits, n)
+  }
+
   /** SEMANTIC decontamination (r9): flag corpus items whose EMBEDDING is
     * within `minCosine` of a benchmark embedding — the paraphrase-level
     * leakage the n-gram rule cannot see (a reworded eval question shares

@@ -118,6 +118,18 @@ object DupSpans {
             col("__c.__pos") === col("__pos")))
           .select(col("__id"), col("__pos"))
       }
+    rebuildWithout(df, textCol, idCol, removalWindows, n)
+  }
+
+  /** Shared rebuild tail for span-excision operators (`remove`,
+    * `Decontaminate.scrubSpans`): (__id, __pos) removal windows ->
+    * per-doc coverage-union position set (duplication-bounded
+    * `collect_set`, state <= doc length) -> id-keyed join back
+    * (AQE-broadcastable when removal is sparse) -> one codegen rebuild
+    * scan. Output: (idCol, n_tokens, n_removed, clean_text).
+    */
+  private[operators] def rebuildWithout(df: DataFrame, textCol: String,
+      idCol: String, removalWindows: DataFrame, n: Int): DataFrame = {
     val removed = removalWindows
       .select(col("__id"), explode(sequence(col("__pos"),
         col("__pos") + lit(n - 1))).as("__t"))

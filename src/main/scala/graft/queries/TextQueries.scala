@@ -105,6 +105,17 @@ object TextQueries {
         "text", "doc_id", n = 4)
     }),
 
+    // span-level decontamination (r12): excise 8-token windows shared
+    // with the benchmark side of the same %17 split instead of dropping
+    // the doc; clean_text rebuilt from surviving tokens
+    "q_scrub_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.scrubSpans(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 8)
+    }),
+
     // attributed decontamination (r8): benchmark NAMES ride the gram set,
     // so every flagged doc reports WHICH eval sets it leaks (doc_id % 17
     // slice split into two named benchmarks by parity of doc_id / 17)
@@ -691,6 +702,39 @@ object TextQueries {
     // rm = occurrences past the (doc_id, pos)-smallest one per hash
     "q_dup_spans_remove" -> dupSpansRemoveSql(keepFirst = false),
     "q_dup_spans_keepfirst" -> dupSpansRemoveSql(keepFirst = true),
+
+    // train-side 8-token windows matching ANY benchmark window hash ->
+    // coverage union -> rebuild (the scrub twin of the dup-span removal)
+    "q_scrub_spans" ->
+      s"""WITH tr AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id % 17 <> 0),
+         |be AS (SELECT $toksSql AS toks FROM documents WHERE doc_id % 17 = 0),
+         |bh AS (SELECT DISTINCT unnest(list_transform(
+         |    range(0, greatest(len(toks) - 7, 0)),
+         |    i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')))) AS h
+         |  FROM be),
+         |wd AS (SELECT doc_id, pr.pos AS pos, pr.h AS h FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 7, 0)),
+         |    i -> struct_pack(pos := i,
+         |      h := md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))))) AS pr
+         |  FROM tr)),
+         |rm AS (SELECT wd.doc_id AS doc_id, wd.pos AS pos FROM wd JOIN bh USING (h)),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tokpos
+         |  FROM rm),
+         |tok AS (SELECT doc_id, pr.p AS p, pr.t AS t FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+         |    i -> struct_pack(p := i, t := toks[i + 1]))) AS pr FROM tr)),
+         |fl AS (SELECT tok.doc_id AS doc_id, tok.p AS p, tok.t AS t,
+         |    (cov.tokpos IS NOT NULL) AS rmv
+         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.tokpos),
+         |rb AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN rmv THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    string_agg(CASE WHEN NOT rmv THEN t END, ' ' ORDER BY p) AS clean_text
+         |  FROM fl GROUP BY doc_id)
+         |SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(rb.n_removed, 0) AS n_removed,
+         |  coalesce(rb.clean_text, '') AS clean_text
+         |FROM tr LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     // same corpus constructions as the Spark side, then a fingerprint
     // full outer join — the status CASE is the operator's contract

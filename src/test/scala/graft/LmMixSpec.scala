@@ -355,6 +355,22 @@ class LmMixSpec extends AnyFunSuite {
     assert(self.getAs[Long]("n_dup_windows") === 0L)
   }
 
+  test("Decontaminate.scrubSpans excises exactly the benchmark-shared " +
+    "windows; short bench items are invisible") {
+    import graft.operators.Decontaminate
+    val train = Seq((1L, "a b c d e f"), (2L, "p q r")).toDF("doc_id", "text")
+    val bench = Seq((100L, "x c d e y"), (101L, "p q")).toDF("doc_id", "text")
+    val r = Decontaminate.scrubSpans(train, bench, "text", "doc_id", n = 3)
+      .orderBy($"doc_id").collect()
+    // bench windows: [xcd][cde][dey]; train hit [cde]@2 -> remove pos 2..4
+    assert(r(0).getAs[String]("clean_text") === "a b f")
+    assert(r(0).getAs[Long]("n_removed") === 3L)
+    // "p q" is shorter than n: no window, so doc2 is untouched by the
+    // scrub (whole-doc flag/clean territory, spec'd elsewhere)
+    assert(r(1).getAs[String]("clean_text") === "p q r")
+    assert(r(1).getAs[Long]("n_removed") === 0L)
+  }
+
   test("DupSpans.remove hand cases: remove-all vs keep-first policies") {
     import graft.operators.DupSpans
     val df = Seq(
