@@ -392,20 +392,24 @@ object VecExprs {
       copy(child = newChild)
   }
 
-  /** Rebuild a document's normalized token stream with the tokens at the
-    * given positions excised — the apply step of exact-substring span
-    * removal (`DupSpans.remove`): the duplicated-window coverage math
-    * happens in a duplication-bounded aggregate upstream, and this
-    * expression turns each (text, removed-position array) row back into
-    * text in ONE codegen scan. A merge walk over the sorted position
-    * array keeps it O(tokens + removed log removed) per row — no
-    * corpus-token-level shuffle, no O(tokens x removed) membership
-    * probes (`array_contains` per token would be quadratic on a
-    * whole-doc duplicate). Out-of-range and duplicate positions are
-    * ignored defensively; empty/fully-removed docs yield "".
+  /** Rebuild a document's normalized token stream with every token inside
+    * one of the given n-token spans excised — the apply step of span
+    * removal (`DupSpans.remove`, `Decontaminate.scrubSpans`): the
+    * upstream aggregate collects only the removed WINDOW STARTS (one row
+    * per window — NOT one per covered token: expanding coverage to
+    * positions before the aggregate cost 71 s vs 10 s at the 10x
+    * whole-corpus-duplicated rehearsal; the surviving ~130 MB shuffle is
+    * the dup-hash aggregate's, window-count-linear by construction),
+    * and this expression merges the [start, start+n)
+    * intervals during ONE codegen scan. The merge walk over the sorted
+    * start array is O(tokens + starts log starts) per row — no
+    * corpus-token-level shuffle, no quadratic membership probes.
+    * Out-of-range and duplicate starts are harmless; empty/fully-removed
+    * docs yield "".
     */
-  case class RemoveTokenPositions(left: Expression, right: Expression)
+  case class RemoveTokenSpans(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
+    require(n > 0, s"need n > 0, got $n")
     override def dataType: DataType = StringType
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
@@ -422,14 +426,19 @@ object VecExprs {
     def compute(s: org.apache.spark.unsafe.types.UTF8String,
                 rm: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
       val toks = NgramVec.normalize(s.toString).split(" ").filter(_.nonEmpty)
-      val pos = rm.toIntArray()
-      java.util.Arrays.sort(pos)
+      val starts = rm.toIntArray()
+      java.util.Arrays.sort(starts)
       val sb = new java.lang.StringBuilder
       var i = 0
       var j = 0
+      var coveredUntil = 0 // exclusive end of the merged coverage so far
       while (i < toks.length) {
-        while (j < pos.length && pos(j) < i) j += 1
-        if (!(j < pos.length && pos(j) == i)) {
+        while (j < starts.length && starts(j) <= i) {
+          val end = starts(j) + n
+          if (end > coveredUntil) coveredUntil = end
+          j += 1
+        }
+        if (i >= coveredUntil) {
           if (sb.length() > 0) sb.append(' ')
           sb.append(toks(i))
         }
@@ -439,8 +448,8 @@ object VecExprs {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("rtpExpr", this,
-        classOf[RemoveTokenPositions].getName)
+      val ref = ctx.addReferenceObj("rtsExpr", this,
+        classOf[RemoveTokenSpans].getName)
       nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
     }
 
@@ -1404,9 +1413,9 @@ object VecExprs {
   def tokenWindowHashes(c: Column, n: Int): Column =
     GraftBridge.column(TokenWindowHashes(GraftBridge.expression(c), n))
 
-  def removeTokenPositions(text: Column, removed: Column): Column =
-    GraftBridge.column(RemoveTokenPositions(GraftBridge.expression(text),
-      GraftBridge.expression(removed)))
+  def removeTokenSpans(text: Column, starts: Column, n: Int): Column =
+    GraftBridge.column(RemoveTokenSpans(GraftBridge.expression(text),
+      GraftBridge.expression(starts), n))
 
   def centerProject(c: Column, mean: Array[Double],
                     basis: Array[Array[Double]]): Column =

@@ -165,13 +165,31 @@ object Decontaminate {
     * id-keyed. Zero corpus-sized shuffles.
     */
   def scrubSpans(train: DataFrame, bench: DataFrame, textCol: String,
-                 idCol: String, n: Int = 8): DataFrame = {
-    val benchH = bench.select(explode(
-        VecExprs.tokenWindowHashes(col(textCol), n)).as("__h")).distinct()
+                 idCol: String, n: Int = 8): DataFrame =
+    scrubSpansAgainst(train, windowHashSet(bench, textCol, n), textCol,
+      idCol, n)
+
+  /** The benchmark's distinct n-token-window fingerprint set — the
+    * `gramSet` twin for span scrubbing: compute ONCE (persist in a
+    * long-lived session or a streaming job) and scrub many training
+    * frames/micro-batches against it with `scrubSpansAgainst`.
+    */
+  def windowHashSet(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench.select(explode(
+      VecExprs.tokenWindowHashes(col(textCol), n)).as("__h")).distinct()
+
+  /** `scrubSpans` against a pre-computed `windowHashSet` frame — the
+    * micro-batch form (`flagAgainst`'s contract: the hash set is STATIC
+    * inside `foreachBatch`, so per-batch cost is one batch scan + the
+    * broadcast semi-join, independent of streamed history).
+    */
+  def scrubSpansAgainst(train: DataFrame, benchHashes: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 8): DataFrame = {
     val hits = train.select(col(idCol).as("__id"),
         posexplode(VecExprs.tokenWindowHashes(col(textCol), n))
           .as(Seq("__pos", "__h")))
-      .join(benchH, Seq("__h"), "leftsemi")
+      .join(benchHashes, Seq("__h"), "leftsemi")
       .select(col("__id"), col("__pos"))
     DupSpans.rebuildWithout(train, textCol, idCol, hits, n)
   }

@@ -342,6 +342,42 @@ object ScaleRehearsal {
         graft.operators.Decontaminate.flagBloom(docs, bench1, "text",
           "doc_id", n = 4).filter(col("contaminated")).count()
       }),
+      // span scrub (r12): FIXED bench window-hash set (the 1x %17 slice),
+      // train grows Nx — one corpus fingerprint scan + broadcast semi-join
+      // + contamination-bounded coverage aggregate + id-keyed rebuild
+      // join: wall ~linear, shufW bounded by contamination, never corpus
+      // token count
+      "scrub_spans" -> (() => {
+        val bench1 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 17 === 0)
+        graft.operators.Decontaminate.scrubSpans(docs, bench1, "text",
+          "doc_id", n = 8).agg(sum(col("n_removed"))).head().getLong(0)
+      }),
+      // span removal (r12): the dup-hash aggregate is skew-proof
+      // (pre-collapsed) and coverage explodes only duplicated windows —
+      // at Nx every original gains cross-copy duplicates, so removal
+      // traffic grows with TRUE duplication (the honest worst case)
+      "dup_spans_remove" -> (() => graft.operators.DupSpans
+        .remove(docs, "text", "doc_id", n = 16)
+        .agg(sum(col("n_removed"))).head().getLong(0)),
+      // representative selection (r12): pair graph from the minhash
+      // bands, CC label propagation bounded by edge-touched ids, verdict
+      // window over tiny cluster partitions; singleton fast path
+      "dedup_keep_best" -> (() => {
+        val scored = docs.select(col("doc_id"),
+          size(graft.functions.Text.tokens(col("text")))
+            .cast("long").as("score"))
+        val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2)
+        Dedup.keepBest(scored, pairs, "doc_id", "score")
+          .filter(col("kept")).count()
+      }),
+      // snapshot diff (r12): both sides Nx (the realistic shape — the
+      // corpus verses its own next revision), fingerprint scans + ONE
+      // id-keyed full outer join; shufW = two fingerprint columns
+      "snapshot_diff" -> (() => graft.operators.Curation.snapshotDiff(
+        docs, docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text")
+        .filter(col("status") =!= "unchanged").count()),
       // semantic dedup (r7 second half): auto-sized ~sqrt(n) k-means cells
       // bound within-cell pair work to ~n^1.5 total — the measured check
       // is that wall grows ~sqrt(10)x-ish per unit row, NOT 10x (which is

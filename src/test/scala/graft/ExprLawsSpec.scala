@@ -187,35 +187,38 @@ class ExprLawsSpec extends AnyFunSuite {
     }
   }
 
-  test("RemoveTokenPositions == indexed-filter HOF form on generated " +
-    "texts and position sets") {
+  test("RemoveTokenSpans == indexed-filter/exists HOF form on generated " +
+    "texts and span-start sets") {
+    val spanN = 3
     val rmGen: Gen[Seq[Int]] = for {
       n <- Gen.choose(0, 10)
       ps <- Gen.listOfN(n, Gen.choose(-2, 30)) // out-of-range + dupes legal
     } yield ps
     val cases: Seq[(String, Seq[Int])] =
       samples(text, 120, seed = 3333L).zip(samples(rmGen, 120, seed = 4444L)) ++
-        Seq(("a b c", Seq.empty[Int]), ("a b c", Seq(0, 1, 2)),
-          ("a b c", Seq(1, 1, 1)), ("", Seq(0)), ("x", Seq(-1, 5)))
+        Seq(("a b c d e", Seq.empty[Int]), ("a b c d e", Seq(0, 2)),
+          ("a b c d e", Seq(1, 1, 1)), ("", Seq(0)), ("x", Seq(-1, 5)),
+          ("a b c d e f g", Seq(0, 4))) // disjoint intervals with a gap
     val df = cases.toDF("t", "rm")
     val loop = df.select(
-      VecExprs.removeTokenPositions(col("t"), col("rm")).as("x"))
+      VecExprs.removeTokenSpans(col("t"), col("rm"), spanN).as("x"))
       .collect().map(_.getString(0))
     val composed = df.select(array_join(
-        filter(Text.tokens(col("t")), (_, i) => !array_contains(col("rm"), i)),
+        filter(Text.tokens(col("t")), (_, i) =>
+          !exists(col("rm"), s => s <= i && i < s + lit(spanN))),
         " ").as("x"))
       .collect().map(_.getString(0))
     loop.zip(composed).zip(cases).foreach { case ((a, b), c) =>
       assert(a === b, s"case: $c")
     }
-    // null text or null position array -> null, like the HOF chain
+    // null text or null start array -> null, like the HOF chain
     assert(Seq((Option.empty[String], Option(Seq(1))))
       .toDF("t", "rm")
-      .select(VecExprs.removeTokenPositions(col("t"), col("rm")))
+      .select(VecExprs.removeTokenSpans(col("t"), col("rm"), spanN))
       .head().isNullAt(0))
     assert(Seq((Option("a b"), Option.empty[Seq[Int]]))
       .toDF("t", "rm")
-      .select(VecExprs.removeTokenPositions(col("t"), col("rm")))
+      .select(VecExprs.removeTokenSpans(col("t"), col("rm"), spanN))
       .head().isNullAt(0))
   }
 

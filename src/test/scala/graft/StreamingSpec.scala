@@ -246,6 +246,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally grams.unpersist()
   }
 
+  test("span scrubbing of streamed micro-batches against a static window-hash set") {
+    // same incremental contract as the flag test, but the verdict is the
+    // REBUILT text: leaked spans excised per batch, batch == one-shot
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "quick brown fox jumps")).toDF("doc_id", "text")
+    val hashes = graft.operators.Decontaminate
+      .windowHashSet(bench, "text", n = 4).persist()
+    try {
+      val source = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.Map[Long, (Long, String)]()
+      val query = source.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.Decontaminate
+            .scrubSpansAgainst(batch, hashes, "text", "doc_id", n = 4)
+            .collect().foreach(r => out.synchronized {
+              out(r.getLong(0)) = (r.getLong(2), r.getString(3))
+            })
+        }
+        .outputMode("append").start()
+      try {
+        source.addData((1L, "see the quick brown fox jumps high"), (2L, "clean doc"))
+        query.processAllAvailable()
+        source.addData((3L, "quick brown fox jumps"))
+        query.processAllAvailable()
+        assert(out.toMap === Map(
+          1L -> (4L, "see the high"),
+          2L -> (0L, "clean doc"),
+          3L -> (4L, "")))
+      } finally query.stop()
+    } finally hashes.unpersist()
+  }
+
   test("GapEncoder online hDict is LRU-capped: state stays flat past the cap") {
     // an unbounded stream must not grow driver state without bound — the
     // activation cache evicts least-recently-SEEN values at maxHDict, and an
