@@ -490,15 +490,30 @@ object Dedup {
   def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
                scoreCol: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // the pair list is consumed THREE times (touched ids, the CC loop's
-    // edge frame, nothing else — but the candidate pipeline behind it is
-    // the expensive part: shingles + signatures + band join + verify);
-    // persist it once for the span of the call (measured 13.6 s -> the
-    // pair cost once at the 10x rehearsal without it paying twice)
+    // The pair list is consumed twice (touched ids + the CC loop's edge
+    // frame) and the candidate pipeline behind it is the expensive part
+    // (shingles + signatures + band join + verify): persist it for the
+    // span of the clustering, then release it BEFORE returning — the
+    // returned verdict must not re-trigger the pair pipeline. That works
+    // because everything the verdict references is checkpoint-backed and
+    // PAIR-GRAPH-BOUNDED: `touched` is localCheckpointed here (eager) and
+    // the CC loop checkpoints its final labels internally, so after this
+    // call the only live state is graph-sized, NEVER corpus-sized (an
+    // earlier draft localCheckpointed the corpus-row verdict itself —
+    // exactly the kind of corpus-sized block-manager residency a 100 TB
+    // run cannot afford). The checkpoint blocks are freed by the
+    // ContextCleaner once the returned frame is garbage-collected.
+    //
+    // LAZY contract (unlike `deduplicate`, whose output is vocabulary-
+    // sized and therefore eagerly materialized): the verdict is
+    // corpus-row-sized, so the CALLER owns its materialization — each
+    // action re-scans `df` for (id, score), but never the pair pipeline.
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val touched = p
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .localCheckpoint() // eager: pins the pair-bounded vertex set
     val labels = connectedComponents(touched, p)
+    p.unpersist(blocking = false) // CC ran eagerly; labels are checkpointed
     val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__score"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
     val clustered = scored.join(labels, Seq("id"))
@@ -510,15 +525,9 @@ object Dedup {
     val singletons = scored.join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("__score"), lit(1L).as("cluster_size"),
         lit(true).as("kept"))
-    val out = clustered.unionByName(singletons)
+    clustered.unionByName(singletons)
       .select(col("id").as(idCol), col("__score").as(scoreCol),
         col("cluster_size"), col("kept"))
-    // the verdict is corpus-row-sized by contract; materialize it once and
-    // free the pair persist this call owns (the deduplicate() discipline —
-    // a long-lived session accumulates no dead storage)
-    val mat = out.localCheckpoint()
-    p.unpersist(blocking = false)
-    mat
   }
 
   /** Connected components over an undirected pair list via iterative
