@@ -161,6 +161,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected exchange key:\n$plan")
   }
 
+  test("span scrubbing broadcasts the window-hash set; corpus shuffles only " +
+    "on doc keys") {
+    val docs = graft.ops.Kernel.table(spark, sf, "documents")
+    val out = graft.operators.Decontaminate.scrubSpans(
+      docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
+      "text", "doc_id", n = 8)
+    // same no-forced-hint discipline as flagAgainst: the broadcast must be
+    // the planner/AQE choosing it for the eval-sized hash set
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"window-hash set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"hash probe fell back to a corpus shuffle join:\n$plan")
+    // corpus-keyed exchanges: the contamination-bounded coverage aggregate
+    // (__id) and the id-keyed rebuild join (doc_id); the only other hash
+    // exchange allowed is the benchmark side's distinct (feeds broadcast)
+    assert("Exchange hashpartitioning\\((?!doc_id|__id|__h)".r
+      .findAllIn(plan).isEmpty, s"unexpected exchange key:\n$plan")
+  }
+
   test("Pack.sequences windows per shard, never a single global partition") {
     val docs = graft.ops.Kernel.table(spark, sf, "documents")
       .withColumn("n_toks", lit(10L))

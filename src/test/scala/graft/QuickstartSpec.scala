@@ -66,6 +66,43 @@ class QuickstartSpec extends AnyFunSuite {
     assert(dups.columns.contains("is_dup"))
     assert(dups.count() > 0)
 
+    // surgical cleaning (README block): excise the offending SPANS, keep
+    // the docs — cross-doc duplicated spans (keep-first), then
+    // benchmark-leaking spans on the despanned text
+    val despanned = DupSpans.remove(curated, "text", "doc_id", n = 16,
+      keepFirst = true)
+    assert(despanned.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "n_removed", "clean_text"))
+    assert(despanned.agg(sum($"n_removed")).head().getLong(0) > 0,
+      "fixture corpus has cross-doc duplication — removal must fire")
+    val scrubbed = Decontaminate.scrubSpans(
+      despanned.withColumnRenamed("clean_text", "text"), bench,
+      "text", "doc_id", n = 8)
+    assert(scrubbed.count() === despanned.count(),
+      "span scrubbing is a census: every doc gets a verdict row")
+
+    // quality-aware dedup: keep the BEST copy per group, not the smallest
+    // id — exact groups in one aggregate; near-dup clusters via connected
+    // components over any verified pair list
+    val scoredDocs = docs.withColumn("score",
+      size(graft.functions.Text.tokens($"text")).cast("long"))
+    val bestExact = Dedup.exactKeepBest(scoredDocs, "text", "doc_id", "score")
+    assert(bestExact.count() > 0)
+    val pairGraph = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2)
+    val reps = Dedup.keepBest(scoredDocs.select($"doc_id", $"score"),
+      pairGraph, "doc_id", "score")
+    assert(reps.count() === docs.count(), "keepBest verdicts are a census")
+    assert(reps.filter($"kept").count() < docs.count(),
+      "fixture near-dups must lose their non-representative copies")
+
+    // dataset versioning: doc-level snapshot diff against the curated
+    // revision (removed = curation drops; unchanged = survivors)
+    val diff = Curation.snapshotDiff(docs, curated, "doc_id", "text")
+    assert(diff.filter($"status" === "removed").count() ===
+      docs.count() - nCurated)
+    assert(diff.filter($"status" === "unchanged").count() === nCurated)
+
     // DSIR importance resampling toward a reference slice (README block)
     val reference = docs.filter($"source" ===
       docs.agg(min($"source")).head().getString(0))
