@@ -413,8 +413,14 @@ object VecExprs {
     override def dataType: DataType = StringType
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
-        case (StringType, ArrayType(IntegerType, _)) =>
+        case (StringType, ArrayType(IntegerType, false)) =>
           TypeCheckResult.TypeCheckSuccess
+        case (StringType, ArrayType(IntegerType, true)) =>
+          // toIntArray would NPE on a null element at runtime inside
+          // generated code — fail at analysis with a clear message instead
+          TypeCheckResult.TypeCheckFailure(
+            "start positions must be non-nullable array<int> " +
+              "(a null element has no interval semantics)")
         case (l, r) => TypeCheckResult.TypeCheckFailure(
           s"expected (string, array<int>), got $l, $r")
       }

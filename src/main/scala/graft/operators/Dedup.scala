@@ -480,11 +480,14 @@ object Dedup {
     * mirroring `duplicationWeights`).
     *
     * Scale shape: the label-propagation loop and its joins are bounded by
-    * the PAIR GRAPH (edge-touched ids only), not the corpus; the verdict
-    * window partitions by cluster label over only those rows (near-dup
-    * clusters are tiny cliques — no mega-partition), and untouched docs
-    * take the `kept = true` fast path through one AQE-broadcastable
-    * anti-join (the label side is pair-bounded). Nothing corpus-sized is
+    * the PAIR GRAPH (edge-touched ids only), not the corpus; per-cluster
+    * stats come from ONE map-side-combined aggregate over the clustered
+    * rows (count + min_by are partial-aggregable, so a mega-cluster — a
+    * boilerplate page duplicated millions of times, exactly the shape
+    * dedup targets — pre-collapses per partition instead of landing on
+    * one window task) joined back on the label (cluster-count-sized side,
+    * AQE-broadcastable); untouched docs take the `kept = true` fast path
+    * through one AQE-broadcastable anti-join. Nothing corpus-sized is
     * ever sorted or collected.
     */
   def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
@@ -508,18 +511,24 @@ object Dedup {
     // sized and therefore eagerly materialized): the verdict is
     // corpus-row-sized, so the CALLER owns its materialization — each
     // action re-scans `df` for (id, score), but never the pair pipeline.
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // respect a caller-owned persist: unpersisting a frame the caller
+    // cached for reuse would silently evict THEIR blocks
+    val callerPersisted =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerPersisted) pairs
+      else pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val touched = p
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
       .localCheckpoint() // eager: pins the pair-bounded vertex set
     val labels = connectedComponents(touched, p)
-    p.unpersist(blocking = false) // CC ran eagerly; labels are checkpointed
+    // CC ran eagerly; labels are checkpointed
+    if (!callerPersisted) p.unpersist(blocking = false)
     val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__score"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
-    val clustered = scored.join(labels, Seq("id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("__rep",
-        min_by(col("id"), struct(negate(col("__score")), col("id"))).over(w))
+    val t = scored.join(labels, Seq("id"))
+    val stats = t.groupBy(col("label")).agg(
+      count(lit(1)).as("cluster_size"),
+      min_by(col("id"), struct(negate(col("__score")), col("id"))).as("__rep"))
+    val clustered = t.join(stats, Seq("label"))
       .select(col("id"), col("__score"), col("cluster_size"),
         (col("id") === col("__rep")).as("kept"))
     val singletons = scored.join(labels.select(col("id")), Seq("id"), "left_anti")

@@ -89,13 +89,13 @@ object DupSpans {
     * excised.
     *
     * Scale shape: `stats`'s plan (two fingerprint scans, skew-proof
-    * pre-collapsed dup-hash aggregate, duplication-bounded coverage
-    * explode) plus ONE duplication-bounded `collect_set` per AFFECTED
-    * doc (state <= doc length, rows <= docs with any duplication) and an
-    * id-keyed join back that AQE broadcasts when duplication is sparse.
-    * The rebuild itself is one whole-stage-codegen scan
-    * (`VecExprs.removeTokenPositions`, a merge walk over the sorted
-    * position array) — no corpus-token-level shuffle anywhere. The
+    * pre-collapsed dup-hash aggregate) plus ONE duplication-bounded
+    * `collect_set` of removed WINDOW STARTS per AFFECTED doc (state <=
+    * windows per doc, rows <= docs with any duplication) and an id-keyed
+    * join back that AQE broadcasts when duplication is sparse. The
+    * rebuild itself is one whole-stage-codegen scan
+    * (`VecExprs.removeTokenSpans`, an interval-merge walk over the
+    * sorted start array) — no corpus-token-level shuffle anywhere. The
     * keepFirst canonical aggregate is per-hash min — bounded state,
     * map-side combined, same skew bound as the dup-hash count.
     */
@@ -140,8 +140,12 @@ object DupSpans {
     val removed = removalWindows
       .groupBy(col("__id")).agg(collect_set(col("__pos")).as("__rm"))
     val emptyPos = array().cast(ArrayType(IntegerType, containsNull = false))
-    val clean = graft.functions.VecExprs.removeTokenSpans(col(textCol),
-      coalesce(col("__rm"), emptyPos), n)
+    // null text: n_tokens stays null (size of a null token array) but the
+    // rebuild columns coalesce to the no-op verdict (0 removed, empty
+    // text) — the rule the DuckDB oracles' coalesce already encodes, so a
+    // null-text fixture row cannot break parity
+    val clean = coalesce(graft.functions.VecExprs.removeTokenSpans(
+      col(textCol), coalesce(col("__rm"), emptyPos), n), lit(""))
     val cleanCount = when(length(col("clean_text")) === 0, lit(0))
       .otherwise(size(split(col("clean_text"), " ")))
     df.select(col(idCol), col(textCol))
@@ -151,7 +155,8 @@ object DupSpans {
           .as("n_tokens"),
         clean.as("clean_text"))
       .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - cleanCount).cast(LongType).as("n_removed"),
+        coalesce((col("n_tokens") - cleanCount).cast(LongType), lit(0L))
+          .as("n_removed"),
         col("clean_text"))
   }
 }

@@ -24,29 +24,22 @@ object TextQueries {
   private[queries] val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private[queries] val toksSql = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
 
-  // DupSpans.remove oracle: the q_dup_spans window-fingerprint CTEs, a
-  // policy-dependent removal set, then token-level rebuild — string_agg
-  // of surviving tokens in position order
-  private def dupSpansRemoveSql(keepFirst: Boolean): String = {
-    val rm =
-      if (!keepFirst)
-        "SELECT wd.doc_id AS doc_id, wd.pos AS pos FROM wd JOIN dh USING (h)"
-      else
-        """SELECT doc_id, pos FROM (
-          |  SELECT wd.doc_id AS doc_id, wd.pos AS pos,
-          |    row_number() OVER (PARTITION BY wd.h
-          |      ORDER BY wd.doc_id, wd.pos) AS rn
-          |  FROM wd JOIN dh USING (h)) WHERE rn > 1""".stripMargin
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |wd AS (SELECT doc_id, pr.pos AS pos, pr.h AS h FROM (
-       |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 15, 0)),
+  // n-token window fingerprints of the corpus CTE `tk(doc_id, toks)` —
+  // the SQL twin of VecExprs.tokenWindowHashes
+  private def windowHashCteSql(n: Int): String =
+    s"""wd AS (SELECT doc_id, pr.pos AS pos, pr.h AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - ${n - 1}, 0)),
        |    i -> struct_pack(pos := i,
-       |      h := md5(array_to_string(list_slice(toks, i + 1, i + 16), ' '))))) AS pr
-       |  FROM tk)),
-       |dh AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wd)
-       |  GROUP BY h HAVING count(*) >= 2),
-       |rm AS ($rm),
-       |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 16)) AS tokpos
+       |      h := md5(array_to_string(list_slice(toks, i + 1, i + $n), ' '))))) AS pr
+       |  FROM tk))""".stripMargin
+
+  // shared rebuild tail for the span-excision oracles: coverage union of
+  // [pos, pos+n) over the removal CTE `rm(doc_id, pos)`, token-level
+  // rebuild over `tk(doc_id, toks)` — string_agg of surviving tokens in
+  // position order. ONE copy of this machinery so the rebuild rule (incl.
+  // the null-text coalesce) cannot diverge between oracles.
+  private def spanRebuildSql(n: Int): String =
+    s"""cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + $n)) AS tokpos
        |  FROM rm),
        |tok AS (SELECT doc_id, pr.p AS p, pr.t AS t FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
@@ -62,6 +55,25 @@ object TextQueries {
        |  coalesce(rb.n_removed, 0) AS n_removed,
        |  coalesce(rb.clean_text, '') AS clean_text
        |FROM tk LEFT JOIN rb USING (doc_id)""".stripMargin
+
+  // DupSpans.remove oracle: window fingerprints, >=2-distinct-doc hashes,
+  // a policy-dependent removal set, then the shared rebuild tail
+  private def dupSpansRemoveSql(keepFirst: Boolean): String = {
+    val rm =
+      if (!keepFirst)
+        "SELECT wd.doc_id AS doc_id, wd.pos AS pos FROM wd JOIN dh USING (h)"
+      else
+        """SELECT doc_id, pos FROM (
+          |  SELECT wd.doc_id AS doc_id, wd.pos AS pos,
+          |    row_number() OVER (PARTITION BY wd.h
+          |      ORDER BY wd.doc_id, wd.pos) AS rn
+          |  FROM wd JOIN dh USING (h)) WHERE rn > 1""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |${windowHashCteSql(16)},
+       |dh AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wd)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |rm AS ($rm),
+       |${spanRebuildSql(16)}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -704,37 +716,18 @@ object TextQueries {
     "q_dup_spans_keepfirst" -> dupSpansRemoveSql(keepFirst = true),
 
     // train-side 8-token windows matching ANY benchmark window hash ->
-    // coverage union -> rebuild (the scrub twin of the dup-span removal)
+    // removal set -> the SAME rebuild tail as the dup-span oracles
     "q_scrub_spans" ->
-      s"""WITH tr AS (SELECT doc_id, $toksSql AS toks FROM documents
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
          |  WHERE doc_id % 17 <> 0),
          |be AS (SELECT $toksSql AS toks FROM documents WHERE doc_id % 17 = 0),
          |bh AS (SELECT DISTINCT unnest(list_transform(
          |    range(0, greatest(len(toks) - 7, 0)),
          |    i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')))) AS h
          |  FROM be),
-         |wd AS (SELECT doc_id, pr.pos AS pos, pr.h AS h FROM (
-         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 7, 0)),
-         |    i -> struct_pack(pos := i,
-         |      h := md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))))) AS pr
-         |  FROM tr)),
+         |${windowHashCteSql(8)},
          |rm AS (SELECT wd.doc_id AS doc_id, wd.pos AS pos FROM wd JOIN bh USING (h)),
-         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tokpos
-         |  FROM rm),
-         |tok AS (SELECT doc_id, pr.p AS p, pr.t AS t FROM (
-         |  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
-         |    i -> struct_pack(p := i, t := toks[i + 1]))) AS pr FROM tr)),
-         |fl AS (SELECT tok.doc_id AS doc_id, tok.p AS p, tok.t AS t,
-         |    (cov.tokpos IS NOT NULL) AS rmv
-         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.tokpos),
-         |rb AS (SELECT doc_id,
-         |    CAST(sum(CASE WHEN rmv THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         |    string_agg(CASE WHEN NOT rmv THEN t END, ' ' ORDER BY p) AS clean_text
-         |  FROM fl GROUP BY doc_id)
-         |SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_tokens,
-         |  coalesce(rb.n_removed, 0) AS n_removed,
-         |  coalesce(rb.clean_text, '') AS clean_text
-         |FROM tr LEFT JOIN rb USING (doc_id)""".stripMargin,
+         |${spanRebuildSql(8)}""".stripMargin,
 
     // same corpus constructions as the Spark side, then a fingerprint
     // full outer join — the status CASE is the operator's contract

@@ -394,6 +394,15 @@ class LmMixSpec extends AnyFunSuite {
     assert(kf(0).getAs[Long]("n_removed") === 0L)
     assert(kf(0).getAs[String]("clean_text") === "a b c d e f")
     assert(kf(1).getAs[String]("clean_text") === "x y z")
+    // null text: n_tokens stays null, but the rebuild columns take the
+    // no-op verdict — the oracle's coalesce rule, pinned on the Spark side
+    val nt = DupSpans.remove(
+      Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+        .toDF("doc_id", "text"), "text", "doc_id", n = 3)
+      .orderBy($"doc_id").collect()
+    assert(nt(1).isNullAt(nt(1).fieldIndex("n_tokens")))
+    assert(nt(1).getAs[Long]("n_removed") === 0L)
+    assert(nt(1).getAs[String]("clean_text") === "")
   }
 
   test("DupSpans.remove keep-first overlap rule: removal wins") {
