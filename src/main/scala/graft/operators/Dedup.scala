@@ -170,9 +170,28 @@ object Dedup {
             element_at(sig, b * rowsPerBand + r + 1)): _*))))
     }
 
+  /** `bandPairs = "all"` (default) materializes every band-colliding pair —
+    * exhaustive, but O(bucket^2) inside a bucket: a document duplicated c
+    * times yields ~c^2/2 candidates per colliding band (measured 12.5 GB
+    * shuffle / 27M verified pairs at the 100x-copies rehearsal — the
+    * output itself is quadratic in duplication). `bandPairs = "star"` is
+    * the clustering-consumer scale knob production dedup pipelines use:
+    * each bucket emits only (bucket-min id, other) — O(bucket) — and
+    * connected components recover the full cluster transitively through
+    * the verified hub edges. Laws (DedupSpec): star's verified pairs are
+    * a SUBSET of all-pairs', and star components REFINE all-pairs
+    * components (fewer edges can only split clusters, never merge). The
+    * trade: a pair neither of whose ends is a bucket minimum survives
+    * only if its ends connect through hubs that pass verification — use
+    * "star" for keepBest/deduplicate/CC-style consumers, "all" when the
+    * pair LIST itself is the deliverable.
+    */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      bandPairs: String = "all"): DataFrame = {
+    require(Set("all", "star")(bandPairs),
+      s"bandPairs must be all|star, got $bandPairs")
     val k = rowsPerBand * nBands
     // Signature via ONE loop-codegen pass per doc (VecExprs.MinhashSig):
     // the previous explode + K static min-aggregates shape shuffled every
@@ -221,10 +240,19 @@ object Dedup {
     // makes the documented no-collision contract hold for any caller.
     val banded = sigs.select(col("id"),
       explode(array(bandExprs(col("sig"), rowsPerBand, nBands): _*)).as("band"))
-    val cand = banded.alias("x").join(banded.alias("y"), Seq("band"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand =
+      if (bandPairs == "star") {
+        // one map-side-combined min per bucket (skew-proof: a million-copy
+        // bucket pre-collapses per partition), then O(bucket) hub edges
+        val hubs = banded.groupBy(col("band")).agg(min(col("id")).as("id_a"))
+        banded.join(hubs, Seq("band"))
+          .filter(col("id_a") < col("id"))
+          .select(col("id_a"), col("id").as("id_b"))
+          .distinct()
+      } else banded.alias("x").join(banded.alias("y"), Seq("band"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
     val sh = base.select(col("id"),
       graft.functions.VecExprs.tokenShingles(col("__text"), n).as("shingles"))
     cand

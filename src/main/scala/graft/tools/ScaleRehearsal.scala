@@ -372,6 +372,20 @@ object ScaleRehearsal {
         Dedup.keepBest(scored, pairs, "doc_id", "score")
           .filter(col("kept")).count()
       }),
+      // star-pair twin: the clustering-consumer scale knob — each band
+      // bucket emits (min, other) instead of all pairs, so the pair list
+      // (and everything downstream) is linear in duplication where the
+      // all-pairs form is quadratic (12.5 GB shuffle at 100x copies)
+      "dedup_keep_best_star" -> (() => {
+        val scored = docs.select(col("doc_id"),
+          size(graft.functions.Text.tokens(col("text")))
+            .cast("long").as("score"))
+        val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2,
+          bandPairs = "star")
+        Dedup.keepBest(scored, pairs, "doc_id", "score")
+          .filter(col("kept")).count()
+      }),
       // snapshot diff (r12): both sides Nx (the realistic shape — the
       // corpus verses its own next revision), fingerprint scans + ONE
       // id-keyed full outer join; shufW = two fingerprint columns

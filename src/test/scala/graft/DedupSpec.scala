@@ -32,6 +32,35 @@ class DedupSpec extends AnyFunSuite {
     assert(labels === Array("01"))
   }
 
+  test("star band pairs: verified subset of all-pairs; components refine") {
+    val docs = TestSpark.table("documents")
+    def pairs(mode: String) = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2, bandPairs = mode)
+    val all = pairs("all")
+    val star = pairs("star")
+    val allSet = all.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starSet = star.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starSet.nonEmpty, "fixture must produce star pairs")
+    assert(starSet.subsetOf(allSet),
+      s"star emitted a pair all-pairs missed: ${starSet -- allSet}")
+    // refinement: every star component sits inside ONE all-pairs component
+    def labels(p: org.apache.spark.sql.DataFrame) = {
+      val verts = docs.select(col("doc_id").as("id"))
+      Dedup.connectedComponents(verts, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val la = labels(all)
+    val ls = labels(star)
+    ls.groupBy(_._2).values.foreach { comp =>
+      val allLabels = comp.keys.map(la).toSet
+      assert(allLabels.size === 1,
+        s"star component ${comp.keys.toSeq.sorted} straddles all-pairs " +
+          s"components $allLabels")
+    }
+  }
+
   test("exactKeepBest keeps the max-score copy per content group") {
     val df = Seq(
       ("a", "Hello World", 1L), ("b", "hello, world!", 9L), // same fingerprint
