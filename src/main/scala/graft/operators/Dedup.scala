@@ -182,9 +182,13 @@ object Dedup {
     * a SUBSET of all-pairs', and star components REFINE all-pairs
     * components (fewer edges can only split clusters, never merge). The
     * trade: a pair neither of whose ends is a bucket minimum survives
-    * only if its ends connect through hubs that pass verification — use
-    * "star" for keepBest/deduplicate/CC-style consumers, "all" when the
-    * pair LIST itself is the deliverable.
+    * only if its ends connect through hubs that pass verification — fine
+    * when buckets are precise, as minhash bands are (AND-composition of
+    * rowsPerBand hashes: collision implies similarity; measured component
+    * recall 1.0 on the fixture and an IDENTICAL keepBest kept set at the
+    * 100x-copies rehearsal, StarRecallSpec) — use "star" for
+    * keepBest/deduplicate/CC-style consumers on duplication-heavy
+    * corpora, "all" when the pair LIST itself is the deliverable.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
@@ -353,9 +357,27 @@ object Dedup {
     math.max(1, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize))
       / math.log(2.0)).toInt)
 
+  /** `bucketPairs = "star"` mirrors `minhashLshPairs(bandPairs = "star")`:
+    * each (table, bucket) emits only (bucket-min id, other) hub edges —
+    * O(bucket) where all-pairs is O(bucket^2) in duplication. Same
+    * subset/refinement laws (DedupSpec) — but UNLIKE the minhash twin,
+    * hyperplane buckets at practical plane counts are COARSE (mostly
+    * dissimilar vectors share a bucket), so hub edges often fail cosine
+    * verification and clusters shatter: measured component recall 0.095
+    * on the fixture's sparse similarity graph vs the minhash twin's 1.0
+    * (StarRecallSpec pins both). Reach for star here ONLY when
+    * duplication dominates (exact-copy floods, where the hub IS a copy);
+    * for embedding clustering use `semanticDedup` (cell-confined) or
+    * keep the "all" default. `planesFor` bounds EXPECTED occupancy but
+    * cannot bound a mega-duplicated embedding's bucket; star bounds the
+    * pair count even there.
+    */
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
                         minCosine: Double, planesPerTable: Int = 4,
-                        nTables: Int = 16): DataFrame = {
+                        nTables: Int = 16,
+                        bucketPairs: String = "all"): DataFrame = {
+    require(Set("all", "star")(bucketPairs),
+      s"bucketPairs must be all|star, got $bucketPairs")
     // exchange-reuse instead of persist (the previous persists were never
     // released — a leak in a long-lived session): `v` repartitioned on id
     // is the exact partitioning the two verification joins require, so one
@@ -380,10 +402,18 @@ object Dedup {
         col("nv"), nTables, planesPerTable)))
       .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
       .repartition(nSpread, col("tbl"), col("bkt"))
-    val cand = posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand =
+      if (bucketPairs == "star") {
+        val hubs = posting.groupBy(col("tbl"), col("bkt"))
+          .agg(min(col("id")).as("id_a"))
+        posting.join(hubs, Seq("tbl", "bkt"))
+          .filter(col("id_a") < col("id"))
+          .select(col("id_a"), col("id").as("id_b"))
+          .distinct()
+      } else posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
     cand
       .join(v.select(col("id").as("id_a"), col("nv").as("nv_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("nv").as("nv_b")), Seq("id_b"))

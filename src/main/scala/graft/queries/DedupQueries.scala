@@ -326,6 +326,12 @@ object DedupQueries {
       Dedup.embeddingLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
         minCosine = 0.4, planesPerTable = 4, nTables = 16)),
 
+    // star bucket pairs (r12): the embedding twin of q_dedup_minhash_star
+    "q_dedup_embedding_star" -> ((s, dir) =>
+      Dedup.embeddingLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.4, planesPerTable = 4, nTables = 16,
+        bucketPairs = "star")),
+
     // SemDeDup-style semantic dedup: deterministic k-means cells (the same
     // pinned 16-cell/2-iter geometry as q_ann_kmeans so the unrolled-Lloyd
     // oracle reproduces the quantizer), within-cell cosine >= 0.4 against
@@ -812,6 +818,27 @@ object DedupQueries {
          |cand AS (
          |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
          |  FROM bt x JOIN bt y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id)
+         |SELECT id_a, id_b,
+         |  round(list_sum(list_transform(list_zip(a.nv, b2.nv),
+         |    p -> p[1] * p[2])), 6) AS cosine
+         |FROM cand JOIN v a ON cand.id_a = a.id JOIN v b2 ON cand.id_b = b2.id
+         |WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4""".stripMargin,
+
+    // hub candidates per (tbl, bkt); verification identical
+    "q_dedup_embedding_star" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings),
+         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |hubs AS (SELECT tbl, bkt, min(id) AS id_a FROM bt GROUP BY tbl, bkt),
+         |cand AS (
+         |  SELECT DISTINCT h.id_a AS id_a, b.id AS id_b
+         |  FROM bt b JOIN hubs h ON b.tbl = h.tbl AND b.bkt = h.bkt
+         |  WHERE h.id_a < b.id)
          |SELECT id_a, id_b,
          |  round(list_sum(list_transform(list_zip(a.nv, b2.nv),
          |    p -> p[1] * p[2])), 6) AS cosine

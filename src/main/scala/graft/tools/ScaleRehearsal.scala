@@ -212,6 +212,9 @@ object ScaleRehearsal {
         minJaccard = 0.4).count()),
       "dedup_embedding_lsh" -> (() => Dedup.embeddingLshPairs(emb, "embedding",
         "vec_id", minCosine = 0.4, planesPerTable = 4, nTables = 16).count()),
+      "dedup_embedding_star" -> (() => Dedup.embeddingLshPairs(emb,
+        "embedding", "vec_id", minCosine = 0.4, planesPerTable = 4,
+        nTables = 16, bucketPairs = "star").count()),
       "ann_ivf" -> (() => SimilaritySearch.ivfTopK(emb,
         emb.filter(col("vec_id") % lit(1000000L) < 10), "embedding", "vec_id",
         k = 5).count()),

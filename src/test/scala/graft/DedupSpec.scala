@@ -59,6 +59,17 @@ class DedupSpec extends AnyFunSuite {
         s"star component ${comp.keys.toSeq.sorted} straddles all-pairs " +
           s"components $allLabels")
     }
+    // embedding twin: same subset law over the hyperplane buckets
+    val emb = TestSpark.table("embeddings")
+    def epairs(mode: String) = Dedup.embeddingLshPairs(emb, "embedding",
+      "vec_id", minCosine = 0.4, planesPerTable = 4, nTables = 16,
+      bucketPairs = mode)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eAll = epairs("all")
+    val eStar = epairs("star")
+    assert(eStar.nonEmpty && eStar.subsetOf(eAll),
+      s"embedding star law violated: extra=${eStar -- eAll}")
   }
 
   test("exactKeepBest keeps the max-score copy per content group") {

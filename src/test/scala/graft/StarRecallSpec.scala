@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Recall characterization of the star-pair scale knob: star keeps only
+  * (bucket-min, other) hub edges, so cluster recall depends on the HUB
+  * being genuinely similar to the bucket's true duplicates — true when
+  * buckets are precise (minhash bands AND-compose rowsPerBand hashes:
+  * colliding docs really are similar), false when buckets are coarse
+  * (4-plane hyperplane buckets mix mostly-dissimilar vectors, so hub
+  * edges fail cosine verification and clusters shatter). Both numbers
+  * are pinned here so the guidance in the scaladocs stays measured:
+  * star is for DUPLICATION-DOMINATED text dedup; embedding clustering
+  * should use `semanticDedup` (cell-confined) or bandPairs="all".
+  */
+class StarRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def flaggedBy(pairs: org.apache.spark.sql.DataFrame,
+                        verts: org.apache.spark.sql.DataFrame): Set[Long] =
+    Dedup.connectedComponents(verts, pairs)
+      .filter(col("id") =!= col("label"))
+      .collect().map(_.getLong(0)).toSet
+
+  test("minhash star recalls every all-pairs-flagged duplicate on the fixture") {
+    val docs = TestSpark.table("documents")
+    val verts = docs.select(col("doc_id").as("id"))
+    def flagged(mode: String) = flaggedBy(Dedup.minhashLshPairs(docs,
+      "text", "doc_id", n = 3, rowsPerBand = 2, nBands = 8,
+      minJaccard = 0.2, bandPairs = mode), verts)
+    val fa = flagged("all")
+    val fs = flagged("star")
+    assert(fa.nonEmpty)
+    assert(fs === fa,
+      s"minhash star must flag the same duplicates on the dup-dominated " +
+        s"fixture: missed ${fa -- fs}, extra ${fs -- fa}")
+  }
+
+  test("embedding star recall is LOW on a sparse similarity graph — the " +
+    "documented reason its default is all") {
+    val emb = TestSpark.table("embeddings")
+    val verts = emb.select(col("vec_id").as("id"))
+    def flagged(mode: String) = flaggedBy(Dedup.embeddingLshPairs(emb,
+      "embedding", "vec_id", minCosine = 0.4, planesPerTable = 4,
+      nTables = 16, bucketPairs = mode), verts)
+    val fa = flagged("all")
+    val fs = flagged("star")
+    assert(fs.subsetOf(fa), "star flags must be a subset (refinement)")
+    val recall = (fs & fa).size.toDouble / fa.size
+    // measured 0.095 on the fixture; pin the CHARACTER of the result
+    // (well below 1) without over-fitting the exact value
+    assert(recall < 0.5,
+      s"embedding star recall unexpectedly high ($recall) — if coarse " +
+        "buckets started recalling, re-evaluate the scaladoc guidance")
+  }
+}
