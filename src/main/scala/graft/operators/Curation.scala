@@ -37,20 +37,40 @@ import graft.functions.Text
   */
 object Curation {
 
+  /** `scoreCol` (r13): empty = keep the SMALLEST ID per content group
+    * (the original policy); a column name = keep the BEST-SCORED copy
+    * (ties → smallest id) — the FineWeb-standard quality-aware keeper,
+    * composed into the sweep so byte-equal pages differing in sidecar
+    * metadata (crawl freshness, source trust) keep the best copy. Same
+    * ONE fingerprint window either way: `min_by` is declarative like
+    * `min`, so the plan shape is unchanged — only the window's ordering
+    * struct differs. Scores must be non-null (loud guard, the
+    * `Dedup.exactKeepBest` contract).
+    */
   def sweep(docs: DataFrame, bench: DataFrame, textCol: String,
-            idCol: String, decontaminateN: Int = 8): DataFrame = {
+            idCol: String, decontaminateN: Int = 8,
+            scoreCol: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val gateCols = Seq(col(idCol), col("quality_ok"), col("repetition_ok"),
+      col("__fp")) ++ (if (scoreCol.isEmpty) Nil else Seq(col(scoreCol)))
     val gated = TextAnalysis.repetitionFeatures(
         TextAnalysis.qualityFeatures(docs, textCol), textCol)
       .withColumn("__fp", Text.contentFingerprint(col(textCol)))
-      .select(col(idCol), col("quality_ok"), col("repetition_ok"), col("__fp"))
-    // exact dedup among docs that survive both gates: min id per
-    // fingerprint wins; gated-out docs are not dedup candidates (they are
-    // already gone) and must not claim a fingerprint from a kept doc.
-    // Conditional min over the fingerprint window: groups whose every doc
-    // failed a gate get a null keeper -> exact_unique false via coalesce
-    val keeper = min(when(col("quality_ok") && col("repetition_ok"),
-      col(idCol))).over(Window.partitionBy(col("__fp")))
+      .select(gateCols: _*)
+    // exact dedup among docs that survive both gates: min id (or best
+    // score) per fingerprint wins; gated-out docs are not dedup candidates
+    // (they are already gone) and must not claim a fingerprint from a kept
+    // doc. Conditional min over the fingerprint window: groups whose every
+    // doc failed a gate get a null keeper -> exact_unique false via
+    // coalesce (min_by skips rows whose ordering struct is null, so the
+    // gate condition rides the same window).
+    val gatesOk = col("quality_ok") && col("repetition_ok")
+    val w = Window.partitionBy(col("__fp"))
+    val keeper =
+      if (scoreCol.isEmpty) min(when(gatesOk, col(idCol))).over(w)
+      else min_by(col(idCol), when(gatesOk,
+        struct(negate(Dedup.guardedScore(col(scoreCol), "sweep")),
+          col(idCol)))).over(w)
     val deduped = gated
       .withColumn("exact_unique", coalesce(col(idCol) === keeper, lit(false)))
       .select(col(idCol), col("quality_ok"), col("repetition_ok"),
@@ -144,6 +164,13 @@ object Curation {
     * exactly the identity the dedup/decontamination stages key on. Null
     * text fingerprints as the empty string (the manifest's rule).
     *
+    * CONTRACT: `idCol` must be unique within each snapshot — the diff is
+    * keyed on it, and a duplicated id fans the full-outer join out into
+    * multiple conflicting status rows for that id (the corpus-versioning
+    * use case has unique doc ids by construction; run exact dedup first
+    * if yours does not). Verify cheaply when unsure:
+    * `df.groupBy(idCol).count.filter(col("count") > 1)`.
+    *
     * Returns one row per id present in EITHER snapshot:
     * (idCol, status in {added, removed, changed, unchanged}, old_fp,
     * new_fp). Counts per status are one groupBy away; a per-source
@@ -202,13 +229,49 @@ object Curation {
     sb.toString
   }
 
+  /** Checkpoint-leaf RETENTION made real (r13; the retention scaladocs
+    * used to end at "prune the directory between runs"): delete all but
+    * the newest `keepLast` per-run verdict leaves under `checkpointDir`,
+    * PER FAMILY — `curation_verdicts_*` and `recipe_verdicts_*` are
+    * pruned independently, because one `Recipe.pipelineFull` run writes
+    * one leaf of EACH and `keepLast = 1` must keep that run whole. A
+    * recurring 100 TB pipeline sharing a checkpointDir otherwise
+    * accumulates one narrow-row-per-doc parquet per run forever.
+    *
+    * Only call between runs: a pruned leaf invalidates any STILL-LIVE
+    * frame returned by the run that wrote it (reads are lazy — the
+    * documented retention contract). Driver-side file-listing only
+    * (Hadoop FileSystem, so HDFS/S3A paths work); returns the deleted
+    * leaf paths, newest-first within each family.
+    */
+  def pruneCheckpoints(spark: org.apache.spark.sql.SparkSession,
+                       checkpointDir: String,
+                       keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 0, "keepLast must be non-negative")
+    val root = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val leaves = fs.listStatus(root).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.contains("_verdicts_") && n.endsWith(".parquet")
+    }
+    leaves.groupBy(_.getPath.getName.split("_verdicts_")(0)).toSeq
+      .flatMap { case (_, fam) =>
+        fam.sortBy(st => (-st.getModificationTime, st.getPath.getName))
+          .drop(keepLast)
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   def sweepFull(docs: DataFrame, bench: DataFrame, textCol: String,
                 idCol: String, sourceCol: String, decontaminateN: Int = 8,
                 lmVocabSize: Int = 20000, lmMinCount: Long = 2L,
                 lmMaxBigrams: Int = 1000000, lmMaxNll: Double = 7.0,
                 mixTemperature: Double = 2.0, mixTargetFrac: Double = 0.5,
-                seed: Long = 42L, checkpointDir: String = ""): DataFrame = {
-    val base = sweep(docs, bench, textCol, idCol, decontaminateN)
+                seed: Long = 42L, checkpointDir: String = "",
+                dedupScoreCol: String = ""): DataFrame = {
+    val base = sweep(docs, bench, textCol, idCol, decontaminateN,
+        dedupScoreCol)
       .withColumnRenamed("kept", "__base_kept")
     val lm = NgramLm.fitScore(docs, textCol, Seq(idCol),
         vocabSize = lmVocabSize, minCount = lmMinCount,
@@ -231,9 +294,9 @@ object Curation {
     // frame reads it lazily for its whole lifetime, so deleting after this
     // call would corrupt every downstream consumer. Repeated sweeps
     // sharing a checkpointDir therefore accumulate one verdict frame per
-    // run; prune the directory between runs (each leaf is one narrow row
-    // per doc, and the UUID naming makes pruning safe while a run is
-    // live).
+    // run; call `pruneCheckpoints(spark, dir, keepLast)` between runs
+    // (each leaf is one narrow row per doc, and the UUID naming makes
+    // pruning safe while a run is live).
     val curated =
       if (checkpointDir.nonEmpty) {
         // per-run unique leaf (the Recipe.compose discipline): concurrent

@@ -51,8 +51,22 @@ object Dedup {
                     scoreCol: String): DataFrame =
     df.withColumn("__fp", Text.contentFingerprint(col(textCol)))
       .groupBy(col("__fp").as("fingerprint"))
-      .agg(min_by(col(idCol), struct(negate(col(scoreCol)), col(idCol)))
-        .as(idCol), count(lit(1)).as("n_dups"))
+      .agg(min_by(col(idCol),
+        struct(negate(guardedScore(col(scoreCol), "exactKeepBest")),
+          col(idCol))).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** The documented non-null score contract, enforced LOUDLY: a null score
+    * inside a `min_by` ordering struct would sort FIRST, so the null-scored
+    * copy silently wins its cluster — the exact opposite of "keep the
+    * best". `coalesce(score, raise_error(...))` fails the job at the first
+    * null instead of quietly changing the kept set; fill or filter null
+    * scores upstream. Pure row expression — partial aggregation and
+    * codegen are unaffected.
+    */
+  private[operators] def guardedScore(c: Column, op: String): Column =
+    coalesce(c, raise_error(lit(s"Dedup.$op: scoreCol contains a null — " +
+      "a null score would silently win the min_by ordering; " +
+      "fill or filter null scores before calling")))
 
   /** SOFT exact dedup: keep every copy, weight each 1/cluster-size — the
     * alternative several corpus pipelines prefer to hard dropping (total
@@ -170,6 +184,33 @@ object Dedup {
             element_at(sig, b * rowsPerBand + r + 1)): _*))))
     }
 
+  /** Per-bucket auto-routed candidate generation shared by the "auto"
+    * modes: ONE aggregate over the posting list computes each bucket's
+    * (min id, size) — both partial-aggregable, so a flooded bucket
+    * pre-collapses map-side — then buckets at or under `cap` members
+    * self-join into exact all-pairs (≤ cap candidates per posting row:
+    * linear overall) while oversized buckets emit only (hub, member)
+    * edges. All four frames key on the SAME bucket columns, so the plan
+    * is one exchange reused across the stats aggregate, the stats join,
+    * and the small-bucket self-join.
+    */
+  private def autoBucketPairs(posting: DataFrame, bucketCols: Seq[String],
+                              cap: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val stats = posting.groupBy(keys: _*)
+      .agg(min(col("id")).as("__hub"), count(lit(1)).as("__n"))
+    val joined = posting.join(stats, bucketCols)
+    val small = joined.filter(col("__n") <= cap)
+      .select(keys :+ col("id"): _*)
+    val smallPairs = small.alias("x").join(small.alias("y"), bucketCols)
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val hubEdges = joined.filter(col("__n") > cap)
+      .filter(col("__hub") < col("id"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    smallPairs.unionAll(hubEdges).distinct()
+  }
+
   /** `bandPairs = "all"` (default) materializes every band-colliding pair —
     * exhaustive, but O(bucket^2) inside a bucket: a document duplicated c
     * times yields ~c^2/2 candidates per colliding band (measured 12.5 GB
@@ -189,13 +230,26 @@ object Dedup {
     * 100x-copies rehearsal, StarRecallSpec) — use "star" for
     * keepBest/deduplicate/CC-style consumers on duplication-heavy
     * corpora, "all" when the pair LIST itself is the deliverable.
+    *
+    * `bandPairs = "auto"` (r13) is the per-bucket auto-route — the
+    * `Budget.selectToBudgetPerGroup` discipline applied to candidate
+    * generation: buckets at or under `maxBucketPairs` members emit exact
+    * all-pairs (bounded at maxBucketPairs pairs per posting row, so the
+    * candidate list stays LINEAR in the posting list), and only oversized
+    * buckets — the duplication floods star exists for, where the
+    * bucket-min hub IS one of the copies — route to hub edges. Recall
+    * equals "all" whenever no bucket overflows the cap; under a flood the
+    * mega bucket degrades to star gracefully instead of emitting O(c^2)
+    * pairs. Laws: star ⊆ auto ⊆ all (DedupSpec/StarRecallSpec).
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
                       minJaccard: Double = 0.5,
-                      bandPairs: String = "all"): DataFrame = {
-    require(Set("all", "star")(bandPairs),
-      s"bandPairs must be all|star, got $bandPairs")
+                      bandPairs: String = "all",
+                      maxBucketPairs: Int = 256): DataFrame = {
+    require(Set("all", "star", "auto")(bandPairs),
+      s"bandPairs must be all|star|auto, got $bandPairs")
+    require(maxBucketPairs >= 1, "maxBucketPairs must be positive")
     val k = rowsPerBand * nBands
     // Signature via ONE loop-codegen pass per doc (VecExprs.MinhashSig):
     // the previous explode + K static min-aggregates shape shuffled every
@@ -244,8 +298,8 @@ object Dedup {
     // makes the documented no-collision contract hold for any caller.
     val banded = sigs.select(col("id"),
       explode(array(bandExprs(col("sig"), rowsPerBand, nBands): _*)).as("band"))
-    val cand =
-      if (bandPairs == "star") {
+    val cand = bandPairs match {
+      case "star" =>
         // one map-side-combined min per bucket (skew-proof: a million-copy
         // bucket pre-collapses per partition), then O(bucket) hub edges
         val hubs = banded.groupBy(col("band")).agg(min(col("id")).as("id_a"))
@@ -253,10 +307,13 @@ object Dedup {
           .filter(col("id_a") < col("id"))
           .select(col("id_a"), col("id").as("id_b"))
           .distinct()
-      } else banded.alias("x").join(banded.alias("y"), Seq("band"))
+      case "auto" =>
+        autoBucketPairs(banded, Seq("band"), maxBucketPairs)
+      case _ => banded.alias("x").join(banded.alias("y"), Seq("band"))
         .filter(col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .distinct()
+    }
     val sh = base.select(col("id"),
       graft.functions.VecExprs.tokenShingles(col("__text"), n).as("shingles"))
     cand
@@ -371,13 +428,25 @@ object Dedup {
     * keep the "all" default. `planesFor` bounds EXPECTED occupancy but
     * cannot bound a mega-duplicated embedding's bucket; star bounds the
     * pair count even there.
+    *
+    * `bucketPairs = "auto"` (r13) resolves that tradeoff per bucket: at or
+    * under `maxBucketPairs` members a bucket emits exact all-pairs
+    * (recall = "all" on sparse graphs — measured component recall 1.0 on
+    * the fixture where pure star read 0.095, StarRecallSpec), above the
+    * cap it emits hub edges only (the flood case, where the bucket-min IS
+    * a copy and hub edges verify). The candidate list stays ≤
+    * maxBucketPairs per posting row — linear at ANY duplication — so
+    * "auto" is the recommended scale default for embedding near-dup;
+    * laws: star ⊆ auto ⊆ all.
     */
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
                         minCosine: Double, planesPerTable: Int = 4,
                         nTables: Int = 16,
-                        bucketPairs: String = "all"): DataFrame = {
-    require(Set("all", "star")(bucketPairs),
-      s"bucketPairs must be all|star, got $bucketPairs")
+                        bucketPairs: String = "all",
+                        maxBucketPairs: Int = 256): DataFrame = {
+    require(Set("all", "star", "auto")(bucketPairs),
+      s"bucketPairs must be all|star|auto, got $bucketPairs")
+    require(maxBucketPairs >= 1, "maxBucketPairs must be positive")
     // exchange-reuse instead of persist (the previous persists were never
     // released — a leak in a long-lived session): `v` repartitioned on id
     // is the exact partitioning the two verification joins require, so one
@@ -402,18 +471,21 @@ object Dedup {
         col("nv"), nTables, planesPerTable)))
       .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
       .repartition(nSpread, col("tbl"), col("bkt"))
-    val cand =
-      if (bucketPairs == "star") {
+    val cand = bucketPairs match {
+      case "star" =>
         val hubs = posting.groupBy(col("tbl"), col("bkt"))
           .agg(min(col("id")).as("id_a"))
         posting.join(hubs, Seq("tbl", "bkt"))
           .filter(col("id_a") < col("id"))
           .select(col("id_a"), col("id").as("id_b"))
           .distinct()
-      } else posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
+      case "auto" =>
+        autoBucketPairs(posting, Seq("tbl", "bkt"), maxBucketPairs)
+      case _ => posting.alias("x").join(posting.alias("y"), Seq("tbl", "bkt"))
         .filter(col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .distinct()
+    }
     cand
       .join(v.select(col("id").as("id_a"), col("nv").as("nv_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("nv").as("nv_b")), Seq("id_b"))
@@ -581,7 +653,11 @@ object Dedup {
     val labels = connectedComponents(touched, p)
     // CC ran eagerly; labels are checkpointed
     if (!callerPersisted) p.unpersist(blocking = false)
-    val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+    // null scores fail FAST here (every path reads __score), not silently
+    // win the per-cluster min_by below — ADVICE r12: struct(negate(null),
+    // id) sorts first, so a null-scored doc would quietly claim its cluster
+    val scored = df.select(col(idCol).as("id"),
+      guardedScore(col(scoreCol), "keepBest").as("__score"))
     val t = scored.join(labels, Seq("id"))
     val stats = t.groupBy(col("label")).agg(
       count(lit(1)).as("cluster_size"),

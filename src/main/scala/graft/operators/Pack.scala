@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.LongType
   * do — within a crawl dump or source shard, not across the corpus).
   * Skew bound = the largest single shard / `subShards` — pass
   * `subShards > 1` when one source dominates the corpus (see
-  * `sequences`).
+  * `sequences`). The bound is ENFORCED, not just documented: a probe
+  * aggregate measures the largest shard and refuses loudly (with the
+  * `subShards` value that restores the bound) when any per-task stream
+  * would exceed `maxShardRows` (see `guardShardSizes`).
   */
 object Pack {
 
@@ -59,7 +62,8 @@ object Pack {
   def sequences(docs: DataFrame, tokenCol: String, budget: Long,
                 groupCol: String, idCol: String,
                 shuffleSeed: Option[Long] = None,
-                subShards: Int = 1): DataFrame = {
+                subShards: Int = 1,
+                maxShardRows: Long = 1L << 22): DataFrame = {
     val order = shuffleSeed match {
       case Some(seed) => Seq(
         md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))),
@@ -67,7 +71,7 @@ object Pack {
       case None => Seq(col(idCol))
     }
     packCore(docs, tokenCol, budget, groupCol, order,
-      col(idCol).cast("string"), subShards)
+      col(idCol).cast("string"), subShards, maxShardRows)
   }
 
   /** `sequences` with a COMPOSITE stream order — the (doc, repeat) keys a
@@ -79,17 +83,61 @@ object Pack {
     */
   def sequencesBy(docs: DataFrame, tokenCol: String, budget: Long,
                   groupCol: String, orderCols: Seq[String],
-                  subShards: Int = 1): DataFrame = {
+                  subShards: Int = 1,
+                  maxShardRows: Long = 1L << 22): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     packCore(docs, tokenCol, budget, groupCol, orderCols.map(col),
-      concat_ws(":", orderCols.map(col(_).cast("string")): _*), subShards)
+      concat_ws(":", orderCols.map(col(_).cast("string")): _*), subShards,
+      maxShardRows)
+  }
+
+  /** MEGA-SHARD GUARD (r13): the pack window sorts each (shard
+    * [, sub-shard]) stream on ONE task, so a dominant source — a web
+    * crawl at 60-90% of a 100 TB corpus — would silently single-task
+    * most of the train pool under the `subShards = 1` default: a
+    * straggler at best, an executor OOM at worst, and nothing used to
+    * even detect it. Pack assignment is POLICY (changing `subShards`
+    * changes the doc→pack grouping), so unlike the budget stage this
+    * cannot auto-route without changing output; the honest form is ONE
+    * bounded probe aggregate (`Budget.selectToBudgetPerGroup`'s
+    * discipline — a single driver row: the largest shard and its size)
+    * that FAILS LOUDLY with the `subShards` value restoring the bound
+    * when any shard's per-task stream would exceed `maxShardRows`.
+    * `maxShardRows = 0` disables the probe (the caller vouches for the
+    * shard sizes — e.g. a composed pipeline that already measured them);
+    * the probe is an extra action over `docs`, so persist upstream when
+    * the input plan is expensive (the Recipe checkpoint discipline).
+    */
+  private def guardShardSizes(docs: DataFrame, groupCol: String,
+                              subShards: Int, maxShardRows: Long): Unit = {
+    val probe = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"),
+        max_by(col(groupCol).cast("string"), col("__n")).as("__g"))
+      .head()
+    if (!probe.isNullAt(0)) {
+      val mx = probe.getLong(0)
+      val perTask = (mx + subShards - 1) / subShards
+      if (perTask > maxShardRows) {
+        val suggest = (mx + maxShardRows - 1) / maxShardRows
+        throw new IllegalArgumentException(
+          s"Pack: shard '${probe.getString(1)}' has $mx rows — " +
+            (if (subShards == 1) "the pack window would sort it all on ONE task"
+             else s"$subShards sub-shards still leave ~$perTask rows on one task") +
+            s", above maxShardRows = $maxShardRows. Pass subShards >= $suggest " +
+            "(Recipe.compose: packSubShards) to split the stream, or " +
+            "maxShardRows = 0 to accept the single-task sort.")
+      }
+    }
   }
 
   private def packCore(docs: DataFrame, tokenCol: String, budget: Long,
                        groupCol: String, order: Seq[Column],
-                       subKey: Column, subShards: Int): DataFrame = {
+                       subKey: Column, subShards: Int,
+                       maxShardRows: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(subShards >= 1, "subShards must be positive")
+    require(maxShardRows >= 0, "maxShardRows must be non-negative (0 = no guard)")
+    if (maxShardRows > 0) guardShardSizes(docs, groupCol, subShards, maxShardRows)
     val reserved = Seq("__cum", "__sub", "pack_tokens", "pack_id")
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty, // silent withColumn overwrite = mixed-provenance output

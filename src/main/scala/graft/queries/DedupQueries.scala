@@ -332,6 +332,18 @@ object DedupQueries {
         minCosine = 0.4, planesPerTable = 4, nTables = 16,
         bucketPairs = "star")),
 
+    // AUTO bucket pairs (r13): per-bucket routing — exact all-pairs for
+    // buckets <= 8 members, hub edges above. The tight cap makes the
+    // ROUTING itself part of the hashed semantics at every verify scale
+    // (with the production default 256 this corpus would be pure
+    // all-pairs and the hub branch untested); StarRecallSpec pins the
+    // recall claim (>= 0.8, measured 1.0) at the default cap, and both
+    // branches are spec-pinned against "all"/"star" laws
+    "q_dedup_embedding_auto" -> ((s, dir) =>
+      Dedup.embeddingLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.4, planesPerTable = 4, nTables = 16,
+        bucketPairs = "auto", maxBucketPairs = 8)),
+
     // SemDeDup-style semantic dedup: deterministic k-means cells (the same
     // pinned 16-cell/2-iter geometry as q_ann_kmeans so the unrolled-Lloyd
     // oracle reproduces the quantizer), within-cell cosine >= 0.4 against
@@ -839,6 +851,35 @@ object DedupQueries {
          |  SELECT DISTINCT h.id_a AS id_a, b.id AS id_b
          |  FROM bt b JOIN hubs h ON b.tbl = h.tbl AND b.bkt = h.bkt
          |  WHERE h.id_a < b.id)
+         |SELECT id_a, id_b,
+         |  round(list_sum(list_transform(list_zip(a.nv, b2.nv),
+         |    p -> p[1] * p[2])), 6) AS cosine
+         |FROM cand JOIN v a ON cand.id_a = a.id JOIN v b2 ON cand.id_b = b2.id
+         |WHERE list_sum(list_transform(list_zip(a.nv, b2.nv), p -> p[1] * p[2])) >= 0.4""".stripMargin,
+
+    // per-bucket auto-route: buckets <= 8 members all-pairs, above -> hub
+    // edges; verification identical
+    "q_dedup_embedding_auto" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings),
+         |bb AS (SELECT id, unnest(${graft.functions.Planes.bucketTablesSql("nv", 16, 4)}) AS tb FROM v),
+         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl, struct_extract(tb, 'bkt') AS bkt FROM bb),
+         |cnt AS (SELECT tbl, bkt, min(id) AS hub, count(*) AS n
+         |  FROM bt GROUP BY tbl, bkt),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT x.id AS id_a, y.id AS id_b
+         |    FROM bt x JOIN bt y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id
+         |    JOIN cnt c ON c.tbl = x.tbl AND c.bkt = x.bkt
+         |    WHERE c.n <= 8
+         |    UNION ALL
+         |    SELECT c.hub AS id_a, b.id AS id_b
+         |    FROM bt b JOIN cnt c ON b.tbl = c.tbl AND b.bkt = c.bkt
+         |    WHERE c.n > 8 AND c.hub < b.id))
          |SELECT id_a, id_b,
          |  round(list_sum(list_transform(list_zip(a.nv, b2.nv),
          |    p -> p[1] * p[2])), 6) AS cosine

@@ -226,7 +226,7 @@ object LmQueries {
   private[queries] val curationChainCtes =
     s"""tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
        |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
-       |${TextQueries.curationVerdictCtes},
+       |${TextQueries.curationVerdictCtes()},
        |${lmCtes("tk", "tk")},
        |basev AS (SELECT qual.doc_id AS doc_id, qual.quality_ok, rep.repetition_ok,
        |    coalesce(lmm.avgm / 1000000.0 <= $LmMaxNll, false) AS lm_ok,

@@ -239,6 +239,21 @@ object TextQueries {
           col("exact_unique"), col("contaminated"), col("kept"))
     }),
 
+    // the sweep with the QUALITY-AWARE dedup keeper (r13): identical four
+    // stages, but the exact-dedup stage keeps the best-scored copy per
+    // content group (score = n_chars, ties -> smallest id) — the
+    // FineWeb-standard policy composed into the sweep; same one-window
+    // plan shape (min_by instead of min over the fingerprint window)
+    "q_curation_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.sweep(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", decontaminateN = 4, scoreCol = "n_chars")
+        .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+          col("exact_unique"), col("contaminated"), col("kept"))
+    }),
+
     // sequence packing: boundary-aligned streaming packing of each source
     // shard into 256-token training packs (window partitioned by source —
     // parallel across shards, nothing globally ordered)
@@ -515,11 +530,38 @@ object TextQueries {
        |FROM tr LEFT JOIN (SELECT gram, true AS hit FROM bench) b USING (gram)
        |GROUP BY tr.doc_id""".stripMargin
 
-  /** The four-stage verdict CTE chain shared by q_curation and
-    * q_curation_full (LmQueries): requires CTEs `tr(doc_id, text, ...)` and
-    * `tk(doc_id, toks)`; ends with `qual`, `rep`, `fp`, `keep`, `cont`.
+  /** The min-id keeper (the sweep default): smallest gate-surviving id
+    * per content fingerprint.
     */
-  private[queries] val curationVerdictCtes =
+  private[queries] val minIdKeepCte =
+    """keep AS (
+      |  SELECT fp.fp, min(fp.doc_id) AS keeper
+      |  FROM fp JOIN qual USING (doc_id) JOIN rep USING (doc_id)
+      |  WHERE quality_ok AND repetition_ok GROUP BY fp.fp)""".stripMargin
+
+  /** The keep-BEST keeper (sweep scoreCol = n_chars): best-scored
+    * gate-surviving doc per fingerprint, ties -> smallest id — the exact
+    * ordering Spark's min_by((-score, id)) window uses.
+    */
+  private[queries] val bestKeepCte =
+    """keep AS (
+      |  SELECT fp, keeper FROM (
+      |    SELECT fp.fp AS fp, fp.doc_id AS keeper,
+      |      row_number() OVER (PARTITION BY fp.fp
+      |        ORDER BY tr.n_chars DESC, fp.doc_id) AS rn
+      |    FROM fp JOIN qual USING (doc_id) JOIN rep USING (doc_id)
+      |      JOIN tr ON fp.doc_id = tr.doc_id
+      |    WHERE quality_ok AND repetition_ok)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** The four-stage verdict CTE chain shared by q_curation,
+    * q_curation_best and q_curation_full (LmQueries): requires CTEs
+    * `tr(doc_id, text, ...)` and `tk(doc_id, toks)`; ends with `qual`,
+    * `rep`, `fp`, `keep`, `cont`. The dedup keeper policy is pluggable
+    * (`keepCte`) — min-id default, keep-best for the scored sweep.
+    */
+  private[queries] def curationVerdictCtes(
+      keepCte: String = minIdKeepCte): String =
     s"""$repetitionCtes,
        |qual AS (SELECT doc_id,
        |    (CAST(len(toks) AS BIGINT) >= 5 AND CAST(len(toks) AS BIGINT) <= 100000
@@ -528,10 +570,7 @@ object TextQueries {
        |  FROM tk),
        |rep AS (SELECT doc_id, $repetitionOkSql AS repetition_ok FROM repf),
        |fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM tk),
-       |keep AS (
-       |  SELECT fp.fp, min(fp.doc_id) AS keeper
-       |  FROM fp JOIN qual USING (doc_id) JOIN rep USING (doc_id)
-       |  WHERE quality_ok AND repetition_ok GROUP BY fp.fp),
+       |$keepCte,
        |sh AS (SELECT doc_id, ${shingleSetSql(4)} AS g FROM tk),
        |btk AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 17 = 0),
        |bsh AS (SELECT doc_id, ${shingleSetSql(4)} AS g FROM btk),
@@ -542,10 +581,10 @@ object TextQueries {
        |  FROM trg LEFT JOIN (SELECT gram, true AS hit FROM bench) b USING (gram)
        |  GROUP BY trg.doc_id)""".stripMargin
 
-  private val curationSql =
-    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+  private def curationSqlWith(keepCte: String, trCols: String) =
+    s"""WITH tr AS (SELECT $trCols FROM documents WHERE doc_id % 17 <> 0),
        |tk AS (SELECT doc_id, $toksSql AS toks FROM tr),
-       |$curationVerdictCtes
+       |${curationVerdictCtes(keepCte)}
        |SELECT qual.doc_id AS doc_id, qual.quality_ok, rep.repetition_ok,
        |  coalesce(fp.doc_id = k.keeper, false) AS exact_unique,
        |  cont.contaminated,
@@ -555,6 +594,11 @@ object TextQueries {
        |FROM qual JOIN rep USING (doc_id) JOIN fp USING (doc_id)
        |  JOIN cont USING (doc_id)
        |  LEFT JOIN keep k ON fp.fp = k.fp""".stripMargin
+
+  private val curationSql = curationSqlWith(minIdKeepCte, "doc_id, text")
+
+  private val curationBestSql =
+    curationSqlWith(bestKeepCte, "doc_id, text, n_chars")
 
   /** Shared packing CTEs (q_pack / q_pack_stats): tokenize, clamp to the
     * 256 budget, shard-windowed cumsum, pack assignment — ending in
@@ -836,6 +880,7 @@ object TextQueries {
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_attr" -> decontaminateAttrSql,
     "q_curation" -> curationSql,
+    "q_curation_best" -> curationBestSql,
 
     "q_pack" ->
       s"""WITH $packCtes

@@ -46,6 +46,7 @@ class StarRecallSpec extends AnyFunSuite {
       "embedding", "vec_id", minCosine = 0.4, planesPerTable = 4,
       nTables = 16, bucketPairs = mode), verts)
     val fa = flagged("all")
+    assert(fa.nonEmpty) // recall below would be 0/0 on an empty baseline
     val fs = flagged("star")
     assert(fs.subsetOf(fa), "star flags must be a subset (refinement)")
     val recall = (fs & fa).size.toDouble / fa.size
@@ -54,5 +55,32 @@ class StarRecallSpec extends AnyFunSuite {
     assert(recall < 0.5,
       s"embedding star recall unexpectedly high ($recall) — if coarse " +
         "buckets started recalling, re-evaluate the scaladoc guidance")
+  }
+
+  test("embedding AUTO recall >= 0.8 on the sparse graph (r13: the per-" +
+    "bucket route closes star's recall gap) and star ⊆ auto ⊆ all") {
+    val emb = TestSpark.table("embeddings")
+    val verts = emb.select(col("vec_id").as("id"))
+    def pairs(mode: String, cap: Int = 256) = Dedup.embeddingLshPairs(emb,
+      "embedding", "vec_id", minCosine = 0.4, planesPerTable = 4,
+      nTables = 16, bucketPairs = mode, maxBucketPairs = cap)
+    val fa = flaggedBy(pairs("all"), verts)
+    assert(fa.nonEmpty)
+    // default cap (256): no fixture bucket overflows, so auto's verified
+    // pairs — and its components — EQUAL all-pairs': recall 1.0
+    val fauto = flaggedBy(pairs("auto"), verts)
+    assert(fauto.subsetOf(fa), "auto flags must be a subset of all's")
+    val recall = (fauto & fa).size.toDouble / fa.size
+    assert(recall >= 0.8,
+      s"embedding auto recall $recall below the 0.8 target — per-bucket " +
+        "routing should behave as all-pairs on a sparse fixture")
+    // a cap below typical occupancy exercises BOTH branches (the
+    // registered q_dedup_embedding_auto shape) and must still contain
+    // every star flag: star ⊆ auto at ANY cap
+    val fstar = flaggedBy(pairs("star"), verts)
+    val fautoTight = flaggedBy(pairs("auto", cap = 8), verts)
+    assert(fstar.subsetOf(fautoTight),
+      "star flags must be a subset of auto's even at a tight cap")
+    assert(fautoTight.subsetOf(fa), "tight-cap auto must refine all")
   }
 }

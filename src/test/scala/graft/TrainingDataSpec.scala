@@ -425,4 +425,122 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(m === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "added", 5L -> "unchanged"))
   }
+
+  test("Pack mega-shard guard (r13): a 90/10-skewed dominant shard above " +
+    "maxShardRows fails loudly with the subShards value that restores it") {
+    val docs = ((1L to 90L).map(i => ("web", i, 5L)) ++
+      (1L to 10L).map(i => ("books", i + 1000L, 5L)))
+      .toDF("src", "doc_id", "toks")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pack.sequences(docs, "toks", 10L, "src", "doc_id",
+        maxShardRows = 32L)
+    }
+    assert(e.getMessage.contains("'web'") && e.getMessage.contains("90 rows"),
+      e.getMessage)
+    assert(e.getMessage.contains("subShards >= 3"), e.getMessage)
+    // the suggested subShards clears the guard (ceil(90/3) = 30 <= 32)
+    assert(graft.operators.Pack.sequences(docs, "toks", 10L, "src", "doc_id",
+      subShards = 3, maxShardRows = 32L).count() === 100L)
+    // an INSUFFICIENT subShards still trips (ceil(90/2) = 45 > 32) and
+    // the message names the residual per-task size
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Pack.sequences(docs, "toks", 10L, "src", "doc_id",
+        subShards = 2, maxShardRows = 32L)
+    }
+    assert(e2.getMessage.contains("45"), e2.getMessage)
+    // maxShardRows = 0 disables the probe (caller vouches)
+    assert(graft.operators.Pack.sequences(docs, "toks", 10L, "src", "doc_id",
+      maxShardRows = 0L).count() === 100L)
+    // the guard composes through Recipe.compose's maxGroupRows: the
+    // message must surface with the packSubShards pointer. The classifier
+    // seeds are made separable (neg = junk vocabulary) so the quality
+    // gate keeps the pool and the pack stage is actually reached.
+    val cdocs = docs.select($"doc_id", $"src".as("source"),
+      concat(lit("good clean body text number "), $"doc_id").as("text"))
+    val negSeed = Seq((9991L, "junk", "zz yy xx ww vv uu"))
+      .toDF("doc_id", "source", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Recipe.compose(cdocs, "text", "doc_id", "source",
+        pos = cdocs.limit(5), neg = negSeed,
+        budgets = Map("web" -> 1000000L, "books" -> 1000000L),
+        epochs = Map.empty, maxGroupRows = 4L).count()
+    }
+    assert(e3.getMessage.contains("packSubShards"), e3.getMessage)
+  }
+
+  test("Curation.sweep scoreCol (r13): the exact-dedup keeper is the " +
+    "best-scored gate survivor, ties -> smallest id") {
+    // same normalized fingerprint (case differs), different scores; texts
+    // long enough to pass BOTH gates (>= 5 tokens with sane word lengths,
+    // and > 16 tokens so top_3gram_frac = 3/n clears the 0.18 repetition
+    // threshold — a 10-token doc fails on 3/10 = 0.3)
+    val body = "many plainly distinct useful ordinary sentences carry " +
+      "enough varied vocabulary so every repetition metric stays well " +
+      "beneath its configured threshold today"
+    val docs = Seq(
+      (1L, s"$body alpha", 10L), (2L, s"$body ALPHA", 30L), // dup group
+      (3L, s"$body Alpha", 30L),                            // tie -> id 2
+      (4L, s"$body beta unique", 5L)
+    ).toDF("doc_id", "text", "score")
+    val bench = Seq((99L, "zz qq ww ee rr tt yy uu", 0L))
+      .toDF("doc_id", "text", "score")
+    val best = graft.operators.Curation.sweep(docs, bench, "text", "doc_id",
+        scoreCol = "score")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("exact_unique")).toMap
+    assert(best === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+    // default policy on the same corpus keeps the smallest id instead
+    val byId = graft.operators.Curation.sweep(docs, bench, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("exact_unique")).toMap
+    assert(byId === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("null scores fail LOUDLY in the keep-best family (ADVICE r12: a " +
+    "null would silently win the min_by ordering)") {
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val dup = Seq(("a", "same text here", Some(1L)),
+      ("b", "same text here", None: Option[Long])).toDF("id", "text", "score")
+    val e = intercept[Exception] {
+      Dedup.exactKeepBest(dup, "text", "id", "score").collect()
+    }
+    assert(chain(e).contains("scoreCol contains a null"), chain(e))
+    val pairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e2 = intercept[Exception] {
+      Dedup.keepBest(dup.select($"id", $"score"), pairs, "id", "score")
+        .collect()
+    }
+    assert(chain(e2).contains("scoreCol contains a null"), chain(e2))
+  }
+
+  test("Curation.pruneCheckpoints deletes all but the newest keepLast " +
+    "leaves PER FAMILY; non-leaf files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toFile
+    def mk(name: String, age: Long): Unit = {
+      val d = new java.io.File(dir, name)
+      d.mkdir()
+      new java.io.File(d, "part-0.parquet").createNewFile()
+      d.setLastModified(System.currentTimeMillis() - age)
+    }
+    mk("curation_verdicts_aaaa.parquet", 90000L) // oldest of its family
+    mk("curation_verdicts_bbbb.parquet", 10000L)
+    mk("recipe_verdicts_cccc.parquet", 60000L)   // oldest of its family
+    mk("recipe_verdicts_dddd.parquet", 30000L)
+    new java.io.File(dir, "unrelated.txt").createNewFile()
+    val deleted = graft.operators.Curation.pruneCheckpoints(spark,
+      dir.toString, keepLast = 1)
+    assert(deleted.map(p =>
+      new org.apache.hadoop.fs.Path(p).getName).toSet ===
+      Set("curation_verdicts_aaaa.parquet", "recipe_verdicts_cccc.parquet"))
+    assert(dir.listFiles().map(_.getName).toSet ===
+      Set("curation_verdicts_bbbb.parquet", "recipe_verdicts_dddd.parquet",
+        "unrelated.txt"))
+    // keepLast = 0 empties both families; the stray file still survives
+    graft.operators.Curation.pruneCheckpoints(spark, dir.toString, 0)
+    assert(dir.listFiles().map(_.getName).toSet === Set("unrelated.txt"))
+    // a missing directory is a no-op, not an error
+    assert(graft.operators.Curation.pruneCheckpoints(spark,
+      dir.toString + "/nope", 1) === Seq.empty)
+  }
 }
