@@ -303,6 +303,32 @@ object DedupQueries {
         "graft_dedup_index_q", minJaccard = 0.2)
     }),
 
+    // the STANDING dedup-index probe (r13 — the q_bm25_probe trick):
+    // the even-half index is built once per (session, corpus dir),
+    // guarded by a corpus-dir table property, so Bench's warmup absorbs
+    // the bucketed saveAsTable commit and the timed pass pays the
+    // odd-half probe alone — the deployed incremental-ingestion cost.
+    // q_dedup_index/_append stay the build/append parity proofs; this
+    // row decomposes their commit constant away. Same oracle.
+    "q_dedup_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val name = "graft_dedup_probe_idx"
+      val bt = DedupIndex.bandsTable(name)
+      val dirProp = "graft.dedup.corpusDir"
+      val standing = s.catalog.tableExists(bt) &&
+        s.sql(s"SHOW TBLPROPERTIES `$bt`").collect()
+          .exists(r => r.getString(0) == dirProp && r.getString(1) == dir)
+      if (!standing) {
+        DedupIndex.write(docs.filter(col("doc_id") % 2 === 0), "text",
+          "doc_id", name,
+          RetrievalQueries.fixedLayoutDir("graft_dedup_probe_layout"),
+          numBuckets = 8)
+        s.sql(s"ALTER TABLE `$bt` SET TBLPROPERTIES ('$dirProp' = '$dir')")
+      }
+      DedupIndex.probe(docs.filter(col("doc_id") % 2 === 1), "text",
+        "doc_id", name, minJaccard = 0.2)
+    }),
+
     // incremental ingestion (r9): the index accumulates across TWO ingests
     // (write one quarter, append the other) and must answer probes exactly
     // like a one-shot build of the same corpus — same oracle
@@ -723,6 +749,8 @@ object DedupQueries {
     "q_dedup_simhash" -> simhashSql,
 
     "q_dedup_index" -> dedupIndexSql,
+    // the standing twin probes the same even-half index: identical replay
+    "q_dedup_probe" -> dedupIndexSql,
 
     // the incremental-append twin probes the SAME accumulated index
     "q_dedup_index_append" -> dedupIndexSql,

@@ -38,7 +38,7 @@ object RetrievalQueries {
     * concurrent sessions sharing a metastore would race on the table
     * names either way (documented; Verify/Bench are single-session).
     */
-  private def fixedLayoutDir(leaf: String): String = {
+  private[queries] def fixedLayoutDir(leaf: String): String = {
     val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), leaf)
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(wipe)
@@ -47,6 +47,48 @@ object RetrievalQueries {
     if (path.toFile.exists()) wipe(path.toFile)
     path.toString
   }
+
+  /** The indexed-fusion replay shared by q_rrf_fusion_index and its
+    * standing twin q_rrf_probe (identical ranking — the standing form
+    * only moves WHEN the index builds happen, never what they answer).
+    */
+  private def rrfIndexSql: String =
+    s"""WITH $bm25Ctes,
+       |rk AS (SELECT q_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm),
+       |lex AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= $TopK),
+       |ev AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+       |  FROM embeddings),
+       |bb AS (SELECT id, unnest(${graft.functions.Planes
+         .bucketTablesSql("nv", 16, 4)}) AS tb FROM ev),
+       |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl,
+       |    struct_extract(tb, 'bkt') AS bkt FROM bb),
+       |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS doc_id
+       |  FROM bt c JOIN bt q ON q.id IN (SELECT q_id FROM qd)
+       |    AND q.id <> c.id AND c.tbl = q.tbl AND c.bkt = q.bkt),
+       |semsc AS (SELECT cand.q_id, cand.doc_id,
+       |    round(list_sum(list_transform(list_zip(c.nv, q.nv),
+       |      p -> p[1] * p[2])), 6) AS cosine
+       |  FROM cand JOIN ev c ON cand.doc_id = c.id
+       |    JOIN ev q ON cand.q_id = q.id),
+       |sem AS (SELECT q_id, doc_id, rank FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, doc_id ASC) AS rank FROM semsc)
+       |  WHERE rank <= $TopK),
+       |uni AS (SELECT q_id, doc_id,
+       |    CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS contrib
+       |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+       |fus AS (SELECT q_id, doc_id,
+       |    CAST(sum(contrib) AS BIGINT) AS rrf_micro
+       |  FROM uni GROUP BY q_id, doc_id)
+       |SELECT q_id, doc_id, rrf_micro, rank FROM (
+       |  SELECT q_id, doc_id, rrf_micro, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
+       |  FROM fus) WHERE rank <= $TopK""".stripMargin
 
   /** Deterministic query workload: 8 md5-selected documents, each queried
     * by its first 6 normalized tokens (shared by q_bm25_scores/_topk).
@@ -196,6 +238,50 @@ object RetrievalQueries {
         emb("vec_id") === col("q_id"), "left_semi")
       val sem = graft.operators.AnnIndex.probe(qVecs, "embedding", "vec_id",
           "graft_rrf_ann_idx", k = TopK)
+        .select(col("query_id").as("q_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      graft.operators.Retrieval.rrf(Seq(lex, sem), k = TopK)
+    }),
+
+    // the STANDING twin of q_rrf_fusion_index (r13 — the q_bm25_probe
+    // trick applied to the fusion family): BOTH indexes are built once
+    // per (session, corpus dir), guarded by a corpus-dir table property,
+    // so Bench's untimed warmup absorbs the two bucketed saveAsTable
+    // commits and the timed pass pays the two exchange-free probes + the
+    // |queries|·k fusion alone — the cost a deployed hybrid retrieval
+    // system sees per query batch. q_rrf_fusion_index stays the in-query
+    // build+probe parity proof; this row decomposes its commit constant
+    // away (r12 verdict: the family's medians drifted with saveAsTable
+    // I/O, not scorer cost). Identical ranking, same oracle.
+    "q_rrf_probe" -> ((s, dir) => {
+      val lexName = "graft_rrf_probe_lex"
+      val annName = "graft_rrf_probe_ann"
+      val dirProp = "graft.rrf.corpusDir"
+      def standing(table: String): Boolean =
+        s.catalog.tableExists(table) &&
+          s.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+            .exists(r => r.getString(0) == dirProp && r.getString(1) == dir)
+      val lexTable = TextSearch.postingsTable(lexName)
+      val annTable = graft.operators.AnnIndex.postingsTable(annName)
+      if (!standing(lexTable) || !standing(annTable)) {
+        TextSearch.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          lexName, fixedLayoutDir("graft_rrf_probe_lex_idx"))
+        s.sql(s"ALTER TABLE `$lexTable` SET TBLPROPERTIES " +
+          s"('$dirProp' = '$dir')")
+        graft.operators.AnnIndex.write(t(s, dir, "embeddings"), "embedding",
+          "vec_id", annName, fixedLayoutDir("graft_rrf_probe_ann_idx"),
+          planesPerTable = 4, nTables = 16, numBuckets = 8)
+        s.sql(s"ALTER TABLE `$annTable` SET TBLPROPERTIES " +
+          s"('$dirProp' = '$dir')")
+      }
+      val qd = queryDocs(s, dir)
+      val lex = TextSearch.probe(s, lexName, qd, "q_text", "q_id", k = TopK)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val qVecs = emb.join(broadcast(qd.select(col("q_id"))),
+        emb("vec_id") === col("q_id"), "left_semi")
+      val sem = graft.operators.AnnIndex.probe(qVecs, "embedding", "vec_id",
+          annName, k = TopK)
         .select(col("query_id").as("q_id"), col("corpus_id").as("doc_id"),
           col("rank"))
       graft.operators.Retrieval.rrf(Seq(lex, sem), k = TopK)
@@ -529,43 +615,10 @@ object RetrievalQueries {
     // candidates of the SAME qd workload (AnnIndex.probe semantics —
     // candidates share a (tbl, bkt), self-hits excluded), fused with the
     // identical integer RRF tail as q_rrf_fusion
-    "q_rrf_fusion_index" ->
-      s"""WITH $bm25Ctes,
-         |rk AS (SELECT q_id, doc_id, score_micro,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score_micro DESC, doc_id) AS rank FROM bm),
-         |lex AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= $TopK),
-         |ev AS (SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
-         |  FROM embeddings),
-         |bb AS (SELECT id, unnest(${graft.functions.Planes
-           .bucketTablesSql("nv", 16, 4)}) AS tb FROM ev),
-         |bt AS (SELECT id, struct_extract(tb, 'tbl') AS tbl,
-         |    struct_extract(tb, 'bkt') AS bkt FROM bb),
-         |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS doc_id
-         |  FROM bt c JOIN bt q ON q.id IN (SELECT q_id FROM qd)
-         |    AND q.id <> c.id AND c.tbl = q.tbl AND c.bkt = q.bkt),
-         |semsc AS (SELECT cand.q_id, cand.doc_id,
-         |    round(list_sum(list_transform(list_zip(c.nv, q.nv),
-         |      p -> p[1] * p[2])), 6) AS cosine
-         |  FROM cand JOIN ev c ON cand.doc_id = c.id
-         |    JOIN ev q ON cand.q_id = q.id),
-         |sem AS (SELECT q_id, doc_id, rank FROM (
-         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cosine DESC, doc_id ASC) AS rank FROM semsc)
-         |  WHERE rank <= $TopK),
-         |uni AS (SELECT q_id, doc_id,
-         |    CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS contrib
-         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
-         |fus AS (SELECT q_id, doc_id,
-         |    CAST(sum(contrib) AS BIGINT) AS rrf_micro
-         |  FROM uni GROUP BY q_id, doc_id)
-         |SELECT q_id, doc_id, rrf_micro, rank FROM (
-         |  SELECT q_id, doc_id, rrf_micro, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
-         |  FROM fus) WHERE rank <= $TopK""".stripMargin,
+    "q_rrf_fusion_index" -> rrfIndexSql,
+
+    // the standing twin pays the probes only; ranking identical
+    "q_rrf_probe" -> rrfIndexSql,
 
     // retrieval eval: truth = each query's own doc; DCG base-2 log written
     // as ln(x)/ln(2.0) — the exact expression Spark's Logarithm evaluates

@@ -215,6 +215,14 @@ object ScaleRehearsal {
       "dedup_embedding_star" -> (() => Dedup.embeddingLshPairs(emb,
         "embedding", "vec_id", minCosine = 0.4, planesPerTable = 4,
         nTables = 16, bucketPairs = "star").count()),
+      // r13: the per-bucket auto-route at the production cap — on the
+      // copies corpus every bucket floods past 256 members, so auto must
+      // degrade to star's linear hub edges (while on sparse graphs it is
+      // exact: recall 1.0, StarRecallSpec); the claim is wall/shuffle
+      // within a small constant of dedup_embedding_star at 100x copies
+      "dedup_embedding_auto" -> (() => Dedup.embeddingLshPairs(emb,
+        "embedding", "vec_id", minCosine = 0.4, planesPerTable = 4,
+        nTables = 16, bucketPairs = "auto").count()),
       "ann_ivf" -> (() => SimilaritySearch.ivfTopK(emb,
         emb.filter(col("vec_id") % lit(1000000L) < 10), "embedding", "vec_id",
         k = 5).count()),
