@@ -934,9 +934,18 @@ object ScaleRehearsal {
       "pipeline_full" -> (() => {
         val d = docs.withColumn("src",
           concat(lit("s"), (col("doc_id") % 4).cast("string")))
+        // bench/corpus split on the ORIGINAL id (ids are orig + copy*1M
+        // on the copies corpus; identical to doc_id at 1x): a split on
+        // the raw id puts ~1/17 of every doc's COPIES into the bench, and
+        // decontamination then CORRECTLY kills (16/17)^copies of the
+        // corpus — at 100x that is 99.8%, the sweep keeps nothing, and
+        // the run refuses (measured; the loud pipelineFull empty-sweep
+        // guard fired). Real pipelines draw benchmarks from held-out
+        // families, which is what the original-id split reproduces.
+        val orig = pmod(col("doc_id"), lit(1000000L)) % 17
         graft.operators.Recipe.pipelineFull(
-            d.filter(col("doc_id") % 17 =!= 0),
-            d.filter(col("doc_id") % 17 === 0),
+            d.filter(orig =!= 0),
+            d.filter(orig === 0),
             "text", "doc_id", "src",
             budgets = Map("s0" -> 100000L, "s1" -> 50000L),
             epochs = Map("s0" -> 2.45, "s1" -> 0.6, "s3" -> 0.0),

@@ -95,6 +95,14 @@ class QuickstartSpec extends AnyFunSuite {
     assert(reps.count() === docs.count(), "keepBest verdicts are a census")
     assert(reps.filter($"kept").count() < docs.count(),
       "fixture near-dups must lose their non-representative copies")
+    // keep-best composed into the sweep + auto bucket pairs (README r13)
+    val bestSweep = Curation.sweep(scoredDocs, bench, "text", "doc_id",
+      scoreCol = "score")
+    assert(bestSweep.filter($"kept").count() > 0)
+    val nearPairs = Dedup.embeddingLshPairs(emb, "embedding", "vec_id",
+      minCosine = 0.9, bucketPairs = "auto")
+    assert(nearPairs.columns.toSeq === Seq("id_a", "id_b", "cosine"))
+    nearPairs.count()
 
     // dataset versioning: doc-level snapshot diff against the curated
     // revision (removed = curation drops; unchanged = survivors)
@@ -102,6 +110,10 @@ class QuickstartSpec extends AnyFunSuite {
     assert(diff.filter($"status" === "removed").count() ===
       docs.count() - nCurated)
     assert(diff.filter($"status" === "unchanged").count() === nCurated)
+    // retention (README r13): prune old verdict leaves, per family
+    Curation.pruneCheckpoints(spark, ckptDir, keepLast = 1)
+    assert(new java.io.File(ckptDir).listFiles()
+      .count(_.getName.startsWith("curation_verdicts_")) === 1)
 
     // DSIR importance resampling toward a reference slice (README block)
     val reference = docs.filter($"source" ===
