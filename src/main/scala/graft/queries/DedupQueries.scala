@@ -272,6 +272,14 @@ object DedupQueries {
         n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2,
         bandPairs = "star")),
 
+    // AUTO band pairs (r13), text twin of q_dedup_embedding_auto: the
+    // tight cap (2) makes the per-bucket ROUTE part of the hashed
+    // semantics — pair buckets stay exact, anything larger hubs
+    "q_dedup_minhash_auto" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, rowsPerBand = 2, nBands = 8, minJaccard = 0.2,
+        bandPairs = "auto", maxBucketPairs = 2)),
+
     // representative selection (r12): cluster the minhash-LSH verified
     // pairs and keep the LONGEST member per cluster (ties -> smallest
     // id) — the quality-aware alternative to min-id dedup; the verdict
@@ -692,6 +700,40 @@ object DedupQueries {
          |cand AS (
          |  SELECT DISTINCT h.id_a AS id_a, b.id AS id_b
          |  FROM bands b JOIN hubs h USING (band) WHERE h.id_a < b.id),
+         |verif AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(x.sh, y.sh)) AS n_common,
+         |    len(x.sh) AS n_a, len(y.sh) AS n_b
+         |  FROM cand JOIN docs x ON cand.id_a = x.id JOIN docs y ON cand.id_b = y.id)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+         |FROM verif
+         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2""".stripMargin,
+
+    // auto band pairs: buckets <= 2 members all-pairs, above -> hub edges
+    "q_dedup_minhash_auto" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |docs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tok),
+         |sigs AS (
+         |  SELECT id, sh, list_transform(range(0, 16),
+         |    k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS sig
+         |  FROM docs),
+         |bands AS (
+         |  SELECT id, unnest(list_transform(range(0, 8),
+         |    b -> md5(b || ':' || array_to_string(list_slice(sig, b*2+1, b*2+2), '|')))) AS band
+         |  FROM sigs),
+         |cnt AS (SELECT band, min(id) AS hub, count(*) AS n
+         |  FROM bands GROUP BY band),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b
+         |    FROM bands a JOIN bands b USING (band)
+         |    JOIN cnt c USING (band)
+         |    WHERE a.id < b.id AND c.n <= 2
+         |    UNION ALL
+         |    SELECT c.hub AS id_a, b.id AS id_b
+         |    FROM bands b JOIN cnt c USING (band)
+         |    WHERE c.n > 2 AND c.hub < b.id)),
          |verif AS (
          |  SELECT id_a, id_b,
          |    len(list_intersect(x.sh, y.sh)) AS n_common,

@@ -202,4 +202,23 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(nAll === docs.filter(col("doc_id") % 4 =!= 3).count(),
       s"both appended batches must land (docs table went $n0 -> $nAll)")
   }
+
+  test("standing probe (r13): the index is REUSED for the same corpus dir " +
+    "and rebuilt when the dir changes (the staleness guard)") {
+    val q = graft.SparkEntry.queries("q_dedup_probe")
+    val layout = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_dedup_probe_layout")
+    val r1 = q(spark, TestSpark.SfDir).collect().map(_.toString).sorted
+    // sentinel inside the fixed layout dir: a rebuild wipes the dir
+    // (fixedLayoutDir), reuse leaves it alone
+    val sentinel = layout.resolve("sentinel_standing")
+    java.nio.file.Files.createFile(sentinel)
+    val r2 = q(spark, TestSpark.SfDir).collect().map(_.toString).sorted
+    assert(java.nio.file.Files.exists(sentinel),
+      "a second probe against the SAME corpus dir must not rebuild")
+    assert(r2.toSeq === r1.toSeq, "reused index must answer identically")
+    q(spark, "/root/testdata/sf0.01").collect()
+    assert(!java.nio.file.Files.exists(sentinel),
+      "a different corpus dir must rebuild (stale layout wiped)")
+  }
 }
