@@ -951,6 +951,31 @@ object ScaleRehearsal {
             epochs = Map("s0" -> 2.45, "s1" -> 0.6, "s3" -> 0.0),
             decontaminateN = 4, minMeanMicro = -1300000L)
           .filter(col("kept")).count()
+      }),
+      // r13: the per-stage verdict CENSUS of the same eleven-stage run —
+      // one bounded aggregate over the output (sum of each stage flag),
+      // printed so the funnel shape at Nx is a committed number; the
+      // timed pipeline_full row above stays the perf claim
+      "pipeline_census" -> (() => {
+        val d = docs.withColumn("src",
+          concat(lit("s"), (col("doc_id") % 4).cast("string")))
+        val orig = pmod(col("doc_id"), lit(1000000L)) % 17
+        val v = graft.operators.Recipe.pipelineFull(
+          d.filter(orig =!= 0), d.filter(orig === 0),
+          "text", "doc_id", "src",
+          budgets = Map("s0" -> 100000L, "s1" -> 50000L),
+          epochs = Map("s0" -> 2.45, "s1" -> 0.6, "s3" -> 0.0),
+          decontaminateN = 4, minMeanMicro = -1300000L)
+        val stages = Seq("quality_ok", "repetition_ok", "lm_ok",
+          "exact_unique", "contaminated", "mix_sampled", "sweep_kept",
+          "clf_ok", "budget_kept", "kept")
+        val aggs = count(lit(1)).as("rows") +:
+          stages.map(s => sum(col(s).cast("long")).as(s))
+        val r = v.agg(aggs.head, aggs.tail: _*).head()
+        println("[scale]      pipeline_census " +
+          (("rows" +: stages).map(c => s"$c=${r.getAs[Any](c)}")
+            .mkString(" ")))
+        r.getLong(0)
       })
     )
 
