@@ -243,6 +243,15 @@ object Curation {
     * documented retention contract). Driver-side file-listing only
     * (Hadoop FileSystem, so HDFS/S3A paths work); returns the deleted
     * leaf paths, newest-first within each family.
+    *
+    * "Newest" is read from the SORTABLE WRITE TIMESTAMP embedded in the
+    * leaf name (`*_verdicts_<millis13>_<uuid>.parquet` — stamped by
+    * `sweepFull`/`Recipe.compose` at write time), NOT the directory
+    * mtime: S3A directory statuses carry synthetic mtimes (0 or
+    * listing-time), under which every leaf would tie and the UUID
+    * tiebreak would delete an arbitrary one — possibly the leaf the
+    * caller meant to keep (ADVICE r13). Legacy leaves without the stamp
+    * fall back to mtime (fine on HDFS/local, where mtimes are real).
     */
   def pruneCheckpoints(spark: org.apache.spark.sql.SparkSession,
                        checkpointDir: String,
@@ -255,13 +264,32 @@ object Curation {
       val n = st.getPath.getName
       st.isDirectory && n.contains("_verdicts_") && n.endsWith(".parquet")
     }
+    // the stamp is exactly 13 digits (zero-padded millis, good until
+    // 2286) followed by '_'; an 8-char legacy uuid segment can never
+    // parse as one, so legacy names unambiguously take the mtime path
+    def writeTime(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val rest = st.getPath.getName.split("_verdicts_", 2)(1)
+      val head = rest.takeWhile(_.isDigit)
+      if (head.length == 13 && rest.lift(13).contains('_')) head.toLong
+      else st.getModificationTime
+    }
     leaves.groupBy(_.getPath.getName.split("_verdicts_")(0)).toSeq
       .flatMap { case (_, fam) =>
-        fam.sortBy(st => (-st.getModificationTime, st.getPath.getName))
+        fam.sortBy(st => (-writeTime(st), st.getPath.getName))
           .drop(keepLast)
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
+
+  /** The per-run leaf name `sweepFull`/`Recipe.compose` write under their
+    * checkpointDir: family prefix + zero-padded millis write stamp (what
+    * `pruneCheckpoints` orders on — object stores have no trustworthy
+    * directory mtime) + a uuid segment (concurrent same-millisecond runs
+    * must not clobber each other's parquet mid-read).
+    */
+  private[graft] def verdictLeaf(family: String): String =
+    f"${family}_verdicts_${System.currentTimeMillis()}%013d_" +
+      java.util.UUID.randomUUID().toString.take(8) + ".parquet"
 
   def sweepFull(docs: DataFrame, bench: DataFrame, textCol: String,
                 idCol: String, sourceCol: String, decontaminateN: Int = 8,
@@ -302,8 +330,7 @@ object Curation {
         // per-run unique leaf (the Recipe.compose discipline): concurrent
         // or retried sweeps sharing a checkpointDir must not clobber each
         // other's verdict parquet mid-read
-        val path = s"${checkpointDir.stripSuffix("/")}/curation_verdicts_" +
-          s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+        val path = s"${checkpointDir.stripSuffix("/")}/${verdictLeaf("curation")}"
         curatedPlan.write.mode("overwrite").parquet(path)
         docs.sparkSession.read.parquet(path)
       } else curatedPlan.localCheckpoint(true)

@@ -602,7 +602,11 @@ object Dedup {
     * `simhashPairs` and `embeddingLshPairs` all qualify — clusters are
     * connected components over it, and the representative is
     * argmax(scoreCol), ties broken toward the smallest id. `scoreCol`
-    * must be numeric and non-null; ids must be unique.
+    * must be numeric and non-null on every doc that APPEARS IN THE PAIR
+    * GRAPH (a null there fails loudly — it would silently win its
+    * cluster's min_by); docs in no cluster never enter an ordering, so
+    * their score passes through unchecked, null included. Ids must be
+    * unique.
     *
     * Returns one verdict row per input row: (idCol, scoreCol,
     * cluster_size, kept) — `kept = false` rows are the duplicates a hard
@@ -653,12 +657,18 @@ object Dedup {
     val labels = connectedComponents(touched, p)
     // CC ran eagerly; labels are checkpointed
     if (!callerPersisted) p.unpersist(blocking = false)
-    // null scores fail FAST here (every path reads __score), not silently
-    // win the per-cluster min_by below — ADVICE r12: struct(negate(null),
-    // id) sorts first, so a null-scored doc would quietly claim its cluster
-    val scored = df.select(col(idCol).as("id"),
-      guardedScore(col(scoreCol), "keepBest").as("__score"))
+    // null scores fail FAST on every CLUSTERED doc (where they would
+    // silently win the per-cluster min_by below — ADVICE r12:
+    // struct(negate(null), id) sorts first, so a null-scored doc would
+    // quietly claim its cluster). Docs in NO cluster never enter a min_by,
+    // so their score passes through unchecked — null ok, kept = true (the
+    // singleton fast path; guarding them too was an r13 over-tightening
+    // that broke callers scoring only their duplicate candidates —
+    // ADVICE r13)
+    val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__raw"))
     val t = scored.join(labels, Seq("id"))
+      .select(col("label"), col("id"),
+        guardedScore(col("__raw"), "keepBest").as("__score"))
     val stats = t.groupBy(col("label")).agg(
       count(lit(1)).as("cluster_size"),
       min_by(col("id"), struct(negate(col("__score")), col("id"))).as("__rep"))
@@ -666,7 +676,7 @@ object Dedup {
       .select(col("id"), col("__score"), col("cluster_size"),
         (col("id") === col("__rep")).as("kept"))
     val singletons = scored.join(labels.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("__score"), lit(1L).as("cluster_size"),
+      .select(col("id"), col("__raw").as("__score"), lit(1L).as("cluster_size"),
         lit(true).as("kept"))
     clustered.unionByName(singletons)
       .select(col("id").as(idCol), col("__score").as(scoreCol),

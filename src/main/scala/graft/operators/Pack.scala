@@ -58,6 +58,19 @@ object Pack {
     * boundary-aligned semantics; only the doc→pack grouping differs from
     * subShards = 1 (up to subShards straddling tails per shard instead of
     * one). Size it so shardRows / subShards fits one task comfortably.
+    *
+    * LAZINESS (ADVICE r13, considered and deliberately declined): with
+    * the default `maxShardRows` this call launches the bounded probe
+    * aggregate AT CALL TIME — it is not pure plan construction. Eager is
+    * the point, not an oversight: a deferred in-plan guard (row_number +
+    * raise_error riding the pack window) would fire only AFTER the
+    * offending mega-shard has been shuffled, sorted, and buffered on its
+    * one task — at the scale the guard exists for, the job dies of the
+    * mega-sort (straggler/OOM) before the deferred diagnostic ever
+    * evaluates. The probe costs one count-per-shard pass (~0.06 s at the
+    * 10x fixture, measured r13); persist the upstream when its plan is
+    * expensive, or pass `maxShardRows = 0` to vouch for the shard sizes
+    * and keep the call pure plan construction.
     */
   def sequences(docs: DataFrame, tokenCol: String, budget: Long,
                 groupCol: String, idCol: String,

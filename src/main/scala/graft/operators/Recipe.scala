@@ -45,11 +45,13 @@ import org.apache.spark.sql.types.LongType
   * `Budget.selectToBudgetPerGroup`'s routing), and stage 5 accepts
   * `packSubShards > 1` to split each source's pack stream into
   * deterministic sub-shards (`Pack.sequences` policy variant; pack ids
-  * namespaced per sub-shard) — and GUARDS the default: when the repeated
-  * stream of any source exceeds `maxGroupRows / packSubShards` rows per
-  * task, packing fails loudly with the `packSubShards` value that
-  * restores the bound (pack grouping is policy, so it must not silently
-  * auto-route the way the budget stage does). The verdict frame feeds two consumers (the
+  * namespaced per sub-shard) — and GUARDS the default: when any source's
+  * repeated per-task stream (its repeated rows / `packSubShards`) would
+  * exceed `maxGroupRows` — i.e. the source holds more than
+  * `maxGroupRows * packSubShards` repeated rows in total — packing fails
+  * loudly with the `packSubShards` value that restores the bound (pack
+  * grouping is policy, so it must not silently auto-route the way the
+  * budget stage does). The verdict frame feeds two consumers (the
   * survivor path and the output join), so it materializes ONCE — to
   * parquet under `checkpointDir` (the recoverable phase discipline) or
   * via localCheckpoint as the single-session fallback — exactly the
@@ -123,8 +125,8 @@ object Recipe {
       if (checkpointDir.nonEmpty) {
         // per-run unique leaf: two composes sharing a checkpointDir must
         // not clobber each other's verdict parquet mid-read
-        val path = s"${checkpointDir.stripSuffix("/")}/recipe_verdicts_" +
-          s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+        val path = s"${checkpointDir.stripSuffix("/")}/" +
+          Curation.verdictLeaf("recipe")
         verdictPlan.write.mode("overwrite").parquet(path)
         docs.sparkSession.read.parquet(path)
       } else verdictPlan.localCheckpoint(true)

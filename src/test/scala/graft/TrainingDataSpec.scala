@@ -512,6 +512,19 @@ class TrainingDataSpec extends AnyFunSuite {
         .collect()
     }
     assert(chain(e2).contains("scoreCol contains a null"), chain(e2))
+    // ...but ONLY on pair-graph docs: a null score on a doc in NO cluster
+    // takes the singleton fast path (never enters a min_by) and passes
+    // through unchecked — guarding it too was a breaking r13
+    // over-tightening for callers that score only their dup candidates
+    // (ADVICE r13)
+    val withSingleton = Seq(("a", Some(1L)), ("b", Some(2L)),
+      ("c", None: Option[Long])).toDF("id", "score")
+    val out = Dedup.keepBest(withSingleton, pairs, "id", "score")
+      .collect().map(r => r.getAs[String]("id") ->
+        ((r.getAs[Boolean]("kept"), Option(r.getAs[Any]("score"))))).toMap
+    assert(out("c") === ((true, None)))          // null score survives
+    assert(out("b") === ((true, Some(2L))))      // best of the cluster
+    assert(out("a") === ((false, Some(1L))))
   }
 
   test("Curation.pruneCheckpoints deletes all but the newest keepLast " +
@@ -542,5 +555,34 @@ class TrainingDataSpec extends AnyFunSuite {
     // a missing directory is a no-op, not an error
     assert(graft.operators.Curation.pruneCheckpoints(spark,
       dir.toString + "/nope", 1) === Seq.empty)
+  }
+
+  test("pruneCheckpoints orders on the leaf name's embedded write stamp, " +
+    "not directory mtime (ADVICE r13: S3A dir mtimes are synthetic)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune2").toFile
+    def mk(name: String, age: Long): Unit = {
+      val d = new java.io.File(dir, name)
+      d.mkdir()
+      new java.io.File(d, "part-0.parquet").createNewFile()
+      d.setLastModified(System.currentTimeMillis() - age)
+    }
+    // mtimes CONTRADICT the stamps: the stamp-older leaf gets the newer
+    // mtime (S3A would even hand every leaf the same synthetic mtime) —
+    // the embedded stamp must win
+    mk("curation_verdicts_0000000000001_aaaa.parquet", 0L)
+    mk("curation_verdicts_0000000000002_bbbb.parquet", 90000L)
+    // a legacy (unstamped) leaf in the same family falls back to mtime;
+    // its fresh mtime makes it the family's newest
+    mk("curation_verdicts_cccc.parquet", 0L)
+    val deleted = graft.operators.Curation.pruneCheckpoints(spark,
+      dir.toString, keepLast = 2)
+    assert(deleted.map(p => new org.apache.hadoop.fs.Path(p).getName) ===
+      Seq("curation_verdicts_0000000000001_aaaa.parquet"))
+    // the writers actually embed a parsable stamp (sweepFull/compose
+    // leaf-name contract)
+    val leaf = graft.operators.Curation.verdictLeaf("curation")
+    val rest = leaf.split("_verdicts_", 2)(1)
+    assert(rest.length > 14 && rest.take(13).forall(_.isDigit) &&
+      rest(13) == '_' && leaf.endsWith(".parquet"), leaf)
   }
 }
