@@ -84,6 +84,38 @@ object AnnIndex {
       s"'graft.quantized' = '$quantize')")
   }
 
+  /** The standing-index lifecycle in one call — `TextSearch.ensureIndex`
+    * for the LSH postings index: build/rebuild only when the stamped
+    * content key (`IndexManifest.rowsKey` over (id, vector) — one
+    * bounded xxhash64 aggregate, no tokenize) plus build geometry does
+    * not match the corpus; reuse otherwise. Returns true when it
+    * (re)built. `precomputedKey` skips the corpus scan for ingest loops
+    * that track their manifest additively.
+    *
+    * Out-of-band `append`s deliberately do NOT update the key (appends
+    * here mutate no table properties — that property-free contract is
+    * spec-pinned for concurrent-append safety), so the next `ensure`
+    * over the accumulated corpus rebuilds: wasteful, never stale.
+    */
+  def ensure(corpus: DataFrame, vecCol: String, idCol: String, name: String,
+             path: => String, planesPerTable: Int = 0, nTables: Int = 16,
+             numBuckets: Int = 32, quantize: Boolean = false,
+             precomputedKey: Option[String] = None): Boolean = {
+    val spark = corpus.sparkSession
+    val key = precomputedKey.getOrElse(IndexManifest.rowsKey(corpus,
+      Seq(idCol, vecCol),
+      s"annlsh:p$planesPerTable:t$nTables:b$numBuckets:q$quantize"))
+    val pt = postingsTable(name)
+    val fresh = spark.catalog.tableExists(pt) &&
+      IndexManifest.stored(spark, pt).contains(key)
+    if (!fresh) {
+      write(corpus, vecCol, idCol, name, path, planesPerTable, nTables,
+        numBuckets, quantize)
+      IndexManifest.stamp(spark, pt, key)
+    }
+    !fresh
+  }
+
   /** Append a new embedding batch to an existing postings index — the
     * accumulate-over-months half (`DedupIndex.append`'s embedding twin).
     * Hashing geometry AND quantization mode come from the index's own
@@ -238,6 +270,30 @@ object AnnIndex {
     val centDf = cents.toDF("cid", "cv")
     graft.sources.Bucketize.writeBucketed(centDf, centroidsTable(name),
       s"$path/centroids", Seq("cid"), 1)
+  }
+
+  /** `ensure` for the k-means IVF layout: content key over (id, vector)
+    * plus the training geometry, stamped on the cell table. Returns true
+    * when it (re)trained+built. `appendKmeans` does not update the key
+    * (property-free appends), so ensure after out-of-band appends
+    * rebuilds — which for IVF doubles as the quantizer-drift reset.
+    */
+  def ensureKmeans(corpus: DataFrame, vecCol: String, idCol: String,
+                   name: String, path: => String, kClusters: Int = 0,
+                   iters: Int = 2, numBuckets: Int = 32,
+                   precomputedKey: Option[String] = None): Boolean = {
+    val spark = corpus.sparkSession
+    val key = precomputedKey.getOrElse(IndexManifest.rowsKey(corpus,
+      Seq(idCol, vecCol), s"annkm:k$kClusters:i$iters:b$numBuckets"))
+    val ct = cellsTable(name)
+    val fresh = spark.catalog.tableExists(ct) &&
+      IndexManifest.stored(spark, ct).contains(key)
+    if (!fresh) {
+      writeKmeans(corpus, vecCol, idCol, name, path, kClusters, iters,
+        numBuckets)
+      IndexManifest.stamp(spark, ct, key)
+    }
+    !fresh
   }
 
   /** Append a new embedding batch to a persisted k-means IVF index:

@@ -69,6 +69,37 @@ object DedupIndex {
         s"'graft.nBands' = '$nBands')")
   }
 
+  /** The standing-index lifecycle in one call — `TextSearch.ensureIndex`
+    * for the minhash-band dedup index: build/rebuild only when the
+    * stamped content key (`IndexManifest.textKey` — the corpus manifest,
+    * one bounded aggregate) plus the shingle/band geometry does not match
+    * the corpus; reuse otherwise. Returns true when it (re)built.
+    * `precomputedKey` skips the corpus scan for ingest loops tracking
+    * their manifest additively.
+    *
+    * Out-of-band `append`s deliberately do NOT update the key (appends
+    * here mutate no table properties — spec-pinned for concurrent-append
+    * safety), so the next `ensure` over the accumulated corpus rebuilds:
+    * wasteful, never stale.
+    */
+  def ensure(df: DataFrame, textCol: String, idCol: String, name: String,
+             path: => String, n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
+             numBuckets: Int = 32,
+             precomputedKey: Option[String] = None): Boolean = {
+    val spark = df.sparkSession
+    val key = precomputedKey.getOrElse(IndexManifest.textKey(df, textCol,
+      s"mhband:n$n:r$rowsPerBand:nb$nBands:b$numBuckets"))
+    val bt = bandsTable(name)
+    val fresh = spark.catalog.tableExists(bt) &&
+      IndexManifest.stored(spark, bt).contains(key)
+    if (!fresh) {
+      write(df, textCol, idCol, name, path, n, rowsPerBand, nBands,
+        numBuckets)
+      IndexManifest.stamp(spark, bt, key)
+    }
+    !fresh
+  }
+
   /** Append a new ingest batch to an existing index — the accumulate-
     * over-months half of the story (`write` once, then per ingest: `probe`
     * the batch, route duplicates away, `append` the survivors). The

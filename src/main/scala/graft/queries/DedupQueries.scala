@@ -312,29 +312,22 @@ object DedupQueries {
     }),
 
     // the STANDING dedup-index probe (r13 — the q_bm25_probe trick):
-    // the even-half index is built once per (session, corpus dir),
-    // guarded by a corpus-dir table property, so Bench's warmup absorbs
-    // the bucketed saveAsTable commit and the timed pass pays the
-    // odd-half probe alone — the deployed incremental-ingestion cost.
+    // the even-half index rides `DedupIndex.ensure` (r14: content-keyed
+    // staleness via the corpus manifest, operator API — a fixture
+    // regenerated in place at the same path rebuilds instead of serving
+    // a stale index), so Bench's warmup absorbs the bucketed saveAsTable
+    // commit and the timed pass pays the manifest aggregate + the
+    // odd-half probe — the deployed incremental-ingestion cost.
     // q_dedup_index/_append stay the build/append parity proofs; this
     // row decomposes their commit constant away. Same oracle.
     "q_dedup_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val name = "graft_dedup_probe_idx"
-      val bt = DedupIndex.bandsTable(name)
-      val dirProp = "graft.dedup.corpusDir"
-      val standing = s.catalog.tableExists(bt) &&
-        s.sql(s"SHOW TBLPROPERTIES `$bt`").collect()
-          .exists(r => r.getString(0) == dirProp && r.getString(1) == dir)
-      if (!standing) {
-        DedupIndex.write(docs.filter(col("doc_id") % 2 === 0), "text",
-          "doc_id", name,
-          RetrievalQueries.fixedLayoutDir("graft_dedup_probe_layout"),
-          numBuckets = 8)
-        s.sql(s"ALTER TABLE `$bt` SET TBLPROPERTIES ('$dirProp' = '$dir')")
-      }
+      DedupIndex.ensure(docs.filter(col("doc_id") % 2 === 0), "text",
+        "doc_id", "graft_dedup_probe_idx",
+        RetrievalQueries.fixedLayoutDir("graft_dedup_probe_layout"),
+        numBuckets = 8)
       DedupIndex.probe(docs.filter(col("doc_id") % 2 === 1), "text",
-        "doc_id", name, minJaccard = 0.2)
+        "doc_id", "graft_dedup_probe_idx", minJaccard = 0.2)
     }),
 
     // incremental ingestion (r9): the index accumulates across TWO ingests

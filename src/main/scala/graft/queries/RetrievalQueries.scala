@@ -172,27 +172,23 @@ object RetrievalQueries {
     }),
 
     // the STANDING-INDEX probe — what a deployed retrieval system pays
-    // per query batch against an accumulated corpus. The index is built
-    // ONCE per (session, corpus dir) and REUSED across invocations (a
-    // corpus-dir table property guards staleness), so Bench's untimed
-    // warmup pass absorbs the build and the timed pass measures the probe
-    // alone: broadcast query terms against the term-bucketed postings
-    // scan, zero corpus-side Exchange. Hash-pinned to the one-shot
-    // ranking (probe ≡ topk — the same scorer).
+    // per query batch against an accumulated corpus. `ensureIndex`
+    // (r14: the reuse logic promoted from this registry to operator API)
+    // builds once and REUSES across invocations behind a CONTENT-keyed
+    // staleness guard (the corpus manifest + build params as a table
+    // property — a corpus regenerated in place at the same path rebuilds
+    // instead of silently serving stale postings; the r13 path-keyed
+    // guard could not tell). Bench's untimed warmup absorbs the build;
+    // the timed pass pays the manifest aggregate (the honest
+    // cache-validity cost, measured in BASELINE.md) + the probe:
+    // broadcast query terms against the term-bucketed postings scan,
+    // zero corpus-side Exchange. Hash-pinned to the one-shot ranking
+    // (probe ≡ topk — the same scorer).
     "q_bm25_probe" -> ((s, dir) => {
-      val name = "graft_q_bm25_probe"
-      val pt = TextSearch.postingsTable(name)
-      val dirProp = "graft.bm25.corpusDir"
-      val standing = s.catalog.tableExists(pt) &&
-        s.sql(s"SHOW TBLPROPERTIES `$pt`").collect()
-          .exists(r => r.getString(0) == dirProp && r.getString(1) == dir)
-      if (!standing) {
-        TextSearch.buildIndex(t(s, dir, "documents"), "text", "doc_id",
-          name, fixedLayoutDir("graft_q_bm25_probe_idx"))
-        s.sql(s"ALTER TABLE `$pt` SET TBLPROPERTIES ('$dirProp' = '$dir')")
-      }
-      TextSearch.probe(s, name, queryDocs(s, dir), "q_text", "q_id",
-        k = TopK)
+      TextSearch.ensureIndex(t(s, dir, "documents"), "text", "doc_id",
+        "graft_q_bm25_probe", fixedLayoutDir("graft_q_bm25_probe_idx"))
+      TextSearch.probe(s, "graft_q_bm25_probe", queryDocs(s, dir),
+        "q_text", "q_id", k = TopK)
     }),
 
     // hybrid retrieval: RRF-fuse the BM25 lexical top-5 with the exact
@@ -244,11 +240,11 @@ object RetrievalQueries {
     }),
 
     // the STANDING twin of q_rrf_fusion_index (r13 — the q_bm25_probe
-    // trick applied to the fusion family): BOTH indexes are built once
-    // per (session, corpus dir), guarded by a corpus-dir table property,
-    // so Bench's untimed warmup absorbs the two bucketed saveAsTable
-    // commits and the timed pass pays the two exchange-free probes + the
-    // |queries|·k fusion alone — the cost a deployed hybrid retrieval
+    // trick applied to the fusion family): BOTH indexes ride `ensure*`
+    // (r14: content-keyed staleness, operator API), so Bench's untimed
+    // warmup absorbs the two bucketed saveAsTable commits and the timed
+    // pass pays the two manifest aggregates + two exchange-free probes +
+    // the |queries|·k fusion — the cost a deployed hybrid retrieval
     // system sees per query batch. q_rrf_fusion_index stays the in-query
     // build+probe parity proof; this row decomposes its commit constant
     // away (r12 verdict: the family's medians drifted with saveAsTable
@@ -256,24 +252,11 @@ object RetrievalQueries {
     "q_rrf_probe" -> ((s, dir) => {
       val lexName = "graft_rrf_probe_lex"
       val annName = "graft_rrf_probe_ann"
-      val dirProp = "graft.rrf.corpusDir"
-      def standing(table: String): Boolean =
-        s.catalog.tableExists(table) &&
-          s.sql(s"SHOW TBLPROPERTIES `$table`").collect()
-            .exists(r => r.getString(0) == dirProp && r.getString(1) == dir)
-      val lexTable = TextSearch.postingsTable(lexName)
-      val annTable = graft.operators.AnnIndex.postingsTable(annName)
-      if (!standing(lexTable) || !standing(annTable)) {
-        TextSearch.buildIndex(t(s, dir, "documents"), "text", "doc_id",
-          lexName, fixedLayoutDir("graft_rrf_probe_lex_idx"))
-        s.sql(s"ALTER TABLE `$lexTable` SET TBLPROPERTIES " +
-          s"('$dirProp' = '$dir')")
-        graft.operators.AnnIndex.write(t(s, dir, "embeddings"), "embedding",
-          "vec_id", annName, fixedLayoutDir("graft_rrf_probe_ann_idx"),
-          planesPerTable = 4, nTables = 16, numBuckets = 8)
-        s.sql(s"ALTER TABLE `$annTable` SET TBLPROPERTIES " +
-          s"('$dirProp' = '$dir')")
-      }
+      TextSearch.ensureIndex(t(s, dir, "documents"), "text", "doc_id",
+        lexName, fixedLayoutDir("graft_rrf_probe_lex_idx"))
+      graft.operators.AnnIndex.ensure(t(s, dir, "embeddings"), "embedding",
+        "vec_id", annName, fixedLayoutDir("graft_rrf_probe_ann_idx"),
+        planesPerTable = 4, nTables = 16, numBuckets = 8)
       val qd = queryDocs(s, dir)
       val lex = TextSearch.probe(s, lexName, qd, "q_text", "q_id", k = TopK)
         .select(col("q_id"), col("doc_id"), col("rank"))
