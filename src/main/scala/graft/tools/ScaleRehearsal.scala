@@ -976,6 +976,59 @@ object ScaleRehearsal {
           (("rows" +: stages).map(c => s"$c=${r.getAs[Any](c)}")
             .mkString(" ")))
         r.getLong(0)
+      }),
+      // r14: checkpoint RETENTION exercised at scale (r13 verdict task 5:
+      // the rehearsal ran the census but never pruned, and a RECURRING
+      // pipeline sharing a checkpointDir is the stated retention use
+      // case). Two pipelineFull runs share one checkpointDir (one
+      // curation + one recipe leaf each), prune to keepLast=1, assert
+      // exactly the newest leaf PAIR survived (the families prune
+      // independently, so the last run stays whole) and the older runs'
+      // disk came back.
+      "pipeline_prune" -> (() => {
+        val ckpt = s"$outDir/pipeline_ckpt"
+        def leafBytes(): Long = {
+          val p = java.nio.file.Paths.get(ckpt)
+          if (!java.nio.file.Files.exists(p)) 0L
+          else {
+            val s = java.nio.file.Files.walk(p)
+            try s.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+            finally s.close()
+          }
+        }
+        def run(): Long = {
+          val d = docs.withColumn("src",
+            concat(lit("s"), (col("doc_id") % 4).cast("string")))
+          val orig = pmod(col("doc_id"), lit(1000000L)) % 17
+          graft.operators.Recipe.pipelineFull(
+              d.filter(orig =!= 0), d.filter(orig === 0),
+              "text", "doc_id", "src",
+              budgets = Map("s0" -> 100000L, "s1" -> 50000L),
+              epochs = Map("s0" -> 2.45, "s1" -> 0.6, "s3" -> 0.0),
+              decontaminateN = 4, minMeanMicro = -1300000L,
+              checkpointDir = ckpt)
+            .filter(col("kept")).count()
+        }
+        run()
+        val n1 = run()
+        def leaves(): Set[String] = new java.io.File(ckpt).listFiles()
+          .map(_.getName).filter(_.contains("_verdicts_")).toSet
+        val all = leaves()
+        val before = leafBytes()
+        val deleted = graft.operators.Curation.pruneCheckpoints(spark,
+          ckpt, keepLast = 1)
+        val after = leafBytes()
+        // the embedded write stamp is zero-padded, so lexicographic max
+        // per family IS the newest leaf — exactly what must survive
+        val expect = all.groupBy(_.split("_verdicts_")(0))
+          .values.map(_.max).toSet
+        require(leaves() == expect && deleted.size == all.size - expect.size,
+          s"prune mismatch: all=$all remain=${leaves()} deleted=$deleted")
+        println(f"[scale]      pipeline_prune leaves=${all.size}%d " +
+          f"deleted=${deleted.size}%d bytes ${before / 1e6}%.1f -> " +
+          f"${after / 1e6}%.1f MB")
+        n1
       })
     )
 
