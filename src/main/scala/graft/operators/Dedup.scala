@@ -26,6 +26,13 @@ import graft.functions.Text
   *                    equal block), never all-pairs.
   *  - embedding:      cosine near-dup on embedding columns; brute blocked
   *                    pairs at verify scale, LSH hyperplane buckets at scale.
+  *
+  * WHICH ONE? README.md "Choosing a dedup strategy" is the one-page
+  * decision table (corpus shape -> strategy -> oracle row -> measured
+  * recall/cost); the short form: exact first, `bucketPairs = "auto"` when
+  * duplication floods are possible, `semanticDedup` for paraphrase-level
+  * dedup, `keepBest` to pick survivors, `DedupIndex.ensure`/`probe` for
+  * incremental ingest.
   */
 object Dedup {
 

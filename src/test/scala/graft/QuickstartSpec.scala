@@ -157,10 +157,14 @@ class QuickstartSpec extends AnyFunSuite {
       curated, "text", testFraction = 0.3)
     assert(trainDocs.count() + testDocs.count() === curated.count())
 
-    // BM25 index build + probe (README block; small bucket knob)
+    // BM25 standing index via ensure + probe (README block; small bucket
+    // knob): first ensure builds, the immediate re-ensure REUSES — the
+    // content-keyed lifecycle the README advertises
     val bm25Dir = java.nio.file.Files.createTempDirectory("graft_qs_bm25").toString
-    TextSearch.buildIndex(curated, "text", "doc_id", "corpus_bm25", bm25Dir,
-      numBuckets = 4)
+    assert(TextSearch.ensureIndex(curated, "text", "doc_id", "corpus_bm25",
+      bm25Dir, numBuckets = 4) === true)
+    assert(TextSearch.ensureIndex(curated, "text", "doc_id", "corpus_bm25",
+      bm25Dir, numBuckets = 4) === false)
     val userQueries = docs.limit(3)
       .select($"doc_id".as("q_id"), $"text".as("q_text"))
     val hits = TextSearch.probe(spark, "corpus_bm25", userQueries,
