@@ -515,6 +515,26 @@ object DedupQueries {
         "vec_id", "graft_ann_km_q", k = 5, nProbe = 8)
     }),
 
+    // the STANDING twin of q_ann_kmeans_index (r14 — the probe-twin
+    // pattern now covers EVERY index family: bm25/dedup/rrf/kmeans): the
+    // trained layout rides AnnIndex.ensureKmeans behind the content key,
+    // so Bench's warmup absorbs the train + two bucketed commits and the
+    // timed pass pays the rowsKey staleness aggregate + the cell probe —
+    // the recurring per-batch cost of a deployed IVF service, decomposing
+    // the build row's commit constant (10x r13: q_ann_kmeans_index ratio
+    // 0.49, the last undecomposed family). Training is deterministic on
+    // the pinned geometry, so the ranking — and the unrolled-Lloyd
+    // oracle — is identical to the build row's.
+    "q_ann_kmeans_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnIndex.ensureKmeans(emb, "embedding", "vec_id",
+        "graft_ann_km_probe",
+        RetrievalQueries.fixedLayoutDir("graft_ann_km_probe_layout"),
+        kClusters = 16, iters = 2, numBuckets = 8)
+      AnnIndex.probeKmeans(emb.filter(col("vec_id") < 10), "embedding",
+        "vec_id", "graft_ann_km_probe", k = 5, nProbe = 8)
+    }),
+
     // recall@k of the trained-IVF path against exact brute force — the
     // quality harness the approximate path carries (mirrors q_ann_recall).
     "q_ann_kmeans_recall" -> ((s, dir) => {
@@ -1010,6 +1030,8 @@ object DedupQueries {
     // the persisted trained index reuses kmeansIvfTopK's deterministic
     // training + scoring on the same pinned geometry — same oracle
     "q_ann_kmeans_index" -> annKmeansSql,
+    // identical semantics through the standing ensureKmeans layout
+    "q_ann_kmeans_probe" -> annKmeansSql,
     "q_ann_kmeans_recall" -> annKmeansRecallSql,
 
     // the persisted-index probe shares ivfTopK's bucket/score/rank
