@@ -152,7 +152,12 @@ def main():
     s_common = round(sum(spark_med[q] for q in common), 3)
     d_common = round(sum(duck_med[q] for q in common), 3)
 
-    with open("BENCH_LOCAL.json", "w") as f:
+    # a name-filtered run is a family measurement, not the close artifact —
+    # do not clobber BENCH_LOCAL.json with a subset
+    bench_path = (f"BENCH_FILTERED_{tag}.json"
+                  if os.environ.get("SPARK_GRAFT_QUERIES") else
+                  "BENCH_LOCAL.json")
+    with open(bench_path, "w") as f:
         json.dump({"metric": "total", "value": s_total, "unit": "sec",
                    "passes": passes, "method": "interleaved",
                    "pass_ok": pass_ok, "queries": spark_med,
