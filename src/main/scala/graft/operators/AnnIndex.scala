@@ -86,32 +86,40 @@ object AnnIndex {
 
   /** The standing-index lifecycle in one call — `TextSearch.ensureIndex`
     * for the LSH postings index: build/rebuild only when the stamped
-    * content key (`IndexManifest.rowsKey` over (id, vector) — one
-    * bounded xxhash64 aggregate, no tokenize) plus build geometry does
-    * not match the corpus; reuse otherwise. Returns true when it
-    * (re)built. `precomputedKey` skips the corpus scan for ingest loops
-    * that track their manifest additively.
+    * content key plus build geometry does not match the corpus; reuse
+    * otherwise. Returns true when it (re)built. Dir-backed corpora
+    * default to the O(files) LISTING key (r15, see `IndexManifest`);
+    * non-scan plans fall back to the precise `IndexManifest.rowsKey`
+    * ((id, vector) xxhash64 aggregate, no tokenize), which is also the
+    * `precomputedKey` opt-in for ingest loops tracking their manifest
+    * additively (no scan, no listing — the 100 TB shape).
     *
     * Out-of-band `append`s deliberately do NOT update the key (appends
     * here mutate no table properties — that property-free contract is
     * spec-pinned for concurrent-append safety), so the next `ensure`
     * over the accumulated corpus rebuilds: wasteful, never stale.
+    *
+    * Concurrency: SINGLE-WRITER per index name (all `ensure*` —
+    * check-then-act, no metastore CAS; post-stamp read-back fails the
+    * common interleaving loudly; serialize ensures for the hard
+    * guarantee, and quiesce probes across a rebuild).
     */
   def ensure(corpus: DataFrame, vecCol: String, idCol: String, name: String,
              path: => String, planesPerTable: Int = 0, nTables: Int = 16,
              numBuckets: Int = 32, quantize: Boolean = false,
              precomputedKey: Option[String] = None): Boolean = {
     val spark = corpus.sparkSession
-    val key = precomputedKey.getOrElse(IndexManifest.rowsKey(corpus,
-      Seq(idCol, vecCol),
-      s"annlsh:p$planesPerTable:t$nTables:b$numBuckets:q$quantize"))
+    val params = s"annlsh:p$planesPerTable:t$nTables:b$numBuckets:q$quantize"
+    val key = precomputedKey.getOrElse(
+      IndexManifest.filesKeyOf(corpus, params, Seq(idCol, vecCol))
+        .getOrElse(IndexManifest.rowsKey(corpus, Seq(idCol, vecCol), params)))
     val pt = postingsTable(name)
     val fresh = spark.catalog.tableExists(pt) &&
       IndexManifest.stored(spark, pt).contains(key)
     if (!fresh) {
       write(corpus, vecCol, idCol, name, path, planesPerTable, nTables,
         numBuckets, quantize)
-      IndexManifest.stamp(spark, pt, key)
+      IndexManifest.stampVerified(spark, pt, key)
     }
     !fresh
   }
@@ -272,26 +280,31 @@ object AnnIndex {
       s"$path/centroids", Seq("cid"), 1)
   }
 
-  /** `ensure` for the k-means IVF layout: content key over (id, vector)
-    * plus the training geometry, stamped on the cell table. Returns true
-    * when it (re)trained+built. `appendKmeans` does not update the key
-    * (property-free appends), so ensure after out-of-band appends
-    * rebuilds — which for IVF doubles as the quantizer-drift reset.
+  /** `ensure` for the k-means IVF layout: content key (listing-derived
+    * by default for dir-backed corpora, `IndexManifest.rowsKey`
+    * otherwise — see `ensure`) plus the training geometry, stamped on
+    * the cell table. Returns true when it (re)trained+built.
+    * `appendKmeans` does not update the key (property-free appends), so
+    * ensure after out-of-band appends rebuilds — which for IVF doubles
+    * as the quantizer-drift reset. SINGLE-WRITER per index name, like
+    * all `ensure*`.
     */
   def ensureKmeans(corpus: DataFrame, vecCol: String, idCol: String,
                    name: String, path: => String, kClusters: Int = 0,
                    iters: Int = 2, numBuckets: Int = 32,
                    precomputedKey: Option[String] = None): Boolean = {
     val spark = corpus.sparkSession
-    val key = precomputedKey.getOrElse(IndexManifest.rowsKey(corpus,
-      Seq(idCol, vecCol), s"annkm:k$kClusters:i$iters:b$numBuckets"))
+    val params = s"annkm:k$kClusters:i$iters:b$numBuckets"
+    val key = precomputedKey.getOrElse(
+      IndexManifest.filesKeyOf(corpus, params, Seq(idCol, vecCol))
+        .getOrElse(IndexManifest.rowsKey(corpus, Seq(idCol, vecCol), params)))
     val ct = cellsTable(name)
     val fresh = spark.catalog.tableExists(ct) &&
       IndexManifest.stored(spark, ct).contains(key)
     if (!fresh) {
       writeKmeans(corpus, vecCol, idCol, name, path, kClusters, iters,
         numBuckets)
-      IndexManifest.stamp(spark, ct, key)
+      IndexManifest.stampVerified(spark, ct, key)
     }
     !fresh
   }

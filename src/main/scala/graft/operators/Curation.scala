@@ -275,7 +275,12 @@ object Curation {
     }
     leaves.groupBy(_.getPath.getName.split("_verdicts_")(0)).toSeq
       .flatMap { case (_, fam) =>
-        fam.sortBy(st => (-writeTime(st), st.getPath.getName))
+        // equal write stamps (same-millisecond concurrent runs — the case
+        // the uuid suffix exists for) break ties by name DESCENDING, so
+        // the kept leaf is the lexicographic max: deterministic, and the
+        // same leaf a name-ordered listing calls newest (ADVICE r14)
+        fam.sortBy(st => (-writeTime(st), st.getPath.getName))(
+            Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
           .drop(keepLast)
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }

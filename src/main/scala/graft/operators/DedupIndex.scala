@@ -71,31 +71,44 @@ object DedupIndex {
 
   /** The standing-index lifecycle in one call — `TextSearch.ensureIndex`
     * for the minhash-band dedup index: build/rebuild only when the
-    * stamped content key (`IndexManifest.textKey` — the corpus manifest,
-    * one bounded aggregate) plus the shingle/band geometry does not match
+    * stamped content key plus the shingle/band geometry does not match
     * the corpus; reuse otherwise. Returns true when it (re)built.
-    * `precomputedKey` skips the corpus scan for ingest loops tracking
-    * their manifest additively.
+    * Dir-backed corpora default to the O(files) LISTING key (r15 —
+    * names+lengths+plan fingerprint, one directory listing per reuse
+    * check, see `IndexManifest`); non-scan plans fall back to the
+    * precise manifest aggregate (`IndexManifest.textKey`), which is also
+    * the opt-in via `precomputedKey` for in-place same-size mutations
+    * and for ingest loops tracking their manifest additively (no scan at
+    * all — the 100 TB shape).
     *
     * Out-of-band `append`s deliberately do NOT update the key (appends
     * here mutate no table properties — spec-pinned for concurrent-append
     * safety), so the next `ensure` over the accumulated corpus rebuilds:
     * wasteful, never stale.
+    *
+    * Concurrency: SINGLE-WRITER per index name, like all `ensure*` —
+    * check-then-act over a no-CAS metastore; two concurrent ensures race
+    * the layout path and a concurrent probe can see a half-rebuilt
+    * index. The post-stamp read-back fails the common interleaving
+    * loudly; serialize ensures (one driver per standing index) for the
+    * hard guarantee.
     */
   def ensure(df: DataFrame, textCol: String, idCol: String, name: String,
              path: => String, n: Int = 3, rowsPerBand: Int = 2, nBands: Int = 8,
              numBuckets: Int = 32,
              precomputedKey: Option[String] = None): Boolean = {
     val spark = df.sparkSession
-    val key = precomputedKey.getOrElse(IndexManifest.textKey(df, textCol,
-      s"mhband:n$n:r$rowsPerBand:nb$nBands:b$numBuckets"))
+    val params = s"mhband:n$n:r$rowsPerBand:nb$nBands:b$numBuckets"
+    val key = precomputedKey.getOrElse(
+      IndexManifest.filesKeyOf(df, params, Seq(textCol, idCol))
+        .getOrElse(IndexManifest.textKey(df, textCol, params)))
     val bt = bandsTable(name)
     val fresh = spark.catalog.tableExists(bt) &&
       IndexManifest.stored(spark, bt).contains(key)
     if (!fresh) {
       write(df, textCol, idCol, name, path, n, rowsPerBand, nBands,
         numBuckets)
-      IndexManifest.stamp(spark, bt, key)
+      IndexManifest.stampVerified(spark, bt, key)
     }
     !fresh
   }

@@ -236,39 +236,59 @@ object TextSearch {
     * not. Returns true when it (re)built, false when the standing index
     * was reused — the caller probes either way.
     *
-    * Staleness is CONTENT-keyed, not path-keyed: the corpus manifest
-    * (`IndexManifest.textKey` — n_docs, n_tokens, content hash, one
-    * bounded aggregate) plus the build params is compared against the
-    * key stamped on the postings table, so a corpus regenerated in place
-    * at the same path rebuilds instead of silently serving stale
-    * postings, while a re-read of unchanged parquet reuses. The
-    * per-call cost when reusing is the manifest aggregate — one
-    * tokenize+sum scan of `df` (measured in BASELINE.md next to
-    * q_bm25_probe); an ingest loop that already tracks its corpus
-    * manifest additively (`IndexManifest.combine` per batch) passes it
-    * as `precomputedKey` and skips the scan entirely — the 100 TB shape.
+    * Staleness is CONTENT-keyed, not path-keyed, at one of two
+    * granularities (see `IndexManifest`'s scaladoc for the full
+    * contract):
+    *  - dir-backed corpora (`df` is a plain file scan, modulo
+    *    Project/Filter — the common shape) default to the O(files)
+    *    LISTING key since r15: file names + lengths + the plan's own
+    *    filter fingerprint, so a corpus regenerated in place (new part
+    *    files) rebuilds, an unchanged listing reuses, and the per-call
+    *    reuse cost is one directory listing — NOT a corpus scan. Blind
+    *    spot (documented, no standard writer hits it): an in-place
+    *    mutation preserving file name AND length;
+    *  - everything else (and the precise opt-in, via
+    *    `precomputedKey = Some(IndexManifest.textKey(df, textCol,
+    *    "bm25:b<n>"))`) keys on the corpus manifest — n_docs, n_tokens,
+    *    content hash, one bounded tokenize aggregate over `df`.
+    * An ingest loop that already tracks its corpus manifest additively
+    * (`IndexManifest.combine` per batch) passes it as `precomputedKey`
+    * and skips both the scan and the listing — the 100 TB shape.
     *
-    * Composes with `append`: appends through `TextSearch.append` COMBINE
-    * the batch's manifest into the stamped key (manifests are additive),
-    * so a later `ensure` over the accumulated corpus still reuses.
+    * Composes with `append`: appends through `TextSearch.append` keep a
+    * manifest-scan key LIVE by combining the batch's manifest (additive);
+    * a listing-derived key cannot absorb out-of-band rows, so `append`
+    * DROPS it and the next `ensure` rebuilds — wasteful, never stale.
     *
     * `path` is BY-NAME: evaluated only when a (re)build actually happens,
     * so callers may pass an expression that provisions/wipes the layout
     * directory (the bench registries do) without invalidating a standing
     * index they are about to reuse.
+    *
+    * Concurrency: `ensure*` is SINGLE-WRITER per index name — it is
+    * check-then-act over a metastore with last-write-wins property
+    * updates and no CAS, so two sessions ensuring the same `name` can
+    * race DROP TABLE/overwrite on the layout path, and a concurrent
+    * probe can observe a half-rebuilt index. The post-stamp read-back
+    * (`IndexManifest.stampVerified`) detects the common interleaving and
+    * fails the loser loudly, but the hard guarantee is the contract:
+    * one ensuring driver per standing index, probes quiesced across a
+    * rebuild (mirrors `append`'s single-writer note).
     */
   def ensureIndex(df: DataFrame, textCol: String, idCol: String,
                   name: String, path: => String, numBuckets: Int = 32,
                   precomputedKey: Option[String] = None): Boolean = {
     val spark = df.sparkSession
+    val params = s"bm25:b$numBuckets"
     val key = precomputedKey.getOrElse(
-      IndexManifest.textKey(df, textCol, s"bm25:b$numBuckets"))
+      IndexManifest.filesKeyOf(df, params, Seq(textCol, idCol))
+        .getOrElse(IndexManifest.textKey(df, textCol, params)))
     val pt = postingsTable(name)
     val fresh = spark.catalog.tableExists(pt) &&
       IndexManifest.stored(spark, pt).contains(key)
     if (!fresh) {
       buildIndex(df, textCol, idCol, name, path, numBuckets)
-      IndexManifest.stamp(spark, pt, key)
+      IndexManifest.stampVerified(spark, pt, key)
     }
     !fresh
   }
@@ -347,18 +367,25 @@ object TextSearch {
     spark.sql(s"ALTER TABLE `${postingsTable(name)}` " +
       s"UNSET TBLPROPERTIES ('$PendingKey')")
     // ensure-managed indexes keep their content key LIVE across appends:
-    // manifests are additive over disjoint batches, so combining the
-    // batch's manifest (one batch-sized aggregate) lets a later
+    // manifest-scan keys are additive over disjoint batches, so combining
+    // the batch's manifest (one batch-sized aggregate) lets a later
     // `ensureIndex` over the accumulated corpus recognize it and reuse
-    // instead of rebuilding. Ordered AFTER the marker clears: a crash
-    // anywhere in the append window leaves the OLD key, which mismatches
-    // the (now part-appended) corpus and forces a rebuild — the safe
-    // direction. Indexes built via bare `buildIndex` carry no key and
-    // skip this (no extra scan).
+    // instead of rebuilding. A LISTING-derived key (the r15 default)
+    // cannot absorb out-of-band rows — they are not files of the corpus
+    // dir — so it is DROPPED instead: the next ensure rebuilds, wasteful
+    // but never stale. Ordered AFTER the marker clears: a crash anywhere
+    // in the append window leaves the OLD (or dropped) key, which
+    // mismatches the (now part-appended) corpus and forces a rebuild —
+    // the safe direction. Indexes built via bare `buildIndex` carry no
+    // key and skip this (no extra scan).
     IndexManifest.stored(spark, postingsTable(name)).foreach { k =>
-      val bk = IndexManifest.textKey(df, textCol, IndexManifest.paramsOf(k))
-      IndexManifest.stamp(spark, postingsTable(name),
-        IndexManifest.combine(k, bk))
+      if (IndexManifest.isFilesKey(k))
+        IndexManifest.unset(spark, postingsTable(name))
+      else {
+        val bk = IndexManifest.textKey(df, textCol, IndexManifest.paramsOf(k))
+        IndexManifest.stamp(spark, postingsTable(name),
+          IndexManifest.combine(k, bk))
+      }
     }
     docLens.unpersist()
   }

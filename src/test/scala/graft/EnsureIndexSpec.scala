@@ -60,6 +60,134 @@ class EnsureIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("filesKey: O(files) staleness for dir-backed corpora — reuse on an " +
+    "unchanged listing, REBUILD on added/rewritten files or a changed " +
+    "filter; precise textKey stays the in-place-mutation opt-in (r14 " +
+    "verdict task 1)") {
+    val dir = tmp("graft_fk_corpus")
+    val pq = s"$dir/docs.parquet"
+    corpusA.repartition(2).write.mode("overwrite").parquet(pq)
+    def rd = spark.read.parquet(pq)
+    val name = "graft_ensure_fk_t"
+    val path = tmp("graft_fk_idx")
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === true)
+    // the stamped key IS listing-derived — the timed reuse path pays a
+    // directory listing, not a corpus tokenize scan
+    val stored0 = IndexManifest.stored(spark,
+      TextSearch.postingsTable(name)).get
+    assert(IndexManifest.isFilesKey(stored0), stored0)
+    // unchanged listing -> reuse (fresh reader, same files)
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === false)
+    // explicit filesKey over the same dir reproduces the stamped key for
+    // a bare scan (the precomputedKey-compatible form)
+    assert(IndexManifest.filesKey(spark, pq, "bm25:b4",
+      Seq("text", "doc_id")) === stored0)
+    // file ADDED (ingest landing a new part file) -> rebuild
+    Seq((9L, "alpha beta gamma newdoc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(pq)
+    spark.catalog.refreshByPath(pq)
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === true)
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === false)
+    // corpus REWRITTEN in place (same path, new part files) -> rebuild,
+    // even at identical row content: regeneration renames
+    corpusA.repartition(2).write.mode("overwrite").parquet(pq)
+    spark.catalog.refreshByPath(pq)
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === true)
+    // a FILTERED read of the same files is a different corpus: the plan
+    // fingerprint rebuilds; same filter again reuses
+    assert(TextSearch.ensureIndex(rd.filter($"doc_id" <= 2L), "text",
+      "doc_id", name, path, numBuckets = 4) === true)
+    assert(TextSearch.ensureIndex(rd.filter($"doc_id" <= 2L), "text",
+      "doc_id", name, path, numBuckets = 4) === false)
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === true)
+    // the same files indexed on a DIFFERENT column never alias
+    assert(IndexManifest.filesKey(spark, pq, "bm25:b4",
+      Seq("text", "doc_id")) !==
+      IndexManifest.filesKey(spark, pq, "bm25:b4", Seq("other", "doc_id")))
+    // in-place SAME-name SAME-length byte mutation is the documented
+    // blind spot: that threat model opts into the precise scan key
+    val precise = IndexManifest.textKey(rd, "text", "bm25:b4")
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4, precomputedKey = Some(precise)) === true)
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4, precomputedKey = Some(precise)) === false)
+    // files keys are listing-derived, NOT additive: combine refuses
+    intercept[IllegalArgumentException] {
+      IndexManifest.combine(stored0, stored0)
+    }
+    // the vector families ride the same default: AnnIndex.ensure over a
+    // dir-backed embedding corpus stamps a listing key and reuses
+    val vdir = tmp("graft_fk_vec")
+    Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$vdir/emb.parquet")
+    def vrd = spark.read.parquet(s"$vdir/emb.parquet")
+    val vname = "graft_ensure_fk_ann"
+    val vpath = tmp("graft_fk_ann_idx")
+    assert(AnnIndex.ensure(vrd, "embedding", "vec_id", vname, vpath,
+      planesPerTable = 2, nTables = 2, numBuckets = 2) === true)
+    assert(IndexManifest.isFilesKey(
+      IndexManifest.stored(spark, AnnIndex.postingsTable(vname)).get))
+    assert(AnnIndex.ensure(vrd, "embedding", "vec_id", vname, vpath,
+      planesPerTable = 2, nTables = 2, numBuckets = 2) === false)
+  }
+
+  test("filesKey + append: TextSearch.append DROPS a listing-derived key " +
+    "(out-of-band rows are not corpus files) — next ensure rebuilds, " +
+    "never stale") {
+    val dir = tmp("graft_fk_app")
+    val pq = s"$dir/docs.parquet"
+    corpusA.write.mode("overwrite").parquet(pq)
+    def rd = spark.read.parquet(pq)
+    val name = "graft_ensure_fk_app"
+    val path = tmp("graft_fk_app_idx")
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === true)
+    TextSearch.append(Seq((7L, "omega psi chi")).toDF("doc_id", "text"),
+      "text", "doc_id", name)
+    // key dropped: the accumulated index no longer matches ANY listing
+    assert(IndexManifest.stored(spark,
+      TextSearch.postingsTable(name)).isEmpty)
+    assert(TextSearch.ensureIndex(rd, "text", "doc_id", name, path,
+      numBuckets = 4) === true)
+  }
+
+  test("stamp whitelists the key charset; stampVerified detects a " +
+    "concurrent ensure's clobber (single-writer contract, r14 verdict " +
+    "task 2)") {
+    // a key that SQL-literal escaping would munge is refused loudly, not
+    // stored-in-a-form-that-never-matches (ADVICE r14)
+    val name = "graft_ensure_guard_t"
+    val path = tmp("graft_ensure_guard")
+    assert(TextSearch.ensureIndex(corpusA, "text", "doc_id", name, path,
+      numBuckets = 4) === true)
+    val pt = TextSearch.postingsTable(name)
+    intercept[IllegalArgumentException] {
+      IndexManifest.stamp(spark, pt, "bad\\key|p")
+    }
+    intercept[IllegalArgumentException] {
+      IndexManifest.stamp(spark, pt, "bad'key|p")
+    }
+    // the loser of a stamp race reads back the winner's key and aborts
+    // loudly instead of serving an index whose files it half-overwrote:
+    // simulate the interleaving by clobbering between stamp and verify
+    // (verifyStamp IS stampVerified's post-stamp read-back)
+    IndexManifest.stamp(spark, pt, "9:9:fff|ours")
+    IndexManifest.stamp(spark, pt, "1:2:abc|other-session")
+    val e = intercept[IllegalStateException] {
+      IndexManifest.verifyStamp(spark, pt, "9:9:fff|ours")
+    }
+    assert(e.getMessage.contains("concurrent ensure"))
+    // and the match case passes
+    IndexManifest.verifyStamp(spark, pt, "1:2:abc|other-session")
+  }
+
   test("TextSearch.ensureIndex: build once, reuse on identical content, " +
     "REBUILD when the corpus mutates in place (r13 verdict task 1)") {
     val name = "graft_ensure_bm25_t"

@@ -578,6 +578,21 @@ class TrainingDataSpec extends AnyFunSuite {
       dir.toString, keepLast = 2)
     assert(deleted.map(p => new org.apache.hadoop.fs.Path(p).getName) ===
       Seq("curation_verdicts_0000000000001_aaaa.parquet"))
+    // EQUAL write stamps (same-millisecond concurrent runs — the case the
+    // uuid suffix exists for) break ties by name DESCENDING: the
+    // lexicographic max survives, matching ScaleRehearsal's
+    // newest-is-lex-max assumption (ADVICE r14)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_prune3").toFile
+    def mk3(name: String): Unit = {
+      val d = new java.io.File(dir3, name)
+      d.mkdir()
+      new java.io.File(d, "part-0.parquet").createNewFile()
+    }
+    mk3("curation_verdicts_0000000000005_aaaa.parquet")
+    mk3("curation_verdicts_0000000000005_zzzz.parquet")
+    graft.operators.Curation.pruneCheckpoints(spark, dir3.toString, 1)
+    assert(dir3.listFiles().map(_.getName).toSeq ===
+      Seq("curation_verdicts_0000000000005_zzzz.parquet"))
     // the writers actually embed a parsable stamp (sweepFull/compose
     // leaf-name contract)
     val leaf = graft.operators.Curation.verdictLeaf("curation")
