@@ -24,8 +24,14 @@ Writes:
 
 A Spark warmup pass (untimed, codegen/JIT) precedes pass 1, exactly like
 graft.Bench. DuckDB gets a fresh process per timing, exactly like
-tools/bench_oracle.py. An oracle query that times out is skipped for the
-remaining passes; one that never succeeded lands in "skipped".
+tools/bench_oracle.py. An oracle timing that times out or errors is
+RETRIED ONCE (r14 verdict task 6: one hung oracle must not poison a pass
+median); a query whose attempt fails twice in one pass is skipped for the
+remaining passes and lands in "skipped", with every timed-out/errored
+attempt counted in the artifacts' "timeouts" field. Spark-side failures
+follow graft.Bench's contract: a query that never timed successfully is
+emitted as null (never silently omitted — a failed query must never read
+as a fast time) and the script exits nonzero when any query errored.
 """
 import sys, os, json, subprocess
 import multiprocessing as mp
@@ -117,7 +123,7 @@ def main():
     print("[interleaved] warmup done", file=sys.stderr)
 
     spark_t, duck_t = {q: [] for q in queries}, {q: [] for q in queries}
-    errors, duck_dead = {}, set()
+    errors, duck_dead, timeouts = {}, set(), {}
     for p in range(1, passes + 1):
         for q in queries:
             kind, name, payload = ask(proc, "time", q)
@@ -127,10 +133,14 @@ def main():
                 errors[q] = payload
             if q in oracle and q not in duck_dead:
                 d = duck_once(sf_dir, oracle[q], timeout)
+                if d is None:  # retry once — a transient hang/err must
+                    timeouts[q] = timeouts.get(q, 0) + 1  # not poison the
+                    d = duck_once(sf_dir, oracle[q], timeout)  # pass median
                 if d is None:
+                    timeouts[q] = timeouts.get(q, 0) + 1
                     duck_dead.add(q)
-                    print(f"[interleaved] DUCK TIMEOUT/ERR {q}",
-                          file=sys.stderr)
+                    print(f"[interleaved] DUCK TIMEOUT/ERR x2 {q} — "
+                          f"skipping remaining passes", file=sys.stderr)
                 else:
                     duck_t[q].append(d)
             s = spark_t[q][-1] if spark_t[q] else float("nan")
@@ -143,7 +153,7 @@ def main():
     spark_med = {q: round(median(ts), 4) for q, ts in spark_t.items() if ts}
     duck_med = {q: round(median(ts), 4) for q, ts in duck_t.items() if ts}
     pass_ok = {q: len(ts) for q, ts in spark_t.items()}
-    skipped = {q: f"timeout>{timeout}s or error"
+    skipped = {q: f"timeout>{timeout}s or error (retried once per pass)"
                for q in queries if q in oracle and q not in duck_med}
     common = [q for q in queries if q in spark_med and q in duck_med]
     ratio = {q: round(spark_med[q] / duck_med[q], 4) if duck_med[q] > 0
@@ -151,6 +161,9 @@ def main():
     s_total = round(sum(spark_med.values()), 3)
     s_common = round(sum(spark_med[q] for q in common), 3)
     d_common = round(sum(duck_med[q] for q in common), 3)
+    # Bench.scala's contract: a query that never timed successfully is an
+    # explicit null, never a vanished row
+    spark_out = {q: spark_med.get(q) for q in queries}
 
     # a name-filtered run is a family measurement, not the close artifact —
     # do not clobber BENCH_LOCAL.json with a subset
@@ -160,25 +173,29 @@ def main():
     with open(bench_path, "w") as f:
         json.dump({"metric": "total", "value": s_total, "unit": "sec",
                    "passes": passes, "method": "interleaved",
-                   "pass_ok": pass_ok, "queries": spark_med,
+                   "pass_ok": pass_ok, "queries": spark_out,
                    "errors": errors, "sf": sf_dir}, f)
         f.write("\n")
     with open(f"ORACLE_{tag}.json", "w") as f:
         json.dump({"engine": "duckdb", "sf": sf_dir, "passes": passes,
                    "method": "interleaved", "queries": duck_med,
-                   "skipped": skipped}, f)
+                   "skipped": skipped, "timeouts": timeouts}, f)
         f.write("\n")
     out = {"passes": passes, "sf": sf_dir, "n_queries": len(queries),
            "spark_total": s_total, "spark_total_common": s_common,
            "duckdb_total_common": d_common,
            "ratio_total": round(s_common / d_common, 4) if d_common else None,
-           "ratio": ratio}
+           "ratio": ratio, "timeouts": timeouts}
     with open(f"BENCH_INTERLEAVED_{tag}.json", "w") as f:
         json.dump(out, f)
         f.write("\n")
     print(json.dumps({k: out[k] for k in
                       ("passes", "sf", "spark_total", "spark_total_common",
                        "duckdb_total_common", "ratio_total")}))
+    if errors:
+        print(f"[interleaved] {len(errors)} Spark-side FAILURES: "
+              f"{sorted(errors)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
