@@ -435,6 +435,22 @@ object TextSearch {
     * the two-column lens table; pass `verifyStats = false` on hot probe
     * loops that re-probe an unchanged index.
     */
+  /** Stats tuples already verified against their lens table THIS JVM —
+    * the consistency check below is a lens `count()` (O(files) parquet
+    * footer reads at 100 TB), and a standing index probed per query
+    * batch must not pay it per probe. Sound to memoize: every mutation
+    * that could invalidate a verified tuple also CHANGES it — `append`
+    * rewrites nDocs/sumDl (and stamps the pending marker first; a torn
+    * append leaves the marker or the mutated stats), `repair` rewrites
+    * them, a rebuild recreates the table — so a re-probe under the same
+    * (name, nDocs, sumDl) is the already-verified state. Out-of-band
+    * layout corruption from ANOTHER process is outside any per-call
+    * check's reach anyway (the count would race it); bounded: one small
+    * string per standing index per JVM.
+    */
+  private[graft] val verifiedStats =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def probe(spark: SparkSession, name: String,
             queries: DataFrame, qTextCol: String, qIdCol: String,
             k: Int, k1: Double = 1.2, b: Double = 0.75,
@@ -442,7 +458,9 @@ object TextSearch {
     val props = tblProps(spark, name)
     val nDocs = props("graft.bm25.nDocs").toLong
     val avgdl = props("graft.bm25.sumDl").toDouble / nDocs.toDouble
-    if (verifyStats && !props.get(PendingKey).exists(_.nonEmpty)) {
+    val statsKey = s"$name:$nDocs:${props("graft.bm25.sumDl")}"
+    if (verifyStats && !props.get(PendingKey).exists(_.nonEmpty) &&
+        !verifiedStats.contains(statsKey)) {
       val lensN = spark.table(lensTable(name)).count()
       if (lensN != nDocs) throw new IllegalStateException(
         s"TextSearch.probe: index '$name' is INCONSISTENT — lens table " +
@@ -451,6 +469,7 @@ object TextSearch {
           "was cleared without resyncing (or a corrupted layout): run " +
           s"TextSearch.repair(spark, \"$name\") to resync the stats from " +
           "the lens table, or rebuild the index from source.")
+      verifiedStats.add(statsKey)
     }
     topkOf(scoreMicro(spark.table(postingsTable(name)),
       Some(spark.table(lensTable(name))), nDocs, avgdl,

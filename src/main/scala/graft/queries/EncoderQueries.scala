@@ -265,6 +265,31 @@ object EncoderQueries {
           (0 until 8).map(i => col(s"c_mktsegment_$i").as(s"f_$i")): _*)
     }),
 
+    // REAL ONNX forward pass as the TextEncoder provider (VERDICT r14
+    // task 4): a dyadic-weight 8->6(Relu)->4 MLP serialized to actual
+    // ONNX bytes (OnnxMini.writeMlp), parsed once per executor JVM,
+    // batched matmuls over hashed bag-of-bigram features of each
+    // DISTINCT doc text (the pinned gramBuckets expression — the Dsir
+    // md5 discipline). Every arithmetic step is exact: integer gram
+    // counts x k/16 weights -> multiples of 2^-8, x 2^16 -> exact
+    // integers — so the whole model forward hashes against a DuckDB
+    // replay of the same matmul (generated literal SQL below).
+    "q_onnx_embed" -> ((s, dir) => {
+      import graft.encoders.{OnnxEmbeddingProvider, OnnxMini}
+      val docs = t(s, dir, "documents")
+      val model = OnnxMini.writeMlp(OnnxMini.demoWeights(8, 6, 4))
+      val prov = OnnxEmbeddingProvider(model, inDim = 8, dim = 4)
+      val vals = docs.select(
+        coalesce(col("text").cast(StringType), lit("")).as("value"))
+        .distinct()
+      docs.select(col("doc_id"),
+          coalesce(col("text").cast(StringType), lit("")).as("value"))
+        .join(prov.embed(vals), Seq("value"))
+        .select(col("doc_id") +: (0 until 4).map(m =>
+          (element_at(col("embedding"), m + 1) * lit(65536.0))
+            .cast(LongType).as(s"e_$m")): _*)
+    }),
+
     // numeric profile with decimal-exact std (order-independent)
     "q_num_profile" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -544,6 +569,47 @@ object EncoderQueries {
          |SELECT c_custkey, ${(0 until 8).map(j => s"f_$j / sf AS f_$j")
            .mkString(", ")}
          |FROM e, s""".stripMargin
+    },
+    // the ONNX MLP replayed as literal SQL generated from the SAME
+    // weight function the model bytes are built from — tokens -> word
+    // bigrams (whole-text fallback, the Dsir/gramBuckets contract) ->
+    // md5 buckets mod 8 -> integer counts -> relu layer -> linear layer
+    // -> x 2^16 exact-integer features
+    "q_onnx_embed" -> {
+      val layers = graft.encoders.OnnxMini.demoWeights(8, 6, 4)
+      val (w0, b0, _) = layers(0)
+      val (w1, b1, _) = layers(1)
+      def num(d: Double): String =
+        if (d == d.toLong.toDouble) s"${d.toLong}.0" else d.toString
+      val xs = (0 until 8).map(j =>
+        s"CAST(count(*) FILTER (WHERE b = $j) AS DOUBLE) AS x$j")
+      val hs = (0 until 6).map { k =>
+        val terms = (0 until 8)
+          .map(j => s"x$j * (${num(w0(j)(k))})").mkString(" + ")
+        s"greatest(0.0, $terms + (${num(b0(k))})) AS h$k"
+      }
+      val ys = (0 until 4).map { m =>
+        val terms = (0 until 6)
+          .map(k => s"h$k * (${num(w1(k)(m))})").mkString(" + ")
+        s"$terms + (${num(b1(m))}) AS y$m"
+      }
+      s"""WITH tk AS (SELECT doc_id, ${TextQueries.toksSql} AS toks
+         |  FROM (SELECT doc_id, coalesce(text, '') AS text
+         |        FROM documents)),
+         |gr AS (SELECT doc_id, CASE WHEN len(toks) <= 1
+         |    THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1]) END AS grams FROM tk),
+         |db AS (SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 8 AS b
+         |  FROM (SELECT doc_id, unnest(grams) AS g FROM gr)),
+         |x AS (SELECT doc_id, ${xs.mkString(", ")} FROM db GROUP BY doc_id),
+         |h AS (SELECT doc_id, ${hs.mkString(", ")} FROM x),
+         |y AS (SELECT doc_id, ${ys.mkString(", ")} FROM h)
+         |SELECT doc_id, ${(0 until 4)
+          .map(m => s"CAST(y$m * 65536.0 AS BIGINT) AS e_$m")
+          .mkString(", ")}
+         |FROM y""".stripMargin
     },
     "q_embed_pca" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -250,6 +250,64 @@ class QuickstartSpec extends AnyFunSuite {
     monitor.refCounts.unpersist()
   }
 
+  test("README standing-index block drives the full lifecycle through " +
+    "plain JVM types — the spark-shell / PySpark (spark._jvm) facade " +
+    "(r14 verdict task 5)") {
+    // every call below uses ONLY DataFrame/String/Int/Double/Boolean
+    // arguments: exactly what py4j can pass. The same block, python-side,
+    // runs in tools/pyspark_registry_check.py part 4 against a real
+    // pyspark session.
+    import graft.api.Standing
+    val docs = TestSpark.table("documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qs_standing").toString
+    assert(Standing.ensureText(docs, "text", "doc_id",
+      "qs_standing_bm25", dir, 4) === true)
+    assert(Standing.ensureText(docs, "text", "doc_id",
+      "qs_standing_bm25", dir, 4) === false)
+    val qs = docs.orderBy("doc_id").limit(3)
+      .selectExpr("doc_id AS q_id", "text AS q_text")
+    val hits = Standing.probeText(spark, "qs_standing_bm25", qs,
+      "q_text", "q_id", 5)
+    assert(hits.count() > 0)
+    assert(Seq("q_id", "doc_id", "score_micro", "rank")
+      .forall(hits.columns.contains))
+    // the ingest-loop path: staleness via a stored/precomputed key — one
+    // property read, no corpus scan, no listing
+    val k = Standing.storedKey(spark, "qs_standing_bm25_postings")
+    assert(k.nonEmpty)
+    assert(Standing.ensureTextKeyed(docs, "text", "doc_id",
+      "qs_standing_bm25", dir, 4, k) === false)
+    // dedup + both ANN families ride the same facade
+    val dd = java.nio.file.Files
+      .createTempDirectory("graft_qs_sdedup").toString
+    assert(Standing.ensureDedup(docs, "text", "doc_id",
+      "qs_standing_dd", dd, 3, 2, 8, 4) === true)
+    assert(Standing.ensureDedup(docs, "text", "doc_id",
+      "qs_standing_dd", dd, 3, 2, 8, 4) === false)
+    val dupHits = Standing.probeDedup(docs.limit(5), "text", "doc_id",
+      "qs_standing_dd", 0.5)
+    assert(Seq("id", "match_id", "jaccard")
+      .forall(dupHits.columns.contains), dupHits.columns.mkString(","))
+    val emb = TestSpark.table("embeddings")
+    val ad = java.nio.file.Files
+      .createTempDirectory("graft_qs_sann").toString
+    assert(Standing.ensureAnn(emb, "embedding", "vec_id",
+      "qs_standing_ann", ad, 4, 8, 4, false) === true)
+    assert(Standing.probeAnn(emb.limit(3), "embedding", "vec_id",
+      "qs_standing_ann", 5).count() > 0)
+    val kd = java.nio.file.Files
+      .createTempDirectory("graft_qs_skm").toString
+    assert(Standing.ensureAnnKmeans(emb, "embedding", "vec_id",
+      "qs_standing_km", kd, 4, 2, 4) === true)
+    assert(Standing.probeAnnKmeans(emb.limit(3), "embedding", "vec_id",
+      "qs_standing_km", 5, 2).count() > 0)
+    // key helpers: the comma-separated-cols string forms
+    val fk = Standing.filesKey(spark,
+      TestSpark.SfDir + "/documents.parquet", "bm25:b4", "text,doc_id")
+    assert(fk.startsWith("F") && fk.endsWith("|bm25:b4"))
+  }
+
   test("README SQL registry block runs against a registered session") {
     GraftFunctions.register(spark)
     TestSpark.table("documents").createOrReplaceTempView("qs_documents")

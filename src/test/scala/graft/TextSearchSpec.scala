@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.TextSearch
@@ -158,6 +160,19 @@ class TextSearchSpec extends AnyFunSuite {
       queries, "q_text", "q_id", k = 5).orderBy("q_id", "rank")
       .collect().map(_.toSeq)
     assert(after.toSeq === before.toSeq)
+    // the verified tuple is MEMOIZED per JVM (r15: a standing index
+    // probed per query batch pays the lens count once, not per probe —
+    // at 100 TB that count is an O(files) footer pass); the corrupted
+    // tuple above was never admitted, and any append/repair changes the
+    // tuple so a mutation is always re-verified
+    val props = spark.sql("SHOW TBLPROPERTIES `graft_bm25_torn_postings`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val key = s"graft_bm25_torn:${props("graft.bm25.nDocs")}:" +
+      props("graft.bm25.sumDl")
+    assert(TextSearch.verifiedStats.contains(key),
+      "verified stats tuple must be memoized")
+    assert(!TextSearch.verifiedStats.asScala.exists(_.contains("424242")),
+      "the corrupted tuple must never have been admitted")
   }
 
   test("one-shot scores/topk leave no persisted frame behind") {
