@@ -105,6 +105,9 @@ object Standing {
                 name: String): Unit =
     AnnIndex.append(corpus, vecCol, idCol, name)
 
+  def compactAnn(spark: SparkSession, name: String, newPath: String): Unit =
+    AnnIndex.compact(spark, name, newPath)
+
   // ---- k-means IVF ANN index (AnnIndex.*Kmeans) ----
 
   def ensureAnnKmeans(corpus: DataFrame, vecCol: String, idCol: String,
@@ -120,6 +123,10 @@ object Standing {
   def appendAnnKmeans(corpus: DataFrame, vecCol: String, idCol: String,
                       name: String): Unit =
     AnnIndex.appendKmeans(corpus, vecCol, idCol, name)
+
+  def compactAnnKmeans(spark: SparkSession, name: String,
+                       newPath: String): Unit =
+    AnnIndex.compactKmeans(spark, name, newPath)
 
   // ---- staleness keys (IndexManifest) ----
 

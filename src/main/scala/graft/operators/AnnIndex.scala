@@ -156,6 +156,21 @@ object AnnIndex {
     graft.sources.Bucketize.compact(spark, postingsTable(name),
       s"$newPath/postings")
 
+  /** `compact` for the k-means IVF layout (r15 — the last index family
+    * missing the ingest -> compact rhythm): append-accumulated CELLS are
+    * rewritten to one sorted file per bucket; the centroids table is
+    * rewritten alongside UNCHANGED — the quantizer is the index's
+    * identity and compaction must never retrain it — so probes are plan-
+    * and result-identical (spec-pinned in AnnIndexSpec).
+    */
+  def compactKmeans(spark: org.apache.spark.sql.SparkSession, name: String,
+                    newPath: String): Unit = {
+    graft.sources.Bucketize.compact(spark, cellsTable(name),
+      s"$newPath/cells")
+    graft.sources.Bucketize.compact(spark, centroidsTable(name),
+      s"$newPath/centroids")
+  }
+
   /** The (planesPerTable, nTables) geometry persisted with the index. */
   def geometry(spark: org.apache.spark.sql.SparkSession,
                name: String): (Int, Int) = {

@@ -278,6 +278,25 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(m === q, s"query $q (an appended vector, re-id'd) must find " +
         s"its own appended posting at rank 1, found $m")
     }
+    // compactKmeans (r15): the append-accumulated cells rewrite to one
+    // sorted file per bucket, the centroids carry over UNCHANGED (the
+    // quantizer is never retrained), and a probe is result-identical
+    val centsBefore = spark.table(
+        AnnIndex.centroidsTable("graft_annidx_km_inc"))
+      .collect().map(_.toSeq).toSet
+    val refProbe = AnnIndex.probeKmeans(probeQ, "embedding", "vec_id",
+        "graft_annidx_km_inc", k = 3, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    val newDir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_kmc").toString
+    AnnIndex.compactKmeans(spark, "graft_annidx_km_inc", newDir)
+    assert(spark.table(AnnIndex.centroidsTable("graft_annidx_km_inc"))
+      .collect().map(_.toSeq).toSet === centsBefore)
+    assert(AnnIndex.probeKmeans(probeQ, "embedding", "vec_id",
+        "graft_annidx_km_inc", k = 3, nProbe = 4)
+      .collect().map(_.toSeq).toSet === refProbe)
+    assert(spark.table(AnnIndex.cellsTable("graft_annidx_km_inc"))
+      .count() === emb.count())
   }
 
   test("append mutates NO table properties: geometry/quantization are " +
