@@ -39,23 +39,28 @@ final case class OnnxEmbeddingProvider(modelBytes: Array[Byte], inDim: Int,
   require(batchSize > 0, "batchSize must be positive")
 
   def embed(values: DataFrame): DataFrame = {
-    val buckets = graft.functions.VecExprs.gramBuckets(
-      coalesce(col("value").cast(StringType), lit("")), inDim)
-    val bow = transform(sequence(lit(0L), lit(inDim - 1L)),
-      j => size(filter(col("__bk"), b => b === j)).cast(DoubleType))
-    val featured = values
-      .withColumn("__bk", buckets)
-      .select(col("value"), bow.as("__bow"))
+    // the codegen'd loop expression emits the gram BUCKET array; the
+    // dense count vector is built in the partition function below (one
+    // pass over the array) rather than as inDim higher-order filter
+    // expressions — HOFs are CodegenFallback and priced per (row, j)
+    val featured = values.select(
+      col("value"),
+      graft.functions.VecExprs.gramBuckets(
+        coalesce(col("value").cast(StringType), lit("")), inDim).as("__bk"))
     val outSchema = StructType(Seq(
       StructField("value", StringType),
       StructField("embedding", ArrayType(DoubleType))))
-    val (bytes, bs, d, acc) = (modelBytes, batchSize, dim, rowsSeen)
+    val (bytes, bs, d, in, acc) = (modelBytes, batchSize, dim, inDim, rowsSeen)
     featured.mapPartitions { it =>
       val model = OnnxMini.cached(bytes)
       it.grouped(bs).flatMap { chunk =>
         acc.foreach(_.add(chunk.size.toLong))
-        val out = model.forward(
-          chunk.map(_.getSeq[Double](1).toArray).toArray)
+        val feats = chunk.map { r =>
+          val x = new Array[Double](in)
+          r.getSeq[Long](1).foreach(b => x(b.toInt) += 1.0)
+          x
+        }.toArray
+        val out = model.forward(feats)
         out.foreach(e => require(e.length == d,
           s"OnnxEmbeddingProvider: model emits ${e.length}-wide rows, " +
             s"provider declared dim=$d"))
