@@ -419,6 +419,10 @@ object TextSearch {
     graft.sources.Bucketize.compact(spark, lensTable(name), s"$newPath/lens")
   }
 
+  // stats tuples already lens-verified this JVM (see probe's scaladoc)
+  private[graft] val verifiedStats =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Probe a persisted index built by `buildIndex` — the same scorer as
     * `topk`, with corpus stats from the index's own table properties, so a
     * probe cannot desynchronize from the layout it scores against.
@@ -432,25 +436,18 @@ object TextSearch {
     * marker skips the check: registered-but-not-yet-retrievable batch
     * docs are the documented monotone in-flight state, and reads stay
     * available during ingest. The count is one metadata-bounded job over
-    * the two-column lens table; pass `verifyStats = false` on hot probe
-    * loops that re-probe an unchanged index.
+    * the two-column lens table, MEMOIZED per verified (name, nDocs,
+    * sumDl) tuple per JVM (r15) — a standing index probed per query
+    * batch pays it once, not per probe (at 100 TB the count is an
+    * O(files) footer pass). Sound: every mutation that could invalidate
+    * a verified tuple also CHANGES it — `append` rewrites nDocs/sumDl
+    * (stamping the pending marker first; a torn append leaves the marker
+    * or the mutated stats), `repair` rewrites them, a rebuild recreates
+    * the table. Out-of-band layout corruption from ANOTHER process is
+    * outside any per-call check's reach anyway (the count would race
+    * it). Pass `verifyStats = false` on hot probe loops that accept the
+    * torn-append risk entirely.
     */
-  /** Stats tuples already verified against their lens table THIS JVM —
-    * the consistency check below is a lens `count()` (O(files) parquet
-    * footer reads at 100 TB), and a standing index probed per query
-    * batch must not pay it per probe. Sound to memoize: every mutation
-    * that could invalidate a verified tuple also CHANGES it — `append`
-    * rewrites nDocs/sumDl (and stamps the pending marker first; a torn
-    * append leaves the marker or the mutated stats), `repair` rewrites
-    * them, a rebuild recreates the table — so a re-probe under the same
-    * (name, nDocs, sumDl) is the already-verified state. Out-of-band
-    * layout corruption from ANOTHER process is outside any per-call
-    * check's reach anyway (the count would race it); bounded: one small
-    * string per standing index per JVM.
-    */
-  private[graft] val verifiedStats =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   def probe(spark: SparkSession, name: String,
             queries: DataFrame, qTextCol: String, qIdCol: String,
             k: Int, k1: Double = 1.2, b: Double = 0.75,
