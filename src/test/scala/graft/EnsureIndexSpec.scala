@@ -136,6 +136,22 @@ class EnsureIndexSpec extends AnyFunSuite {
       IndexManifest.stored(spark, AnnIndex.postingsTable(vname)).get))
     assert(AnnIndex.ensure(vrd, "embedding", "vec_id", vname, vpath,
       planesPerTable = 2, nTables = 2, numBuckets = 2) === false)
+    // ...and the kmeans-IVF twin (fourth family): listing key stamped,
+    // unchanged listing reuses, regenerated-in-place rebuilds
+    val kname = "graft_ensure_fk_km"
+    val kpath = tmp("graft_fk_km_idx")
+    assert(AnnIndex.ensureKmeans(vrd, "embedding", "vec_id", kname, kpath,
+      kClusters = 2, numBuckets = 2) === true)
+    assert(IndexManifest.isFilesKey(
+      IndexManifest.stored(spark, AnnIndex.cellsTable(kname)).get))
+    assert(AnnIndex.ensureKmeans(vrd, "embedding", "vec_id", kname, kpath,
+      kClusters = 2, numBuckets = 2) === false)
+    Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.8, 0.6)))
+      .toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$vdir/emb.parquet")
+    spark.catalog.refreshByPath(s"$vdir/emb.parquet")
+    assert(AnnIndex.ensureKmeans(vrd, "embedding", "vec_id", kname, kpath,
+      kClusters = 2, numBuckets = 2) === true)
   }
 
   test("filesKey + append: TextSearch.append DROPS a listing-derived key " +
