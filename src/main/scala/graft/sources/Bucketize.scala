@@ -19,6 +19,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketize {
 
+  /** Cluster `df` so every write task holds exactly ONE bucket's rows.
+    *
+    * A bucketed write is task-local: each task splits ITS rows by bucket id
+    * and opens one file per bucket it sees, so M upstream partitions times
+    * B buckets produce up to M*B output files — measured 256 parquet files
+    * (+256 .crc) for an 8-bucket index written from 32 shuffle partitions,
+    * and the per-file create/rename/fsync commit cost dominated every
+    * index-build bench row. `repartition(numBuckets, keys)` uses the SAME
+    * hash Spark's bucketing does (HashPartitioning's murmur3
+    * partitionIdExpression IS the bucket-id expression), so after it each
+    * task contains exactly one bucket and the write emits exactly
+    * numBuckets files — one sorted file per bucket, which also preserves
+    * the within-bucket sortedness single-file reads rely on. This is the
+    * hash write-distribution mode table formats use for the same reason;
+    * the one extra exchange of index rows is paid once at layout time and
+    * is linear in index size at any scale (the explicit partition count
+    * keeps AQE from re-coalescing it away from the bucket count).
+    */
+  private def clusterByBucket(df: DataFrame, keys: Seq[String],
+                              numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(numBuckets, keys.map(col): _*)
+  }
+
   /** Write `df` as an external bucketed+sorted parquet table. Replaces any
     * existing catalog entry of the same name.
     */
@@ -26,7 +50,8 @@ object Bucketize {
                     keys: Seq[String], numBuckets: Int): Unit = {
     require(keys.nonEmpty, "bucket keys must be non-empty")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.format("parquet").mode("overwrite")
+    clusterByBucket(df, keys, numBuckets)
+      .write.format("parquet").mode("overwrite")
       .option("path", path)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -46,8 +71,10 @@ object Bucketize {
     require(keys.nonEmpty, "bucket keys must be non-empty")
     require(df.sparkSession.catalog.tableExists(table),
       s"table $table does not exist — write it with writeBucketed first")
-    df.write.format("parquet").mode("append")
-      .bucketBy(numBucketsOf(df.sparkSession, table), keys.head, keys.tail: _*)
+    val numBuckets = numBucketsOf(df.sparkSession, table)
+    clusterByBucket(df, keys, numBuckets)
+      .write.format("parquet").mode("append")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
@@ -86,7 +113,24 @@ object Bucketize {
       .filter(_._1.startsWith("graft."))
     val keys = spec.bucketColumnNames
     val staging = s"${table}__compacting"
-    writeBucketed(spark.table(table), staging, newPath, keys, spec.numBuckets)
+    // Pin the rewrite's scan to BUCKETED reading. By default Spark's
+    // auto-bucketed-scan heuristic plans the relation as bucket-partitioned
+    // (which lets the planner drop clusterByBucket's exchange as redundant)
+    // and then demotes the scan to plain file splits as "unnecessary" — the
+    // write inherits split-shaped partitions that straddle buckets and emits
+    // one file per (task, bucket) again, exactly what compaction exists to
+    // undo (measured: a 4-bucket table compacted to 7 files instead of 4).
+    // With the heuristic off the scan stays one-partition-per-bucket, the
+    // exchange is legitimately elided, and compaction becomes the ideal
+    // ZERO-shuffle rewrite: each task merges its own bucket's files into
+    // one sorted file. Session conf is saved/restored; compact is
+    // single-writer by contract so no concurrent planner reads the pin.
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try writeBucketed(spark.table(table), staging, newPath, keys,
+      spec.numBuckets)
+    finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     props.foreach { case (k, v) =>
       spark.sql(s"ALTER TABLE `$staging` SET TBLPROPERTIES ('$k' = '$v')")
     }
