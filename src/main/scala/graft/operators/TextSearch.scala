@@ -78,21 +78,29 @@ object TextSearch {
 
   /** THE scorer — every public surface goes through here. BM25 micro-
     * scores of `queries` against (post, docLens) under the given corpus
-    * stats: (q_id, doc_id, score_micro). The df aggregate is semi-joined
-    * to the query terms first (identical values, vocab-bounded work; over
-    * a term-bucketed postings table it is also exchange-free).
+    * stats: (q_id, doc_id, score_micro). Document frequency rides a
+    * term-window over the query-term-filtered postings branch: `post` is
+    * referenced ONCE, so the one-shot path tokenizes the corpus once (a
+    * separate df aggregate re-evaluated the whole unpersisted postings
+    * lineage — a second tokenize scan — and broadcast-joined it back),
+    * and the window only ever sorts/shuffles candidate postings — rows
+    * whose term appears in some query. Over a term-bucketed postings
+    * table the window is exchange-free (the scan's hash partitioning on
+    * `term` satisfies it); df values are identical either way (postings
+    * are unique per (term, doc), and the count runs before q_id fan-out).
     */
   private def scoreMicro(post: DataFrame, docLens: Option[DataFrame],
                          nDocs: Long, avgdl: Double,
                          queries: DataFrame, qTextCol: String, qIdCol: String,
                          k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qTerms = queries.select(col(qIdCol).as("q_id"),
         explode(array_distinct(graft.functions.Text.tokens(
           coalesce(col(qTextCol), lit(""))))).as("term"))
       .distinct()
-    val df_ = post
+    val filtered = post
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5))
       / (col("df").cast(DoubleType) + lit(0.5)))
 
@@ -101,9 +109,9 @@ object TextSearch {
     val tfn = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl))))
 
-    val candidates = post
+    val candidates = filtered
       .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(df_.withColumn("idf", idf).drop("df")), Seq("term"))
+      .withColumn("idf", idf).drop("df")
     // Some(lens): the persisted-index path joins its bucketed lens table.
     // None: `post` already CARRIES dl on every row — the one-shot path
     // rides dl through the single postings exchange instead of paying a
