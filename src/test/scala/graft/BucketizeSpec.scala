@@ -53,6 +53,35 @@ class BucketizeSpec extends AnyFunSuite {
     }
   }
 
+  test("writes emit exactly one sorted file per bucket, appends one per " +
+    "batch-bucket, and compact restores one per bucket (r16: the write is " +
+    "clustered by the bucket key — without it each task wrote one file per " +
+    "bucket it saw, M*B small files per layout)") {
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktfiles").toString
+    // >1 upstream partition so the old shape would multiply files per task
+    val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4)
+    Bucketize.writeBucketed(df, "graft_bkt_files", s"$dir/t", Seq("k"), 4)
+    try {
+      assert(parquetFiles(s"$dir/t") === 4,
+        "a fresh write must emit exactly numBuckets files")
+      Bucketize.appendBucketed(
+        (5001L to 9000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4),
+        "graft_bkt_files", Seq("k"))
+      assert(parquetFiles(s"$dir/t") === 8,
+        "an append adds at most one file per bucket")
+      // compaction: back to one sorted file per bucket, zero-shuffle
+      // rewrite (the scan is pinned bucketed — one task merges one bucket)
+      val dirC = java.nio.file.Files.createTempDirectory("graft_bktfiles2")
+        .toString
+      Bucketize.compact(spark, "graft_bkt_files", s"$dirC/t")
+      assert(parquetFiles(s"$dirC/t") === 4,
+        "compact must restore exactly one file per bucket")
+      assert(spark.table("graft_bkt_files").count() === 9000)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bkt_files")
+  }
+
   test("mismatched bucket counts fall back to a shuffled but correct join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketize2").toString
     val a = (1 to 100).map(i => (i % 11, i)).toDF("k", "va")

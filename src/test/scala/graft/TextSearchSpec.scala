@@ -51,6 +51,32 @@ class TextSearchSpec extends AnyFunSuite {
       "BM25 idf/tfn are positive by construction")
   }
 
+  test("one-shot scorer reads the corpus ONCE: df rides a term window on " +
+    "the candidate postings, not a second tokenize pass (r16)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def corpusScans(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => corpusScans(a.executedPlan)
+      case q: QueryStageExec        => corpusScans(q.plan)
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
+    }.sum
+    // literal query frame (real corpus tokens, else AQE collapses the whole
+    // plan to EmptyRelation): the only parquet scans left are the corpus's
+    // (qTerms is deliberately evaluated twice — it is query-batch-sized
+    // and broadcast both times; the corpus must never be)
+    val someTerms = docs.select(graft.functions.Text.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .limit(1).collect()(0).getSeq[String](0).take(3).mkString(" ")
+    val qs = Seq((1L, someTerms)).toDF("q_id", "q_text")
+    val sc = TextSearch.scores(docs, "text", "doc_id", qs, "q_text", "q_id")
+    sc.collect()
+    // before r16 the df aggregate re-evaluated the whole postings lineage:
+    // a second tokenize scan of the corpus
+    assert(corpusScans(sc.queryExecution.executedPlan) === 1,
+      sc.queryExecution.executedPlan.toString)
+  }
+
   test("persisted-index probe is bit-identical to the in-memory scorer " +
     "and its df aggregate reads the bucketed postings without an Exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
