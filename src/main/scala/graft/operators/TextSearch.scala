@@ -78,29 +78,60 @@ object TextSearch {
 
   /** THE scorer — every public surface goes through here. BM25 micro-
     * scores of `queries` against (post, docLens) under the given corpus
-    * stats: (q_id, doc_id, score_micro). Document frequency rides a
-    * term-window over the query-term-filtered postings branch: `post` is
-    * referenced ONCE, so the one-shot path tokenizes the corpus once (a
-    * separate df aggregate re-evaluated the whole unpersisted postings
-    * lineage — a second tokenize scan — and broadcast-joined it back),
-    * and the window only ever sorts/shuffles candidate postings — rows
-    * whose term appears in some query. Over a term-bucketed postings
-    * table the window is exchange-free (the scan's hash partitioning on
-    * `term` satisfies it); df values are identical either way (postings
-    * are unique per (term, doc), and the count runs before q_id fan-out).
+    * stats: (q_id, doc_id, score_micro). Document frequency attaches to
+    * the query-term-filtered postings in one of two plan shapes — the
+    * VALUES are identical either way (postings are unique per (term, doc)
+    * and df is counted before the q_id fan-out), only the physical plan
+    * differs:
+    *
+    *  - `dfViaWindow = true` (persisted-index probes): a term-window over
+    *    the bucketed postings scan. The scan's hash partitioning on `term`
+    *    satisfies the window, so the probe touches NO corpus-side Exchange
+    *    — and a term's postings already live in one bucket by layout, so
+    *    the window adds no funnel the layout didn't have.
+    *  - `dfViaWindow = false` (one-shot): the same window over unbucketed
+    *    postings would EXCHANGE the candidates by bare `term` and push a
+    *    hot query term's ENTIRE posting list through one task (guide-§2.2
+    *    skew: a stopword-ish query term at corpus scale is a single-task
+    *    sort). Instead df is a map-side-combined aggregate of the filtered
+    *    postings down to one (term, df) row per query term — no single-
+    *    task funnel at any skew — broadcast-joined back. The aggregate
+    *    references the filtered postings a second time, but both consumers
+    *    share the identical (term, doc_id) tf-aggregation exchange, which
+    *    AQE stage reuse computes ONCE — the corpus is still tokenized and
+    *    scanned exactly once (TextSearchSpec pins the executed plan), and
+    *    this shape drops the window's whole Exchange+Sort of candidates.
     */
   private def scoreMicro(post: DataFrame, docLens: Option[DataFrame],
                          nDocs: Long, avgdl: Double,
                          queries: DataFrame, qTextCol: String, qIdCol: String,
-                         k1: Double, b: Double): DataFrame = {
+                         k1: Double, b: Double,
+                         dfViaWindow: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qTerms = queries.select(col(qIdCol).as("q_id"),
         explode(array_distinct(graft.functions.Text.tokens(
           coalesce(col(qTextCol), lit(""))))).as("term"))
       .distinct()
-    val filtered = post
+    val semi = post
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val filtered =
+      if (dfViaWindow)
+        semi.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      else {
+        // Skew-safe df for the one-shot path. The `tf >= 1 AND dl >= 0`
+        // guard is ALWAYS true (tf is a group count, dl a non-null array
+        // size) and changes nothing the aggregate counts; it exists so this
+        // branch consumes the same columns as the scoring branch — column
+        // pruning would otherwise specialize this branch's copy of the
+        // (term, doc_id) aggregation (dropping first(dl)) into a DIFFERENT
+        // exchange and silently break the stage reuse that keeps the
+        // corpus single-scanned. Pinned by TextSearchSpec's executed-plan
+        // scan count.
+        val dfByTerm = semi
+          .groupBy(col("term"))
+          .agg(count(when(col("tf") >= 1 && col("dl") >= 0, 1)).as("df"))
+        semi.join(broadcast(dfByTerm), Seq("term"))
+      }
     val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5))
       / (col("df").cast(DoubleType) + lit(0.5)))
 
@@ -165,7 +196,7 @@ object TextSearch {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     scoreMicro(post, None, nDocs, sumDl.toDouble / nDocs.toDouble,
-      queries, qTextCol, qIdCol, k1, b)
+      queries, qTextCol, qIdCol, k1, b, dfViaWindow = false)
   }
 
   /** Top-k BM25 hits per query with a fully deterministic rank:
@@ -478,7 +509,7 @@ object TextSearch {
     }
     topkOf(scoreMicro(spark.table(postingsTable(name)),
       Some(spark.table(lensTable(name))), nDocs, avgdl,
-      queries, qTextCol, qIdCol, k1, b), k)
+      queries, qTextCol, qIdCol, k1, b, dfViaWindow = true), k)
   }
 
   /** Probe a persisted index with a live query stream: each micro-batch of

@@ -51,16 +51,56 @@ class TextSearchSpec extends AnyFunSuite {
       "BM25 idf/tfn are positive by construction")
   }
 
-  test("one-shot scorer reads the corpus ONCE: df rides a term window on " +
-    "the candidate postings, not a second tokenize pass (r16)") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def corpusScans(p: SparkPlan): Int = p.collect {
-      case a: AdaptiveSparkPlanExec => corpusScans(a.executedPlan)
-      case q: QueryStageExec        => corpusScans(q.plan)
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def countIn(p: SparkPlan)(pf: PartialFunction[SparkPlan, Int]): Int = {
+    def go(n: SparkPlan): Int = n.collect {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q: QueryStageExec        => go(q.plan)
+      case m if pf.isDefinedAt(m)   => pf(m)
+    }.sum
+    go(p)
+  }
+
+  private def corpusScans(p: SparkPlan): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    countIn(p) {
       case s: FileSourceScanExec
         if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
-    }.sum
+    }
+  }
+
+  /** Executed-plan count of exchanges that hash-partition RAW rows by BARE
+    * `term` — the single-task hot-term funnel shape the r17 one-shot scorer
+    * removed (a window by term moves a stopword-ish term's whole posting
+    * list to one task; guide §2.2). Exchanges whose immediate child is a
+    * partial aggregate are exempt: map-side combine means only one row per
+    * (partition, term) moves, which no skew can inflate.
+    */
+  private def bareTermFunnels(p: SparkPlan): Int = {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def unwrap(n: SparkPlan): SparkPlan = n match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case x => x
+    }
+    countIn(p) {
+      case e: ShuffleExchangeExec
+        if !unwrap(e.child).isInstanceOf[BaseAggregateExec] =>
+        e.outputPartitioning match {
+          case h: HashPartitioning if h.expressions.length == 1 &&
+            h.expressions.head.references.toSeq.map(_.name) == Seq("term") => 1
+          case _ => 0
+        }
+    }
+  }
+
+  test("one-shot scorer reads the corpus ONCE: df is a broadcast aggregate " +
+    "sharing the postings exchange via stage reuse, not a second tokenize " +
+    "pass (r16/r17)") {
     // literal query frame (real corpus tokens, else AQE collapses the whole
     // plan to EmptyRelation): the only parquet scans left are the corpus's
     // (qTerms is deliberately evaluated twice — it is query-batch-sized
@@ -71,10 +111,44 @@ class TextSearchSpec extends AnyFunSuite {
     val qs = Seq((1L, someTerms)).toDF("q_id", "q_text")
     val sc = TextSearch.scores(docs, "text", "doc_id", qs, "q_text", "q_id")
     sc.collect()
-    // before r16 the df aggregate re-evaluated the whole postings lineage:
-    // a second tokenize scan of the corpus
+    // before r16 the df aggregate re-evaluated the whole postings lineage
+    // (a second tokenize scan of the corpus); since r17 the df branch must
+    // come back as a ReusedExchange of the (term, doc_id) aggregation —
+    // if a future optimizer change differentiates the two exchange
+    // subtrees (e.g. column pruning specializing the df branch), the scan
+    // count doubles and this pin fails loudly
     assert(corpusScans(sc.queryExecution.executedPlan) === 1,
       sc.queryExecution.executedPlan.toString)
+  }
+
+  test("one-shot scorer has NO single-task term funnel: no exchange " +
+    "partitions candidates by bare term, even under a hot stopword-ish " +
+    "query term in 50% of docs (r17, guide §2.2)") {
+    // deliberately skewed corpus: 'hotstop' appears in every even doc
+    val n = 2000
+    val skewed = spark.range(n).selectExpr("id AS doc_id",
+      "concat(CASE WHEN id % 2 = 0 THEN 'hotstop ' ELSE '' END, " +
+        "'tok', cast(id % 37 AS string), ' tok', cast(id % 11 AS string)) AS text")
+    val qs = Seq((1L, "hotstop tok5")).toDF("q_id", "q_text")
+    val sc = TextSearch.scores(skewed, "text", "doc_id", qs, "q_text", "q_id")
+    val rows = sc.collect()
+    assert(bareTermFunnels(sc.queryExecution.executedPlan) === 0,
+      sc.queryExecution.executedPlan.toString)
+    // and the df values stay exact under skew: hotstop hits n/2 docs, so
+    // every doc carrying ONLY hotstop scores with df = n/2
+    val hotOnly = rows.filter(_.getLong(1) % 2 == 0).map(_.getLong(2)).distinct
+    val nDocs = n.toDouble
+    val dfHot = n / 2.0
+    val idf = math.log(1.0 + (nDocs - dfHot + 0.5) / (dfHot + 0.5))
+    assert(hotOnly.nonEmpty)
+    // docs 'hotstop tokX tokY' (even, X != 5): dl = 3, tf = 1, avgdl = 2.5
+    val avgdl = (3.0 * (n / 2) + 2.0 * (n / 2)) / n
+    val tfn = 1.0 * 2.2 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 3.0 / avgdl))
+    val expected = math.round(
+      BigDecimal(idf * tfn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    assert(hotOnly.contains(expected),
+      s"expected micro-score $expected among ${hotOnly.take(5).toSeq}")
   }
 
   test("persisted-index probe is bit-identical to the in-memory scorer " +
@@ -90,16 +164,19 @@ class TextSearchSpec extends AnyFunSuite {
     val w = want.orderBy("q_id", "rank").collect().map(_.toSeq)
     assert(g.toSeq === w.toSeq)
 
-    // the standing postings are bucketed by term: the probe's df aggregate
-    // (groupBy term) must not re-shuffle the corpus
-    val qTerms = queries.select(explode(
-      graft.functions.Text.tokens(col("q_text"))).as("term")).distinct()
-    val dfAgg = spark.table(TextSearch.postingsTable("graft_bm25_idx"))
-      .join(broadcast(qTerms), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    assert(Bucketize.shuffleExchanges(dfAgg) === 0,
-      "df over bucketed postings must be exchange-free")
-    assert(Bucketize.bucketedScans(dfAgg) === 1)
+    // the standing postings are bucketed by term: the ACTUAL probe plan's
+    // df window must be satisfied by the scan's bucket partitioning — no
+    // exchange anywhere partitions the corpus side by term (r17: this
+    // replaces a hand-built replica of the old aggregate shape that no
+    // longer pinned the real plan), and both index tables read bucketed
+    got.count()
+    val executed = got.queryExecution.executedPlan
+    assert(bareTermFunnels(executed) === 0,
+      s"probe must not re-shuffle the bucketed postings by term:\n$executed")
+    assert(countIn(executed) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.bucketedScan => 1
+    } === 2, s"postings AND lens must be read as bucketed scans:\n$executed")
   }
 
   test("append updates stats and probes bit-identically to one-shot build; " +
