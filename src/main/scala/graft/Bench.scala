@@ -18,10 +18,12 @@ object Bench {
       // warmup-compiled classes are evicted and the timed section pays
       // Janino compilation plus a cold (interpreted-until-C2) first run —
       // the exact one-off the untimed warmup pass exists to exclude (on a
-      // cluster, codegen+JIT is a per-executor constant). Sized to hold
-      // every unit of a full warmup+timed run; env-overridable for A/B.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+      // cluster, codegen+JIT is a per-executor constant). Single-sourced
+      // from the engine's session recipe (graft.Sessions, r17) so users
+      // get the measured behavior too; env-overridable for A/B.
+      .config(Sessions.CodegenCacheKey,
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE",
+          Sessions.CodegenCacheEntries))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =

@@ -21,8 +21,10 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // match Bench: hold every generated class of warmup+timed runs
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+      // (single-sourced from the engine's session recipe, graft.Sessions)
+      .config(Sessions.CodegenCacheKey,
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE",
+          Sessions.CodegenCacheEntries))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
