@@ -19,6 +19,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketize {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Session conf (default on): cluster bucketed writes to one task — and
+    * therefore one sorted file — per bucket. The escape hatch exists for
+    * pathological key distributions: clustering caps write parallelism at
+    * numBuckets and places a bucket's ENTIRE data in one task, so a
+    * heavily skewed bucket (one hot key) or a numBuckets chosen far too
+    * small for the data volume turns into a straggler or OOM-prone task
+    * that the unclustered M×B-files write does not have. Turn it off to
+    * fall back to task-local bucket splitting (more, smaller files; full
+    * write parallelism), or better, size numBuckets with `numBucketsFor`.
+    */
+  val ClusteredWriteKey = "graft.bucketize.clusteredWrite"
+
+  /** Soft ceiling for the estimated bytes one clustered write task (= one
+    * bucket) will hold; above it a warning names the fix. 4 GiB of
+    * input-side bytes is well past the comfortable single-task/single-file
+    * range (guide §6 targets 128 MB-1 GB files).
+    */
+  private val BucketBytesWarn: Long = 4L << 30
+
+  /** Suggested numBuckets for writing `df` bucketed: one bucket per
+    * `targetBytes` (default 512 MB) of the plan's ESTIMATED output size,
+    * clamped to [1, 65536] and rounded up to a power of two so repeated
+    * layouts of a growing corpus reuse familiar geometries. The estimate
+    * is Catalyst's (column-pruned, post-filter when stats allow); for an
+    * index build it is the INDEX rows' size, not the corpus's. Callers
+    * with better knowledge (a measured layout, a co-bucketed join partner
+    * that fixes the count) should pass their own numBuckets — this is the
+    * data-derived default, not a contract (existing layouts keep whatever
+    * geometry they were written with).
+    */
+  def numBucketsFor(df: DataFrame, targetBytes: Long = 512L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val raw = (est + targetBytes - 1) / targetBytes
+    val clamped = raw.max(1).min(65536).toInt
+    Integer.highestOneBit(clamped - 1) * 2 match {
+      case 0 => 1
+      case p => p
+    }
+  }
+
   /** Cluster `df` so every write task holds exactly ONE bucket's rows.
     *
     * A bucketed write is task-local: each task splits ITS rows by bucket id
@@ -36,10 +79,29 @@ object Bucketize {
     * the one extra exchange of index rows is paid once at layout time and
     * is linear in index size at any scale (the explicit partition count
     * keeps AQE from re-coalescing it away from the bucket count).
+    *
+    * The trade (r17, guide §2.5/§6): write parallelism is capped at
+    * numBuckets and one task sorts/writes one whole bucket. When the
+    * ESTIMATED per-bucket volume is far past healthy file size the write
+    * warns and names the fixes (size numBuckets from the data via
+    * `numBucketsFor`, or disable clustering for this session); the
+    * [[ClusteredWriteKey]] session conf is the escape hatch for skewed
+    * keys, where the biggest bucket, not the average, is the straggler.
     */
   private def clusterByBucket(df: DataFrame, keys: Seq[String],
                               numBuckets: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
+    if (!df.sparkSession.conf.getOption(ClusteredWriteKey).forall(_.toBoolean))
+      return df
+    val perBucket =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / numBuckets
+    if (perBucket > BucketBytesWarn)
+      log.warn(
+        s"Bucketize: clustered write of ~$perBucket estimated bytes per " +
+          s"bucket into $numBuckets buckets — each bucket is ONE task and " +
+          "ONE file. Size numBuckets from the data " +
+          s"(Bucketize.numBucketsFor suggests ${numBucketsFor(df)}) or set " +
+          s"$ClusteredWriteKey=false to trade file count for parallelism.")
     df.repartition(numBuckets, keys.map(col): _*)
   }
 
@@ -126,7 +188,11 @@ object Bucketize {
     // one sorted file. Session conf is saved/restored; compact is
     // single-writer by contract so no concurrent planner reads the pin.
     val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(k)
+    // getOption would return the REGISTERED DEFAULT even when the key was
+    // never set, and restoring that materializes a session-level pin that
+    // did not exist before compact ran; getAll lists only explicitly-set
+    // entries, so an unset-with-default key is restored by unsetting.
+    val prev = spark.conf.getAll.get(k)
     spark.conf.set(k, "false")
     try writeBucketed(spark.table(table), staging, newPath, keys,
       spec.numBuckets)

@@ -138,4 +138,69 @@ class BucketizeSpec extends AnyFunSuite {
     assert(viaPruned === viaFlat,
       "partitioned reads must return exactly the flat layout's rows")
   }
+
+  test("numBucketsFor sizes buckets from the plan's estimate: monotone in " +
+    "data volume, clamped, power of two (r17: clustered writes put one " +
+    "bucket in one task, so numBuckets must track data, not a constant)") {
+    val small = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    // ~100 rows at a few bytes: one bucket at any sane target
+    assert(Bucketize.numBucketsFor(small) === 1)
+    // force multiple buckets with a tiny target; power-of-two rounding
+    val n4 = Bucketize.numBucketsFor(small, targetBytes = 64L)
+    assert(n4 >= 2 && (n4 & (n4 - 1)) === 0, s"power of two, got $n4")
+    val bigger = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+    assert(Bucketize.numBucketsFor(bigger, targetBytes = 64L) >= n4,
+      "more data must never suggest fewer buckets")
+    // clamp floor: even an empty frame suggests a valid bucket count
+    assert(Bucketize.numBucketsFor(small.limit(0)) === 1)
+  }
+
+  test("clustered-write escape hatch: with graft.bucketize.clusteredWrite=" +
+    "false the write is task-local again (files > numBuckets from a " +
+    "multi-partition input) and reads stay correct") {
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktesc").toString
+    val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4)
+    withConf(Bucketize.ClusteredWriteKey -> "false") {
+      Bucketize.writeBucketed(df, "graft_bkt_esc", s"$dir/t", Seq("k"), 4)
+    }
+    try {
+      assert(parquetFiles(s"$dir/t") > 4,
+        "unclustered write keeps task-local bucket splitting (M*B files)")
+      assert(spark.table("graft_bkt_esc").count() === 5000)
+      // and the layout still joins exchange-free on the bucket key
+      val other = (1L to 200L).map(i => (i, i * 2)).toDF("k", "w")
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_bktesc2").toString
+      Bucketize.writeBucketed(other, "graft_bkt_esc2", s"$dir2/t", Seq("k"), 4)
+      val j = spark.table("graft_bkt_esc").join(spark.table("graft_bkt_esc2"), "k")
+      j.count()
+      assert(Bucketize.shuffleExchanges(j) === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_esc")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_esc2")
+    }
+  }
+
+  test("compact leaves no autoBucketedScan pin behind when the conf was " +
+    "never explicitly set (r17: getOption returns the registered default, " +
+    "so the restore must unset, not re-set)") {
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val hadExplicit = spark.conf.getAll.contains(k)
+    val saved = spark.conf.getAll.get(k)
+    spark.conf.unset(k)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktpin").toString
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketize.writeBucketed(df, "graft_bkt_pin", s"$dir/t", Seq("k"), 2)
+    try {
+      val dirC = java.nio.file.Files.createTempDirectory("graft_bktpin2").toString
+      Bucketize.compact(spark, "graft_bkt_pin", s"$dirC/t")
+      assert(!spark.conf.getAll.contains(k),
+        "compact must not materialize an explicit session pin of a conf " +
+          "that was unset before it ran")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_pin")
+      if (hadExplicit) saved.foreach(spark.conf.set(k, _))
+    }
+  }
 }
