@@ -29,15 +29,26 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    var failures = 0
     names.foreach { name =>
       try {
         val df = SparkEntryRef.queries(name)(spark, sfDir)
+        // SPARK_GRAFT_PLANDUMP_EXEC=1: execute THIS frame's own plan first
+        // (toRdd computes every row inside the same QueryExecution —
+        // df.count() would plan a separate query), so the dump is the
+        // FINAL adaptive plan (isFinalPlan=true) — the only place runtime
+        // decisions like AQE stage reuse (ReusedExchange), coalescing and
+        // join demotions are visible. The default stays the
+        // pre-execution plan.
+        if (sys.env.get("SPARK_GRAFT_PLANDUMP_EXEC").contains("1"))
+          df.queryExecution.toRdd.count()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"$name$suffix.txt"), plan)
         println(s"[plandump] wrote $name$suffix")
       } catch {
         case e: Throwable =>
+          failures += 1
           System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
       spark.sharedState.cacheManager.clearCache()
@@ -45,6 +56,9 @@ object PlanDump {
         .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
+    // an evidence run where a dump failed must not look successful to a
+    // script checking the exit code
+    if (failures > 0) sys.exit(1)
   }
 
   private object SparkEntryRef {
