@@ -59,8 +59,7 @@ object Discovery {
     val lc = left.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
     val rc = right.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
     require(lc.nonEmpty && rc.nonEmpty, "no comparable columns to match")
-    def sketchOf(df: DataFrame, cols: Seq[String])
-        : Map[String, (Seq[Long], Double)] =
+    def sketchPlan(df: DataFrame, cols: Seq[String], side: String): DataFrame =
       df.select(explode(array(cols.map(c =>
           struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
         .filter(col("kv.v").isNotNull)
@@ -71,16 +70,25 @@ object Discovery {
             .cast(LongType).as("h"))
         .groupBy(col("c"))
         .agg(graft.functions.AggExprs.minKDistinctBy(col("h"), k).as("sk"))
-        .collect()
-        .map { r =>
-          val sk = r.getSeq[Long](1).toSeq
-          // KMV distinct estimate: sketch not full -> it IS the distinct
-          // hash set; full -> (k-1)*M / k-th smallest
-          val nd = if (sk.length < k) sk.length.toDouble
-                   else (k - 1).toDouble * HashSpace / sk.last.toDouble
-          r.getString(0) -> (sk, nd)
-        }.toMap
-    val (skL, skR) = (sketchOf(left, lc.toSeq), sketchOf(right, rc.toSeq))
+        .select(lit(side).as("side"), col("c"), col("sk"))
+    def decode(rows: Array[org.apache.spark.sql.Row])
+        : Map[String, (Seq[Long], Double)] =
+      rows.map { r =>
+        val sk = r.getSeq[Long](2).toSeq
+        // KMV distinct estimate: sketch not full -> it IS the distinct
+        // hash set; full -> (k-1)*M / k-th smallest
+        val nd = if (sk.length < k) sk.length.toDouble
+                 else (k - 1).toDouble * HashSpace / sk.last.toDouble
+        r.getString(1) -> (sk, nd)
+      }.toMap
+    // ONE action for both sides: the two table scans are independent, and
+    // a union lets the scheduler overlap them inside a single job instead
+    // of paying two sequential job round-trips (guide §2.6) — at scale the
+    // second table's scan starts while the first's tail finishes
+    val both = sketchPlan(left, lc.toSeq, "L")
+      .unionAll(sketchPlan(right, rc.toSeq, "R")).collect()
+    val (skL, skR) = (decode(both.filter(_.getString(0) == "L")),
+      decode(both.filter(_.getString(0) == "R")))
     // an entirely-null column (or an empty frame) produces no group and is
     // absent from its sketch map — it can match nothing, so it simply
     // contributes no pairs (the exact path's melt drops it the same way)
@@ -121,12 +129,12 @@ object Discovery {
     * one scan, no distinct shuffle): the routing probe for `joinKeys` auto
     * mode. ±~2% accuracy is plenty for a routing threshold.
     */
-  private def approxDistinctPairs(df: DataFrame, cols: Seq[String]): Long =
+  private def approxDistinctPairsPlan(df: DataFrame,
+                                      cols: Seq[String]): DataFrame =
     df.select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
       .filter(col("kv.v").isNotNull)
-      .agg(approx_count_distinct(col("kv")))
-      .head().getLong(0)
+      .agg(approx_count_distinct(col("kv")).cast(LongType).as("n"))
 
   /** All pairs with `inclusion` (of the LEFT column's values in the right)
     * and `jaccard`, sorted best-first. `minInclusion` prunes the output,
@@ -154,8 +162,12 @@ object Discovery {
     val rc = right.schema.fields.filter(f => comparable(f.dataType)).map(_.name)
     require(lc.nonEmpty && rc.nonEmpty, "no comparable columns to match")
     val useSketch = mode == "sketch" || (mode == "auto" && {
-      val est = approxDistinctPairs(left, lc.toSeq) +
-        approxDistinctPairs(right, rc.toSeq)
+      // both probes in ONE action (union of two 1-row aggregates): the two
+      // table scans are independent stages of one job, so they overlap
+      // instead of running as two sequential driver round-trips
+      val est = approxDistinctPairsPlan(left, lc.toSeq)
+        .unionAll(approxDistinctPairsPlan(right, rc.toSeq))
+        .agg(sum(col("n"))).head().getLong(0)
       est > maxExactDistinct
     })
     if (useSketch)

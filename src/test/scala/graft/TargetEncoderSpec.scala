@@ -215,6 +215,36 @@ class DiscoverySpec extends AnyFunSuite {
       maxExactDistinct = 2L)
     assert(exact.columns.contains("inclusion"))
   }
+
+  test("joinKeys exact melts each side ONCE at runtime: the per-column " +
+    "count aggregates come back as ReusedExchange of the melt-distinct " +
+    "shuffle, not a second table scan (r17 evidence pin)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan, marker: String): Int = {
+      def go(n: SparkPlan): Int = n.collect {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec        => go(q.plan)
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(marker)) => 1
+      }.sum
+      go(p)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_jd").toString
+    (1 to 500).map(i => (i.toLong % 97, s"s${i % 13}")).toDF("fk", "cat")
+      .write.parquet(s"$dir/jdleft")
+    (1 to 200).map(i => (i.toLong % 97, i.toLong)).toDF("id", "w")
+      .write.parquet(s"$dir/jdright")
+    val out = graft.operators.Discovery.joinKeys(
+      spark.read.parquet(s"$dir/jdleft"),
+      spark.read.parquet(s"$dir/jdright"), mode = "exact")
+    out.collect() // finalizes THIS frame's adaptive plan (count() plans anew)
+    val executed = out.queryExecution.executedPlan
+    assert(scansOf(executed, "jdleft") === 1,
+      s"left melted more than once:\n$executed")
+    assert(scansOf(executed, "jdright") === 1,
+      s"right melted more than once:\n$executed")
+  }
 }
 
 /** KBins quantile discretization + GroupNormalize z-score unit checks. */
