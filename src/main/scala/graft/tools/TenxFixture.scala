@@ -51,37 +51,49 @@ object TenxFixture {
     assertShift("orders", "o_custkey", 10000000L)
     assertShift("customer", "c_custkey", 10000000L)
 
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    // The base tables are single-file; exploding N copies of a one-
+    // partition read and writing directly produces ONE file with 1-2 row
+    // groups — at most two scan tasks ever carry data, so the first stage
+    // of every fixture query (scan + tokenize/explode/partial-agg, often
+    // the expensive part) is SERIALIZED by input layout and a core-count
+    // contrast measures the layout, not the engine (guide §2.5 input
+    // skew; r17 measured exactly this: a 32-task sketch stage whose
+    // total task time equaled one task's wall). Spread each table over
+    // a deterministic hash layout before writing.
+    def spread(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.repartition(32, col(key))
+
+    spread(spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("*"), copies)
       .withColumn("doc_id", col("doc_id") + col("copy") * lit(1000000L))
       .withColumn("text",
         when(col("copy") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" copytoken"), col("copy"))))
-      .drop("copy")
+      .drop("copy"), "doc_id")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spread(spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("*"), copies)
       .withColumn("vec_id", col("vec_id") + col("copy") * lit(1000000L))
       .withColumn("embedding", transform(col("embedding"),
         (x, i) => when(i === 0, x + col("copy").cast("float") / 1000.0f)
           .otherwise(x)))
-      .drop("copy")
+      .drop("copy"), "vec_id")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     // FK pair shifts together: every copy's orders point at that copy's
     // customers, so inclusion/jaccard and join fan-outs match the 1x shape
-    spark.read.parquet(s"$sfDir/orders.parquet")
+    spread(spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("*"), copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("copy") * lit(100000000L))
       .withColumn("o_custkey", col("o_custkey") + col("copy") * lit(10000000L))
-      .drop("copy")
+      .drop("copy"), "o_orderkey")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
-    spark.read.parquet(s"$sfDir/customer.parquet")
+    spread(spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("*"), copies)
       .withColumn("c_custkey", col("c_custkey") + col("copy") * lit(10000000L))
-      .drop("copy")
+      .drop("copy"), "c_custkey")
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     println(s"[tenx] wrote ${nCopies}x documents/embeddings/orders/customer to $outDir")
